@@ -1,0 +1,130 @@
+"""Attention kernel tests: reference vs brute force, pallas-interpret vs ref."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from visionselector_tpu.kernels.attention import (
+    _flash_pallas,
+    decode_attention,
+    mha_reference,
+)
+
+
+def brute_force(q, k, v, q_seg, kv_seg, causal):
+    """Straightforward per-element masked softmax attention in numpy fp64."""
+    b, sq, h, d = q.shape
+    sk = k.shape[1]
+    out = np.zeros_like(np.asarray(q, np.float64))
+    scale = d**-0.5
+    for bi in range(b):
+        for hi in range(h):
+            logits = (
+                np.asarray(q[bi, :, hi], np.float64)
+                @ np.asarray(k[bi, :, hi], np.float64).T
+                * scale
+            )
+            mask = (np.asarray(q_seg[bi])[:, None] == np.asarray(kv_seg[bi])[None, :]) & (
+                np.asarray(kv_seg[bi])[None, :] > 0
+            )
+            if causal:
+                mask &= np.arange(sq)[:, None] >= np.arange(sk)[None, :]
+            logits = np.where(mask, logits, -np.inf)
+            with np.errstate(invalid="ignore"):
+                p = np.exp(logits - logits.max(-1, keepdims=True))
+                p = np.nan_to_num(p / p.sum(-1, keepdims=True))
+            out[bi, :, hi] = p @ np.asarray(v[bi, :, hi], np.float64)
+    return out
+
+
+def make_inputs(b, sq, sk, h, d, segments, seed=0):
+    rng = np.random.RandomState(seed)
+    q = jnp.asarray(rng.randn(b, sq, h, d), jnp.float32)
+    k = jnp.asarray(rng.randn(b, sk, h, d), jnp.float32)
+    v = jnp.asarray(rng.randn(b, sk, h, d), jnp.float32)
+    q_seg = jnp.asarray(segments[:sq])[None].repeat(b, 0)
+    kv_seg = jnp.asarray(segments[:sk])[None].repeat(b, 0)
+    return q, k, v, q_seg, kv_seg
+
+
+SEGMENTS = np.array([1] * 5 + [2] * 7 + [3] * 2 + [0] * 2, dtype=np.int32)
+
+
+class TestReference:
+    @pytest.mark.parametrize("causal", [False, True])
+    def test_vs_brute_force(self, causal):
+        q, k, v, qs, ks = make_inputs(2, 16, 16, 3, 8, SEGMENTS)
+        got = mha_reference(q, k, v, qs, ks, causal=causal)
+        want = brute_force(q, k, v, qs, ks, causal)
+        np.testing.assert_allclose(np.asarray(got), want, atol=2e-5)
+
+    def test_padding_rows_zero(self):
+        q, k, v, qs, ks = make_inputs(1, 16, 16, 2, 8, SEGMENTS)
+        got = np.asarray(mha_reference(q, k, v, qs, ks))
+        np.testing.assert_array_equal(got[0, 14:], 0.0)
+
+    def test_single_segment_equals_dense(self):
+        seg = np.ones(32, np.int32)
+        q, k, v, qs, ks = make_inputs(1, 32, 32, 2, 16, seg)
+        got = mha_reference(q, k, v, qs, ks)
+        want = brute_force(q, k, v, qs, ks, False)
+        np.testing.assert_allclose(np.asarray(got), want, atol=2e-5)
+
+
+class TestPallasInterpret:
+    """Pallas kernel correctness via interpret mode (runs on CPU)."""
+
+    @pytest.mark.parametrize("causal", [False, True])
+    def test_vs_reference(self, causal):
+        seg = np.concatenate(
+            [
+                np.repeat(np.arange(1, 6), 100),
+                np.zeros(12, np.int32),
+            ]
+        ).astype(np.int32)
+        q, k, v, qs, ks = make_inputs(1, 512, 512, 2, 32, seg)
+        want = mha_reference(q, k, v, qs, ks, causal=causal)
+        got = _flash_pallas(
+            q, k, v, qs, ks, causal, 32**-0.5, block_q=128, block_k=128,
+            interpret=True,
+        )
+        np.testing.assert_allclose(
+            np.asarray(got), np.asarray(want), atol=3e-5, rtol=1e-4
+        )
+
+    def test_blocks_not_dividing_segments(self):
+        """Segment boundaries intentionally misaligned with block boundaries."""
+        seg = np.concatenate(
+            [np.repeat([1, 2, 3], [37, 200, 19]), np.zeros(
+                256 - 256, np.int32)]
+        ).astype(np.int32)
+        q, k, v, qs, ks = make_inputs(1, 256, 256, 2, 16, seg, seed=3)
+        want = mha_reference(q, k, v, qs, ks)
+        got = _flash_pallas(
+            q, k, v, qs, ks, False, 16**-0.5, block_q=64, block_k=64,
+            interpret=True,
+        )
+        np.testing.assert_allclose(
+            np.asarray(got), np.asarray(want), atol=3e-5, rtol=1e-4
+        )
+
+
+class TestDecode:
+    def test_matches_reference_last_row(self):
+        """Decode of token T equals row T of full causal attention."""
+        rng = np.random.RandomState(1)
+        b, t, h, d = 1, 12, 2, 8
+        q = jnp.asarray(rng.randn(b, t, h, d), jnp.float32)
+        k = jnp.asarray(rng.randn(b, t, h, d), jnp.float32)
+        v = jnp.asarray(rng.randn(b, t, h, d), jnp.float32)
+        seg = jnp.ones((b, t), jnp.int32)
+        full = mha_reference(q, k, v, seg, seg, causal=True)
+        # cache padded to 16
+        pad = 4
+        kc = jnp.pad(k, ((0, 0), (0, pad), (0, 0), (0, 0)))
+        vc = jnp.pad(v, ((0, 0), (0, pad), (0, 0), (0, 0)))
+        got = decode_attention(q[:, -1:], kc, vc, jnp.array([t]))
+        np.testing.assert_allclose(
+            np.asarray(got[:, 0]), np.asarray(full[:, -1]), atol=2e-5
+        )

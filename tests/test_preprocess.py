@@ -1,0 +1,187 @@
+"""Unit tests for host-side preprocessing: smart_resize, patchify, indices."""
+
+import numpy as np
+import pytest
+
+from visionselector_tpu.preprocess.image import (
+    normalize_image,
+    patchify,
+    preprocess_image,
+    smart_resize,
+)
+from visionselector_tpu.preprocess.indices import (
+    build_vision_batch,
+    cu_seqlens_to_segment_ids,
+    full_attn_cu_seqlens,
+    get_window_index,
+    vision_rot_pos_ids,
+)
+
+
+class TestSmartResize:
+    def test_divisible_by_factor(self):
+        for h, w in [(100, 200), (1080, 1920), (28, 28), (333, 777)]:
+            hb, wb = smart_resize(h, w)
+            assert hb % 28 == 0 and wb % 28 == 0
+
+    def test_pixel_bounds(self):
+        hb, wb = smart_resize(10000, 10000)
+        assert hb * wb <= 16384 * 28 * 28
+        hb, wb = smart_resize(30, 30)
+        assert hb * wb >= 4 * 28 * 28
+
+    def test_golden_values(self):
+        # round_by_factor path: 640x480 -> nearest multiples of 28.
+        assert smart_resize(480, 640) == (476, 644)
+        # exact multiples stay put.
+        assert smart_resize(560, 840) == (560, 840)
+        # max_pixels clamp with processor bounds (1003520 px budget).
+        hb, wb = smart_resize(2000, 3000, min_pixels=56 * 56, max_pixels=28 * 28 * 1280)
+        assert hb * wb <= 28 * 28 * 1280
+        assert hb % 28 == 0 and wb % 28 == 0
+
+    def test_aspect_ratio_guard(self):
+        with pytest.raises(ValueError):
+            smart_resize(10, 10000)
+
+
+class TestPatchify:
+    def test_shapes(self):
+        frames = np.random.rand(1, 3, 56, 84).astype(np.float32)
+        flat, (t, h, w) = patchify(frames)
+        assert (t, h, w) == (1, 4, 6)
+        assert flat.shape == (24, 3 * 2 * 14 * 14)
+
+    def test_temporal_repeat_single_image(self):
+        """A single frame is repeated across the temporal patch, so both
+        temporal slices of each flattened patch are identical."""
+        frames = np.random.rand(1, 3, 28, 28).astype(np.float32)
+        flat, _ = patchify(frames)
+        per = flat.reshape(-1, 3, 2, 14, 14)
+        np.testing.assert_array_equal(per[:, :, 0], per[:, :, 1])
+
+    def test_block_order(self):
+        """Rows are ordered by (merge-block row, merge-block col, then 2x2
+        within-block row-major) — the order the ViT merger assumes."""
+        h_pix, w_pix = 56, 56  # 4x4 patches, 2x2 merge blocks
+        img = np.zeros((1, 3, h_pix, w_pix), np.float32)
+        # Tag each 14x14 patch with a unique constant = row*4 + col.
+        for r in range(4):
+            for c in range(4):
+                img[0, :, r * 14 : (r + 1) * 14, c * 14 : (c + 1) * 14] = r * 4 + c
+        flat, _ = patchify(img)
+        tags = flat[:, 0]  # first element identifies the patch
+        expected = [0, 1, 4, 5, 2, 3, 6, 7, 8, 9, 12, 13, 10, 11, 14, 15]
+        np.testing.assert_array_equal(tags, expected)
+
+    def test_video_grid_t(self):
+        frames = np.random.rand(4, 3, 28, 28).astype(np.float32)
+        flat, (t, h, w) = patchify(frames)
+        assert t == 2 and flat.shape[0] == t * h * w
+
+    def test_preprocess_image_end_to_end(self):
+        img = (np.random.rand(100, 150, 3) * 255).astype(np.uint8)
+        flat, grid = preprocess_image(img)
+        t, h, w = grid[0]
+        assert flat.shape == (t * h * w, 1176)
+        assert h % 2 == 0 and w % 2 == 0
+
+
+class TestNormalize:
+    def test_range(self):
+        img = np.full((4, 4, 3), 255.0)
+        out = normalize_image(img)
+        # (1 - mean) / std for channel 0
+        np.testing.assert_allclose(out[0, 0, 0], (1 - 0.48145466) / 0.26862954)
+
+
+class TestWindowIndex:
+    def test_permutation(self):
+        grid = np.array([[1, 16, 20]])  # 8x10 merged
+        wi, cu = get_window_index(grid)
+        n = 8 * 10
+        assert sorted(wi.tolist()) == list(range(n))
+        assert cu[0] == 0 and cu[-1] == 16 * 20  # patch-level total
+
+    def test_small_exact(self):
+        """2x2 merged grid with window covering 4x4 merged positions: single
+        window, identity permutation."""
+        grid = np.array([[1, 4, 4]])
+        wi, cu = get_window_index(grid)
+        np.testing.assert_array_equal(wi, [0, 1, 2, 3])
+        np.testing.assert_array_equal(cu, [0, 16])
+
+    def test_ragged_windows(self):
+        """6x6 merged grid, 4x4 windows -> 2x2 windows of sizes 16/8/8/4."""
+        grid = np.array([[1, 12, 12]])
+        wi, cu = get_window_index(grid)
+        assert sorted(wi.tolist()) == list(range(36))
+        seqlens = np.diff(cu) // 4  # merged tokens per window
+        np.testing.assert_array_equal(seqlens, [16, 8, 8, 4])
+        # First window = top-left 4x4 block of the 6x6 merged grid.
+        first = set(wi[:16].tolist())
+        expected = {r * 6 + c for r in range(4) for c in range(4)}
+        assert first == expected
+
+    def test_multi_image(self):
+        grid = np.array([[1, 8, 8], [1, 4, 4]])
+        wi, cu = get_window_index(grid)
+        assert sorted(wi.tolist()) == list(range(16 + 4))
+        assert cu[-1] == (64 + 16)
+        # second image's indices are offset past the first image's.
+        assert set(wi.tolist()[-4:]) == {16, 17, 18, 19}
+
+
+class TestRotPosIds:
+    def test_block_order(self):
+        grid = np.array([[1, 4, 4]])
+        ids = vision_rot_pos_ids(grid)
+        # merge-block order: block (0,0) rows (0,0),(0,1),(1,0),(1,1) ...
+        expected_first8 = [
+            (0, 0), (0, 1), (1, 0), (1, 1),
+            (0, 2), (0, 3), (1, 2), (1, 3),
+        ]
+        np.testing.assert_array_equal(ids[:8], expected_first8)
+
+    def test_temporal_tile(self):
+        grid = np.array([[2, 2, 2]])
+        ids = vision_rot_pos_ids(grid)
+        assert ids.shape == (8, 2)
+        np.testing.assert_array_equal(ids[:4], ids[4:])
+
+
+class TestSegments:
+    def test_cu_to_seg(self):
+        seg = cu_seqlens_to_segment_ids(np.array([0, 3, 5]), 7)
+        np.testing.assert_array_equal(seg, [1, 1, 1, 2, 2, 0, 0])
+
+    def test_full_attn_boundaries(self):
+        cu = full_attn_cu_seqlens(np.array([[2, 4, 6], [1, 2, 2]]))
+        np.testing.assert_array_equal(cu, [0, 24, 48, 52])
+
+
+class TestVisionBatch:
+    def test_build_and_pad(self):
+        grid = np.array([[1, 8, 8]])
+        pixels = np.random.randn(64, 1176).astype(np.float32)
+        vb = build_vision_batch(pixels, grid, pad_to=128)
+        assert vb.pixel_values.shape == (128, 1176)
+        assert vb.num_patches == 64 and vb.num_merged == 16
+        assert vb.window_seg_ids.shape == (128,)
+        # padding rows have segment id 0
+        assert (vb.window_seg_ids[64:] == 0).all()
+        assert (vb.full_seg_ids[64:] == 0).all()
+        assert (vb.window_seg_ids[:64] > 0).all()
+        # reverse_index inverts window_index
+        perm = vb.window_index
+        inv = vb.reverse_index
+        np.testing.assert_array_equal(perm[inv], np.arange(32))
+
+    def test_window_permutation_applied(self):
+        """Patch rows are permuted in merge-unit groups of the window index."""
+        grid = np.array([[1, 12, 12]])
+        pixels = np.arange(144, dtype=np.float32)[:, None].repeat(4, 1)
+        vb = build_vision_batch(pixels, grid)
+        wi, _ = get_window_index(grid)
+        expected = (wi[:, None] * 4 + np.arange(4)[None, :]).reshape(-1)
+        np.testing.assert_array_equal(vb.pixel_values[:, 0], expected)

@@ -1,0 +1,237 @@
+"""Flash attention for TPU with segment-id (varlen) support.
+
+Replaces the reference's CUDA ``flash_attn_varlen_func`` calls
+(``qwen-evaluation/qwen25vl/modeling_qwen2_5_vl.py:208``,
+``qwen-vl-finetune/qwenvl/train/trainer.py:101-113``) with a TPU-native design:
+
+- variable-length packing is expressed with **segment ids** instead of
+  ``cu_seqlens`` (block-diagonal attention = ``seg_q == seg_k``). Padding rows
+  carry segment id 0 and attend to nothing.
+- ViT window attention (``cu_window_seqlens``) and per-image full attention are
+  the *same kernel* with different segment arrays.
+- causal LLM prefill over the compressed sequence is the same kernel with
+  ``causal=True``.
+
+Two interchangeable implementations:
+- ``mha_reference``: pure-jnp masked attention (XLA fuses well; used on CPU for
+  tests and as the numerics oracle).
+- Pallas online-softmax kernel (``_flash_pallas``) for TPU.
+
+Dispatch via ``attention(..., impl=...)`` or the ``VST_ATTN_IMPL`` env var.
+"""
+
+from __future__ import annotations
+
+import functools
+import os
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+NEG_INF = -1e30
+
+
+def _mask(q_seg, kv_seg, causal: bool, q_offset=0):
+    """[Sq, Sk] boolean validity mask from segment ids (+ causal)."""
+    m = (q_seg[:, None] == kv_seg[None, :]) & (kv_seg[None, :] > 0)
+    if causal:
+        sq, sk = q_seg.shape[0], kv_seg.shape[0]
+        qi = jnp.arange(sq) + q_offset
+        ki = jnp.arange(sk)
+        m = m & (qi[:, None] >= ki[None, :])
+    return m
+
+
+def mha_reference(
+    q: jax.Array,
+    k: jax.Array,
+    v: jax.Array,
+    q_seg: jax.Array,
+    kv_seg: jax.Array,
+    causal: bool = False,
+    scale: float | None = None,
+) -> jax.Array:
+    """Masked multi-head attention, fp32 softmax.
+
+    Args:
+        q: [B, Sq, H, D]; k, v: [B, Sk, H, D] (H already GQA-expanded or equal).
+        q_seg: [B, Sq] int32; kv_seg: [B, Sk] int32. 0 = padding.
+    Returns: [B, Sq, H, D] in q.dtype.
+    """
+    if scale is None:
+        scale = q.shape[-1] ** -0.5
+    logits = jnp.einsum("bqhd,bkhd->bhqk", q, k, preferred_element_type=jnp.float32)
+    logits = logits * scale
+    mask = jax.vmap(lambda a, b: _mask(a, b, causal))(q_seg, kv_seg)
+    logits = jnp.where(mask[:, None, :, :], logits, NEG_INF)
+    probs = jax.nn.softmax(logits, axis=-1)
+    # Rows with no valid keys (padding queries) become uniform after softmax of
+    # all -inf; zero them out.
+    any_valid = mask.any(axis=-1)[:, None, :, None]
+    probs = jnp.where(any_valid, probs, 0.0)
+    out = jnp.einsum("bhqk,bkhd->bqhd", probs.astype(v.dtype), v)
+    return out.astype(q.dtype)
+
+
+def _flash_kernel(q_ref, k_ref, v_ref, qseg_ref, kseg_ref, o_ref, *, scale, causal, block_k, kv_len):
+    """Online-softmax flash attention body. Grid: (B, H, num_q_blocks)."""
+    q = q_ref[0, 0]  # [bq, d]
+    bq = q.shape[0]
+    iq = pl.program_id(2)
+    q_seg = qseg_ref[0]  # [bq]
+
+    num_kv_blocks = pl.cdiv(kv_len, block_k)
+    if causal:
+        # Only blocks whose start can be <= last query row.
+        last_q = (iq + 1) * bq - 1
+        num_kv_blocks = jnp.minimum(num_kv_blocks, (last_q // block_k) + 1)
+
+    def body(j, carry):
+        acc, m_prev, l_prev = carry
+        k = k_ref[0, 0, pl.ds(j * block_k, block_k)]  # [bk, d]
+        v = v_ref[0, 0, pl.ds(j * block_k, block_k)]
+        k_seg = kseg_ref[0, pl.ds(j * block_k, block_k)]
+
+        s = jax.lax.dot_general(
+            q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        ) * scale  # [bq, bk]
+
+        mask = (q_seg[:, None] == k_seg[None, :]) & (k_seg[None, :] > 0)
+        if causal:
+            qi = iq * bq + jax.lax.broadcasted_iota(jnp.int32, (bq, block_k), 0)
+            ki = j * block_k + jax.lax.broadcasted_iota(jnp.int32, (bq, block_k), 1)
+            mask = mask & (qi >= ki)
+        s = jnp.where(mask, s, NEG_INF)
+
+        m_cur = jnp.max(s, axis=-1, keepdims=True)  # [bq, 1]
+        m_new = jnp.maximum(m_prev, m_cur)
+        # Explicit mask on p: for fully-masked rows m_new == NEG_INF and
+        # exp(s - m_new) would be exp(0) == 1 instead of 0.
+        p = jnp.where(mask, jnp.exp(s - m_new), 0.0)
+        alpha = jnp.exp(m_prev - m_new)
+        l_new = l_prev * alpha + jnp.sum(p, axis=-1, keepdims=True)
+        pv = jax.lax.dot_general(
+            p.astype(v.dtype), v, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        acc = acc * alpha + pv
+        return acc, m_new, l_new
+
+    d = q.shape[-1]
+    acc = jnp.zeros((bq, d), jnp.float32)
+    m0 = jnp.full((bq, 1), NEG_INF, jnp.float32)
+    l0 = jnp.zeros((bq, 1), jnp.float32)
+    acc, m, l = jax.lax.fori_loop(0, num_kv_blocks, body, (acc, m0, l0))
+
+    out = acc / jnp.where(l == 0.0, 1.0, l)
+    o_ref[0, 0] = out.astype(o_ref.dtype)
+
+
+def _flash_pallas(
+    q, k, v, q_seg, kv_seg, causal, scale, block_q=256, block_k=256, interpret=False
+):
+    """q: [B, Sq, H, D] -> [B, Sq, H, D]. Sq/Sk must be multiples of blocks."""
+    b, sq, h, d = q.shape
+    sk = k.shape[1]
+    block_q = min(block_q, sq)
+    block_k = min(block_k, sk)
+    assert sq % block_q == 0 and sk % block_k == 0, (sq, sk, block_q, block_k)
+
+    # [B, H, S, D] layout so the last two dims are the compute tile.
+    qt = q.transpose(0, 2, 1, 3)
+    kt = k.transpose(0, 2, 1, 3)
+    vt = v.transpose(0, 2, 1, 3)
+
+    grid = (b, h, sq // block_q)
+    kernel = functools.partial(
+        _flash_kernel, scale=scale, causal=causal, block_k=block_k, kv_len=sk
+    )
+    out = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, 1, block_q, d), lambda ib, ih, iq: (ib, ih, iq, 0)),
+            pl.BlockSpec((1, 1, sk, d), lambda ib, ih, iq: (ib, ih, 0, 0)),
+            pl.BlockSpec((1, 1, sk, d), lambda ib, ih, iq: (ib, ih, 0, 0)),
+            pl.BlockSpec((1, block_q), lambda ib, ih, iq: (ib, iq)),
+            pl.BlockSpec((1, sk), lambda ib, ih, iq: (ib, 0)),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, 1, block_q, d), lambda ib, ih, iq: (ib, ih, iq, 0)
+        ),
+        out_shape=jax.ShapeDtypeStruct((b, h, sq, d), q.dtype),
+        interpret=interpret,
+        cost_estimate=pl.CostEstimate(
+            flops=4 * b * h * sq * sk * d,
+            bytes_accessed=2 * (qt.size + kt.size + vt.size) * qt.dtype.itemsize,
+            transcendentals=b * h * sq * sk,
+        ),
+    )(
+        qt,
+        kt,
+        vt,
+        q_seg.astype(jnp.int32),
+        kv_seg.astype(jnp.int32),
+    )
+    return out.transpose(0, 2, 1, 3)
+
+
+def default_impl() -> str:
+    impl = os.environ.get("VST_ATTN_IMPL", "auto")
+    if impl != "auto":
+        return impl
+    try:
+        platform = jax.devices()[0].platform
+    except RuntimeError:
+        platform = "cpu"
+    return "pallas" if platform in ("tpu", "axon") else "xla"
+
+
+def attention(
+    q: jax.Array,
+    k: jax.Array,
+    v: jax.Array,
+    q_seg: jax.Array,
+    kv_seg: jax.Array,
+    causal: bool = False,
+    scale: float | None = None,
+    impl: str | None = None,
+) -> jax.Array:
+    """Segment-masked multi-head attention. See ``mha_reference`` for shapes."""
+    if scale is None:
+        scale = q.shape[-1] ** -0.5
+    impl = impl or default_impl()
+    if impl == "xla":
+        return mha_reference(q, k, v, q_seg, kv_seg, causal, scale)
+    if impl == "pallas":
+        return _flash_pallas(q, k, v, q_seg, kv_seg, causal, scale)
+    if impl == "pallas_interpret":
+        return _flash_pallas(q, k, v, q_seg, kv_seg, causal, scale, interpret=True)
+    raise ValueError(f"unknown attention impl {impl!r}")
+
+
+def decode_attention(
+    q: jax.Array,
+    k_cache: jax.Array,
+    v_cache: jax.Array,
+    cache_len: jax.Array,
+    scale: float | None = None,
+) -> jax.Array:
+    """Single-step decode attention against a KV cache.
+
+    q: [B, 1, H, D]; k_cache/v_cache: [B, T_max, H, D]; cache_len: [B] valid
+    lengths (query attends to cache positions < cache_len). XLA handles this
+    well (it is bandwidth-bound); no Pallas needed at batch-1 decode.
+    """
+    if scale is None:
+        scale = q.shape[-1] ** -0.5
+    logits = jnp.einsum(
+        "bqhd,bkhd->bhqk", q, k_cache, preferred_element_type=jnp.float32
+    ) * scale
+    valid = jnp.arange(k_cache.shape[1])[None, :] < cache_len[:, None]  # [B, T]
+    logits = jnp.where(valid[:, None, None, :], logits, NEG_INF)
+    probs = jax.nn.softmax(logits, axis=-1)
+    out = jnp.einsum("bhqk,bkhd->bqhd", probs.astype(v_cache.dtype), v_cache)
+    return out.astype(q.dtype)
