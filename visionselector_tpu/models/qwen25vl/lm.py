@@ -1,0 +1,252 @@
+"""Qwen2.5 decoder (GQA + M-RoPE) as pure functions over a parameter pytree.
+
+Functional re-design of the reference LM
+(``qwen-evaluation/qwen25vl/modeling_qwen2_5_vl.py:632-1400``):
+
+- M-RoPE (multimodal 3D rotary): cos/sin computed from 3-axis position ids and
+  channel-sliced by ``mrope_section`` (``apply_multimodal_rotary_pos_emb``
+  :648-690) — implemented as a static per-channel axis-selector einsum instead
+  of a split/cat python loop,
+- prefill = segment-masked causal flash attention over the (compressed,
+  valid-prefix) sequence; decode = XLA dot-attention against a static KV cache,
+- layers scanned over stacked params (one trace for all layers).
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from visionselector_tpu.core.config import TextConfig
+from visionselector_tpu.kernels.attention import attention, decode_attention
+from visionselector_tpu.models.qwen25vl.vit import rms_norm, rotate_half
+
+
+class KVCache(NamedTuple):
+    k: jax.Array  # [n_layers, B, T_max, H_kv, Dh]
+    v: jax.Array  # [n_layers, B, T_max, H_kv, Dh]
+    length: jax.Array  # [B] int32 valid length
+
+
+def mrope_axis_selector(cfg: TextConfig) -> jax.Array:
+    """[3, Dh] one-hot: which of (t, h, w) feeds each rotary channel.
+
+    Channel d of the merged cos/sin comes from axis ``i % 3`` where i indexes
+    the doubled mrope_section chunks (reference :680-686).
+    """
+    sec = list(cfg.mrope_section) * 2
+    axis = []
+    for i, m in enumerate(sec):
+        axis += [i % 3] * m
+    axis = jnp.asarray(axis)  # [Dh]
+    return jax.nn.one_hot(axis, 3, axis=0, dtype=jnp.float32)  # [3, Dh]
+
+
+def mrope_cos_sin(
+    position_ids: jax.Array, cfg: TextConfig
+) -> Tuple[jax.Array, jax.Array]:
+    """position_ids [3, B, T] -> merged (cos, sin) [B, T, Dh] fp32."""
+    dh = cfg.head_dim
+    inv_freq = 1.0 / (
+        cfg.rope_theta ** (jnp.arange(0, dh, 2, dtype=jnp.float32) / dh)
+    )  # [Dh/2]
+    freqs = position_ids.astype(jnp.float32)[..., None] * inv_freq  # [3, B, T, Dh/2]
+    emb = jnp.concatenate([freqs, freqs], axis=-1)  # [3, B, T, Dh]
+    sel = mrope_axis_selector(cfg)  # [3, Dh]
+    cos = jnp.einsum("abtd,ad->btd", jnp.cos(emb), sel)
+    sin = jnp.einsum("abtd,ad->btd", jnp.sin(emb), sel)
+    return cos, sin
+
+
+def _apply_mrope(q, k, cos, sin):
+    """q: [B, T, H, Dh]; cos/sin: [B, T, Dh]."""
+    cos = cos[:, :, None, :]
+    sin = sin[:, :, None, :]
+    qf, kf = q.astype(jnp.float32), k.astype(jnp.float32)
+    q_out = qf * cos + rotate_half(qf) * sin
+    k_out = kf * cos + rotate_half(kf) * sin
+    return q_out.astype(q.dtype), k_out.astype(k.dtype)
+
+
+def _qkv(x, p, cfg: TextConfig):
+    b, t, _ = x.shape
+    dh = cfg.head_dim
+    q = (x @ p["q_kernel"] + p["q_bias"]).reshape(b, t, cfg.num_attention_heads, dh)
+    k = (x @ p["k_kernel"] + p["k_bias"]).reshape(b, t, cfg.num_key_value_heads, dh)
+    v = (x @ p["v_kernel"] + p["v_bias"]).reshape(b, t, cfg.num_key_value_heads, dh)
+    return q, k, v
+
+
+def _repeat_kv(x: jax.Array, n_rep: int) -> jax.Array:
+    """[B, T, H_kv, D] -> [B, T, H_kv*n_rep, D] (GQA head expansion)."""
+    if n_rep == 1:
+        return x
+    b, t, h, d = x.shape
+    return jnp.broadcast_to(x[:, :, :, None, :], (b, t, h, n_rep, d)).reshape(
+        b, t, h * n_rep, d
+    )
+
+
+def _mlp(x, p):
+    return (jax.nn.silu(x @ p["gate_kernel"]) * (x @ p["up_kernel"])) @ p["down_kernel"]
+
+
+def lm_prefill(
+    params: dict,
+    inputs_embeds: jax.Array,
+    position_ids: jax.Array,
+    seg_ids: jax.Array,
+    cfg: TextConfig,
+) -> Tuple[jax.Array, Tuple[jax.Array, jax.Array]]:
+    """Full-sequence forward (training and prefill).
+
+    Args:
+        inputs_embeds: [B, T, D] (valid-prefix layout; padding rows masked via
+            seg_ids == 0).
+        position_ids: [3, B, T] M-RoPE ids.
+        seg_ids: [B, T] int32; 0 = padding. Distinct ids give packed-sample
+            block-diagonal attention (training data packing).
+    Returns:
+        (final hidden [B, T, D] post-norm, (k_layers, v_layers) each
+         [n_layers, B, T, H_kv, Dh] rotated keys for the KV cache).
+    """
+    cos, sin = mrope_cos_sin(position_ids, cfg)
+    n_rep = cfg.num_attention_heads // cfg.num_key_value_heads
+
+    def layer(x, p):
+        h = rms_norm(x, p["input_ln_scale"], cfg.rms_norm_eps)
+        q, k, v = _qkv(h, p, cfg)
+        q, k = _apply_mrope(q, k, cos, sin)
+        attn = attention(
+            q,
+            _repeat_kv(k, n_rep),
+            _repeat_kv(v, n_rep),
+            seg_ids,
+            seg_ids,
+            causal=True,
+        )
+        b, t = x.shape[:2]
+        x = x + attn.reshape(b, t, -1) @ p["o_kernel"]
+        h = rms_norm(x, p["post_ln_scale"], cfg.rms_norm_eps)
+        x = x + _mlp(h, p)
+        return x, (k, v)
+
+    x, kv = jax.lax.scan(layer, inputs_embeds, params["layers"])
+    x = rms_norm(x, params["final_ln_scale"], cfg.rms_norm_eps)
+    return x, kv
+
+
+def lm_decode_step(
+    params: dict,
+    cache: KVCache,
+    inputs_embeds: jax.Array,
+    position_ids: jax.Array,
+    cfg: TextConfig,
+) -> Tuple[jax.Array, KVCache]:
+    """One decode step.
+
+    Args:
+        inputs_embeds: [B, 1, D] token embedding.
+        position_ids: [3, B, 1].
+    Returns: (hidden [B, 1, D] post-norm, updated cache).
+    """
+    cos, sin = mrope_cos_sin(position_ids, cfg)
+    n_rep = cfg.num_attention_heads // cfg.num_key_value_heads
+    b = inputs_embeds.shape[0]
+    pos = cache.length  # [B] write index
+
+    def layer(x, scanned):
+        p, k_cache, v_cache = scanned
+        h = rms_norm(x, p["input_ln_scale"], cfg.rms_norm_eps)
+        q, k, v = _qkv(h, p, cfg)
+        q, k = _apply_mrope(q, k, cos, sin)
+        # Write new kv at cache.length (same for all batch rows at batch=1;
+        # per-row dynamic_update via vmap for generality).
+        k_cache = jax.vmap(
+            lambda c, upd, i: jax.lax.dynamic_update_slice(c, upd, (i, 0, 0))
+        )(k_cache, k, pos)
+        v_cache = jax.vmap(
+            lambda c, upd, i: jax.lax.dynamic_update_slice(c, upd, (i, 0, 0))
+        )(v_cache, v, pos)
+        attn = decode_attention(
+            q,
+            _repeat_kv(k_cache, n_rep),
+            _repeat_kv(v_cache, n_rep),
+            cache.length + 1,
+        )
+        x = x + attn.reshape(b, 1, -1) @ p["o_kernel"]
+        h = rms_norm(x, p["post_ln_scale"], cfg.rms_norm_eps)
+        x = x + _mlp(h, p)
+        return x, (k_cache, v_cache)
+
+    x, (k_new, v_new) = jax.lax.scan(
+        layer, inputs_embeds, (params["layers"], cache.k, cache.v)
+    )
+    x = rms_norm(x, params["final_ln_scale"], cfg.rms_norm_eps)
+    return x, KVCache(k=k_new, v=v_new, length=cache.length + 1)
+
+
+def embed_tokens(params: dict, input_ids: jax.Array) -> jax.Array:
+    return params["embed_tokens"][input_ids]
+
+
+def lm_head(params: dict, hidden: jax.Array, cfg: TextConfig) -> jax.Array:
+    """[.., D] -> [.., V] logits (fp32)."""
+    w = params["embed_tokens"] if cfg.tie_word_embeddings else params["lm_head_kernel"]
+    if cfg.tie_word_embeddings:
+        return jnp.einsum(
+            "...d,vd->...v", hidden, w, preferred_element_type=jnp.float32
+        )
+    return jnp.einsum("...d,dv->...v", hidden, w, preferred_element_type=jnp.float32)
+
+
+def init_lm_params(key: jax.Array, cfg: TextConfig, dtype=jnp.float32) -> dict:
+    ks = jax.random.split(key, 10)
+    d, i, v = cfg.hidden_size, cfg.intermediate_size, cfg.vocab_size
+    dh, hq, hkv = cfg.head_dim, cfg.num_attention_heads, cfg.num_key_value_heads
+    n = cfg.num_hidden_layers
+
+    def nrm(k, shape, std=0.02):
+        return (jax.random.normal(k, shape) * std).astype(dtype)
+
+    layers = {
+        "input_ln_scale": jnp.ones((n, d), dtype),
+        "post_ln_scale": jnp.ones((n, d), dtype),
+        "q_kernel": nrm(ks[0], (n, d, hq * dh)),
+        "q_bias": jnp.zeros((n, hq * dh), dtype),
+        "k_kernel": nrm(ks[1], (n, d, hkv * dh)),
+        "k_bias": jnp.zeros((n, hkv * dh), dtype),
+        "v_kernel": nrm(ks[2], (n, d, hkv * dh)),
+        "v_bias": jnp.zeros((n, hkv * dh), dtype),
+        "o_kernel": nrm(ks[3], (n, hq * dh, d)),
+        "gate_kernel": nrm(ks[4], (n, d, i)),
+        "up_kernel": nrm(ks[5], (n, d, i)),
+        "down_kernel": nrm(ks[6], (n, i, d)),
+    }
+    params = {
+        "embed_tokens": nrm(ks[7], (v, d)),
+        "layers": layers,
+        "final_ln_scale": jnp.ones((d,), dtype),
+    }
+    if not cfg.tie_word_embeddings:
+        params["lm_head_kernel"] = nrm(ks[8], (d, v))
+    return params
+
+
+def init_kv_cache(
+    cfg: TextConfig, batch: int, max_len: int, dtype=jnp.float32
+) -> KVCache:
+    shape = (
+        cfg.num_hidden_layers,
+        batch,
+        max_len,
+        cfg.num_key_value_heads,
+        cfg.head_dim,
+    )
+    return KVCache(
+        k=jnp.zeros(shape, dtype),
+        v=jnp.zeros(shape, dtype),
+        length=jnp.zeros((batch,), jnp.int32),
+    )

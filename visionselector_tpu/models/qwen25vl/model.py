@@ -1,0 +1,296 @@
+"""Qwen2.5-VL end-to-end model: vision encode -> (select) -> prefill -> decode.
+
+Inference pipeline semantics follow the reference selector model
+(``qwen-evaluation/token_compression/selector_model.py:96-387``) re-architected
+for XLA: the host computes all data-dependent index arrays (positions of image
+tokens, original M-RoPE ids, bucket choices) and two jitted device programs do
+the work:
+
+  _prefill: ViT -> scorer -> hard top-k -> sequence compaction -> causal
+            prefill over the valid-prefix compressed sequence -> first token.
+  _decode:  single-token step against the KV cache.
+
+Shapes are bucketed so distinct compilations stay O(#buckets), not O(#images).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import Any, Dict, List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from visionselector_tpu.core.config import VLConfig
+from visionselector_tpu.models.qwen25vl import lm as lm_mod
+from visionselector_tpu.models.qwen25vl import vit as vit_mod
+from visionselector_tpu.preprocess.indices import build_vision_batch, pick_bucket
+from visionselector_tpu.preprocess.rope import get_rope_index
+from visionselector_tpu.selector.select import (
+    CompactedSequence,
+    Selection,
+    compact_sequence,
+    select_hard,
+)
+
+VISION_BUCKETS = (512, 1024, 2048, 4096, 8192, 16384)
+TEXT_BUCKETS = (64, 128, 256, 512, 1024, 2048, 4096)
+
+
+def init_params(key: jax.Array, cfg: VLConfig, with_selector: bool = True) -> dict:
+    """Random-init full parameter tree (tests / from-scratch training)."""
+    k1, k2, k3 = jax.random.split(key, 3)
+    dtype = cfg.jax_dtype
+    params = {
+        "visual": vit_mod.init_vit_params(k1, cfg.vision, dtype),
+        "lm": lm_mod.init_lm_params(k2, cfg.text, dtype),
+    }
+    if with_selector:
+        from visionselector_tpu.selector.scorer import init_scorer_params
+
+        sel_cfg = (cfg.selector or cfg.with_selector().selector)
+        params["scorer"] = init_scorer_params(k3, sel_cfg, jnp.float32)
+    return params
+
+
+# ---------------------------------------------------------------------------
+# Jitted device programs
+# ---------------------------------------------------------------------------
+
+
+@functools.partial(jax.jit, static_argnames=("cfg",))
+def encode_vision(params, cfg: VLConfig, pixel_values, rot_pos_ids,
+                  window_seg_ids, full_seg_ids, reverse_index):
+    """ViT forward -> merged tokens [L_pad, out_hidden] in original order."""
+    return vit_mod.vit_forward(
+        params["visual"], pixel_values, rot_pos_ids, window_seg_ids,
+        full_seg_ids, reverse_index, cfg.vision,
+    )
+
+
+@functools.partial(
+    jax.jit, static_argnames=("cfg", "k_max", "use_selector")
+)
+def _prefill(
+    params: dict,
+    cfg: VLConfig,
+    k_max: int,
+    use_selector: bool,
+    # vision inputs (bucketed)
+    pixel_values: jax.Array,
+    rot_pos_ids: jax.Array,
+    window_seg_ids: jax.Array,
+    full_seg_ids: jax.Array,
+    reverse_index: jax.Array,
+    num_merged: jax.Array,  # scalar: real merged token count N
+    k: jax.Array,  # scalar: tokens to keep
+    # text inputs
+    input_ids: jax.Array,  # [T_orig]
+    image_positions: jax.Array,  # [L_pad] sentinel-padded
+    text_positions: jax.Array,  # [T_text_max] sentinel-padded
+    num_text: jax.Array,  # scalar
+    position_ids_orig: jax.Array,  # [3, T_orig]
+):
+    """Returns (next_token, selection indices/valid, compacted valid_len,
+    kv cache (k, v) at prefill length, logits row)."""
+    vision_embeds = vit_mod.vit_forward(
+        params["visual"], pixel_values, rot_pos_ids, window_seg_ids,
+        full_seg_ids, reverse_index, cfg.vision,
+    )  # [L_pad, out]
+
+    text_embeds = lm_mod.embed_tokens(params["lm"], input_ids)  # [T_orig, D]
+
+    if use_selector:
+        selection = select_hard(
+            params["scorer"], vision_embeds, num_merged, k, k_max
+        )
+    else:
+        # keep everything: identity "selection" over all L_pad slots
+        n_pad = vision_embeds.shape[0]
+        idx = jnp.arange(k_max, dtype=jnp.int32)
+        valid = idx < num_merged
+        idx = jnp.where(valid, idx, n_pad)
+        selection = Selection(
+            indices=idx, valid=valid,
+            scores=jnp.zeros((n_pad,), jnp.float32), k=num_merged,
+        )
+
+    comp = compact_sequence(
+        text_embeds, vision_embeds, selection, image_positions,
+        text_positions, num_text, position_ids_orig,
+    )
+
+    hidden, (k_layers, v_layers) = lm_mod.lm_prefill(
+        params["lm"], comp.embeds[None], comp.position_ids[:, None, :],
+        comp.seg_ids[None], cfg.text,
+    )
+    last = hidden[0, comp.valid_len - 1]  # [D]
+    logits = lm_mod.lm_head(params["lm"], last, cfg.text)  # [V]
+    next_token = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+    return next_token, selection.indices, selection.valid, comp.valid_len, (
+        k_layers, v_layers), logits
+
+
+@functools.partial(jax.jit, static_argnames=("cfg",))
+def _decode(params, cfg: VLConfig, cache: lm_mod.KVCache, token: jax.Array,
+            pos: jax.Array):
+    """token: [] int32; pos: [] int32 shared by all 3 M-RoPE axes."""
+    embed = lm_mod.embed_tokens(params["lm"], token[None])[None]  # [1, 1, D]
+    pos3 = jnp.broadcast_to(pos, (3, 1, 1))
+    hidden, cache = lm_mod.lm_decode_step(params["lm"], cache, embed, pos3, cfg.text)
+    logits = lm_mod.lm_head(params["lm"], hidden[0, 0], cfg.text)
+    return jnp.argmax(logits, axis=-1).astype(jnp.int32), cache, logits
+
+
+# ---------------------------------------------------------------------------
+# Host orchestration
+# ---------------------------------------------------------------------------
+
+
+@dataclasses.dataclass
+class GenerationResult:
+    tokens: List[int]
+    selected_indices: Optional[np.ndarray]  # kept vision token indices (sorted)
+    num_vision_tokens: int  # original N
+    prefill_len: int  # compacted valid length
+    prefill_seconds: float = 0.0
+    total_seconds: float = 0.0
+
+
+class QwenVLEngine:
+    """Batch-1 generation engine (the reference asserts batch=1 for the
+    selector path too — ``token_compression/selector_model.py:270``)."""
+
+    def __init__(
+        self,
+        cfg: VLConfig,
+        params: dict,
+        use_selector: bool = True,
+        budget: float = 0.2,
+        vision_buckets=VISION_BUCKETS,
+        text_buckets=TEXT_BUCKETS,
+    ):
+        self.cfg = cfg
+        self.params = params
+        self.use_selector = use_selector and ("scorer" in params)
+        self.budget = budget
+        self.vision_buckets = vision_buckets
+        self.text_buckets = text_buckets
+
+    def generate(
+        self,
+        input_ids: np.ndarray,
+        pixel_values: Optional[np.ndarray] = None,
+        grid_thw: Optional[np.ndarray] = None,
+        max_new_tokens: int = 64,
+        eos_token_ids: Optional[Tuple[int, ...]] = None,
+        timer: Optional[Any] = None,
+    ) -> GenerationResult:
+        """Greedy generation for one sample.
+
+        input_ids: [T_orig] with ``<|image_pad|>`` runs already expanded.
+        """
+        import time
+
+        cfg = self.cfg
+        if eos_token_ids is None:
+            eos_token_ids = (cfg.eos_token_id,)
+        input_ids = np.asarray(input_ids).reshape(-1)
+        t_orig = len(input_ids)
+        t_start = time.perf_counter()
+
+        assert pixel_values is not None and grid_thw is not None, (
+            "text-only path not wired yet"
+        )
+
+        merge_unit = cfg.vision.spatial_merge_unit
+        s_real = pixel_values.shape[0]
+        s_bucket = pick_bucket(s_real, [b for b in self.vision_buckets])
+        vb = build_vision_batch(
+            pixel_values, grid_thw,
+            window_size=cfg.vision.window_size,
+            spatial_merge_size=cfg.vision.spatial_merge_size,
+            patch_size=cfg.vision.patch_size,
+            pad_to=s_bucket,
+        )
+        l_pad = s_bucket // merge_unit
+        n = vb.num_merged
+
+        if self.use_selector:
+            k = max(1, int(n * self.budget))
+            k_max = max(1, int(l_pad * self.budget))
+            k = min(k, k_max)
+        else:
+            k = n
+            k_max = l_pad
+
+        # Host-side index arrays over the original sequence.
+        is_image = input_ids == cfg.image_token_id
+        image_pos = np.where(is_image)[0]
+        assert len(image_pos) == n, (len(image_pos), n)
+        text_pos = np.where(~is_image)[0]
+        num_text = len(text_pos)
+
+        image_pos_padded = np.full(l_pad, t_orig, np.int64)
+        image_pos_padded[:n] = image_pos
+        t_text_bucket = pick_bucket(num_text, list(self.text_buckets))
+        text_pos_padded = np.full(t_text_bucket, t_orig, np.int64)
+        text_pos_padded[:num_text] = text_pos
+
+        position_ids, rope_delta = get_rope_index(
+            input_ids,
+            image_grid_thw=grid_thw,
+            spatial_merge_size=cfg.vision.spatial_merge_size,
+            tokens_per_second=cfg.vision.tokens_per_second,
+            image_token_id=cfg.image_token_id,
+            video_token_id=cfg.video_token_id,
+            vision_start_token_id=cfg.vision_start_token_id,
+        )
+
+        next_token, sel_idx, sel_valid, valid_len, (k_l, v_l), _ = _prefill(
+            self.params, cfg, k_max, self.use_selector,
+            jnp.asarray(vb.pixel_values), jnp.asarray(vb.rot_pos_ids),
+            jnp.asarray(vb.window_seg_ids), jnp.asarray(vb.full_seg_ids),
+            jnp.asarray(vb.reverse_index), jnp.asarray(n), jnp.asarray(k),
+            jnp.asarray(input_ids), jnp.asarray(image_pos_padded),
+            jnp.asarray(text_pos_padded), jnp.asarray(num_text),
+            jnp.asarray(position_ids),
+        )
+        next_token.block_until_ready()
+        t_prefill = time.perf_counter() - t_start
+
+        valid_len_i = int(valid_len)
+        t_comp = k_max + t_text_bucket
+        t_max = t_comp + max_new_tokens
+        cache = lm_mod.KVCache(
+            k=jnp.pad(k_l, ((0, 0), (0, 0), (0, t_max - t_comp), (0, 0), (0, 0))),
+            v=jnp.pad(v_l, ((0, 0), (0, 0), (0, t_max - t_comp), (0, 0), (0, 0))),
+            length=jnp.asarray([valid_len_i], jnp.int32),
+        )
+
+        tokens = [int(next_token)]
+        tok = next_token
+        for step in range(max_new_tokens - 1):
+            if tokens[-1] in eos_token_ids:
+                break
+            pos = jnp.asarray(valid_len_i + step + rope_delta, jnp.int32)
+            tok, cache, _ = _decode(self.params, cfg, cache, tok, pos)
+            tokens.append(int(tok))
+
+        if tokens and tokens[-1] in eos_token_ids:
+            tokens = tokens[:-1]
+
+        sel_idx_np = np.asarray(sel_idx)
+        sel_valid_np = np.asarray(sel_valid)
+        return GenerationResult(
+            tokens=tokens,
+            selected_indices=(
+                sel_idx_np[sel_valid_np] if self.use_selector else None
+            ),
+            num_vision_tokens=n,
+            prefill_len=valid_len_i,
+            prefill_seconds=t_prefill,
+            total_seconds=time.perf_counter() - t_start,
+        )

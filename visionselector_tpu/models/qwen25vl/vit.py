@@ -1,0 +1,175 @@
+"""Qwen2.5-VL vision tower as pure functions over a parameter pytree.
+
+Functional re-design of the reference ViT
+(``qwen-evaluation/qwen25vl/modeling_qwen2_5_vl.py:409-568``):
+
+- the conv3d patch embed is a single matmul over pre-flattened patches (the
+  host already emits rows in conv-kernel order — MXU-friendly, no conv op),
+- the window permutation is applied on the host; the device sees two segment-id
+  arrays (window / per-image) and each block picks one — expressed as a
+  ``lax.scan`` over stacked layer params with a per-layer selector flag, so 32
+  blocks trace once,
+- rotary embeddings are computed from (h, w) position ids in fp32 and applied
+  with rotate-half (equivalent to the reference's flash-attn rotary; cos/sin
+  duplication at ``modeling_qwen2_5_vl.py:539-540``),
+- attention is the shared segment-masked flash kernel.
+
+Shapes: S = padded patch count, L = S / merge_unit merged tokens.
+"""
+
+from __future__ import annotations
+
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+
+from visionselector_tpu.core.config import VisionConfig
+from visionselector_tpu.kernels.attention import attention
+
+
+def rms_norm(x: jax.Array, scale: jax.Array, eps: float = 1e-6) -> jax.Array:
+    xf = x.astype(jnp.float32)
+    var = jnp.mean(xf * xf, axis=-1, keepdims=True)
+    return (scale * (xf * jax.lax.rsqrt(var + eps)).astype(x.dtype)).astype(x.dtype)
+
+
+def rotate_half(x: jax.Array) -> jax.Array:
+    x1, x2 = jnp.split(x, 2, axis=-1)
+    return jnp.concatenate([-x2, x1], axis=-1)
+
+
+def apply_rotary(q: jax.Array, k: jax.Array, cos: jax.Array, sin: jax.Array):
+    """q, k: [S, H, D]; cos/sin: [S, D] fp32. Rotation in fp32, cast back."""
+    cos = cos[:, None, :]
+    sin = sin[:, None, :]
+    qf, kf = q.astype(jnp.float32), k.astype(jnp.float32)
+    q_out = qf * cos + rotate_half(qf) * sin
+    k_out = kf * cos + rotate_half(kf) * sin
+    return q_out.astype(q.dtype), k_out.astype(k.dtype)
+
+
+def vision_rotary_cos_sin(rot_pos_ids: jax.Array, head_dim: int) -> Tuple[jax.Array, jax.Array]:
+    """(h, w) position ids [S, 2] -> cos/sin [S, head_dim] fp32.
+
+    Per token: 1D rotary freqs of the h position (head_dim//4 channels) concat
+    freqs of the w position, then duplicated (reference ``rot_pos_emb`` +
+    ``emb = cat(rope, rope)``).
+    """
+    dim = head_dim // 2  # rotary channels before duplication
+    inv_freq = 1.0 / (
+        10000.0 ** (jnp.arange(0, dim, 2, dtype=jnp.float32) / dim)
+    )  # [dim//2]
+    freqs = rot_pos_ids.astype(jnp.float32)[:, :, None] * inv_freq[None, None, :]
+    freqs = freqs.reshape(rot_pos_ids.shape[0], -1)  # [S, dim] (h then w)
+    emb = jnp.concatenate([freqs, freqs], axis=-1)  # [S, head_dim]
+    return jnp.cos(emb), jnp.sin(emb)
+
+
+def _block(
+    x: jax.Array,
+    p: dict,
+    seg_ids: jax.Array,
+    cos: jax.Array,
+    sin: jax.Array,
+    cfg: VisionConfig,
+) -> jax.Array:
+    """One ViT block: pre-RMSNorm attn + pre-RMSNorm SwiGLU MLP, residuals."""
+    h = rms_norm(x, p["norm1_scale"], cfg.rms_norm_eps)
+    s, d = h.shape[0], cfg.head_dim
+    qkv = h @ p["qkv_kernel"] + p["qkv_bias"]  # [S, 3*hidden]
+    q, k, v = jnp.split(qkv.reshape(s, 3, cfg.num_heads, d), 3, axis=1)
+    q, k, v = q[:, 0], k[:, 0], v[:, 0]  # [S, H, D]
+    q, k = apply_rotary(q, k, cos, sin)
+    attn = attention(
+        q[None], k[None], v[None], seg_ids[None], seg_ids[None], causal=False
+    )[0]
+    attn = attn.reshape(s, -1) @ p["proj_kernel"] + p["proj_bias"]
+    x = x + attn
+
+    h = rms_norm(x, p["norm2_scale"], cfg.rms_norm_eps)
+    gate = h @ p["gate_kernel"] + p["gate_bias"]
+    up = h @ p["up_kernel"] + p["up_bias"]
+    x = x + (jax.nn.silu(gate) * up) @ p["down_kernel"] + p["down_bias"]
+    return x
+
+
+def vit_forward(
+    params: dict,
+    pixel_values: jax.Array,
+    rot_pos_ids: jax.Array,
+    window_seg_ids: jax.Array,
+    full_seg_ids: jax.Array,
+    reverse_index: jax.Array,
+    cfg: VisionConfig,
+) -> jax.Array:
+    """Vision tower forward.
+
+    Args:
+        pixel_values: [S, patch_dim] window-ordered, bucket-padded patches.
+        rot_pos_ids: [S, 2] (h, w) ids in window order.
+        window_seg_ids / full_seg_ids: [S] int32, 0 = padding.
+        reverse_index: [L] permutation restoring original merged order.
+    Returns:
+        merged hidden states [L, out_hidden] in ORIGINAL (unpermuted) order.
+    """
+    dtype = params["patch_embed_kernel"].dtype
+    x = pixel_values.astype(dtype) @ params["patch_embed_kernel"]  # [S, hidden]
+
+    cos, sin = vision_rotary_cos_sin(rot_pos_ids, cfg.head_dim)
+
+    use_full = jnp.asarray(
+        [i in cfg.fullatt_block_indexes for i in range(cfg.depth)]
+    )
+
+    def layer(x, scanned):
+        p, full = scanned
+        seg = jnp.where(full, full_seg_ids, window_seg_ids)
+        return _block(x, p, seg, cos, sin, cfg), None
+
+    x, _ = jax.lax.scan(layer, x, (params["blocks"], use_full))
+
+    # PatchMerger: RMSNorm -> group merge_unit -> 2-layer GELU MLP.
+    m = cfg.spatial_merge_unit
+    h = rms_norm(x, params["merger_ln_scale"], cfg.rms_norm_eps)
+    h = h.reshape(x.shape[0] // m, m * cfg.hidden_size)
+    h = h @ params["merger_fc1_kernel"] + params["merger_fc1_bias"]
+    h = jax.nn.gelu(h, approximate=False)
+    h = h @ params["merger_fc2_kernel"] + params["merger_fc2_bias"]  # [L, out]
+
+    return h[reverse_index]
+
+
+def init_vit_params(key: jax.Array, cfg: VisionConfig, dtype=jnp.float32) -> dict:
+    """Random init with the right tree structure (tests / from-scratch)."""
+    ks = jax.random.split(key, 8)
+    d, i, o = cfg.hidden_size, cfg.intermediate_size, cfg.out_hidden_size
+    m = cfg.spatial_merge_unit
+    n = cfg.depth
+
+    def nrm(k, shape, std=0.02):
+        return (jax.random.normal(k, shape) * std).astype(dtype)
+
+    blocks = {
+        "norm1_scale": jnp.ones((n, d), dtype),
+        "norm2_scale": jnp.ones((n, d), dtype),
+        "qkv_kernel": nrm(ks[0], (n, d, 3 * d)),
+        "qkv_bias": jnp.zeros((n, 3 * d), dtype),
+        "proj_kernel": nrm(ks[1], (n, d, d)),
+        "proj_bias": jnp.zeros((n, d), dtype),
+        "gate_kernel": nrm(ks[2], (n, d, i)),
+        "gate_bias": jnp.zeros((n, i), dtype),
+        "up_kernel": nrm(ks[3], (n, d, i)),
+        "up_bias": jnp.zeros((n, i), dtype),
+        "down_kernel": nrm(ks[4], (n, i, d)),
+        "down_bias": jnp.zeros((n, d), dtype),
+    }
+    return {
+        "patch_embed_kernel": nrm(ks[5], (cfg.patch_dim, d)),
+        "blocks": blocks,
+        "merger_ln_scale": jnp.ones((d,), dtype),
+        "merger_fc1_kernel": nrm(ks[6], (m * d, m * d)),
+        "merger_fc1_bias": jnp.zeros((m * d,), dtype),
+        "merger_fc2_kernel": nrm(ks[7], (m * d, o)),
+        "merger_fc2_bias": jnp.zeros((o,), dtype),
+    }
