@@ -1,0 +1,176 @@
+"""Headline benchmark: prefill speedup at 20% token retention.
+
+Mirrors the reference's EVAL_TIME measurement contract
+(``qwen-evaluation/token_compression/selector_model.py:229-234, 353-359``; cuda
+events -> here ``block_until_ready`` wall clock): time the full forward
+(ViT + selection + LLM prefill) for the selector at budget 0.2 vs the
+uncompressed model, on a ChartQA-scale single image, Qwen2.5-VL-3B shapes.
+
+Baseline to beat: 1.73x prefill acceleration at 20% retention (README.md:47).
+
+Prints ONE JSON line:
+  {"metric": "prefill_speedup_at_20pct_retention", "value": N, "unit": "x",
+   "vs_baseline": N / 1.73}
+"""
+
+import json
+import os
+import sys
+import time
+
+os.environ.setdefault("VST_ATTN_IMPL", os.environ.get("VST_BENCH_IMPL", "xla"))
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+BASELINE_SPEEDUP = 1.73
+
+
+def build_inputs(cfg, budget, use_selector, s_bucket, img_hw=(1036, 1456)):
+    """ChartQA-scale image -> all _prefill inputs (mirrors QwenVLEngine)."""
+    from visionselector_tpu.preprocess.image import preprocess_image
+    from visionselector_tpu.preprocess.indices import build_vision_batch
+    from visionselector_tpu.preprocess.rope import (
+        expand_vision_tokens,
+        get_rope_index,
+    )
+
+    rng = np.random.RandomState(0)
+    img = (rng.rand(*img_hw, 3) * 255).astype(np.uint8)
+    pixels, grid = preprocess_image(img)  # default processor pixel bounds
+    vb = build_vision_batch(
+        pixels, grid,
+        window_size=cfg.vision.window_size,
+        spatial_merge_size=cfg.vision.spatial_merge_size,
+        patch_size=cfg.vision.patch_size,
+        pad_to=s_bucket,
+    )
+    n = vb.num_merged
+    l_pad = s_bucket // cfg.vision.spatial_merge_unit
+
+    # ~40 text tokens around the image (typical VQA prompt)
+    before = list(range(100, 120))
+    after = list(range(300, 320))
+    input_ids = expand_vision_tokens(
+        before, after, grid,
+        image_token_id=cfg.image_token_id,
+        vision_start_token_id=cfg.vision_start_token_id,
+        vision_end_token_id=cfg.vision_end_token_id,
+    )
+    t_orig = len(input_ids)
+    image_pos = np.where(input_ids == cfg.image_token_id)[0]
+    text_pos = np.where(input_ids != cfg.image_token_id)[0]
+    t_text_bucket = 64
+    image_pos_padded = np.full(l_pad, t_orig, np.int64)
+    image_pos_padded[:n] = image_pos
+    text_pos_padded = np.full(t_text_bucket, t_orig, np.int64)
+    text_pos_padded[: len(text_pos)] = text_pos
+    position_ids, _ = get_rope_index(
+        input_ids, image_grid_thw=grid,
+        tokens_per_second=cfg.vision.tokens_per_second,
+        image_token_id=cfg.image_token_id,
+        video_token_id=cfg.video_token_id,
+        vision_start_token_id=cfg.vision_start_token_id,
+    )
+
+    if use_selector:
+        k = max(1, int(n * budget))
+        k_max = max(1, int(l_pad * budget))
+        k = min(k, k_max)
+    else:
+        k = n
+        k_max = l_pad
+
+    args = (
+        jnp.asarray(vb.pixel_values, jnp.float32),
+        jnp.asarray(vb.rot_pos_ids),
+        jnp.asarray(vb.window_seg_ids),
+        jnp.asarray(vb.full_seg_ids),
+        jnp.asarray(vb.reverse_index),
+        jnp.asarray(n),
+        jnp.asarray(k),
+        jnp.asarray(input_ids),
+        jnp.asarray(image_pos_padded),
+        jnp.asarray(text_pos_padded),
+        jnp.asarray(len(text_pos)),
+        jnp.asarray(position_ids),
+    )
+    return args, k_max, n
+
+
+def time_prefill(params, cfg, k_max, use_selector, args, iters=5):
+    from visionselector_tpu.models.qwen25vl.model import _prefill
+
+    def run():
+        out = _prefill(params, cfg, k_max, use_selector, *args)
+        out[0].block_until_ready()
+        return out
+
+    run()  # compile + warmup
+    times = []
+    for _ in range(iters):
+        t0 = time.perf_counter()
+        run()
+        times.append(time.perf_counter() - t0)
+    return float(np.median(times))
+
+
+def peak_memory_bytes():
+    try:
+        stats = jax.local_devices()[0].memory_stats()
+        return stats.get("peak_bytes_in_use", 0)
+    except Exception:
+        return 0
+
+
+def main():
+    from visionselector_tpu.core.config import qwen25vl_3b
+    from visionselector_tpu.models.qwen25vl.model import init_params
+
+    budget = float(os.environ.get("VST_BENCH_BUDGET", "0.2"))
+    preset = os.environ.get("VST_BENCH_PRESET", "3b")
+    if preset == "tiny":  # fast CPU smoke of the bench harness itself
+        from visionselector_tpu.core.config import qwen25vl_tiny
+
+        cfg = qwen25vl_tiny()
+        s_bucket = 1024
+        img_hw = (252, 364)  # 468 patches
+        model_name = "qwen2.5-vl-tiny (smoke)"
+    else:
+        cfg = qwen25vl_3b()
+        # ChartQA-scale: ~1292 merged vision tokens under default pixel budget.
+        s_bucket = 5632
+        img_hw = (1036, 1456)
+        model_name = "qwen2.5-vl-3b (random weights)"
+    params = jax.jit(lambda key: init_params(key, cfg))(jax.random.PRNGKey(0))
+    jax.block_until_ready(params)
+
+    args_sel, k_max_sel, n = build_inputs(cfg, budget, True, s_bucket, img_hw)
+    t_sel = time_prefill(params, cfg, k_max_sel, True, args_sel)
+
+    args_full, k_max_full, _ = build_inputs(cfg, budget, False, s_bucket, img_hw)
+    t_full = time_prefill(params, cfg, k_max_full, False, args_full)
+
+    speedup = t_full / t_sel
+    result = {
+        "metric": "prefill_speedup_at_20pct_retention",
+        "value": round(speedup, 4),
+        "unit": "x",
+        "vs_baseline": round(speedup / BASELINE_SPEEDUP, 4),
+        "detail": {
+            "prefill_ms_selector": round(t_sel * 1e3, 2),
+            "prefill_ms_uncompressed": round(t_full * 1e3, 2),
+            "vision_tokens": int(n),
+            "kept_tokens": int(max(1, int(n * budget))),
+            "budget": budget,
+            "model": model_name,
+            "attn_impl": os.environ.get("VST_ATTN_IMPL"),
+            "platform": jax.devices()[0].platform,
+        },
+    }
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()

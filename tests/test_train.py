@@ -1,0 +1,150 @@
+"""Training tests: loss wiring, gradient flow, annealing, 8-device mesh."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from visionselector_tpu.core.config import qwen25vl_tiny
+from visionselector_tpu.core.mesh import batch_sharding, make_mesh, shard_params
+from visionselector_tpu.models.qwen25vl.model import init_params
+from visionselector_tpu.train.data import build_train_sample, stack_samples
+from visionselector_tpu.train.loss import (
+    IGNORE_INDEX,
+    bce,
+    cross_entropy,
+    reg_weight_schedule,
+    selector_train_forward,
+)
+from visionselector_tpu.train.train_step import (
+    ScheduleConfig,
+    batch_loss,
+    init_train_state,
+    train_step,
+)
+
+CFG = qwen25vl_tiny()
+S_BUCKET = 64
+T_BUCKET = 64
+BUDGET = 0.25
+K_MAX = max(1, int((S_BUCKET // 4) * BUDGET))
+
+
+@pytest.fixture(scope="module")
+def params():
+    return init_params(jax.random.PRNGKey(0), CFG)
+
+
+def make_batch(batch_size=2, seed=0):
+    rng = np.random.RandomState(seed)
+    samples = []
+    for i in range(batch_size):
+        img = (rng.rand(56, 56, 3) * 255).astype(np.uint8)
+        samples.append(
+            build_train_sample(
+                CFG, img,
+                prompt_before=[101, 102],
+                prompt_after=[103],
+                answer_ids=[201, 202, 203],
+                budget=BUDGET,
+                s_bucket=S_BUCKET,
+                t_bucket=T_BUCKET,
+                min_pixels=1, max_pixels=10**9,
+            )
+        )
+    batch = stack_samples(samples)
+    return jax.tree.map(jnp.asarray, batch)
+
+
+class TestLossPieces:
+    def test_cross_entropy_ignores_masked(self):
+        logits = jnp.asarray(np.random.RandomState(0).randn(5, 11), jnp.float32)
+        labels = jnp.asarray([1, IGNORE_INDEX, 3, IGNORE_INDEX, 5])
+        ce = cross_entropy(logits, labels)
+        # manual
+        lp = jax.nn.log_softmax(logits, -1)
+        want = -(lp[0, 1] + lp[2, 3] + lp[4, 5]) / 3
+        np.testing.assert_allclose(float(ce), float(want), rtol=1e-6)
+
+    def test_bce_masked_mean(self):
+        p = jnp.asarray([0.9, 0.1, 0.5, 0.7])
+        y = jnp.asarray([1.0, 0.0, 1.0, 0.0])
+        valid = jnp.asarray([1.0, 1.0, 1.0, 0.0])
+        got = float(bce(p, y, valid))
+        want = -(np.log(0.9) + np.log(0.9) + np.log(0.5)) / 3
+        np.testing.assert_allclose(got, want, rtol=1e-5)
+
+    def test_reg_weight_anneal(self):
+        assert float(reg_weight_schedule(jnp.asarray(0), 100)) == pytest.approx(0.1)
+        assert float(reg_weight_schedule(jnp.asarray(50), 100)) == pytest.approx(1.05)
+        assert float(reg_weight_schedule(jnp.asarray(100), 100)) == pytest.approx(2.0)
+        assert float(reg_weight_schedule(jnp.asarray(200), 100)) == pytest.approx(2.0)
+
+
+class TestTrainForward:
+    def test_forward_finite(self, params):
+        batch = make_batch(1)
+        sample = jax.tree.map(lambda x: x[0], batch)
+        loss, metrics = selector_train_forward(
+            params, sample, CFG, jnp.asarray(0.5), K_MAX
+        )
+        assert np.isfinite(float(loss))
+        # soft mass should approximate k
+        np.testing.assert_allclose(
+            float(metrics["soft_mass"]), float(sample.k), rtol=0.05
+        )
+
+    def test_grads_flow_only_through_scorer(self, params):
+        batch = make_batch(2)
+        grads = jax.grad(
+            lambda sp: batch_loss(sp, params, batch, CFG, jnp.asarray(1.0), K_MAX)[0]
+        )(params["scorer"])
+        norms = jax.tree.map(lambda g: float(jnp.abs(g).sum()), grads)
+        assert any(v > 0 for v in jax.tree.leaves(norms)), norms
+
+
+class TestTrainStep:
+    def test_loss_decreases(self, params):
+        # pin reg_weight so the curriculum doesn't inflate the loss while the
+        # scorer optimizes (annealing is tested separately above)
+        sched = ScheduleConfig(
+            total_steps=20, lr=5e-3, reg_weight_start=1.0, reg_weight_end=1.0
+        )
+        state = init_train_state(params, sched)
+        batch = make_batch(2)
+        losses, bces = [], []
+        for _ in range(8):
+            state, metrics = train_step(
+                state, params, batch, CFG, K_MAX, sched
+            )
+            losses.append(float(metrics["loss"]))
+            bces.append(float(metrics["bce"]))
+        # train on one fixed batch: composite loss and the BCE constraint term
+        # must both shrink
+        assert losses[-1] < losses[0], losses
+        assert bces[-1] < bces[0], bces
+        assert int(state.step) == 8
+
+    def test_mesh_data_parallel(self, params):
+        """Full train step on a (4 data, 2 model) mesh of 8 CPU devices."""
+        mesh = make_mesh(n_data=4, n_model=2)
+        sharded_frozen = shard_params(params, mesh)
+        sched = ScheduleConfig(total_steps=10)
+        state = init_train_state(params, sched)
+        batch = make_batch(4)
+        spec = batch_sharding(mesh)
+        batch = jax.tree.map(lambda x: jax.device_put(x, spec(x)), batch)
+        state2, metrics = train_step(
+            state, sharded_frozen, batch, CFG, K_MAX, sched
+        )
+        assert np.isfinite(float(metrics["loss"]))
+
+        # sharded result must match single-device result
+        state_ref = init_train_state(params, sched)
+        batch_local = jax.tree.map(lambda x: jax.device_put(x, jax.devices()[0]), batch)
+        state3, metrics3 = train_step(
+            state_ref, params, batch_local, CFG, K_MAX, sched
+        )
+        np.testing.assert_allclose(
+            float(metrics["loss"]), float(metrics3["loss"]), rtol=1e-5
+        )
