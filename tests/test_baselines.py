@@ -1,0 +1,120 @@
+"""Training-free baseline strategy tests (selection semantics + engine e2e)."""
+
+import jax
+import numpy as np
+import pytest
+
+from visionselector_tpu.core.config import qwen25vl_tiny
+from visionselector_tpu.models.qwen25vl.model import QwenVLEngine, init_params
+from visionselector_tpu.preprocess.image import preprocess_image
+from visionselector_tpu.preprocess.rope import expand_vision_tokens
+from visionselector_tpu.selector.baselines import available_baselines, get_baseline
+from visionselector_tpu.selector.baselines.methods import (
+    DivPrune,
+    HoloV,
+    PruMergePlus,
+    VisionZip,
+    _iqr_outlier_ratio,
+)
+
+CFG = qwen25vl_tiny()
+RNG = np.random.RandomState(0)
+
+
+def fake_inputs(n=40, d=16):
+    embeds = RNG.randn(n, d).astype(np.float32)
+    attn = RNG.rand(n).astype(np.float32)
+    keys = RNG.randn(n, 24).astype(np.float32)
+    return embeds, attn, keys
+
+
+class TestSelectionSemantics:
+    def test_visionzip_no_contextual_is_attention_topk(self):
+        embeds, attn, keys = fake_inputs()
+        vz = VisionZip(contextual_ratio=0.0)
+        idx, new = vz(embeds, attn, keys, 0.25, None)
+        want = np.sort(np.argsort(-attn, kind="stable")[:10])
+        np.testing.assert_array_equal(idx, want)
+        assert new is None
+
+    def test_visionzip_contextual_counts(self):
+        embeds, attn, keys = fake_inputs(n=100)
+        vz = VisionZip(contextual_ratio=0.05)
+        idx, new = vz(embeds, attn, keys, 0.2, None)
+        # dominant 15 + contextual 5
+        assert len(idx) == 20 and new.shape == (20, embeds.shape[1])
+        assert (np.diff(idx) > 0).all()
+        # dominant tokens keep their original embeddings
+        dom = np.sort(np.argsort(-attn, kind="stable")[:15])
+        for d_i in dom:
+            pos = np.where(idx == d_i)[0][0]
+            np.testing.assert_array_equal(new[pos], embeds[d_i])
+
+    def test_iqr_ratio(self):
+        attn = np.zeros(100)
+        attn[:5] = 100.0  # 5 clear outliers
+        assert _iqr_outlier_ratio(attn) == pytest.approx(0.05)
+
+    def test_prumerge_budget_count(self):
+        embeds, attn, keys = fake_inputs(n=50)
+        pm = PruMergePlus()
+        idx, new = pm(embeds, attn, keys, 0.2, None)
+        assert len(idx) == 10
+        assert (np.diff(idx) > 0).all()
+        assert new.shape == (10, embeds.shape[1])
+        # merge update adds mass: kept embeds differ from originals
+        assert not np.allclose(new, embeds[idx])
+
+    def test_divprune_first_two_picks(self):
+        """Golden: greedy max-min on a tiny hand-checkable instance."""
+        # three clusters: two nearly-identical vectors + one far away
+        embeds = np.asarray(
+            [[1.0, 0.0], [0.999, 0.01], [0.0, 1.0], [-1.0, 0.0]], np.float32
+        )
+        idx, _ = DivPrune()(embeds, None, None, 0.5, None)
+        assert len(idx) == 2
+        # the two picks must not be the near-duplicate pair
+        assert set(idx) != {0, 1}
+
+    def test_divprune_count_and_dedup(self):
+        embeds, _, _ = fake_inputs(n=30)
+        idx, _ = DivPrune()(embeds, None, None, 0.3, None)
+        assert len(idx) == len(set(idx.tolist())) == 9
+
+    def test_holov_exact_budget(self):
+        embeds, attn, keys = fake_inputs(n=60)
+        idx, new = HoloV()(embeds, attn, keys, 0.2, None)
+        assert len(idx) == 12
+        assert new is None
+        assert (np.diff(idx) > 0).all()
+
+    def test_random_deterministic(self):
+        embeds, attn, keys = fake_inputs()
+        r = get_baseline("random", seed=3)
+        i1, _ = r(embeds, None, None, 0.2, None)
+        i2, _ = r(embeds, None, None, 0.2, None)
+        np.testing.assert_array_equal(i1, i2)
+
+
+class TestEngineIntegration:
+    @pytest.fixture(scope="class")
+    def setup(self):
+        params = init_params(jax.random.PRNGKey(0), CFG)
+        img = (np.random.RandomState(5).rand(84, 84, 3) * 255).astype(np.uint8)
+        pixels, grid = preprocess_image(img, min_pixels=1, max_pixels=10**9)
+        ids = expand_vision_tokens([100, 200], [300], grid)
+        return params, pixels, grid, ids
+
+    @pytest.mark.parametrize("method", available_baselines())
+    def test_all_baselines_generate(self, setup, method):
+        params, pixels, grid, ids = setup
+        eng = QwenVLEngine(
+            CFG, params, budget=0.3, strategy=get_baseline(method)
+        )
+        res = eng.generate(ids, pixels, grid, max_new_tokens=2)
+        n = res.num_vision_tokens
+        assert res.selected_indices is not None
+        assert 1 <= len(res.selected_indices) <= max(1, int(n * 0.3)) + 2
+        assert res.selected_indices.max() < n
+        assert res.prefill_len == (len(ids) - n) + len(res.selected_indices)
+        assert len(res.tokens) >= 1

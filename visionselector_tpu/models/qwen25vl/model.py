@@ -134,6 +134,52 @@ def _prefill(
 
 
 @functools.partial(jax.jit, static_argnames=("cfg",))
+def _vision_stats(params, cfg: VLConfig, pixel_values, rot_pos_ids,
+                  window_seg_ids, full_seg_ids, reverse_index):
+    """ViT forward with last-block attention stats (baseline methods)."""
+    return vit_mod.vit_forward_stats(
+        params["visual"], pixel_values, rot_pos_ids, window_seg_ids,
+        full_seg_ids, reverse_index, cfg.vision,
+    )
+
+
+@functools.partial(jax.jit, static_argnames=("cfg",))
+def _prefill_from_vision(
+    params: dict,
+    cfg: VLConfig,
+    vision_embeds: jax.Array,  # [L_pad, D] (strategy replacements applied)
+    indices: jax.Array,  # [k_max] ascending, sentinel L_pad for invalid
+    valid: jax.Array,  # [k_max] bool
+    k: jax.Array,  # scalar kept count
+    input_ids: jax.Array,
+    image_positions: jax.Array,
+    text_positions: jax.Array,
+    num_text: jax.Array,
+    position_ids_orig: jax.Array,
+):
+    """Compaction + causal prefill given externally-selected vision tokens
+    (training-free baseline path; ViT ran separately via _vision_stats)."""
+    text_embeds = lm_mod.embed_tokens(params["lm"], input_ids)
+    selection = Selection(
+        indices=indices.astype(jnp.int32), valid=valid,
+        scores=jnp.zeros((vision_embeds.shape[0],), jnp.float32),
+        k=jnp.asarray(k),
+    )
+    comp = compact_sequence(
+        text_embeds, vision_embeds, selection, image_positions,
+        text_positions, num_text, position_ids_orig,
+    )
+    hidden, (k_layers, v_layers) = lm_mod.lm_prefill(
+        params["lm"], comp.embeds[None], comp.position_ids[:, None, :],
+        comp.seg_ids[None], cfg.text,
+    )
+    last = hidden[0, comp.valid_len - 1]
+    logits = lm_mod.lm_head(params["lm"], last, cfg.text)
+    next_token = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+    return next_token, comp.valid_len, (k_layers, v_layers), logits
+
+
+@functools.partial(jax.jit, static_argnames=("cfg",))
 def _decode(params, cfg: VLConfig, cache: lm_mod.KVCache, token: jax.Array,
             pos: jax.Array):
     """token: [] int32; pos: [] int32 shared by all 3 M-RoPE axes."""
@@ -171,10 +217,16 @@ class QwenVLEngine:
         budget: float = 0.2,
         vision_buckets=VISION_BUCKETS,
         text_buckets=TEXT_BUCKETS,
+        strategy=None,
     ):
+        """``strategy``: optional training-free baseline from
+        ``selector.baselines`` — overrides the LIS selector."""
         self.cfg = cfg
         self.params = params
-        self.use_selector = use_selector and ("scorer" in params)
+        self.strategy = strategy
+        self.use_selector = (
+            strategy is None and use_selector and ("scorer" in params)
+        )
         self.budget = budget
         self.vision_buckets = vision_buckets
         self.text_buckets = text_buckets
@@ -222,6 +274,9 @@ class QwenVLEngine:
             k = max(1, int(n * self.budget))
             k_max = max(1, int(l_pad * self.budget))
             k = min(k, k_max)
+        elif self.strategy is not None:
+            k = None  # determined by the strategy below
+            k_max = min(l_pad, int(l_pad * self.budget) + 2)
         else:
             k = n
             k_max = l_pad
@@ -249,15 +304,48 @@ class QwenVLEngine:
             vision_start_token_id=cfg.vision_start_token_id,
         )
 
-        next_token, sel_idx, sel_valid, valid_len, (k_l, v_l), _ = _prefill(
-            self.params, cfg, k_max, self.use_selector,
-            jnp.asarray(vb.pixel_values), jnp.asarray(vb.rot_pos_ids),
-            jnp.asarray(vb.window_seg_ids), jnp.asarray(vb.full_seg_ids),
-            jnp.asarray(vb.reverse_index), jnp.asarray(n), jnp.asarray(k),
-            jnp.asarray(input_ids), jnp.asarray(image_pos_padded),
-            jnp.asarray(text_pos_padded), jnp.asarray(num_text),
-            jnp.asarray(position_ids),
-        )
+        if self.strategy is not None:
+            # Training-free baseline: ViT (+ stats) -> host strategy -> prefill.
+            merged, attn_recv, keys = _vision_stats(
+                self.params, cfg,
+                jnp.asarray(vb.pixel_values), jnp.asarray(vb.rot_pos_ids),
+                jnp.asarray(vb.window_seg_ids), jnp.asarray(vb.full_seg_ids),
+                jnp.asarray(vb.reverse_index),
+            )
+            merged_np = np.asarray(merged)[:n]
+            attn_np = np.asarray(attn_recv)[:n] if self.strategy.needs_stats else None
+            keys_np = np.asarray(keys)[:n] if self.strategy.needs_stats else None
+            idx_np, new_embeds = self.strategy(
+                merged_np, attn_np, keys_np, self.budget, grid_thw
+            )
+            idx_np = np.asarray(idx_np, np.int64)[:k_max]
+            k = len(idx_np)
+            vision_embeds = np.asarray(merged)
+            if new_embeds is not None:
+                vision_embeds = vision_embeds.copy()
+                vision_embeds[idx_np] = np.asarray(new_embeds, vision_embeds.dtype)[:k]
+            idx_padded = np.full(k_max, l_pad, np.int64)
+            idx_padded[:k] = idx_np
+            valid_mask = np.arange(k_max) < k
+
+            next_token, valid_len, (k_l, v_l), _ = _prefill_from_vision(
+                self.params, cfg, jnp.asarray(vision_embeds),
+                jnp.asarray(idx_padded), jnp.asarray(valid_mask),
+                jnp.asarray(k), jnp.asarray(input_ids),
+                jnp.asarray(image_pos_padded), jnp.asarray(text_pos_padded),
+                jnp.asarray(num_text), jnp.asarray(position_ids),
+            )
+            sel_idx, sel_valid = jnp.asarray(idx_padded), jnp.asarray(valid_mask)
+        else:
+            next_token, sel_idx, sel_valid, valid_len, (k_l, v_l), _ = _prefill(
+                self.params, cfg, k_max, self.use_selector,
+                jnp.asarray(vb.pixel_values), jnp.asarray(vb.rot_pos_ids),
+                jnp.asarray(vb.window_seg_ids), jnp.asarray(vb.full_seg_ids),
+                jnp.asarray(vb.reverse_index), jnp.asarray(n), jnp.asarray(k),
+                jnp.asarray(input_ids), jnp.asarray(image_pos_padded),
+                jnp.asarray(text_pos_padded), jnp.asarray(num_text),
+                jnp.asarray(position_ids),
+            )
         next_token.block_until_ready()
         t_prefill = time.perf_counter() - t_start
 
@@ -284,10 +372,11 @@ class QwenVLEngine:
 
         sel_idx_np = np.asarray(sel_idx)
         sel_valid_np = np.asarray(sel_valid)
+        compressed = self.use_selector or self.strategy is not None
         return GenerationResult(
             tokens=tokens,
             selected_indices=(
-                sel_idx_np[sel_valid_np] if self.use_selector else None
+                sel_idx_np[sel_valid_np] if compressed else None
             ),
             num_vision_tokens=n,
             prefill_len=valid_len_i,

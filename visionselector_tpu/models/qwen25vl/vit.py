@@ -140,6 +140,94 @@ def vit_forward(
     return h[reverse_index]
 
 
+def vit_forward_stats(
+    params: dict,
+    pixel_values: jax.Array,
+    rot_pos_ids: jax.Array,
+    window_seg_ids: jax.Array,
+    full_seg_ids: jax.Array,
+    reverse_index: jax.Array,
+    cfg: VisionConfig,
+) -> Tuple[jax.Array, jax.Array, jax.Array]:
+    """ViT forward that also exposes last-block attention statistics.
+
+    Training-free compression baselines (VisionZip ``visionzip.py:155-245``,
+    PruMerge+ ``prumerge.py:195-310``, HoloV ``holov.py:410-498``) consume the
+    last block's attention map and key states. The reference captures them by
+    patching the attention module; here they are computed explicitly at the
+    last layer (eval-only path; the segment-masked softmax is materialized in
+    fp32 per query block).
+
+    Returns:
+        (merged_hidden [L, out] in original order,
+         attn_received [L] fp32 — mean attention mass received per merged
+             token (mean over heads and valid queries, 4->1 pooled, unpermuted),
+         pooled_keys [L, hidden] — last-block post-rotary keys, heads
+             concatenated, 4->1 pooled, unpermuted).
+    """
+    dtype = params["patch_embed_kernel"].dtype
+    x = pixel_values.astype(dtype) @ params["patch_embed_kernel"]
+    cos, sin = vision_rotary_cos_sin(rot_pos_ids, cfg.head_dim)
+    use_full = [i in cfg.fullatt_block_indexes for i in range(cfg.depth)]
+
+    blocks = params["blocks"]
+    for i in range(cfg.depth - 1):
+        p = jax.tree.map(lambda a: a[i], blocks)
+        seg = full_seg_ids if use_full[i] else window_seg_ids
+        x = _block(x, p, seg, cos, sin, cfg)
+
+    # Last block: capture stats.
+    i = cfg.depth - 1
+    p = jax.tree.map(lambda a: a[i], blocks)
+    seg = full_seg_ids if use_full[i] else window_seg_ids
+    h = rms_norm(x, p["norm1_scale"], cfg.rms_norm_eps)
+    s, d = h.shape[0], cfg.head_dim
+    qkv = h @ p["qkv_kernel"] + p["qkv_bias"]
+    q, k, v = jnp.split(qkv.reshape(s, 3, cfg.num_heads, d), 3, axis=1)
+    q, k, v = q[:, 0], k[:, 0], v[:, 0]
+    q, k = apply_rotary(q, k, cos, sin)
+
+    # Explicit masked softmax (fp32) for the stats + the block's attention out.
+    logits = jnp.einsum(
+        "qhd,khd->hqk", q, k, preferred_element_type=jnp.float32
+    ) * (d**-0.5)
+    mask = (seg[:, None] == seg[None, :]) & (seg[None, :] > 0)
+    logits = jnp.where(mask[None], logits, -1e30)
+    probs = jax.nn.softmax(logits, axis=-1)
+    probs = jnp.where(mask[None], probs, 0.0)
+    attn_out = jnp.einsum("hqk,khd->qhd", probs.astype(v.dtype), v)
+
+    # attention received per key: mean over heads, mean over VALID queries.
+    valid_q = (seg > 0).astype(jnp.float32)
+    n_valid = jnp.maximum(valid_q.sum(), 1.0)
+    recv = (probs.mean(axis=0) * valid_q[:, None]).sum(axis=0) / n_valid  # [S]
+
+    m = cfg.spatial_merge_unit
+    recv_pooled = recv.reshape(-1, m).mean(axis=1)  # [L] window order
+    keys_pooled = (
+        k.reshape(s // m, m, cfg.num_heads * d).astype(jnp.float32).mean(axis=1)
+    )  # [L, hidden]
+
+    x = x + attn_out.reshape(s, -1) @ p["proj_kernel"] + p["proj_bias"]
+    h2 = rms_norm(x, p["norm2_scale"], cfg.rms_norm_eps)
+    gate = h2 @ p["gate_kernel"] + p["gate_bias"]
+    up = h2 @ p["up_kernel"] + p["up_bias"]
+    x = x + (jax.nn.silu(gate) * up) @ p["down_kernel"] + p["down_bias"]
+
+    # merger + unpermute (shared tail)
+    hm = rms_norm(x, params["merger_ln_scale"], cfg.rms_norm_eps)
+    hm = hm.reshape(x.shape[0] // m, m * cfg.hidden_size)
+    hm = hm @ params["merger_fc1_kernel"] + params["merger_fc1_bias"]
+    hm = jax.nn.gelu(hm, approximate=False)
+    hm = hm @ params["merger_fc2_kernel"] + params["merger_fc2_bias"]
+
+    return (
+        hm[reverse_index],
+        recv_pooled[reverse_index],
+        keys_pooled[reverse_index],
+    )
+
+
 def init_vit_params(key: jax.Array, cfg: VisionConfig, dtype=jnp.float32) -> dict:
     """Random init with the right tree structure (tests / from-scratch)."""
     ks = jax.random.split(key, 8)
