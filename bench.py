@@ -99,21 +99,42 @@ def build_inputs(cfg, budget, use_selector, s_bucket, img_hw=(1036, 1456)):
     return args, k_max, n
 
 
-def time_prefill(params, cfg, k_max, use_selector, args, iters=5):
+def time_prefill(params, cfg, k_max, use_selector, args, iters=8):
+    """Differential timing: run the prefill chained K times inside one jit
+    (serialized by a data dependency) and difference T(K) - T(1).
+
+    Rationale: on the axon-tunneled TPU, ``block_until_ready`` does not block
+    and every host fetch carries a ~25ms constant round-trip — differencing
+    two chained runs cancels both the fetch overhead and dispatch costs.
+    """
+    import functools
+
     from visionselector_tpu.models.qwen25vl.model import _prefill
 
-    def run():
-        out = _prefill(params, cfg, k_max, use_selector, *args)
-        out[0].block_until_ready()
-        return out
+    @functools.partial(jax.jit, static_argnames=("n",))
+    def chained(params, n, *args):
+        pixels = args[0]
 
-    run()  # compile + warmup
-    times = []
-    for _ in range(iters):
-        t0 = time.perf_counter()
-        run()
-        times.append(time.perf_counter() - t0)
-    return float(np.median(times))
+        def body(i, carry):
+            px, acc = carry
+            out = _prefill(params, cfg, k_max, use_selector, px, *args[1:])
+            tok = out[0]
+            # serialize iterations: make the next input depend on this output
+            px = px.at[0, 0].add(tok.astype(px.dtype) * 1e-12)
+            return px, acc + tok
+
+        _, acc = jax.lax.fori_loop(0, n, body, (pixels, jnp.zeros((), jnp.int32)))
+        return acc
+
+    def fetch(n):
+        return int(chained(params, n, *args))
+
+    fetch(1)
+    fetch(iters)  # compile both
+    t0 = time.perf_counter(); fetch(1); t1 = time.perf_counter() - t0
+    t0 = time.perf_counter(); fetch(iters); tk = time.perf_counter() - t0
+    per_iter = (tk - t1) / (iters - 1)
+    return max(per_iter, 1e-9)
 
 
 def peak_memory_bytes():

@@ -1,0 +1,132 @@
+"""Evaluation harness tests: metrics goldens, sharding, end-to-end run."""
+
+import json
+import os
+
+import numpy as np
+import pytest
+
+from visionselector_tpu.eval import metrics as M
+from visionselector_tpu.eval.extract_time import extract
+from visionselector_tpu.eval.tasks import (
+    TASKS,
+    load_task_docs,
+    shard_requests,
+)
+
+
+class TestMetrics:
+    def test_relaxed_accuracy_numeric_tolerance(self):
+        assert M.relaxed_match("104", "100") is True  # 4% off
+        assert M.relaxed_match("106", "100") is False  # 6% off
+        assert M.relaxed_match("25%", "0.25") is True
+        assert M.relaxed_match("cat", "Cat") is True
+        assert M.relaxed_match("cat", "dog") is False
+
+    def test_anls(self):
+        assert M.anls("hello", ["hello"]) == 1.0
+        assert M.anls("helo", ["hello"]) == pytest.approx(0.8)
+        assert M.anls("xyz", ["hello"]) == 0.0  # below 0.5 threshold
+
+    def test_vqa_accuracy_consensus(self):
+        answers = ["cat"] * 3 + ["dog"] * 7
+        assert M.vqa_accuracy("the cat", answers) == 1.0  # article stripped
+        assert M.vqa_accuracy("bird", answers) == 0.0
+        answers = ["cat"] * 2 + ["dog"] * 8
+        assert M.vqa_accuracy("cat", answers) == pytest.approx(2 / 3)
+
+    def test_contains(self):
+        assert M.contains_accuracy("The text says HELLO world", ["hello"]) == 1.0
+        assert M.contains_accuracy("nothing", ["hello"]) == 0.0
+
+    def test_multiple_choice(self):
+        assert M.multiple_choice_match("The answer is B.", "B") == 1.0
+        assert M.multiple_choice_match("b", "B") == 1.0
+        assert M.multiple_choice_match("A", "B") == 0.0
+
+    def test_yes_no_and_pope(self):
+        assert M.yes_no_match("Yes, it is", "yes") == 1.0
+        agg = M.pope_aggregate(["yes", "yes", "no", "no"],
+                               ["yes", "no", "no", "yes"])
+        assert agg["accuracy"] == 0.5
+        assert agg["precision"] == 0.5
+        assert agg["recall"] == 0.5
+
+    def test_bootstrap_stderr(self):
+        vals = [0.0, 1.0] * 50
+        se = M.bootstrap_stderr(vals)
+        assert 0.01 < se < 0.1  # ~0.05 for n=100 bernoulli
+
+
+class TestTasks:
+    def make_data(self, tmp_path, n=10):
+        path = tmp_path / "chartqa.jsonl"
+        from PIL import Image
+
+        img_path = tmp_path / "img.png"
+        Image.fromarray(
+            (np.random.RandomState(0).rand(56, 56, 3) * 255).astype(np.uint8)
+        ).save(img_path)
+        with open(path, "w") as f:
+            for i in range(n):
+                f.write(json.dumps({
+                    "question": f"What is {i}?",
+                    "answers": [str(i)],
+                    "image": "img.png",
+                }) + "\n")
+        return str(tmp_path)
+
+    def test_load_docs_and_limit(self, tmp_path):
+        data_dir = self.make_data(tmp_path)
+        reqs = load_task_docs(TASKS["chartqa"], data_dir, limit=4)
+        assert len(reqs) == 4
+        assert reqs[0].question.endswith("single word or phrase.")
+        assert os.path.exists(reqs[0].image_path)
+
+    def test_shard_even_padding(self, tmp_path):
+        data_dir = self.make_data(tmp_path, n=10)
+        reqs = load_task_docs(TASKS["chartqa"], data_dir)
+        shards = [shard_requests(reqs, r, 4) for r in range(4)]
+        # all ranks get equal counts (padded), covering all docs
+        assert len({len(s) for s in shards}) == 1
+        covered = {r.doc_id for s in shards for r in s}
+        assert covered == set(range(10))
+
+
+class TestEndToEnd:
+    def test_run_eval_smoke(self, tmp_path, capsys):
+        """Full harness over a tiny synthetic task with the tiny model."""
+        data_dir = TestTasks().make_data(tmp_path, n=3)
+        out_dir = str(tmp_path / "results")
+        from visionselector_tpu.api.run_eval import main
+
+        rc = main([
+            "--data-dir", data_dir, "--tasks", "chartqa",
+            "--method", "selector", "--budgets", "0.5", "--limit", "2",
+            "--output-dir", out_dir,
+        ])
+        assert rc == 0
+        res_file = os.path.join(out_dir, "selector_0.5_rank0.json")
+        with open(res_file) as f:
+            res = json.load(f)
+        assert "chartqa/relaxed_accuracy" in res["results"]
+        assert res["results"]["chartqa/n"] == 2.0
+        samples = os.path.join(out_dir, "samples_selector_0.5_rank0.jsonl")
+        assert sum(1 for _ in open(samples)) == 2
+
+
+class TestExtractTime:
+    def test_scrape(self):
+        log = (
+            "Input visual token number is: 100\n"
+            "Generation prefill time is: 12.5\n"
+            "Generation total time is: 50.0\n"
+            "Input visual token number is: 200\n"
+            "Generation prefill time is: 37.5\n"
+            "Generation total time is: 150.0\n"
+        )
+        stats = extract(log)
+        assert stats["avg_visual_tokens"] == 150.0
+        assert stats["avg_prefill_ms"] == 25.0
+        assert stats["avg_latency_ms"] == 100.0
+        assert stats["n_visual_tokens"] == 2.0

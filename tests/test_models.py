@@ -107,7 +107,9 @@ class TestLM:
         cache = lm_mod.KVCache(
             k=jnp.pad(k_l, ((0, 0), (0, 0), (0, 4), (0, 0), (0, 0))),
             v=jnp.pad(v_l, ((0, 0), (0, 0), (0, 4), (0, 0), (0, 0))),
-            length=jnp.asarray([t - 1], jnp.int32),
+            length=jnp.full(
+                (CFG.text.num_hidden_layers, 1), t - 1, jnp.int32
+            ),
         )
         h_dec, _ = lm_mod.lm_decode_step(
             params["lm"], cache, embeds[:, t - 1 :],

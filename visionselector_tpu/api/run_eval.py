@@ -1,0 +1,106 @@
+"""Benchmark-suite eval entry point (parity with the reference's
+``run_selector.sh`` / ``run_token_compression.sh`` drivers).
+
+Usage:
+    python -m visionselector_tpu.api.run_eval \
+        --model-path /ckpt --data-dir /data \
+        --tasks chartqa,textvqa_val --method selector --budgets 0.1,0.2,0.3 \
+        --limit 8 --output-dir results/
+
+Runs each (task x budget) cell, writes ``results/<method>_<budget>.json``, and
+prints EVAL_TIME probes when ``EVAL_TIME=True`` (scrapeable by
+``eval.extract_time``). ``--rank/--world-size`` shard requests across
+processes (accelerate-style data-parallel eval; SURVEY.md §2.9).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+
+
+def build_parser():
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("--model-path", required=False, default=None)
+    p.add_argument("--data-dir", required=True)
+    p.add_argument("--tasks", required=True, help="comma-separated task names")
+    p.add_argument("--method", default="selector")
+    p.add_argument("--budgets", default="0.2", help="comma-separated ratios")
+    p.add_argument("--limit", type=int, default=None)
+    p.add_argument("--output-dir", default="eval_results")
+    p.add_argument("--rank", type=int, default=0)
+    p.add_argument("--world-size", type=int, default=1)
+    p.add_argument("--max-new-tokens", type=int, default=None)
+    return p
+
+
+def main(argv=None) -> int:
+    args = build_parser().parse_args(argv)
+    import jax
+
+    from visionselector_tpu.api.predict import load_tokenizer
+    from visionselector_tpu.core.config import qwen25vl_tiny
+    from visionselector_tpu.eval.evaluator import EngineAdapter, evaluate
+    from visionselector_tpu.models.qwen25vl.model import QwenVLEngine, init_params
+
+    if args.model_path:
+        from visionselector_tpu.models.qwen25vl.weights import (
+            config_from_hf,
+            load_hf_checkpoint,
+        )
+
+        cfg = config_from_hf(args.model_path)
+        params = load_hf_checkpoint(args.model_path, cfg)
+        tokenizer = load_tokenizer(args.model_path)
+    else:
+        cfg = qwen25vl_tiny()
+        params = init_params(jax.random.PRNGKey(0), cfg)
+        tokenizer = None
+    if tokenizer is None:
+        class _IdTokenizer:  # smoke mode: ids-as-text
+            def encode(self, s):
+                return [abs(hash(w)) % 1000 + 600 for w in s.split()][:8]
+
+            def decode(self, ids, skip_special_tokens=True):
+                return " ".join(str(i) for i in ids)
+
+        tokenizer = _IdTokenizer()
+
+    os.makedirs(args.output_dir, exist_ok=True)
+    tasks = args.tasks.split(",")
+    strategy = None
+    if args.method not in ("orig", "selector"):
+        from visionselector_tpu.selector.baselines import get_baseline
+
+        strategy = get_baseline(args.method)
+
+    for budget in [float(b) for b in args.budgets.split(",")]:
+        engine = QwenVLEngine(
+            cfg, params,
+            use_selector=(args.method == "selector"),
+            budget=budget,
+            strategy=strategy,
+        )
+        adapter = EngineAdapter(engine, tokenizer)
+        results = evaluate(
+            adapter, tasks, args.data_dir, limit=args.limit,
+            rank=args.rank, world_size=args.world_size,
+            log_samples_path=os.path.join(
+                args.output_dir,
+                f"samples_{args.method}_{budget}_rank{args.rank}.jsonl",
+            ),
+        )
+        out_path = os.path.join(
+            args.output_dir, f"{args.method}_{budget}_rank{args.rank}.json"
+        )
+        with open(out_path, "w") as f:
+            json.dump({"method": args.method, "budget": budget,
+                       "results": results}, f, indent=2)
+        print(json.dumps({"budget": budget, **results}))
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -1,0 +1,153 @@
+"""Evaluation driver: requests -> engine generation -> metrics.
+
+Plays the role of ``lmms-eval/lmms_eval/evaluator.py`` (simple_evaluate /
+evaluate) for this framework: per-task request building, rank sharding,
+generation through a QwenVLEngine adapter, metric aggregation with bootstrap
+stderr, and EVAL_TIME-parity timing probes whose printed lines are consumable
+by ``extract_time``-style scrapers (``qwen-evaluation/extract_time.py``).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+import os
+import time
+from typing import Callable, Dict, List, Optional, Sequence
+
+import numpy as np
+
+from visionselector_tpu.eval.tasks import (
+    TASKS,
+    Request,
+    aggregate_scores,
+    load_task_docs,
+    shard_requests,
+)
+
+
+@dataclasses.dataclass
+class EvalTimeStats:
+    prefill_ms: List[float] = dataclasses.field(default_factory=list)
+    latency_ms: List[float] = dataclasses.field(default_factory=list)
+    visual_tokens: List[int] = dataclasses.field(default_factory=list)
+    input_tokens: List[int] = dataclasses.field(default_factory=list)
+    output_tokens: List[int] = dataclasses.field(default_factory=list)
+
+    def summary(self) -> Dict[str, float]:
+        def avg(x):
+            return float(np.mean(x)) if x else 0.0
+
+        return {
+            "avg_prefill_ms": avg(self.prefill_ms),
+            "avg_latency_ms": avg(self.latency_ms),
+            "avg_visual_tokens": avg(self.visual_tokens),
+            "avg_input_tokens": avg(self.input_tokens),
+            "avg_output_tokens": avg(self.output_tokens),
+        }
+
+
+class EngineAdapter:
+    """generate_until-contract adapter (``lmms-eval/lmms_eval/api/model.py:58``)
+    over a QwenVLEngine + tokenizer."""
+
+    def __init__(self, engine, tokenizer, eval_time: bool = False):
+        self.engine = engine
+        self.tokenizer = tokenizer
+        self.eval_time = eval_time or (
+            os.environ.get("EVAL_TIME", "").lower() == "true"
+        )
+        self.stats = EvalTimeStats()
+
+    def _encode_prompt(self, question: str):
+        tok = self.tokenizer
+        before = tok.encode(
+            "<|im_start|>system\nYou are a helpful assistant.<|im_end|>\n"
+            "<|im_start|>user\n"
+        )
+        after = tok.encode(f"{question}<|im_end|>\n<|im_start|>assistant\n")
+        return before, after
+
+    def generate_until(self, requests: Sequence[Request],
+                       until: Sequence[str] = ("<|im_end|>",)) -> List[str]:
+        from visionselector_tpu.preprocess.image import preprocess_image
+        from visionselector_tpu.preprocess.rope import expand_vision_tokens
+
+        cfg = self.engine.cfg
+        out = []
+        for req in requests:
+            before, after = self._encode_prompt(req.question)
+            if req.image_path is not None:
+                from PIL import Image
+
+                image = Image.open(req.image_path)
+                pixels, grid = preprocess_image(image)
+            else:
+                raise NotImplementedError("text-only requests not wired")
+            input_ids = expand_vision_tokens(
+                before, after, grid,
+                spatial_merge_size=cfg.vision.spatial_merge_size,
+                image_token_id=cfg.image_token_id,
+                vision_start_token_id=cfg.vision_start_token_id,
+                vision_end_token_id=cfg.vision_end_token_id,
+            )
+            res = self.engine.generate(
+                input_ids, pixels, grid,
+                max_new_tokens=req.task.max_new_tokens,
+            )
+            text = self.tokenizer.decode(res.tokens, skip_special_tokens=True)
+            for stop in until:
+                if stop in text:
+                    text = text.split(stop)[0]
+            out.append(text.strip())
+
+            if self.eval_time:
+                kept = (
+                    len(res.selected_indices)
+                    if res.selected_indices is not None
+                    else res.num_vision_tokens
+                )
+                self.stats.prefill_ms.append(res.prefill_seconds * 1e3)
+                self.stats.latency_ms.append(res.total_seconds * 1e3)
+                self.stats.visual_tokens.append(kept)
+                self.stats.input_tokens.append(res.prefill_len)
+                self.stats.output_tokens.append(len(res.tokens))
+                print(f"Input visual token number is: {kept}")
+                print(f"Generation prefill time is: {res.prefill_seconds * 1e3}")
+                print(f"Generation total time is: {res.total_seconds * 1e3}")
+        return out
+
+
+def evaluate(
+    adapter: EngineAdapter,
+    task_names: Sequence[str],
+    data_dir: str,
+    limit: Optional[int] = None,
+    rank: int = 0,
+    world_size: int = 1,
+    log_samples_path: Optional[str] = None,
+) -> Dict[str, float]:
+    """Run tasks and return the aggregated metric dict."""
+    results: Dict[str, float] = {}
+    samples_log = []
+    for name in task_names:
+        task = TASKS[name]
+        requests = load_task_docs(task, data_dir, limit=limit)
+        requests = shard_requests(requests, rank, world_size)
+        t0 = time.perf_counter()
+        preds = adapter.generate_until(requests)
+        results.update(aggregate_scores(task, preds, requests))
+        results[f"{name}/wall_s"] = time.perf_counter() - t0
+        if log_samples_path:
+            for r, p in zip(requests, preds):
+                samples_log.append(
+                    {"task": name, "doc_id": r.doc_id, "question": r.question,
+                     "answers": r.answers, "prediction": p}
+                )
+    if adapter.eval_time:
+        results.update(adapter.stats.summary())
+    if log_samples_path:
+        with open(log_samples_path, "w") as f:
+            for s in samples_log:
+                f.write(json.dumps(s) + "\n")
+    return results

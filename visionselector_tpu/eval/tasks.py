@@ -1,0 +1,123 @@
+"""Task registry for the evaluation harness.
+
+Mirrors the role of lmms-eval's YAML task configs + utils
+(``lmms-eval/lmms_eval/api/task.py``, ``tasks/<name>/*.yaml``) with a compact
+dataclass registry. Datasets are read from local jsonl files (one object per
+line) with fields::
+
+    {"question": str, "answers": [str, ...], "image": "relative/path.png"}
+
+pointed at by ``data_dir`` (images resolved relative to it). The paper's image
+suite (``qwen-evaluation/run_selector.sh:36``) is pre-registered; datasets are
+supplied by the user (no network access is assumed).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+import os
+from typing import Callable, Dict, List, Optional, Sequence
+
+from visionselector_tpu.eval import metrics as M
+
+
+@dataclasses.dataclass(frozen=True)
+class TaskConfig:
+    name: str
+    metric: str  # key into metrics.METRICS
+    prompt_suffix: str = ""  # appended to the question (task-style prompting)
+    max_new_tokens: int = 32
+    aggregate: str = "mean"  # "mean" | "pope"
+    splits_answers: bool = True  # answers field is a list
+
+
+# The paper image suite (run_selector.sh:36) + shapes of their prompting.
+_SHORT = "\nAnswer the question using a single word or phrase."
+_MC = "\nAnswer with the option's letter from the given choices directly."
+
+TASKS: Dict[str, TaskConfig] = {
+    "chartqa": TaskConfig("chartqa", "relaxed_accuracy", _SHORT, 32),
+    "docvqa_val": TaskConfig("docvqa_val", "anls", _SHORT, 32),
+    "textvqa_val": TaskConfig("textvqa_val", "vqa_accuracy", _SHORT, 32),
+    "ocrbench": TaskConfig("ocrbench", "contains_accuracy", _SHORT, 48),
+    "scienceqa_img": TaskConfig("scienceqa_img", "multiple_choice", _MC, 8),
+    "ai2d_no_mask": TaskConfig("ai2d_no_mask", "multiple_choice", _MC, 8),
+    "mmmu_val": TaskConfig("mmmu_val", "multiple_choice", _MC, 8),
+    "mme": TaskConfig("mme", "yes_no", _SHORT, 8),
+    "pope": TaskConfig("pope", "yes_no", _SHORT, 8, aggregate="pope"),
+    "ocr_vqa": TaskConfig("ocr_vqa", "exact_match", _SHORT, 32),
+    "videomme": TaskConfig("videomme", "multiple_choice", _MC, 8),
+}
+
+
+@dataclasses.dataclass
+class Request:
+    """One evaluation request (lmms-eval Instance equivalent,
+    ``api/instance.py``)."""
+
+    doc_id: int
+    question: str
+    answers: List[str]
+    image_path: Optional[str]
+    task: TaskConfig
+
+
+def load_task_docs(task: TaskConfig, data_dir: str,
+                   limit: Optional[int] = None) -> List[Request]:
+    """Read ``<data_dir>/<task>.jsonl`` into requests."""
+    path = os.path.join(data_dir, f"{task.name}.jsonl")
+    requests = []
+    with open(path) as f:
+        for i, line in enumerate(f):
+            if limit is not None and i >= limit:
+                break
+            doc = json.loads(line)
+            answers = doc.get("answers") or [doc.get("answer", "")]
+            if isinstance(answers, str):
+                answers = [answers]
+            img = doc.get("image")
+            requests.append(
+                Request(
+                    doc_id=i,
+                    question=doc["question"] + task.prompt_suffix,
+                    answers=[str(a) for a in answers],
+                    image_path=os.path.join(data_dir, img) if img else None,
+                    task=task,
+                )
+            )
+    return requests
+
+
+def shard_requests(requests: Sequence[Request], rank: int,
+                   world_size: int) -> List[Request]:
+    """Rank-shard with padding so every rank runs the same request count
+    (SPMD parity with ``lmms-eval/lmms_eval/evaluator.py:442-462``)."""
+    if world_size <= 1:
+        return list(requests)
+    per_rank = -(-len(requests) // world_size)
+    shard = list(requests[rank::world_size])
+    while len(shard) < per_rank and requests:
+        shard.append(requests[rank % len(requests)])
+    return shard
+
+
+def score_request(req: Request, prediction: str) -> float:
+    fn = M.METRICS[req.task.metric]
+    if req.task.metric in ("multiple_choice", "yes_no"):
+        return fn(prediction, req.answers[0])
+    return fn(prediction, req.answers)
+
+
+def aggregate_scores(task: TaskConfig, preds: List[str],
+                     requests: List[Request]) -> Dict[str, float]:
+    scores = [score_request(r, p) for r, p in zip(requests, preds)]
+    out = {
+        f"{task.name}/{task.metric}": M.mean(scores),
+        f"{task.name}/stderr": M.bootstrap_stderr(scores),
+        f"{task.name}/n": float(len(scores)),
+    }
+    if task.aggregate == "pope":
+        pope = M.pope_aggregate(preds, [r.answers[0] for r in requests])
+        out.update({f"{task.name}/{k}": v for k, v in pope.items()})
+    return out

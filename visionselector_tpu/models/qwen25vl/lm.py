@@ -27,7 +27,10 @@ from visionselector_tpu.models.qwen25vl.vit import rms_norm, rotate_half
 class KVCache(NamedTuple):
     k: jax.Array  # [n_layers, B, T_max, H_kv, Dh]
     v: jax.Array  # [n_layers, B, T_max, H_kv, Dh]
-    length: jax.Array  # [B] int32 valid length
+    # Per-layer valid lengths [n_layers, B]. Uniform for the standard path;
+    # LLM-side compression (FastV/DART) leaves early layers with the full
+    # sequence and later layers with the compacted one.
+    length: jax.Array
 
 
 def mrope_axis_selector(cfg: TextConfig) -> jax.Array:
@@ -93,24 +96,18 @@ def _mlp(x, p):
     return (jax.nn.silu(x @ p["gate_kernel"]) * (x @ p["up_kernel"])) @ p["down_kernel"]
 
 
-def lm_prefill(
-    params: dict,
+def lm_prefill_layers(
+    layers: dict,
     inputs_embeds: jax.Array,
     position_ids: jax.Array,
     seg_ids: jax.Array,
     cfg: TextConfig,
 ) -> Tuple[jax.Array, Tuple[jax.Array, jax.Array]]:
-    """Full-sequence forward (training and prefill).
+    """Run a stack of decoder layers (no final norm) over a full sequence.
 
-    Args:
-        inputs_embeds: [B, T, D] (valid-prefix layout; padding rows masked via
-            seg_ids == 0).
-        position_ids: [3, B, T] M-RoPE ids.
-        seg_ids: [B, T] int32; 0 = padding. Distinct ids give packed-sample
-            block-diagonal attention (training data packing).
-    Returns:
-        (final hidden [B, T, D] post-norm, (k_layers, v_layers) each
-         [n_layers, B, T, H_kv, Dh] rotated keys for the KV cache).
+    ``layers`` is any stacked-layer pytree slice — the whole model, or a
+    contiguous range for two-stage (LLM-side compression) prefill.
+    Returns (hidden [B, T, D], (k, v) each [n_layers, B, T, H_kv, Dh]).
     """
     cos, sin = mrope_cos_sin(position_ids, cfg)
     n_rep = cfg.num_attention_heads // cfg.num_key_value_heads
@@ -133,9 +130,56 @@ def lm_prefill(
         x = x + _mlp(h, p)
         return x, (k, v)
 
-    x, kv = jax.lax.scan(layer, inputs_embeds, params["layers"])
+    return jax.lax.scan(layer, inputs_embeds, layers)
+
+
+def lm_prefill(
+    params: dict,
+    inputs_embeds: jax.Array,
+    position_ids: jax.Array,
+    seg_ids: jax.Array,
+    cfg: TextConfig,
+) -> Tuple[jax.Array, Tuple[jax.Array, jax.Array]]:
+    """Full-sequence forward (training and prefill).
+
+    Args:
+        inputs_embeds: [B, T, D] (valid-prefix layout; padding rows masked via
+            seg_ids == 0).
+        position_ids: [3, B, T] M-RoPE ids.
+        seg_ids: [B, T] int32; 0 = padding. Distinct ids give packed-sample
+            block-diagonal attention (training data packing).
+    Returns:
+        (final hidden [B, T, D] post-norm, (k_layers, v_layers) each
+         [n_layers, B, T, H_kv, Dh] rotated keys for the KV cache).
+    """
+    x, kv = lm_prefill_layers(
+        params["layers"], inputs_embeds, position_ids, seg_ids, cfg
+    )
     x = rms_norm(x, params["final_ln_scale"], cfg.rms_norm_eps)
     return x, kv
+
+
+def layer_qk(
+    layers: dict,
+    layer_idx: int,
+    hidden: jax.Array,
+    position_ids: jax.Array,
+    cfg: TextConfig,
+) -> Tuple[jax.Array, jax.Array]:
+    """Post-rotary (q, k) of one layer given its INPUT hidden states.
+
+    Used by LLM-side compression to recompute attention statistics at the
+    capture layer (the reference recomputes eagerly in fp32 too,
+    ``fastv.py:84-93``). k is GQA-expanded to match q's head count.
+    Returns q, k: [B, T, H, Dh].
+    """
+    p = jax.tree.map(lambda a: a[layer_idx], layers)
+    cos, sin = mrope_cos_sin(position_ids, cfg)
+    h = rms_norm(hidden, p["input_ln_scale"], cfg.rms_norm_eps)
+    q, k, v = _qkv(h, p, cfg)
+    q, k = _apply_mrope(q, k, cos, sin)
+    n_rep = cfg.num_attention_heads // cfg.num_key_value_heads
+    return q, _repeat_kv(k, n_rep)
 
 
 def lm_decode_step(
@@ -155,15 +199,13 @@ def lm_decode_step(
     cos, sin = mrope_cos_sin(position_ids, cfg)
     n_rep = cfg.num_attention_heads // cfg.num_key_value_heads
     b = inputs_embeds.shape[0]
-    pos = cache.length  # [B] write index
 
     def layer(x, scanned):
-        p, k_cache, v_cache = scanned
+        p, k_cache, v_cache, pos = scanned  # pos: [B] this layer's length
         h = rms_norm(x, p["input_ln_scale"], cfg.rms_norm_eps)
         q, k, v = _qkv(h, p, cfg)
         q, k = _apply_mrope(q, k, cos, sin)
-        # Write new kv at cache.length (same for all batch rows at batch=1;
-        # per-row dynamic_update via vmap for generality).
+        # Write new kv at this layer's length (per-batch-row dynamic update).
         k_cache = jax.vmap(
             lambda c, upd, i: jax.lax.dynamic_update_slice(c, upd, (i, 0, 0))
         )(k_cache, k, pos)
@@ -174,7 +216,7 @@ def lm_decode_step(
             q,
             _repeat_kv(k_cache, n_rep),
             _repeat_kv(v_cache, n_rep),
-            cache.length + 1,
+            pos + 1,
         )
         x = x + attn.reshape(b, 1, -1) @ p["o_kernel"]
         h = rms_norm(x, p["post_ln_scale"], cfg.rms_norm_eps)
@@ -182,7 +224,7 @@ def lm_decode_step(
         return x, (k_cache, v_cache)
 
     x, (k_new, v_new) = jax.lax.scan(
-        layer, inputs_embeds, (params["layers"], cache.k, cache.v)
+        layer, inputs_embeds, (params["layers"], cache.k, cache.v, cache.length)
     )
     x = rms_norm(x, params["final_ln_scale"], cfg.rms_norm_eps)
     return x, KVCache(k=k_new, v=v_new, length=cache.length + 1)
@@ -248,5 +290,5 @@ def init_kv_cache(
     return KVCache(
         k=jnp.zeros(shape, dtype),
         v=jnp.zeros(shape, dtype),
-        length=jnp.zeros((batch,), jnp.int32),
+        length=jnp.zeros((cfg.num_hidden_layers, batch), jnp.int32),
     )

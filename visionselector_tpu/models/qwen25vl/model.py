@@ -179,6 +179,122 @@ def _prefill_from_vision(
     return next_token, comp.valid_len, (k_layers, v_layers), logits
 
 
+@functools.partial(jax.jit, static_argnames=("cfg", "target", "capture"))
+def _stage_a(
+    params: dict,
+    cfg: VLConfig,
+    target: int,  # compression layer index (reference default 2)
+    capture: str,  # "fastv" (qk attention at target-1) | "dart" (keys at target)
+    pixel_values, rot_pos_ids, window_seg_ids, full_seg_ids, reverse_index,
+    num_merged, input_ids, image_positions, text_positions, num_text,
+    position_ids_orig,
+):
+    """LLM-side compression, stage A: ViT + full-sequence decoder layers
+    [0, target) with attention-statistic capture.
+
+    Reference mechanism: FastV ranks image positions by mean attention
+    received in layer target-1 (``fastv.py:236-266``); DART picks pivots by
+    key L1-norm at the target layer (``dart.py:208-302``). Both then gather
+    the sequence at layer ``target``.
+
+    Returns (hidden at layer target [1, T, D], (k_a, v_a) for layers
+    [0, target), fastv_scores [T], key_l1 [T], full-seq valid_len,
+    comp.position_ids [3, T], comp.selected_positions [T]).
+    """
+    vision_embeds = vit_mod.vit_forward(
+        params["visual"], pixel_values, rot_pos_ids, window_seg_ids,
+        full_seg_ids, reverse_index, cfg.vision,
+    )
+    text_embeds = lm_mod.embed_tokens(params["lm"], input_ids)
+    n_pad = vision_embeds.shape[0]
+    idx = jnp.arange(n_pad, dtype=jnp.int32)
+    valid = idx < num_merged
+    selection = Selection(
+        indices=jnp.where(valid, idx, n_pad), valid=valid,
+        scores=jnp.zeros((n_pad,), jnp.float32), k=num_merged,
+    )
+    comp = compact_sequence(
+        text_embeds, vision_embeds, selection, image_positions,
+        text_positions, num_text, position_ids_orig,
+    )
+
+    layers = params["lm"]["layers"]
+    cap_layer = target - 1 if capture == "fastv" else target
+    pre = jax.tree.map(lambda a: a[:cap_layer], layers)
+    hidden, (k_pre, v_pre) = lm_mod.lm_prefill_layers(
+        pre, comp.embeds[None], comp.position_ids[:, None, :],
+        comp.seg_ids[None], cfg.text,
+    )
+    q_cap, k_cap = lm_mod.layer_qk(
+        layers, cap_layer, hidden, comp.position_ids[:, None, :], cfg.text
+    )
+
+    t = hidden.shape[1]
+    # FastV image score: mean over heads & (valid) queries of causal softmax
+    # attention received per position (origin=False variant, fastv.py:252).
+    logits = jnp.einsum(
+        "bqhd,bkhd->hqk", q_cap, k_cap, preferred_element_type=jnp.float32
+    ) * (cfg.text.head_dim**-0.5)
+    qi = jnp.arange(t)
+    mask = (qi[:, None] >= qi[None, :]) & (comp.seg_ids > 0)[None, :] \
+        & (comp.seg_ids > 0)[:, None]
+    logits = jnp.where(mask[None], logits, -1e30)
+    probs = jnp.where(mask[None], jax.nn.softmax(logits, axis=-1), 0.0)
+    nq = jnp.maximum((comp.seg_ids > 0).sum(), 1)
+    fastv_scores = probs.mean(axis=0).sum(axis=0) / nq  # [T]
+
+    key_l1 = jnp.abs(k_cap[0]).sum(axis=(1, 2))  # [T] L1 over heads*dims
+
+    if capture == "fastv":
+        # run the capture layer itself to reach layer `target`'s input
+        one = jax.tree.map(lambda a: a[cap_layer : cap_layer + 1], layers)
+        hidden, (k1, v1) = lm_mod.lm_prefill_layers(
+            one, hidden, comp.position_ids[:, None, :], comp.seg_ids[None],
+            cfg.text,
+        )
+        k_a = jnp.concatenate([k_pre, k1])
+        v_a = jnp.concatenate([v_pre, v1])
+    else:
+        k_a, v_a = k_pre, v_pre
+
+    return (hidden, (k_a, v_a), fastv_scores, key_l1, comp.valid_len,
+            comp.position_ids, comp.selected_positions)
+
+
+@functools.partial(jax.jit, static_argnames=("cfg", "target"))
+def _stage_b(
+    params: dict,
+    cfg: VLConfig,
+    target: int,
+    hidden: jax.Array,  # [1, T, D] at layer target's input
+    position_ids_full: jax.Array,  # [3, T]
+    keep_indices: jax.Array,  # [T_keep] ascending positions into T; sentinel T
+    keep_valid_len: jax.Array,  # scalar
+):
+    """LLM-side compression, stage B: gather the sequence at layer target and
+    run layers [target, end) + head (``fastv.py:253-258`` keep_indexs gather)."""
+    t = hidden.shape[1]
+    h_pad = jnp.concatenate([hidden[0], jnp.zeros_like(hidden[0, :1])])
+    h_comp = h_pad[keep_indices][None]
+    pos_pad = jnp.pad(position_ids_full, ((0, 0), (0, 1)))
+    pos_comp = pos_pad[:, keep_indices]
+    t_keep = keep_indices.shape[0]
+    seg = (jnp.arange(t_keep) < keep_valid_len).astype(jnp.int32)
+
+    layers = params["lm"]["layers"]
+    post = jax.tree.map(lambda a: a[target:], layers)
+    x, (k_b, v_b) = lm_mod.lm_prefill_layers(
+        post, h_comp, pos_comp[:, None, :], seg[None], cfg.text
+    )
+    x = vit_mod.rms_norm(
+        x, params["lm"]["final_ln_scale"], cfg.text.rms_norm_eps
+    )
+    last = x[0, keep_valid_len - 1]
+    logits = lm_mod.lm_head(params["lm"], last, cfg.text)
+    next_token = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+    return next_token, (k_b, v_b), logits
+
+
 @functools.partial(jax.jit, static_argnames=("cfg",))
 def _decode(params, cfg: VLConfig, cache: lm_mod.KVCache, token: jax.Array,
             pos: jax.Array):
@@ -238,11 +354,19 @@ class QwenVLEngine:
         grid_thw: Optional[np.ndarray] = None,
         max_new_tokens: int = 64,
         eos_token_ids: Optional[Tuple[int, ...]] = None,
+        pixel_values_videos: Optional[np.ndarray] = None,
+        video_grid_thw: Optional[np.ndarray] = None,
+        second_per_grid_ts: Optional[np.ndarray] = None,
         timer: Optional[Any] = None,
     ) -> GenerationResult:
         """Greedy generation for one sample.
 
-        input_ids: [T_orig] with ``<|image_pad|>`` runs already expanded.
+        input_ids: [T_orig] with ``<|image_pad|>``/``<|video_pad|>`` runs
+        already expanded. Video path semantics follow the reference
+        (``token_compression/selector_model.py:264-298``): kept video tokens
+        replace the original run between vision_start/vision_end, with M-RoPE
+        ids built on the original sequence then gathered — which the generic
+        position-compaction here implements for free.
         """
         import time
 
@@ -253,9 +377,15 @@ class QwenVLEngine:
         t_orig = len(input_ids)
         t_start = time.perf_counter()
 
+        is_video = pixel_values_videos is not None
+        if is_video:
+            assert pixel_values is None, "mixed image+video not wired yet"
+            pixel_values = pixel_values_videos
+            grid_thw = video_grid_thw
         assert pixel_values is not None and grid_thw is not None, (
             "text-only path not wired yet"
         )
+        vision_token_id = cfg.video_token_id if is_video else cfg.image_token_id
 
         merge_unit = cfg.vision.spatial_merge_unit
         s_real = pixel_values.shape[0]
@@ -282,10 +412,10 @@ class QwenVLEngine:
             k_max = l_pad
 
         # Host-side index arrays over the original sequence.
-        is_image = input_ids == cfg.image_token_id
-        image_pos = np.where(is_image)[0]
+        is_vision = input_ids == vision_token_id
+        image_pos = np.where(is_vision)[0]
         assert len(image_pos) == n, (len(image_pos), n)
-        text_pos = np.where(~is_image)[0]
+        text_pos = np.where(~is_vision)[0]
         num_text = len(text_pos)
 
         image_pos_padded = np.full(l_pad, t_orig, np.int64)
@@ -296,13 +426,90 @@ class QwenVLEngine:
 
         position_ids, rope_delta = get_rope_index(
             input_ids,
-            image_grid_thw=grid_thw,
+            image_grid_thw=None if is_video else grid_thw,
+            video_grid_thw=grid_thw if is_video else None,
+            second_per_grid_ts=second_per_grid_ts,
             spatial_merge_size=cfg.vision.spatial_merge_size,
             tokens_per_second=cfg.vision.tokens_per_second,
             image_token_id=cfg.image_token_id,
             video_token_id=cfg.video_token_id,
             vision_start_token_id=cfg.vision_start_token_id,
         )
+
+        if self.strategy is not None and getattr(self.strategy, "llm_side", False):
+            # FastV/DART: two-stage prefill with mid-decoder compression.
+            target = self.strategy.target_layer
+            (hidden_t, (k_a, v_a), fv_scores, key_l1, full_valid_len,
+             pos_full, _sel) = _stage_a(
+                self.params, cfg, target, self.strategy.capture,
+                jnp.asarray(vb.pixel_values), jnp.asarray(vb.rot_pos_ids),
+                jnp.asarray(vb.window_seg_ids), jnp.asarray(vb.full_seg_ids),
+                jnp.asarray(vb.reverse_index), jnp.asarray(n),
+                jnp.asarray(input_ids), jnp.asarray(image_pos_padded),
+                jnp.asarray(text_pos_padded), jnp.asarray(num_text),
+                jnp.asarray(position_ids),
+            )
+            t_pad_full = hidden_t.shape[1]
+            fv = np.asarray(fv_scores)[:t_orig]
+            kl1 = np.asarray(key_l1)[:t_orig]
+            h_t = np.asarray(hidden_t[0], np.float32)[:t_orig]
+            retained = np.asarray(
+                self.strategy.select(fv, kl1, h_t, image_pos, self.budget),
+                np.int64,
+            )
+            keep = np.sort(np.concatenate([retained, text_pos]))
+            k_img_max = k_max + 8  # pivots can exceed the exact budget
+            t_keep_pad = k_img_max + t_text_bucket
+            keep_padded = np.full(t_keep_pad, t_pad_full, np.int64)
+            keep_padded[: len(keep)] = keep
+            keep_valid = len(keep)
+
+            next_token, (k_b, v_b), _ = _stage_b(
+                self.params, cfg, target, hidden_t, pos_full,
+                jnp.asarray(keep_padded), jnp.asarray(keep_valid),
+            )
+            next_token.block_until_ready()
+            t_prefill = time.perf_counter() - t_start
+
+            t_max = max(t_pad_full, t_keep_pad) + max_new_tokens
+            nl = cfg.text.num_hidden_layers
+
+            def pad_t(x, t_now):
+                return jnp.pad(
+                    x, ((0, 0), (0, 0), (0, t_max - t_now), (0, 0), (0, 0))
+                )
+
+            cache = lm_mod.KVCache(
+                k=jnp.concatenate([pad_t(k_a, t_pad_full), pad_t(k_b, t_keep_pad)]),
+                v=jnp.concatenate([pad_t(v_a, t_pad_full), pad_t(v_b, t_keep_pad)]),
+                length=jnp.concatenate([
+                    jnp.full((target, 1), t_orig, jnp.int32),
+                    jnp.full((nl - target, 1), keep_valid, jnp.int32),
+                ]),
+            )
+            tokens = [int(next_token)]
+            tok = next_token
+            for step in range(max_new_tokens - 1):
+                if tokens[-1] in eos_token_ids:
+                    break
+                pos = jnp.asarray(t_orig + step + rope_delta, jnp.int32)
+                tok, cache, _ = _decode(self.params, cfg, cache, tok, pos)
+                tokens.append(int(tok))
+            if tokens and tokens[-1] in eos_token_ids:
+                tokens = tokens[:-1]
+            # map retained sequence positions back to vision-token indices
+            pos_to_vis = {int(p): j for j, p in enumerate(image_pos)}
+            sel_vis = np.asarray(
+                sorted(pos_to_vis[int(p)] for p in retained), np.int64
+            )
+            return GenerationResult(
+                tokens=tokens,
+                selected_indices=sel_vis,
+                num_vision_tokens=n,
+                prefill_len=keep_valid,
+                prefill_seconds=t_prefill,
+                total_seconds=time.perf_counter() - t_start,
+            )
 
         if self.strategy is not None:
             # Training-free baseline: ViT (+ stats) -> host strategy -> prefill.
@@ -355,7 +562,9 @@ class QwenVLEngine:
         cache = lm_mod.KVCache(
             k=jnp.pad(k_l, ((0, 0), (0, 0), (0, t_max - t_comp), (0, 0), (0, 0))),
             v=jnp.pad(v_l, ((0, 0), (0, 0), (0, t_max - t_comp), (0, 0), (0, 0))),
-            length=jnp.asarray([valid_len_i], jnp.int32),
+            length=jnp.full(
+                (cfg.text.num_hidden_layers, 1), valid_len_i, jnp.int32
+            ),
         )
 
         tokens = [int(next_token)]

@@ -16,6 +16,7 @@ from __future__ import annotations
 
 from typing import Callable, Dict
 
+from visionselector_tpu.selector.baselines.llm_side import DART, FastV
 from visionselector_tpu.selector.baselines.methods import (
     DivPrune,
     HoloV,
@@ -30,6 +31,8 @@ _REGISTRY: Dict[str, Callable] = {
     "divprune": DivPrune,
     "holov": HoloV,
     "random": RandomSelect,
+    "fastv": FastV,
+    "dart": DART,
 }
 
 
