@@ -18,7 +18,8 @@ import os
 import sys
 import time
 
-os.environ.setdefault("VST_ATTN_IMPL", os.environ.get("VST_BENCH_IMPL", "xla"))
+# "auto" resolves to the Pallas flash kernel on TPU, XLA reference on CPU.
+os.environ.setdefault("VST_ATTN_IMPL", os.environ.get("VST_BENCH_IMPL", "auto"))
 
 import jax
 import jax.numpy as jnp
@@ -95,6 +96,8 @@ def build_inputs(cfg, budget, use_selector, s_bucket, img_hw=(1036, 1456)):
         jnp.asarray(text_pos_padded),
         jnp.asarray(len(text_pos)),
         jnp.asarray(position_ids),
+        jnp.asarray(vb.window_kv_bounds),
+        jnp.asarray(vb.full_kv_bounds),
     )
     return args, k_max, n
 

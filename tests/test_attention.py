@@ -110,6 +110,36 @@ class TestPallasInterpret:
         )
 
 
+class TestBlockBounds:
+    def test_segment_block_bounds(self):
+        from visionselector_tpu.kernels.attention import segment_block_bounds
+
+        seg = np.asarray([1] * 64 + [2] * 64 + [3] * 64 + [0] * 64)
+        b = segment_block_bounds(seg, 64, 64)
+        np.testing.assert_array_equal(b, [[0, 1], [1, 2], [2, 3], [0, 0]])
+        # coarser kv blocks
+        b = segment_block_bounds(seg, 64, 128)
+        np.testing.assert_array_equal(b, [[0, 1], [0, 1], [1, 2], [0, 0]])
+
+    def test_pallas_with_bounds_matches_reference(self):
+        from visionselector_tpu.kernels.attention import segment_block_bounds
+
+        seg = np.concatenate([
+            np.repeat(np.arange(1, 9), 60),  # 8 segments of 60 (misaligned)
+            np.zeros(32, np.int32),
+        ]).astype(np.int32)
+        q, k, v, qs, ks = make_inputs(1, 512, 512, 2, 32, seg, seed=11)
+        want = mha_reference(q, k, v, qs, ks)
+        bounds = jnp.asarray(segment_block_bounds(seg, 64, 64))
+        got = _flash_pallas(
+            q, k, v, qs, ks, False, 32**-0.5, block_q=64, block_k=64,
+            kv_bounds=bounds, interpret=True,
+        )
+        np.testing.assert_allclose(
+            np.asarray(got), np.asarray(want), atol=3e-5, rtol=1e-4
+        )
+
+
 class TestDecode:
     def test_matches_reference_last_row(self):
         """Decode of token T equals row T of full causal attention."""

@@ -75,14 +75,24 @@ def mha_reference(
     return out.astype(q.dtype)
 
 
-def _flash_kernel(q_ref, k_ref, v_ref, qseg_ref, kseg_ref, o_ref, *, scale, causal, block_k, kv_len):
-    """Online-softmax flash attention body. Grid: (B, H, num_q_blocks)."""
+def _flash_kernel(q_ref, k_ref, v_ref, qseg_ref, kseg_ref, bounds_ref, o_ref,
+                  *, scale, causal, block_k, kv_len):
+    """Online-softmax flash attention body. Grid: (B, H, num_q_blocks).
+
+    ``bounds_ref`` (SMEM, [num_q_blocks, 2]) gives each query block its
+    [lo, hi) kv-block range — computed on the host from the segment layout.
+    Window attention has ~64-token contiguous segments, so a query block only
+    overlaps 1-2 kv blocks: skipping the rest turns the window layers from
+    O(S^2) into O(S * window). This block-skip + online softmax is the
+    TPU-native replacement for ``flash_attn_varlen_func``.
+    """
     q = q_ref[0, 0]  # [bq, d]
     bq = q.shape[0]
     iq = pl.program_id(2)
     q_seg = qseg_ref[0]  # [bq]
 
-    num_kv_blocks = pl.cdiv(kv_len, block_k)
+    lo_block = bounds_ref[iq, 0]
+    num_kv_blocks = bounds_ref[iq, 1]
     if causal:
         # Only blocks whose start can be <= last query row.
         last_q = (iq + 1) * bq - 1
@@ -123,28 +133,43 @@ def _flash_kernel(q_ref, k_ref, v_ref, qseg_ref, kseg_ref, o_ref, *, scale, caus
     acc = jnp.zeros((bq, d), jnp.float32)
     m0 = jnp.full((bq, 1), NEG_INF, jnp.float32)
     l0 = jnp.zeros((bq, 1), jnp.float32)
-    acc, m, l = jax.lax.fori_loop(0, num_kv_blocks, body, (acc, m0, l0))
+    acc, m, l = jax.lax.fori_loop(lo_block, num_kv_blocks, body, (acc, m0, l0))
 
     out = acc / jnp.where(l == 0.0, 1.0, l)
     o_ref[0, 0] = out.astype(o_ref.dtype)
 
 
+DEFAULT_BLOCK = 256
+
+
 def _flash_pallas(
-    q, k, v, q_seg, kv_seg, causal, scale, block_q=256, block_k=256, interpret=False
+    q, k, v, q_seg, kv_seg, causal, scale, block_q=DEFAULT_BLOCK,
+    block_k=DEFAULT_BLOCK, kv_bounds=None, interpret=False,
 ):
-    """q: [B, Sq, H, D] -> [B, Sq, H, D]. Sq/Sk must be multiples of blocks."""
+    """q: [B, Sq, H, D] -> [B, Sq, H, D]. Sq/Sk must be multiples of blocks.
+
+    ``kv_bounds``: optional [num_q_blocks, 2] int32 (lo, hi) kv-block ranges
+    per query block (see ``segment_block_bounds``); defaults to the full range.
+    """
     b, sq, h, d = q.shape
     sk = k.shape[1]
     block_q = min(block_q, sq)
     block_k = min(block_k, sk)
     assert sq % block_q == 0 and sk % block_k == 0, (sq, sk, block_q, block_k)
+    num_q_blocks = sq // block_q
+    num_kv_blocks = sk // block_k
+    if kv_bounds is None:
+        kv_bounds = jnp.stack(
+            [jnp.zeros(num_q_blocks, jnp.int32),
+             jnp.full(num_q_blocks, num_kv_blocks, jnp.int32)], axis=1
+        )
 
     # [B, H, S, D] layout so the last two dims are the compute tile.
     qt = q.transpose(0, 2, 1, 3)
     kt = k.transpose(0, 2, 1, 3)
     vt = v.transpose(0, 2, 1, 3)
 
-    grid = (b, h, sq // block_q)
+    grid = (b, h, num_q_blocks)
     kernel = functools.partial(
         _flash_kernel, scale=scale, causal=causal, block_k=block_k, kv_len=sk
     )
@@ -157,6 +182,7 @@ def _flash_pallas(
             pl.BlockSpec((1, 1, sk, d), lambda ib, ih, iq: (ib, ih, 0, 0)),
             pl.BlockSpec((1, block_q), lambda ib, ih, iq: (ib, iq)),
             pl.BlockSpec((1, sk), lambda ib, ih, iq: (ib, 0)),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
         ],
         out_specs=pl.BlockSpec(
             (1, 1, block_q, d), lambda ib, ih, iq: (ib, ih, iq, 0)
@@ -174,8 +200,42 @@ def _flash_pallas(
         vt,
         q_seg.astype(jnp.int32),
         kv_seg.astype(jnp.int32),
+        kv_bounds.astype(jnp.int32),
     )
     return out.transpose(0, 2, 1, 3)
+
+
+def segment_block_bounds(seg_ids, block_q: int, block_k: int,
+                         num_segments_hint: int | None = None):
+    """Per-query-block [lo, hi) kv-block ranges from contiguous segment ids.
+
+    Works on host numpy or jnp arrays. Requires the packed layout this
+    framework produces: same-segment tokens contiguous, padding (seg 0) at the
+    end. A query block's kv range spans the first to last token of the
+    segments it touches.
+    """
+    import numpy as np
+
+    seg = np.asarray(seg_ids)
+    s = len(seg)
+    nq = s // block_q
+    # first and last token index of each segment id
+    bounds = np.zeros((nq, 2), np.int32)
+    first = {}
+    last = {}
+    for i, v in enumerate(seg.tolist()):
+        if v not in first:
+            first[v] = i
+        last[v] = i
+    for b in range(nq):
+        segs = set(seg[b * block_q : (b + 1) * block_q].tolist()) - {0}
+        if not segs:
+            bounds[b] = (0, 0)
+            continue
+        lo = min(first[v] for v in segs)
+        hi = max(last[v] for v in segs)
+        bounds[b] = (lo // block_k, hi // block_k + 1)
+    return bounds
 
 
 def default_impl() -> str:
@@ -198,17 +258,24 @@ def attention(
     causal: bool = False,
     scale: float | None = None,
     impl: str | None = None,
+    kv_bounds: jax.Array | None = None,
 ) -> jax.Array:
-    """Segment-masked multi-head attention. See ``mha_reference`` for shapes."""
+    """Segment-masked multi-head attention. See ``mha_reference`` for shapes.
+
+    ``kv_bounds``: optional per-query-block kv ranges (Pallas block skipping);
+    the XLA fallback masks instead and ignores them.
+    """
     if scale is None:
         scale = q.shape[-1] ** -0.5
     impl = impl or default_impl()
     if impl == "xla":
         return mha_reference(q, k, v, q_seg, kv_seg, causal, scale)
     if impl == "pallas":
-        return _flash_pallas(q, k, v, q_seg, kv_seg, causal, scale)
+        return _flash_pallas(q, k, v, q_seg, kv_seg, causal, scale,
+                             kv_bounds=kv_bounds)
     if impl == "pallas_interpret":
-        return _flash_pallas(q, k, v, q_seg, kv_seg, causal, scale, interpret=True)
+        return _flash_pallas(q, k, v, q_seg, kv_seg, causal, scale,
+                             kv_bounds=kv_bounds, interpret=True)
     raise ValueError(f"unknown attention impl {impl!r}")
 
 

@@ -92,12 +92,15 @@ def _prefill(
     text_positions: jax.Array,  # [T_text_max] sentinel-padded
     num_text: jax.Array,  # scalar
     position_ids_orig: jax.Array,  # [3, T_orig]
+    window_kv_bounds: jax.Array | None = None,
+    full_kv_bounds: jax.Array | None = None,
 ):
     """Returns (next_token, selection indices/valid, compacted valid_len,
     kv cache (k, v) at prefill length, logits row)."""
     vision_embeds = vit_mod.vit_forward(
         params["visual"], pixel_values, rot_pos_ids, window_seg_ids,
         full_seg_ids, reverse_index, cfg.vision,
+        window_kv_bounds=window_kv_bounds, full_kv_bounds=full_kv_bounds,
     )  # [L_pad, out]
 
     text_embeds = lm_mod.embed_tokens(params["lm"], input_ids)  # [T_orig, D]
@@ -552,6 +555,8 @@ class QwenVLEngine:
                 jnp.asarray(input_ids), jnp.asarray(image_pos_padded),
                 jnp.asarray(text_pos_padded), jnp.asarray(num_text),
                 jnp.asarray(position_ids),
+                jnp.asarray(vb.window_kv_bounds),
+                jnp.asarray(vb.full_kv_bounds),
             )
         next_token.block_until_ready()
         t_prefill = time.perf_counter() - t_start

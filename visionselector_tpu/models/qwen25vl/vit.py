@@ -73,6 +73,7 @@ def _block(
     cos: jax.Array,
     sin: jax.Array,
     cfg: VisionConfig,
+    kv_bounds: jax.Array | None = None,
 ) -> jax.Array:
     """One ViT block: pre-RMSNorm attn + pre-RMSNorm SwiGLU MLP, residuals."""
     h = rms_norm(x, p["norm1_scale"], cfg.rms_norm_eps)
@@ -82,7 +83,8 @@ def _block(
     q, k, v = q[:, 0], k[:, 0], v[:, 0]  # [S, H, D]
     q, k = apply_rotary(q, k, cos, sin)
     attn = attention(
-        q[None], k[None], v[None], seg_ids[None], seg_ids[None], causal=False
+        q[None], k[None], v[None], seg_ids[None], seg_ids[None], causal=False,
+        kv_bounds=kv_bounds,
     )[0]
     attn = attn.reshape(s, -1) @ p["proj_kernel"] + p["proj_bias"]
     x = x + attn
@@ -102,6 +104,8 @@ def vit_forward(
     full_seg_ids: jax.Array,
     reverse_index: jax.Array,
     cfg: VisionConfig,
+    window_kv_bounds: jax.Array | None = None,
+    full_kv_bounds: jax.Array | None = None,
 ) -> jax.Array:
     """Vision tower forward.
 
@@ -110,6 +114,8 @@ def vit_forward(
         rot_pos_ids: [S, 2] (h, w) ids in window order.
         window_seg_ids / full_seg_ids: [S] int32, 0 = padding.
         reverse_index: [L] permutation restoring original merged order.
+        window_kv_bounds / full_kv_bounds: optional [num_q_blocks, 2] kv-block
+            ranges (Pallas block skipping — O(S*window) window attention).
     Returns:
         merged hidden states [L, out_hidden] in ORIGINAL (unpermuted) order.
     """
@@ -121,11 +127,16 @@ def vit_forward(
     use_full = jnp.asarray(
         [i in cfg.fullatt_block_indexes for i in range(cfg.depth)]
     )
+    have_bounds = window_kv_bounds is not None and full_kv_bounds is not None
 
     def layer(x, scanned):
         p, full = scanned
         seg = jnp.where(full, full_seg_ids, window_seg_ids)
-        return _block(x, p, seg, cos, sin, cfg), None
+        bounds = (
+            jnp.where(full, full_kv_bounds, window_kv_bounds)
+            if have_bounds else None
+        )
+        return _block(x, p, seg, cos, sin, cfg, kv_bounds=bounds), None
 
     x, _ = jax.lax.scan(layer, x, (params["blocks"], use_full))
 

@@ -142,6 +142,10 @@ class VisionBatch:
     grid_thw: np.ndarray          # [n, 3]
     num_patches: int              # real S
     num_merged: int               # real L = S / merge_unit
+    # per-query-block kv-block ranges for the Pallas flash kernel (block
+    # skipping; see kernels.attention.segment_block_bounds)
+    window_kv_bounds: np.ndarray = None  # [num_q_blocks, 2] int32
+    full_kv_bounds: np.ndarray = None    # [num_q_blocks, 2] int32
 
 
 def build_vision_batch(
@@ -197,16 +201,26 @@ def build_vision_batch(
         window_index_padded[num_merged:] = np.arange(num_merged, l_pad)
     reverse_index = np.argsort(window_index_padded, kind="stable")
 
+    from visionselector_tpu.kernels.attention import (
+        DEFAULT_BLOCK,
+        segment_block_bounds,
+    )
+
+    window_seg_padded = pad_rows(window_seg, s_pad)
+    full_seg_padded = pad_rows(full_seg, s_pad)
+    block = min(DEFAULT_BLOCK, s_pad)
     return VisionBatch(
         pixel_values=pad_rows(pixels_w.astype(np.float32), s_pad),
         rot_pos_ids=pad_rows(rot_ids_w, s_pad),
-        window_seg_ids=pad_rows(window_seg, s_pad),
-        full_seg_ids=pad_rows(full_seg, s_pad),
+        window_seg_ids=window_seg_padded,
+        full_seg_ids=full_seg_padded,
         window_index=window_index_padded,
         reverse_index=reverse_index,
         grid_thw=np.asarray(grid_thw),
         num_patches=seq_len,
         num_merged=num_merged,
+        window_kv_bounds=segment_block_bounds(window_seg_padded, block, block),
+        full_kv_bounds=segment_block_bounds(full_seg_padded, block, block),
     )
 
 

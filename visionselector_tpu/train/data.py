@@ -99,6 +99,8 @@ def build_train_sample(
         position_ids=pos_padded,
         seg_ids=seg,
         image_positions=image_pos_padded,
+        window_kv_bounds=vb.window_kv_bounds,
+        full_kv_bounds=vb.full_kv_bounds,
     )
 
 

@@ -44,6 +44,8 @@ class TrainBatchSample(NamedTuple):
     position_ids: jax.Array  # [3, T_pad]
     seg_ids: jax.Array  # [T_pad] int32, 0 = padding (packing-ready)
     image_positions: jax.Array  # [L_pad] sentinel-padded positions in sequence
+    window_kv_bounds: jax.Array  # [num_q_blocks, 2] Pallas block-skip ranges
+    full_kv_bounds: jax.Array  # [num_q_blocks, 2]
 
 
 def cross_entropy(logits: jax.Array, labels: jax.Array) -> jax.Array:
@@ -75,6 +77,8 @@ def selector_train_forward(
         params["visual"], sample.pixel_values, sample.rot_pos_ids,
         sample.window_seg_ids, sample.full_seg_ids, sample.reverse_index,
         cfg.vision,
+        window_kv_bounds=sample.window_kv_bounds,
+        full_kv_bounds=sample.full_kv_bounds,
     )  # [L_pad, D]
 
     soft = select_soft(
