@@ -1,0 +1,157 @@
+"""LLaVA-OneVision-1.5 family tests: RICE ViT, Qwen3 text flags, OV engine."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from visionselector_tpu.core.config import llava_ov_tiny
+from visionselector_tpu.models.llava_ov15 import rice as rice_mod
+from visionselector_tpu.models.llava_ov15.model import OVEngine, init_ov_params
+from visionselector_tpu.preprocess.image import preprocess_image
+from visionselector_tpu.preprocess.rope import expand_vision_tokens
+
+CFG = llava_ov_tiny()
+
+
+@pytest.fixture(scope="module")
+def params():
+    return init_ov_params(jax.random.PRNGKey(0), CFG)
+
+
+def make_pixels(h=56, w=84, seed=0):
+    img = (np.random.RandomState(seed).rand(h, w, 3) * 255).astype(np.uint8)
+    return preprocess_image(
+        img, min_pixels=1, max_pixels=10**9,
+        temporal_patch_size=CFG.vision.temporal_patch_size,
+    )
+
+
+class TestRiceBatch:
+    def test_insert_strip_roundtrip(self):
+        pixels, grid = make_pixels()
+        rb = rice_mod.build_rice_batch(pixels, grid, pad_to=pixels.shape[0])
+        s = pixels.shape[0]
+        # strip(insert(x)) == x for real patch rows
+        buf = np.concatenate([np.arange(s), [s, s + 1]])  # patch ids + CLS/PAD
+        inserted = buf[np.minimum(rb.insert_map, s + 1)]
+        stripped = inserted[rb.strip_map]
+        np.testing.assert_array_equal(stripped[:s], np.arange(s))
+
+    def test_cls_rows_and_segments(self):
+        pixels, grid = make_pixels()
+        rb = rice_mod.build_rice_batch(pixels, grid, pad_to=pixels.shape[0],
+                                       cls_slots=4)
+        s = pixels.shape[0]
+        cls_rows = np.where(rb.insert_map == s)[0]
+        assert len(cls_rows) == len(grid)  # one CLS per image
+        assert cls_rows[0] == 0  # CLS at segment start
+        # CLS row shares its image's segment id
+        assert rb.seg_ids[0] == rb.seg_ids[1]
+
+    def test_multi_image_segments(self):
+        p1, g1 = make_pixels(56, 56, 1)
+        p2, g2 = make_pixels(56, 84, 2)
+        pixels = np.concatenate([p1, p2])
+        grid = np.concatenate([g1, g2])
+        rb = rice_mod.build_rice_batch(pixels, grid, pad_to=pixels.shape[0],
+                                       cls_slots=4)
+        assert rb.seg_ids.max() == 2
+        s = pixels.shape[0]
+        assert (rb.insert_map == s).sum() == 2
+
+
+class TestRiceForward:
+    def test_shapes_and_finite(self, params):
+        pixels, grid = make_pixels()
+        rb = rice_mod.build_rice_batch(pixels, grid, pad_to=pixels.shape[0],
+                                       cls_slots=2)
+        out = rice_mod.rice_forward(
+            params["visual"], jnp.asarray(rb.pixel_values),
+            jnp.asarray(rb.rot_pos_ids), jnp.asarray(rb.insert_map),
+            jnp.asarray(rb.strip_map), jnp.asarray(rb.seg_ids), CFG.vision,
+        )
+        assert out.shape == (rb.num_merged, CFG.vision.text_hidden_size)
+        assert np.isfinite(np.asarray(out)).all()
+
+    def test_padding_invariance(self, params):
+        pixels, grid = make_pixels()
+        s = pixels.shape[0]
+
+        def run(pad_to, cls_slots):
+            rb = rice_mod.build_rice_batch(pixels, grid, pad_to=pad_to,
+                                           cls_slots=cls_slots)
+            out = rice_mod.rice_forward(
+                params["visual"], jnp.asarray(rb.pixel_values),
+                jnp.asarray(rb.rot_pos_ids), jnp.asarray(rb.insert_map),
+                jnp.asarray(rb.strip_map), jnp.asarray(rb.seg_ids), CFG.vision,
+            )
+            return np.asarray(out)[: rb.num_merged]
+
+        np.testing.assert_allclose(
+            run(s, 1), run(2 * s, 6), atol=1e-5, rtol=1e-5
+        )
+
+    def test_image_independence(self, params):
+        """Image 1 output unchanged when image 2 is packed alongside."""
+        p1, g1 = make_pixels(56, 56, 3)
+        p2, g2 = make_pixels(56, 84, 4)
+
+        def run(pixels, grid):
+            rb = rice_mod.build_rice_batch(pixels, grid,
+                                           pad_to=pixels.shape[0] * 2,
+                                           cls_slots=4)
+            out = rice_mod.rice_forward(
+                params["visual"], jnp.asarray(rb.pixel_values),
+                jnp.asarray(rb.rot_pos_ids), jnp.asarray(rb.insert_map),
+                jnp.asarray(rb.strip_map), jnp.asarray(rb.seg_ids), CFG.vision,
+            )
+            return np.asarray(out)
+
+        solo = run(p1, g1)
+        packed = run(np.concatenate([p1, p2]), np.concatenate([g1, g2]))
+        n1 = p1.shape[0] // 4
+        np.testing.assert_allclose(solo[:n1], packed[:n1], atol=1e-5, rtol=1e-5)
+
+
+class TestOVEngine:
+    def test_generate_with_selector(self, params):
+        pixels, grid = make_pixels()
+        n = pixels.shape[0] // 4
+        ids = expand_vision_tokens([100, 200], [300], grid)
+        eng = OVEngine(CFG, params, use_selector=True, budget=0.25)
+        res = eng.generate(ids, pixels, grid, max_new_tokens=3)
+        k = max(1, int(n * 0.25))
+        assert len(res.selected_indices) == k
+        assert (np.diff(res.selected_indices) > 0).all()
+        assert res.prefill_len == (len(ids) - n) + k
+        assert len(res.tokens) >= 1
+
+    def test_generate_without_selector(self, params):
+        pixels, grid = make_pixels()
+        ids = expand_vision_tokens([100], [300], grid)
+        eng = OVEngine(CFG, params, use_selector=False)
+        res = eng.generate(ids, pixels, grid, max_new_tokens=2)
+        assert res.prefill_len == len(ids)
+
+    def test_selector_indices_golden(self, params):
+        """Engine indices match an independent scorer top-k recomputation."""
+        from visionselector_tpu.selector.scorer import score_tokens
+
+        pixels, grid = make_pixels(seed=9)
+        ids = expand_vision_tokens([100], [300], grid)
+        eng = OVEngine(CFG, params, use_selector=True, budget=0.4)
+        res = eng.generate(ids, pixels, grid, max_new_tokens=1)
+
+        rb = rice_mod.build_rice_batch(pixels, grid, pad_to=pixels.shape[0],
+                                       cls_slots=1)
+        merged = rice_mod.rice_forward(
+            params["visual"], jnp.asarray(rb.pixel_values),
+            jnp.asarray(rb.rot_pos_ids), jnp.asarray(rb.insert_map),
+            jnp.asarray(rb.strip_map), jnp.asarray(rb.seg_ids), CFG.vision,
+        )
+        scores = np.asarray(score_tokens(params["scorer"], merged))
+        n = rb.num_merged
+        k = max(1, int(n * 0.4))
+        want = np.sort(np.argsort(-scores[:n], kind="stable")[:k])
+        np.testing.assert_array_equal(res.selected_indices, want)

@@ -50,7 +50,9 @@ class VisionConfig:
 
 @dataclasses.dataclass(frozen=True)
 class TextConfig:
-    """Qwen2.5 decoder (GQA + M-RoPE) configuration."""
+    """Decoder configuration: Qwen2.5 (GQA + M-RoPE, qkv bias) and
+    Qwen3/LLaVA-OV-1.5 (decoupled head_dim, per-head q/k RMSNorm, no bias,
+    1D rope) are both expressed here via flags."""
 
     vocab_size: int = 151936
     hidden_size: int = 2048
@@ -64,9 +66,16 @@ class TextConfig:
     tie_word_embeddings: bool = True
     hidden_act: str = "silu"
     max_position_embeddings: int = 128000
+    # Qwen3-style knobs (LLaVA-OV-1.5 text model):
+    head_dim_override: Optional[int] = None  # decoupled from hidden/heads
+    qk_norm: bool = False  # per-head-dim RMSNorm on q and k
+    attention_bias: bool = True  # qkv projection bias
+    mrope: bool = True  # False -> plain 1D rope (all 3 axes identical)
 
     @property
     def head_dim(self) -> int:
+        if self.head_dim_override is not None:
+            return self.head_dim_override
         return self.hidden_size // self.num_attention_heads
 
 
@@ -148,6 +157,115 @@ def qwen25vl_7b() -> VLConfig:
             tie_word_embeddings=False,
         ),
     )
+
+
+@dataclasses.dataclass(frozen=True)
+class RiceVisionConfig:
+    """RICE ViT (LLaVA-OneVision-1.5) — no windowing, per-image CLS token,
+    LayerNorm blocks, conv2d patch embed
+    (``llava-ov-15/llavaonevision1_5/configuration_llavaonevision1_5.py:30-66``).
+    """
+
+    depth: int = 24
+    hidden_size: int = 1024
+    intermediate_size: int = 4096
+    num_heads: int = 16
+    in_channels: int = 3
+    patch_size: int = 14
+    spatial_merge_size: int = 2
+    temporal_patch_size: int = 1
+    layer_norm_eps: float = 1e-5
+    text_hidden_size: int = 4096  # merger output dim
+    hidden_act: str = "gelu"
+
+    @property
+    def head_dim(self) -> int:
+        return self.hidden_size // self.num_heads
+
+    @property
+    def spatial_merge_unit(self) -> int:
+        return self.spatial_merge_size * self.spatial_merge_size
+
+    @property
+    def patch_dim(self) -> int:
+        return self.in_channels * self.temporal_patch_size * self.patch_size**2
+
+
+def llava_ov15_8b() -> "OVConfig":
+    """LLaVA-OneVision-1.5-8B shapes (RICE ViT + Qwen3-8B text)."""
+    return OVConfig(
+        vision=RiceVisionConfig(text_hidden_size=4096),
+        text=TextConfig(
+            vocab_size=151936,
+            hidden_size=4096,
+            intermediate_size=12288,
+            num_hidden_layers=36,
+            num_attention_heads=32,
+            num_key_value_heads=8,
+            head_dim_override=128,
+            qk_norm=True,
+            attention_bias=False,
+            mrope=False,
+            tie_word_embeddings=False,
+        ),
+    )
+
+
+def llava_ov_tiny() -> "OVConfig":
+    """CPU-testable RICE+Qwen3 config (all structural features intact)."""
+    return OVConfig(
+        vision=RiceVisionConfig(
+            depth=2,
+            hidden_size=64,
+            intermediate_size=128,
+            num_heads=4,
+            text_hidden_size=96,
+        ),
+        text=TextConfig(
+            vocab_size=151936,
+            hidden_size=96,
+            intermediate_size=192,
+            num_hidden_layers=2,
+            num_attention_heads=4,
+            num_key_value_heads=2,
+            head_dim_override=32,
+            qk_norm=True,
+            attention_bias=False,
+            mrope=False,
+            tie_word_embeddings=True,
+        ),
+        dtype="float32",
+    )
+
+
+@dataclasses.dataclass(frozen=True)
+class OVConfig:
+    """LLaVA-OneVision-1.5 composite config."""
+
+    vision: RiceVisionConfig = dataclasses.field(default_factory=RiceVisionConfig)
+    text: TextConfig = dataclasses.field(default_factory=TextConfig)
+    selector: Optional[SelectorConfig] = None
+
+    image_token_id: int = 151655
+    video_token_id: int = 151656
+    vision_start_token_id: int = 151652
+    vision_end_token_id: int = 151653
+    eos_token_id: int = 151645
+    pad_token_id: int = 151643
+
+    dtype: str = "bfloat16"
+
+    @property
+    def jax_dtype(self):
+        return jnp.dtype(self.dtype)
+
+    def with_selector(self, budget: float = 0.2) -> "OVConfig":
+        sel = SelectorConfig(
+            in_features=self.vision.text_hidden_size,
+            hidden_dim=self.vision.text_hidden_size // 2,
+            budget=budget,
+        )
+        return dataclasses.replace(self, selector=sel)
 
 
 def qwen25vl_tiny() -> VLConfig:

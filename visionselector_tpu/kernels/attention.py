@@ -155,7 +155,19 @@ def _flash_pallas(
     sk = k.shape[1]
     block_q = min(block_q, sq)
     block_k = min(block_k, sk)
-    assert sq % block_q == 0 and sk % block_k == 0, (sq, sk, block_q, block_k)
+    if sq % block_q or sk % block_k:
+        # Pad to block multiples (padding rows get segment id 0 -> inert).
+        assert kv_bounds is None, "kv_bounds require block-aligned lengths"
+        pq = -sq % block_q
+        pk = -sk % block_k
+        q2 = jnp.pad(q, ((0, 0), (0, pq), (0, 0), (0, 0)))
+        k2 = jnp.pad(k, ((0, 0), (0, pk), (0, 0), (0, 0)))
+        v2 = jnp.pad(v, ((0, 0), (0, pk), (0, 0), (0, 0)))
+        qs2 = jnp.pad(q_seg, ((0, 0), (0, pq)))
+        ks2 = jnp.pad(kv_seg, ((0, 0), (0, pk)))
+        out = _flash_pallas(q2, k2, v2, qs2, ks2, causal, scale,
+                            block_q, block_k, None, interpret)
+        return out[:, :sq]
     num_q_blocks = sq // block_q
     num_kv_blocks = sk // block_k
     if kv_bounds is None:

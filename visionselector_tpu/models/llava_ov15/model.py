@@ -1,0 +1,175 @@
+"""LLaVA-OneVision-1.5 end-to-end model (RICE ViT + Qwen3 text).
+
+Inference parity with the reference OV selector path
+(``llava-ov-15/compression_method/modeling_selector.py:69-352``): RICE tower
+(CLS insert/strip) -> LIS scorer on merged tokens -> hard top-k -> sequence
+compaction -> prefill/decode. The LM-side programs are shared with the Qwen
+engine (``_prefill_from_vision`` / ``_decode`` are vision-agnostic); the text
+model runs with Qwen3 flags (decoupled head_dim, q/k norm, no bias, 1D rope).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from visionselector_tpu.core.config import OVConfig
+from visionselector_tpu.models.llava_ov15 import rice as rice_mod
+from visionselector_tpu.models.qwen25vl import lm as lm_mod
+from visionselector_tpu.models.qwen25vl.model import (
+    GenerationResult,
+    _decode,
+    _prefill_from_vision,
+)
+from visionselector_tpu.preprocess.indices import pick_bucket
+from visionselector_tpu.selector.select import select_hard
+
+
+def init_ov_params(key: jax.Array, cfg: OVConfig, with_selector: bool = True) -> dict:
+    k1, k2, k3 = jax.random.split(key, 3)
+    dtype = cfg.jax_dtype
+    params = {
+        "visual": rice_mod.init_rice_params(k1, cfg.vision, dtype),
+        "lm": lm_mod.init_lm_params(k2, cfg.text, dtype),
+    }
+    if with_selector:
+        from visionselector_tpu.selector.scorer import init_scorer_params
+
+        sel = cfg.selector or cfg.with_selector().selector
+        params["scorer"] = init_scorer_params(k3, sel, jnp.float32)
+    return params
+
+
+@functools.partial(jax.jit, static_argnames=("cfg", "k_max", "use_selector"))
+def _rice_encode_select(
+    params, cfg: OVConfig, k_max: int, use_selector: bool,
+    pixel_values, rot_pos_ids, insert_map, strip_map, seg_ids,
+    num_merged, k,
+):
+    """RICE forward + (optional) LIS hard selection.
+
+    Returns (merged [L_pad, D], indices [k_max], valid [k_max]).
+    """
+    merged = rice_mod.rice_forward(
+        params["visual"], pixel_values, rot_pos_ids, insert_map, strip_map,
+        seg_ids, cfg.vision,
+    )
+    n_pad = merged.shape[0]
+    if use_selector:
+        sel = select_hard(params["scorer"], merged, num_merged, k, k_max)
+        return merged, sel.indices, sel.valid
+    idx = jnp.arange(k_max, dtype=jnp.int32)
+    valid = idx < num_merged
+    return merged, jnp.where(valid, idx, n_pad).astype(jnp.int32), valid
+
+
+class OVEngine:
+    """Batch-1 generation engine for LLaVA-OneVision-1.5."""
+
+    def __init__(self, cfg: OVConfig, params: dict, use_selector: bool = True,
+                 budget: float = 0.2):
+        self.cfg = cfg
+        self.params = params
+        self.use_selector = use_selector and ("scorer" in params)
+        self.budget = budget
+
+    def generate(
+        self,
+        input_ids: np.ndarray,
+        pixel_values: np.ndarray,
+        grid_thw: np.ndarray,
+        max_new_tokens: int = 64,
+        eos_token_ids: Optional[Tuple[int, ...]] = None,
+    ) -> GenerationResult:
+        import time
+
+        cfg = self.cfg
+        if eos_token_ids is None:
+            eos_token_ids = (cfg.eos_token_id,)
+        input_ids = np.asarray(input_ids).reshape(-1)
+        t_orig = len(input_ids)
+        t_start = time.perf_counter()
+
+        s_real = pixel_values.shape[0]
+        s_bucket = pick_bucket(s_real, [256, 512, 1024, 2048, 4096, 8192])
+        merge_unit = cfg.vision.spatial_merge_unit
+        rb = rice_mod.build_rice_batch(
+            pixel_values, grid_thw,
+            spatial_merge_size=cfg.vision.spatial_merge_size,
+            pad_to=s_bucket,
+            cls_slots=max(len(grid_thw), 8),
+        )
+        n = rb.num_merged
+        l_pad = s_bucket // merge_unit
+
+        if self.use_selector:
+            k = min(max(1, int(n * self.budget)), max(1, int(l_pad * self.budget)))
+            k_max = max(1, int(l_pad * self.budget))
+        else:
+            k, k_max = n, l_pad
+
+        merged, sel_idx, sel_valid = _rice_encode_select(
+            self.params, cfg, k_max, self.use_selector,
+            jnp.asarray(rb.pixel_values), jnp.asarray(rb.rot_pos_ids),
+            jnp.asarray(rb.insert_map), jnp.asarray(rb.strip_map),
+            jnp.asarray(rb.seg_ids), jnp.asarray(n), jnp.asarray(k),
+        )
+
+        is_vision = input_ids == cfg.image_token_id
+        image_pos = np.where(is_vision)[0]
+        assert len(image_pos) == n, (len(image_pos), n)
+        text_pos = np.where(~is_vision)[0]
+        num_text = len(text_pos)
+        image_pos_padded = np.full(l_pad, t_orig, np.int64)
+        image_pos_padded[:n] = image_pos
+        t_text_bucket = pick_bucket(num_text, [64, 128, 256, 512, 1024])
+        text_pos_padded = np.full(t_text_bucket, t_orig, np.int64)
+        text_pos_padded[:num_text] = text_pos
+
+        # OV text model: plain 1D rope — all three axes share arange(T)
+        # (``modeling_llavaonevision1_5.py:1167-1168``).
+        position_ids = np.tile(np.arange(t_orig), (3, 1))
+        rope_delta = 0
+
+        next_token, valid_len, (k_l, v_l), _ = _prefill_from_vision(
+            self.params, cfg, merged, sel_idx, sel_valid,
+            jnp.asarray(k), jnp.asarray(input_ids),
+            jnp.asarray(image_pos_padded), jnp.asarray(text_pos_padded),
+            jnp.asarray(num_text), jnp.asarray(position_ids),
+        )
+        next_token.block_until_ready()
+        t_prefill = time.perf_counter() - t_start
+
+        valid_len_i = int(valid_len)
+        t_comp = k_max + t_text_bucket
+        t_max = t_comp + max_new_tokens
+        cache = lm_mod.KVCache(
+            k=jnp.pad(k_l, ((0, 0), (0, 0), (0, t_max - t_comp), (0, 0), (0, 0))),
+            v=jnp.pad(v_l, ((0, 0), (0, 0), (0, t_max - t_comp), (0, 0), (0, 0))),
+            length=jnp.full((cfg.text.num_hidden_layers, 1), valid_len_i, jnp.int32),
+        )
+        tokens = [int(next_token)]
+        tok = next_token
+        for step in range(max_new_tokens - 1):
+            if tokens[-1] in eos_token_ids:
+                break
+            pos = jnp.asarray(valid_len_i + step + rope_delta, jnp.int32)
+            tok, cache, _ = _decode(self.params, cfg, cache, tok, pos)
+            tokens.append(int(tok))
+        if tokens and tokens[-1] in eos_token_ids:
+            tokens = tokens[:-1]
+
+        sel_idx_np = np.asarray(sel_idx)
+        sel_valid_np = np.asarray(sel_valid)
+        return GenerationResult(
+            tokens=tokens,
+            selected_indices=sel_idx_np[sel_valid_np] if self.use_selector else None,
+            num_vision_tokens=n,
+            prefill_len=valid_len_i,
+            prefill_seconds=t_prefill,
+            total_seconds=time.perf_counter() - t_start,
+        )

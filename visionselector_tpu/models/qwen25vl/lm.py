@@ -37,13 +37,18 @@ def mrope_axis_selector(cfg: TextConfig) -> jax.Array:
     """[3, Dh] one-hot: which of (t, h, w) feeds each rotary channel.
 
     Channel d of the merged cos/sin comes from axis ``i % 3`` where i indexes
-    the doubled mrope_section chunks (reference :680-686).
+    the doubled mrope_section chunks (reference :680-686). With
+    ``cfg.mrope=False`` (Qwen3 / LLaVA-OV-1.5 text model) every channel reads
+    axis 0 — plain 1D rope over identical position axes.
     """
-    sec = list(cfg.mrope_section) * 2
-    axis = []
-    for i, m in enumerate(sec):
-        axis += [i % 3] * m
-    axis = jnp.asarray(axis)  # [Dh]
+    if not cfg.mrope:
+        axis = jnp.zeros((cfg.head_dim,), jnp.int32)
+    else:
+        sec = list(cfg.mrope_section) * 2
+        lst = []
+        for i, m in enumerate(sec):
+            lst += [i % 3] * m
+        axis = jnp.asarray(lst)  # [Dh]
     return jax.nn.one_hot(axis, 3, axis=0, dtype=jnp.float32)  # [3, Dh]
 
 
@@ -76,9 +81,20 @@ def _apply_mrope(q, k, cos, sin):
 def _qkv(x, p, cfg: TextConfig):
     b, t, _ = x.shape
     dh = cfg.head_dim
-    q = (x @ p["q_kernel"] + p["q_bias"]).reshape(b, t, cfg.num_attention_heads, dh)
-    k = (x @ p["k_kernel"] + p["k_bias"]).reshape(b, t, cfg.num_key_value_heads, dh)
-    v = (x @ p["v_kernel"] + p["v_bias"]).reshape(b, t, cfg.num_key_value_heads, dh)
+    q = x @ p["q_kernel"]
+    k = x @ p["k_kernel"]
+    v = x @ p["v_kernel"]
+    if cfg.attention_bias:
+        q = q + p["q_bias"]
+        k = k + p["k_bias"]
+        v = v + p["v_bias"]
+    q = q.reshape(b, t, cfg.num_attention_heads, dh)
+    k = k.reshape(b, t, cfg.num_key_value_heads, dh)
+    v = v.reshape(b, t, cfg.num_key_value_heads, dh)
+    if cfg.qk_norm:
+        # Qwen3-style per-head-dim RMSNorm on q/k (OV modeling :534-535)
+        q = rms_norm(q, p["q_norm_scale"], cfg.rms_norm_eps)
+        k = rms_norm(k, p["k_norm_scale"], cfg.rms_norm_eps)
     return q, k, v
 
 
@@ -257,16 +273,24 @@ def init_lm_params(key: jax.Array, cfg: TextConfig, dtype=jnp.float32) -> dict:
         "input_ln_scale": jnp.ones((n, d), dtype),
         "post_ln_scale": jnp.ones((n, d), dtype),
         "q_kernel": nrm(ks[0], (n, d, hq * dh)),
-        "q_bias": jnp.zeros((n, hq * dh), dtype),
         "k_kernel": nrm(ks[1], (n, d, hkv * dh)),
-        "k_bias": jnp.zeros((n, hkv * dh), dtype),
         "v_kernel": nrm(ks[2], (n, d, hkv * dh)),
-        "v_bias": jnp.zeros((n, hkv * dh), dtype),
         "o_kernel": nrm(ks[3], (n, hq * dh, d)),
         "gate_kernel": nrm(ks[4], (n, d, i)),
         "up_kernel": nrm(ks[5], (n, d, i)),
         "down_kernel": nrm(ks[6], (n, i, d)),
     }
+    if cfg.attention_bias:
+        layers.update(
+            q_bias=jnp.zeros((n, hq * dh), dtype),
+            k_bias=jnp.zeros((n, hkv * dh), dtype),
+            v_bias=jnp.zeros((n, hkv * dh), dtype),
+        )
+    if cfg.qk_norm:
+        layers.update(
+            q_norm_scale=jnp.ones((n, dh), dtype),
+            k_norm_scale=jnp.ones((n, dh), dtype),
+        )
     params = {
         "embed_tokens": nrm(ks[7], (v, d)),
         "layers": layers,
