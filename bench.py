@@ -63,6 +63,10 @@ def build_inputs(cfg, budget, use_selector, s_bucket, img_hw=(1036, 1456)):
     image_pos = np.where(input_ids == cfg.image_token_id)[0]
     text_pos = np.where(input_ids != cfg.image_token_id)[0]
     t_text_bucket = 64
+    k_max_for_pad = (
+        max(1, int((s_bucket // 4) * budget)) if use_selector else s_bucket // 4
+    )
+    t_text_bucket += (-(k_max_for_pad + t_text_bucket)) % 128
     image_pos_padded = np.full(l_pad, t_orig, np.int64)
     image_pos_padded[:n] = image_pos
     text_pos_padded = np.full(t_text_bucket, t_orig, np.int64)

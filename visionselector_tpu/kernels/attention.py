@@ -140,6 +140,8 @@ def _flash_kernel(q_ref, k_ref, v_ref, qseg_ref, kseg_ref, bounds_ref, o_ref,
 
 
 DEFAULT_BLOCK = 256
+# ViT layers prefer bigger blocks (full-attn layers ~2x faster at 512 on v5e).
+VIT_BLOCK = 512
 
 
 def _flash_pallas(
@@ -271,11 +273,14 @@ def attention(
     scale: float | None = None,
     impl: str | None = None,
     kv_bounds: jax.Array | None = None,
+    block_q: int = DEFAULT_BLOCK,
+    block_k: int = DEFAULT_BLOCK,
 ) -> jax.Array:
     """Segment-masked multi-head attention. See ``mha_reference`` for shapes.
 
     ``kv_bounds``: optional per-query-block kv ranges (Pallas block skipping);
-    the XLA fallback masks instead and ignores them.
+    the XLA fallback masks instead and ignores them. Block sizes are tuning
+    knobs: 512 measured ~2x faster for the ViT full-attention layers on v5e.
     """
     if scale is None:
         scale = q.shape[-1] ** -0.5
@@ -284,10 +289,11 @@ def attention(
         return mha_reference(q, k, v, q_seg, kv_seg, causal, scale)
     if impl == "pallas":
         return _flash_pallas(q, k, v, q_seg, kv_seg, causal, scale,
-                             kv_bounds=kv_bounds)
+                             block_q, block_k, kv_bounds=kv_bounds)
     if impl == "pallas_interpret":
         return _flash_pallas(q, k, v, q_seg, kv_seg, causal, scale,
-                             kv_bounds=kv_bounds, interpret=True)
+                             block_q, block_k, kv_bounds=kv_bounds,
+                             interpret=True)
     raise ValueError(f"unknown attention impl {impl!r}")
 
 

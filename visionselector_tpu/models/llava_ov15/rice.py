@@ -101,13 +101,13 @@ def build_rice_batch(
     strip_map[s_real:] = sp_pad - 1 if w < sp_pad else w - 1
 
     from visionselector_tpu.kernels.attention import (
-        DEFAULT_BLOCK,
+        VIT_BLOCK,
         segment_block_bounds,
     )
 
     rot = vision_rot_pos_ids(g, spatial_merge_size)
     pad_rows = s_pad - s_real
-    block = min(DEFAULT_BLOCK, sp_pad)
+    block = min(VIT_BLOCK, sp_pad)
     return RiceBatch(
         pixel_values=np.pad(pixel_values.astype(np.float32),
                             ((0, pad_rows), (0, 0))),
@@ -130,9 +130,11 @@ def _rice_block(x, p, seg_ids, cos, sin, cfg: RiceVisionConfig, kv_bounds=None):
     q, k, v = jnp.split(qkv.reshape(s, 3, cfg.num_heads, d), 3, axis=1)
     q, k, v = q[:, 0], k[:, 0], v[:, 0]
     q, k = apply_rotary(q, k, cos, sin)
+    from visionselector_tpu.kernels.attention import VIT_BLOCK
+
     attn = attention(
         q[None], k[None], v[None], seg_ids[None], seg_ids[None], causal=False,
-        kv_bounds=kv_bounds,
+        kv_bounds=kv_bounds, block_q=VIT_BLOCK, block_k=VIT_BLOCK,
     )[0]
     x = x + attn.reshape(s, -1) @ p["proj_kernel"] + p["proj_bias"]
     h = layer_norm(x, p["norm2_scale"], p["norm2_bias"], cfg.layer_norm_eps)

@@ -424,6 +424,9 @@ class QwenVLEngine:
         image_pos_padded = np.full(l_pad, t_orig, np.int64)
         image_pos_padded[:n] = image_pos
         t_text_bucket = pick_bucket(num_text, list(self.text_buckets))
+        # Round the compacted length (k_max + text bucket) to a 128 multiple so
+        # the causal prefill kernel runs block-aligned without internal padding.
+        t_text_bucket += (-(k_max + t_text_bucket)) % 128
         text_pos_padded = np.full(t_text_bucket, t_orig, np.int64)
         text_pos_padded[:num_text] = text_pos
 

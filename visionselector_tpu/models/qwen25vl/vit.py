@@ -82,9 +82,11 @@ def _block(
     q, k, v = jnp.split(qkv.reshape(s, 3, cfg.num_heads, d), 3, axis=1)
     q, k, v = q[:, 0], k[:, 0], v[:, 0]  # [S, H, D]
     q, k = apply_rotary(q, k, cos, sin)
+    from visionselector_tpu.kernels.attention import VIT_BLOCK
+
     attn = attention(
         q[None], k[None], v[None], seg_ids[None], seg_ids[None], causal=False,
-        kv_bounds=kv_bounds,
+        kv_bounds=kv_bounds, block_q=VIT_BLOCK, block_k=VIT_BLOCK,
     )[0]
     attn = attn.reshape(s, -1) @ p["proj_kernel"] + p["proj_bias"]
     x = x + attn

@@ -202,13 +202,13 @@ def build_vision_batch(
     reverse_index = np.argsort(window_index_padded, kind="stable")
 
     from visionselector_tpu.kernels.attention import (
-        DEFAULT_BLOCK,
+        VIT_BLOCK,
         segment_block_bounds,
     )
 
     window_seg_padded = pad_rows(window_seg, s_pad)
     full_seg_padded = pad_rows(full_seg, s_pad)
-    block = min(DEFAULT_BLOCK, s_pad)
+    block = min(VIT_BLOCK, s_pad)
     return VisionBatch(
         pixel_values=pad_rows(pixels_w.astype(np.float32), s_pad),
         rot_pos_ids=pad_rows(rot_ids_w, s_pad),

@@ -16,6 +16,7 @@ from __future__ import annotations
 
 from typing import Callable, Dict
 
+from visionselector_tpu.selector.baselines.dynamic import DynamicSelect
 from visionselector_tpu.selector.baselines.llm_side import DART, FastV
 from visionselector_tpu.selector.baselines.methods import (
     DivPrune,
@@ -33,6 +34,7 @@ _REGISTRY: Dict[str, Callable] = {
     "random": RandomSelect,
     "fastv": FastV,
     "dart": DART,
+    "dynamic": DynamicSelect,
 }
 
 
