@@ -1,0 +1,130 @@
+"""Dataset / chat-template / packing / train-CLI tests."""
+
+import json
+import os
+
+import numpy as np
+import pytest
+
+from visionselector_tpu.train.dataset import (
+    ConversationDataset,
+    DatasetSpec,
+    pack_text_samples,
+    parse_dataset_names,
+    render_conversation,
+)
+from visionselector_tpu.train.loss import IGNORE_INDEX
+
+
+class StubTokenizer:
+    """Maps each character to an id — deterministic, reversible enough."""
+
+    def encode(self, text):
+        return [ord(c) % 500 + 10 for c in text]
+
+
+class TestRegistry:
+    def test_sampling_rate_suffix(self):
+        reg = {"coco": {"annotation_path": "a.jsonl", "data_path": "imgs"},
+               "chartqa": {"annotation_path": "b.jsonl", "data_path": ""}}
+        specs = parse_dataset_names("coco%10,chartqa", reg)
+        assert specs[0].sampling_rate == pytest.approx(0.1)
+        assert specs[1].sampling_rate == 1.0
+
+
+class TestChatTemplate:
+    def test_supervision_mask(self):
+        convs = [
+            {"from": "human", "value": "<image>What is this?"},
+            {"from": "gpt", "value": "A cat."},
+            {"from": "human", "value": "Color?"},
+            {"from": "gpt", "value": "Black."},
+        ]
+        ids, labels, slot = render_conversation(convs, StubTokenizer())
+        assert len(ids) == len(labels)
+        assert slot > 0
+        sup = [l for l in labels if l != IGNORE_INDEX]
+        # both assistant replies supervised, questions not
+        assert 0 < len(sup) < len(ids)
+        # answer text present in supervised ids
+        tok = StubTokenizer()
+        cat = tok.encode("A cat.<|im_end|>\n")
+        assert sup[: len(cat)] == cat
+
+    def test_no_image(self):
+        convs = [{"from": "human", "value": "Hi"}, {"from": "gpt", "value": "Yo"}]
+        ids, labels, slot = render_conversation(convs, StubTokenizer())
+        assert slot == -1
+
+
+class TestDataset:
+    def make_ds(self, tmp_path, n=4, bad_image_at=None):
+        from PIL import Image
+
+        img = tmp_path / "img.png"
+        Image.fromarray(
+            (np.random.RandomState(0).rand(56, 56, 3) * 255).astype(np.uint8)
+        ).save(img)
+        ann = tmp_path / "data.jsonl"
+        with open(ann, "w") as f:
+            for i in range(n):
+                name = "missing.png" if i == bad_image_at else "img.png"
+                f.write(json.dumps({
+                    "id": i,
+                    "image": name,
+                    "conversations": [
+                        {"from": "human", "value": f"<image>Q{i}?"},
+                        {"from": "gpt", "value": f"A{i}"},
+                    ],
+                }) + "\n")
+        return ConversationDataset(str(ann), str(tmp_path), StubTokenizer())
+
+    def test_basic_load(self, tmp_path):
+        ds = self.make_ds(tmp_path)
+        rec = ds[0]
+        assert rec["image"] is not None
+        assert rec["image_slot"] > 0
+
+    def test_neighbor_fallback_on_bad_sample(self, tmp_path):
+        ds = self.make_ds(tmp_path, bad_image_at=1)
+        rec = ds[1]  # falls back to a neighbor instead of raising
+        assert rec["image"] is not None
+        assert rec["id"] != 1
+
+
+class TestPacking:
+    def test_first_fit(self):
+        samples = [{"ids": [0] * n} for n in (60, 50, 40, 30)]
+        plan = pack_text_samples(samples, t_bucket=100)
+        # 60+40, 50+30 (first-fit order: 60 | +50? no -> new | 40 joins 60 | 30 joins 50)
+        assert sorted(map(sorted, plan["groups"])) == [[0, 2], [1, 3]]
+        assert all(s <= 100 for s in plan["sizes"])
+
+
+class TestTrainCLI:
+    def test_smoke_run(self, tmp_path, capsys):
+        from visionselector_tpu.api.train import main
+
+        out = str(tmp_path / "run")
+        rc = main([
+            "--output-dir", out, "--smoke", "--total-steps", "3",
+            "--batch-size", "2", "--save-steps", "3", "--log-steps", "1",
+            "--budget", "0.25",
+        ])
+        assert rc == 0
+        assert os.path.exists(os.path.join(out, "checkpoint-3"))
+        assert os.path.exists(os.path.join(out, "importance_scorer.safetensors"))
+        lines = [l for l in capsys.readouterr().out.splitlines() if l.startswith("{")]
+        metrics = json.loads(lines[-1])
+        assert np.isfinite(metrics["loss"])
+
+    def test_resume(self, tmp_path):
+        from visionselector_tpu.api.train import main
+
+        out = str(tmp_path / "run")
+        main(["--output-dir", out, "--smoke", "--total-steps", "2",
+              "--batch-size", "2", "--save-steps", "2"])
+        # second invocation resumes from checkpoint-2 and continues to 4
+        main(["--output-dir", out, "--smoke", "--total-steps", "4",
+              "--batch-size", "2", "--save-steps", "4"])
+        assert os.path.exists(os.path.join(out, "checkpoint-4"))

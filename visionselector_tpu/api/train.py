@@ -1,0 +1,177 @@
+"""Selector training CLI (reference parity: ``qwen-vl-finetune/qwenvl/train/
+train_qwen_selector.py`` + ``scripts/sft_3b.sh``).
+
+Usage:
+    python -m visionselector_tpu.api.train \
+        --model-path /ckpt --annotation data.jsonl --image-root imgs/ \
+        --output-dir runs/selector --budget 0.2 \
+        --reg-weight-start 0.1 --reg-weight-end 2.0 \
+        --lr 5e-5 --total-steps 1000 --batch-size 8
+
+Only the LIS scorer trains (frozen backbone); AdamW warmup-cosine; linear
+reg-weight curriculum; orbax checkpoint-<step> auto-resume; final scorer
+export to the reference's safetensors layout.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import time
+
+
+def build_parser():
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("--model-path", default=None, help="HF checkpoint dir")
+    p.add_argument("--annotation", required=False, default=None)
+    p.add_argument("--image-root", default="")
+    p.add_argument("--datasets", default=None,
+                   help="name[%%rate],... against --dataset-registry json")
+    p.add_argument("--dataset-registry", default=None)
+    p.add_argument("--output-dir", required=True)
+    p.add_argument("--budget", type=float, default=0.2)
+    p.add_argument("--reg-weight-start", type=float, default=0.1)
+    p.add_argument("--reg-weight-end", type=float, default=2.0)
+    p.add_argument("--lr", type=float, default=5e-5)
+    p.add_argument("--total-steps", type=int, default=1000)
+    p.add_argument("--batch-size", type=int, default=8,
+                   help="global batch (sharded over the data mesh axis)")
+    p.add_argument("--vision-bucket", type=int, default=4096)
+    p.add_argument("--text-bucket", type=int, default=2048)
+    p.add_argument("--save-steps", type=int, default=200)
+    p.add_argument("--log-steps", type=int, default=10)
+    p.add_argument("--seed", type=int, default=42)
+    p.add_argument("--smoke", action="store_true",
+                   help="tiny random model + synthetic data (CI)")
+    return p
+
+
+def main(argv=None) -> int:
+    args = build_parser().parse_args(argv)
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from visionselector_tpu.core.checkpoint import maybe_resume, save_train_state
+    from visionselector_tpu.core.config import qwen25vl_tiny
+    from visionselector_tpu.core.mesh import batch_sharding, make_mesh, shard_params
+    from visionselector_tpu.models.qwen25vl.model import init_params
+    from visionselector_tpu.models.qwen25vl.weights import (
+        export_scorer_to_safetensors,
+    )
+    from visionselector_tpu.train.data import stack_samples
+    from visionselector_tpu.train.train_step import (
+        ScheduleConfig,
+        init_train_state,
+        train_step,
+    )
+
+    if args.smoke or not args.model_path:
+        cfg = qwen25vl_tiny()
+        params = init_params(jax.random.PRNGKey(args.seed), cfg)
+        args.vision_bucket = min(args.vision_bucket, 128)
+        args.text_bucket = min(args.text_bucket, 128)
+    else:
+        from visionselector_tpu.models.qwen25vl.weights import (
+            config_from_hf,
+            load_hf_checkpoint,
+        )
+
+        cfg = config_from_hf(args.model_path)
+        params = load_hf_checkpoint(args.model_path, cfg)
+        if "scorer" not in params:
+            from visionselector_tpu.selector.scorer import init_scorer_params
+
+            sel = cfg.with_selector(args.budget).selector
+            params["scorer"] = init_scorer_params(
+                jax.random.PRNGKey(args.seed), sel
+            )
+
+    # data
+    def sample_stream():
+        rng = np.random.RandomState(args.seed)
+        if args.annotation:
+            from visionselector_tpu.train.dataset import (
+                ConversationDataset,
+                build_sample_from_record,
+            )
+
+            from transformers import AutoTokenizer
+
+            tokenizer = AutoTokenizer.from_pretrained(
+                args.model_path, local_files_only=True
+            )
+            ds = ConversationDataset(args.annotation, args.image_root, tokenizer)
+            i = 0
+            while True:
+                rec = ds[i % len(ds)]
+                i += 1
+                yield build_sample_from_record(
+                    cfg, rec, args.budget, args.vision_bucket, args.text_bucket
+                )
+        else:  # synthetic smoke data
+            from visionselector_tpu.train.data import build_train_sample
+
+            while True:
+                img = (rng.rand(56, 56, 3) * 255).astype(np.uint8)
+                yield build_train_sample(
+                    cfg, img, [101, 102], [103], [201, 202, 203],
+                    budget=args.budget, s_bucket=args.vision_bucket,
+                    t_bucket=args.text_bucket, min_pixels=1, max_pixels=10**9,
+                )
+
+    import math
+
+    devices = jax.devices()
+    n_data = math.gcd(args.batch_size, len(devices))
+    mesh = make_mesh(n_data=n_data, n_model=1, devices=devices[:n_data])
+    frozen = shard_params(params, mesh)
+    sched = ScheduleConfig(
+        total_steps=args.total_steps, lr=args.lr,
+        reg_weight_start=args.reg_weight_start,
+        reg_weight_end=args.reg_weight_end,
+    )
+    state = init_train_state(params, sched)
+    state, resumed = maybe_resume(args.output_dir, state)
+    if resumed:
+        print(f"[train] resumed at step {int(state.step)}")
+    # replicate the (tiny) train state over the mesh
+    from jax.sharding import NamedSharding, PartitionSpec
+
+    state = jax.device_put(state, NamedSharding(mesh, PartitionSpec()))
+
+    l_pad = args.vision_bucket // cfg.vision.spatial_merge_unit
+    k_max = max(1, int(l_pad * args.budget))
+    spec = batch_sharding(mesh)
+    stream = sample_stream()
+    os.makedirs(args.output_dir, exist_ok=True)
+    log_path = os.path.join(args.output_dir, "train_log.jsonl")
+
+    t0 = time.time()
+    while int(state.step) < args.total_steps:
+        samples = [next(stream) for _ in range(args.batch_size)]
+        batch = jax.tree.map(jnp.asarray, stack_samples(samples))
+        batch = jax.tree.map(lambda x: jax.device_put(x, spec(x)), batch)
+        state, metrics = train_step(state, frozen, batch, cfg, k_max, sched)
+        step = int(state.step)
+        if step % args.log_steps == 0 or step == args.total_steps:
+            m = {k: float(v) for k, v in metrics.items()}
+            m.update(step=step, wall_s=round(time.time() - t0, 1))
+            print(json.dumps(m))
+            with open(log_path, "a") as f:
+                f.write(json.dumps(m) + "\n")
+        if step % args.save_steps == 0 or step == args.total_steps:
+            path = save_train_state(state, args.output_dir)
+            print(f"[train] saved {path}")
+
+    export_scorer_to_safetensors(
+        jax.device_get(state.scorer_params),
+        os.path.join(args.output_dir, "importance_scorer.safetensors"),
+    )
+    print(f"[train] exported scorer to {args.output_dir}")
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -132,8 +132,8 @@ def _prefill(
     last = hidden[0, comp.valid_len - 1]  # [D]
     logits = lm_mod.lm_head(params["lm"], last, cfg.text)  # [V]
     next_token = jnp.argmax(logits, axis=-1).astype(jnp.int32)
-    return next_token, selection.indices, selection.valid, comp.valid_len, (
-        k_layers, v_layers), logits
+    return (next_token, selection.indices, selection.valid, selection.scores,
+            comp.valid_len, (k_layers, v_layers), logits)
 
 
 @functools.partial(jax.jit, static_argnames=("cfg",))
@@ -322,6 +322,7 @@ class GenerationResult:
     prefill_len: int  # compacted valid length
     prefill_seconds: float = 0.0
     total_seconds: float = 0.0
+    scores: Optional[np.ndarray] = None  # raw LIS scores (visualization)
 
 
 class QwenVLEngine:
@@ -550,7 +551,8 @@ class QwenVLEngine:
             )
             sel_idx, sel_valid = jnp.asarray(idx_padded), jnp.asarray(valid_mask)
         else:
-            next_token, sel_idx, sel_valid, valid_len, (k_l, v_l), _ = _prefill(
+            (next_token, sel_idx, sel_valid, sel_scores, valid_len,
+             (k_l, v_l), _) = _prefill(
                 self.params, cfg, k_max, self.use_selector,
                 jnp.asarray(vb.pixel_values), jnp.asarray(vb.rot_pos_ids),
                 jnp.asarray(vb.window_seg_ids), jnp.asarray(vb.full_seg_ids),
@@ -592,6 +594,7 @@ class QwenVLEngine:
         compressed = self.use_selector or self.strategy is not None
         return GenerationResult(
             tokens=tokens,
+            scores=(np.asarray(sel_scores)[:n] if self.use_selector else None),
             selected_indices=(
                 sel_idx_np[sel_valid_np] if compressed else None
             ),

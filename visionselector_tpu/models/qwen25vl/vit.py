@@ -40,12 +40,18 @@ def rotate_half(x: jax.Array) -> jax.Array:
 
 
 def apply_rotary(q: jax.Array, k: jax.Array, cos: jax.Array, sin: jax.Array):
-    """q, k: [S, H, D]; cos/sin: [S, D] fp32. Rotation in fp32, cast back."""
-    cos = cos[:, None, :]
-    sin = sin[:, None, :]
-    qf, kf = q.astype(jnp.float32), k.astype(jnp.float32)
-    q_out = qf * cos + rotate_half(qf) * sin
-    k_out = kf * cos + rotate_half(kf) * sin
+    """q, k: [S, H, D]; cos/sin: [S, D] fp32 (precomputed).
+
+    The rotation itself runs in the activation dtype — cos/sin are exact in
+    fp32 and |cos|,|sin| <= 1, so a bf16 multiply loses <1 ulp of bf16; the
+    reference's training path applies rotary in bf16 too
+    (``qwen-vl-finetune/compression_method/selector_model.py:93-98``). Halves
+    the HBM traffic of the rotary elementwise pass on TPU.
+    """
+    cos = cos[:, None, :].astype(q.dtype)
+    sin = sin[:, None, :].astype(q.dtype)
+    q_out = q * cos + rotate_half(q) * sin
+    k_out = k * cos + rotate_half(k) * sin
     return q_out.astype(q.dtype), k_out.astype(k.dtype)
 
 

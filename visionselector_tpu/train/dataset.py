@@ -1,0 +1,270 @@
+"""Conversation dataset + packing for selector training.
+
+Re-designs the reference data layer (``qwen-vl-finetune/qwenvl/data/``):
+
+- dataset registry with ``%NN`` sampling-rate suffix parsing
+  (``data/__init__.py:5-45``),
+- jsonl "conversations" records -> chat-templated token ids with the
+  ``<image>`` placeholder expanded to vision tokens
+  (``data_qwen.py:47-140`` preprocess_qwen_2_visual),
+- 3-retry + neighbor-fallback ``__getitem__`` (``data_qwen.py:325-358``),
+- sequence packing: several samples share one device row with distinct
+  segment ids (block-diagonal attention) — the TPU-native equivalent of the
+  flattened/cu_seqlens collator (``data_qwen.py:566-637``).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+import logging
+import os
+import random
+from typing import Dict, List, Optional, Sequence, Tuple
+
+import numpy as np
+
+from visionselector_tpu.train.loss import IGNORE_INDEX
+
+logger = logging.getLogger(__name__)
+
+SYSTEM_PROMPT = "You are a helpful assistant."
+IM_START = "<|im_start|>"
+IM_END = "<|im_end|>"
+
+
+@dataclasses.dataclass
+class DatasetSpec:
+    name: str
+    annotation_path: str
+    data_path: str  # image root
+    sampling_rate: float = 1.0
+
+
+def parse_dataset_names(spec: str, registry: Dict[str, Dict[str, str]]) -> List[DatasetSpec]:
+    """'coco%10,chartqa' -> specs with sampling rates (``data/__init__.py:27-31``)."""
+    out = []
+    for item in spec.split(","):
+        item = item.strip()
+        if not item:
+            continue
+        rate = 1.0
+        if "%" in item:
+            item, pct = item.split("%")
+            rate = float(pct) / 100.0
+        entry = registry[item]
+        out.append(DatasetSpec(item, entry["annotation_path"],
+                               entry.get("data_path", ""), rate))
+    return out
+
+
+def render_conversation(
+    conversations: Sequence[dict],
+    tokenizer,
+) -> Tuple[List[int], List[int], int]:
+    """Chat-template a conversations list into (input_ids, labels, image_slot).
+
+    Follows the Qwen chat layout used by the reference
+    (``data_qwen.py:47-140``): system turn, then user/assistant turns; only
+    assistant responses are supervised. The ``<image>`` placeholder position is
+    returned as a token offset where vision tokens are to be spliced (single
+    image per sample, batch=1 parity with the reference's selector recipe).
+
+    Returns: (ids WITHOUT vision expansion, labels aligned to ids, offset into
+    ids where the vision block should be inserted, or -1).
+    """
+    ids: List[int] = []
+    labels: List[int] = []
+    image_slot = -1
+
+    def add(text: str, supervised: bool):
+        toks = tokenizer.encode(text)
+        ids.extend(toks)
+        labels.extend(toks if supervised else [IGNORE_INDEX] * len(toks))
+
+    add(f"{IM_START}system\n{SYSTEM_PROMPT}{IM_END}\n", False)
+    for turn in conversations:
+        role = turn.get("from", turn.get("role", "human"))
+        value = turn.get("value", turn.get("content", ""))
+        if role in ("human", "user"):
+            if "<image>" in value:
+                before, after = value.split("<image>", 1)
+                add(f"{IM_START}user\n{before}", False)
+                image_slot = len(ids)
+                add(f"{after}{IM_END}\n", False)
+            else:
+                add(f"{IM_START}user\n{value}{IM_END}\n", False)
+        else:
+            add(f"{IM_START}assistant\n", False)
+            add(f"{value}{IM_END}\n", True)
+    return ids, labels, image_slot
+
+
+class ConversationDataset:
+    """Lazy jsonl conversation dataset with retry + neighbor fallback."""
+
+    def __init__(self, annotation_path: str, data_path: str, tokenizer,
+                 sampling_rate: float = 1.0, seed: int = 0,
+                 max_retries: int = 3):
+        with open(annotation_path) as f:
+            if annotation_path.endswith(".jsonl"):
+                self.records = [json.loads(l) for l in f if l.strip()]
+            else:
+                self.records = json.load(f)
+        if sampling_rate < 1.0:
+            rng = random.Random(seed)
+            keep = max(1, int(len(self.records) * sampling_rate))
+            self.records = rng.sample(self.records, keep)
+        self.data_path = data_path
+        self.tokenizer = tokenizer
+        self.max_retries = max_retries
+
+    def __len__(self):
+        return len(self.records)
+
+    def _load(self, idx: int):
+        rec = self.records[idx]
+        ids, labels, image_slot = render_conversation(
+            rec["conversations"], self.tokenizer
+        )
+        image = None
+        img_name = rec.get("image")
+        if img_name:
+            from PIL import Image
+
+            image = Image.open(os.path.join(self.data_path, img_name))
+            image.load()
+        return {"ids": ids, "labels": labels, "image_slot": image_slot,
+                "image": image, "id": rec.get("id", idx)}
+
+    def __getitem__(self, idx: int):
+        """3 retries then fall back to neighbor samples (``data_qwen.py:325-358``)."""
+        for attempt in range(self.max_retries):
+            try:
+                return self._load(idx)
+            except Exception as e:  # noqa: BLE001
+                logger.warning("sample %d failed (try %d): %s", idx, attempt, e)
+        for delta in range(1, len(self.records)):
+            for j in ((idx + delta) % len(self), (idx - delta) % len(self)):
+                try:
+                    return self._load(j)
+                except Exception:  # noqa: BLE001
+                    continue
+        raise RuntimeError("no loadable sample in dataset")
+
+
+def build_sample_from_record(
+    cfg,
+    record: dict,
+    budget: float,
+    s_bucket: int,
+    t_bucket: int,
+    min_pixels: int = 56 * 56,
+    max_pixels: int = 28 * 28 * 1280,
+):
+    """Dataset record -> TrainBatchSample (single image spliced at image_slot)."""
+    import numpy as np
+
+    from visionselector_tpu.preprocess.image import preprocess_image
+    from visionselector_tpu.preprocess.indices import build_vision_batch
+    from visionselector_tpu.preprocess.rope import get_rope_index
+    from visionselector_tpu.train.loss import TrainBatchSample
+
+    ids = list(record["ids"])
+    labels = list(record["labels"])
+    slot = record["image_slot"]
+    assert record["image"] is not None and slot >= 0, "text-only packing TBD"
+
+    pixels, grid = preprocess_image(
+        record["image"], min_pixels=min_pixels, max_pixels=max_pixels,
+        patch_size=cfg.vision.patch_size,
+        temporal_patch_size=cfg.vision.temporal_patch_size,
+        merge_size=cfg.vision.spatial_merge_size,
+    )
+    vb = build_vision_batch(
+        pixels, grid,
+        window_size=cfg.vision.window_size,
+        spatial_merge_size=cfg.vision.spatial_merge_size,
+        patch_size=cfg.vision.patch_size,
+        pad_to=s_bucket,
+    )
+    n = vb.num_merged
+    l_pad = s_bucket // cfg.vision.spatial_merge_unit
+
+    vision_ids = (
+        [cfg.vision_start_token_id] + [cfg.image_token_id] * n
+        + [cfg.vision_end_token_id]
+    )
+    full_ids = np.asarray(ids[:slot] + vision_ids + ids[slot:], np.int64)
+    full_labels = np.asarray(
+        labels[:slot] + [IGNORE_INDEX] * len(vision_ids) + labels[slot:],
+        np.int64,
+    )
+    t_real = len(full_ids)
+    assert t_real <= t_bucket, (t_real, t_bucket)
+
+    position_ids, _ = get_rope_index(
+        full_ids, image_grid_thw=grid,
+        spatial_merge_size=cfg.vision.spatial_merge_size,
+        tokens_per_second=cfg.vision.tokens_per_second,
+        image_token_id=cfg.image_token_id,
+        video_token_id=cfg.video_token_id,
+        vision_start_token_id=cfg.vision_start_token_id,
+    )
+
+    ids_p = np.zeros(t_bucket, np.int64)
+    ids_p[:t_real] = full_ids
+    lab_p = np.full(t_bucket, IGNORE_INDEX, np.int64)
+    lab_p[:t_real] = full_labels
+    pos_p = np.zeros((3, t_bucket), np.int64)
+    pos_p[:, :t_real] = position_ids
+    seg = np.zeros(t_bucket, np.int32)
+    seg[:t_real] = 1
+    image_pos = np.where(ids_p == cfg.image_token_id)[0][:n]
+    image_pos_p = np.full(l_pad, t_bucket, np.int64)
+    image_pos_p[:n] = image_pos
+
+    return TrainBatchSample(
+        pixel_values=vb.pixel_values,
+        rot_pos_ids=vb.rot_pos_ids,
+        window_seg_ids=vb.window_seg_ids,
+        full_seg_ids=vb.full_seg_ids,
+        reverse_index=vb.reverse_index,
+        num_merged=np.asarray(n, np.int32),
+        k=np.asarray(max(1, int(n * budget)), np.int32),
+        input_ids=ids_p,
+        labels=lab_p,
+        position_ids=pos_p,
+        seg_ids=seg,
+        image_positions=image_pos_p,
+        window_kv_bounds=vb.window_kv_bounds,
+        full_kv_bounds=vb.full_kv_bounds,
+    )
+
+
+def pack_text_samples(
+    samples: List[dict],
+    t_bucket: int,
+) -> Optional[dict]:
+    """Greedy first-fit packing plan over tokenized lengths.
+
+    Returns groups of sample indices whose total (vision-expanded) lengths fit
+    ``t_bucket`` — the packed-collator equivalent
+    (``data_qwen.py:566-637``, ``data_qwen_packed.py``). Actual multi-image
+    packed TrainBatchSamples are produced by stacking the groups' vision
+    batches; exposed for the packing-aware loader."""
+    groups: List[List[int]] = []
+    sizes: List[int] = []
+    for i, s in enumerate(samples):
+        n = len(s["ids"])
+        placed = False
+        for g, used in zip(groups, range(len(sizes))):
+            if sizes[used] + n <= t_bucket:
+                g.append(i)
+                sizes[used] += n
+                placed = True
+                break
+        if not placed:
+            groups.append([i])
+            sizes.append(n)
+    return {"groups": groups, "sizes": sizes}
