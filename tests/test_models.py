@@ -238,3 +238,24 @@ class TestEngine:
         k = max(1, int(n * 0.3))
         want = np.sort(np.argsort(-scores[:n], kind="stable")[:k])
         np.testing.assert_array_equal(res.selected_indices, want)
+
+
+class TestMultiImage:
+    def test_two_images_one_prompt(self, params):
+        """Multiple image runs in one sequence (reference masked_scatter path:
+        selector handles all images' tokens jointly)."""
+        p1, g1 = preprocess_image(make_image(56, 56, 11), min_pixels=1,
+                                  max_pixels=10**9)
+        p2, g2 = preprocess_image(make_image(56, 84, 12), min_pixels=1,
+                                  max_pixels=10**9)
+        pixels = np.concatenate([p1, p2])
+        grid = np.concatenate([g1, g2])
+        ids = expand_vision_tokens([100, 200], [300], grid)
+        n = pixels.shape[0] // 4
+        eng = QwenVLEngine(CFG, params, use_selector=True, budget=0.3)
+        res = eng.generate(ids, pixels, grid, max_new_tokens=2)
+        assert res.num_vision_tokens == n
+        k = max(1, int(n * 0.3))
+        assert len(res.selected_indices) == k
+        # joint top-k may select from either image
+        assert res.selected_indices.max() < n

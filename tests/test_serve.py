@@ -1,0 +1,61 @@
+"""Serving endpoint test: start the HTTP server, hit it with real requests."""
+
+import argparse
+import base64
+import io
+import json
+import threading
+import urllib.request
+
+import numpy as np
+
+
+class TestServe:
+    def test_health_and_generate(self):
+        from visionselector_tpu.api.serve import build_server
+
+        args = argparse.Namespace(
+            model_path=None, method="selector", budget=0.5,
+            host="127.0.0.1", port=0,
+        )
+        httpd = build_server(args)
+        port = httpd.server_address[1]
+        t = threading.Thread(target=httpd.serve_forever, daemon=True)
+        t.start()
+        try:
+            with urllib.request.urlopen(
+                f"http://127.0.0.1:{port}/health", timeout=30
+            ) as r:
+                health = json.loads(r.read())
+            assert health["ok"] and health["budget"] == 0.5
+
+            from PIL import Image
+
+            buf = io.BytesIO()
+            Image.fromarray(
+                (np.random.RandomState(0).rand(56, 56, 3) * 255).astype(np.uint8)
+            ).save(buf, format="PNG")
+            req = urllib.request.Request(
+                f"http://127.0.0.1:{port}/generate",
+                data=json.dumps({
+                    "prompt": "hi",
+                    "image_b64": base64.b64encode(buf.getvalue()).decode(),
+                    "max_new_tokens": 2,
+                }).encode(),
+                headers={"Content-Type": "application/json"},
+            )
+            with urllib.request.urlopen(req, timeout=300) as r:
+                out = json.loads(r.read())
+            assert out["kept_vision_tokens"] <= out["num_vision_tokens"]
+            assert len(out["tokens"]) >= 1
+
+            # probe: bad route
+            try:
+                urllib.request.urlopen(
+                    f"http://127.0.0.1:{port}/nope", timeout=10
+                )
+                assert False, "expected 404"
+            except urllib.error.HTTPError as e:
+                assert e.code == 404
+        finally:
+            httpd.shutdown()

@@ -1,0 +1,174 @@
+"""Minimal serving endpoint (parity with the reference's gradio chat app,
+``llava-ov-15/src/serve/app.py:17-142`` — the serve surface, not the UI).
+
+Stdlib HTTP server exposing:
+    POST /generate  {"prompt": str, "image_b64": str?, "max_new_tokens": int?}
+        -> {"tokens": [...], "text": str?, "kept_vision_tokens": int, ...}
+    GET  /health    -> {"ok": true, "method": ..., "budget": ...}
+
+Usage:
+    python -m visionselector_tpu.api.serve --port 8000 \
+        [--model-path /ckpt] [--method selector] [--budget 0.2]
+"""
+
+from __future__ import annotations
+
+import argparse
+import base64
+import io
+import json
+import threading
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+
+import numpy as np
+
+
+class Server:
+    def __init__(self, engine, tokenizer, method: str, budget: float):
+        self.engine = engine
+        self.tokenizer = tokenizer
+        self.method = method
+        self.budget = budget
+        self.lock = threading.Lock()  # batch-1 engine
+
+    def generate(self, prompt: str, image_b64: str | None,
+                 max_new_tokens: int = 64) -> dict:
+        from visionselector_tpu.preprocess.image import preprocess_image
+        from visionselector_tpu.preprocess.rope import expand_vision_tokens
+
+        cfg = self.engine.cfg
+        if image_b64:
+            from PIL import Image
+
+            img = Image.open(io.BytesIO(base64.b64decode(image_b64)))
+            pixels, grid = preprocess_image(img)
+        else:
+            rng = np.random.RandomState(0)
+            pixels, grid = preprocess_image(
+                (rng.rand(112, 112, 3) * 255).astype(np.uint8),
+                min_pixels=1, max_pixels=10**9,
+            )
+        if self.tokenizer is not None:
+            from visionselector_tpu.api.predict import chat_prompt_ids
+
+            before, after = chat_prompt_ids(self.tokenizer, prompt)
+        else:
+            before, after = [100, 200], [300, 400]
+        input_ids = expand_vision_tokens(
+            before, after, grid,
+            spatial_merge_size=cfg.vision.spatial_merge_size,
+            image_token_id=cfg.image_token_id,
+            vision_start_token_id=cfg.vision_start_token_id,
+            vision_end_token_id=cfg.vision_end_token_id,
+        )
+        with self.lock:
+            res = self.engine.generate(
+                input_ids, pixels, grid, max_new_tokens=max_new_tokens
+            )
+        return {
+            "tokens": res.tokens,
+            "text": (
+                self.tokenizer.decode(res.tokens, skip_special_tokens=True)
+                if self.tokenizer is not None else None
+            ),
+            "num_vision_tokens": res.num_vision_tokens,
+            "kept_vision_tokens": (
+                len(res.selected_indices)
+                if res.selected_indices is not None
+                else res.num_vision_tokens
+            ),
+            "prefill_ms": res.prefill_seconds * 1e3,
+            "latency_ms": res.total_seconds * 1e3,
+        }
+
+
+def make_handler(server: Server):
+    class Handler(BaseHTTPRequestHandler):
+        def log_message(self, *a):  # quiet
+            pass
+
+        def _send(self, code: int, payload: dict):
+            body = json.dumps(payload).encode()
+            self.send_response(code)
+            self.send_header("Content-Type", "application/json")
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+
+        def do_GET(self):
+            if self.path == "/health":
+                self._send(200, {"ok": True, "method": server.method,
+                                 "budget": server.budget})
+            else:
+                self._send(404, {"error": "not found"})
+
+        def do_POST(self):
+            if self.path != "/generate":
+                self._send(404, {"error": "not found"})
+                return
+            try:
+                n = int(self.headers.get("Content-Length", 0))
+                req = json.loads(self.rfile.read(n) or b"{}")
+                out = server.generate(
+                    req.get("prompt", ""),
+                    req.get("image_b64"),
+                    int(req.get("max_new_tokens", 64)),
+                )
+                self._send(200, out)
+            except Exception as e:  # noqa: BLE001
+                self._send(500, {"error": str(e)})
+
+    return Handler
+
+
+def build_server(args) -> ThreadingHTTPServer:
+    import jax
+
+    from visionselector_tpu.core.config import qwen25vl_tiny
+    from visionselector_tpu.models.qwen25vl.model import QwenVLEngine, init_params
+
+    tokenizer = None
+    if args.model_path:
+        from visionselector_tpu.api.predict import load_tokenizer
+        from visionselector_tpu.models.qwen25vl.weights import (
+            config_from_hf,
+            load_hf_checkpoint,
+        )
+
+        cfg = config_from_hf(args.model_path)
+        params = load_hf_checkpoint(args.model_path, cfg)
+        tokenizer = load_tokenizer(args.model_path)
+    else:
+        cfg = qwen25vl_tiny()
+        params = init_params(jax.random.PRNGKey(0), cfg)
+
+    strategy = None
+    if args.method not in ("orig", "selector"):
+        from visionselector_tpu.selector.baselines import get_baseline
+
+        strategy = get_baseline(args.method)
+    engine = QwenVLEngine(
+        cfg, params, use_selector=(args.method == "selector"),
+        budget=args.budget, strategy=strategy,
+    )
+    srv = Server(engine, tokenizer, args.method, args.budget)
+    return ThreadingHTTPServer((args.host, args.port), make_handler(srv))
+
+
+def main(argv=None) -> int:
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("--model-path", default=None)
+    p.add_argument("--method", default="selector")
+    p.add_argument("--budget", type=float, default=0.2)
+    p.add_argument("--host", default="127.0.0.1")
+    p.add_argument("--port", type=int, default=8000)
+    args = p.parse_args(argv)
+    httpd = build_server(args)
+    print(f"[serve] listening on {args.host}:{args.port} "
+          f"method={args.method} budget={args.budget}")
+    httpd.serve_forever()
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
