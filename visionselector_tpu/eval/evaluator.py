@@ -77,24 +77,47 @@ class EngineAdapter:
         out = []
         for req in requests:
             before, after = self._encode_prompt(req.question)
-            if req.image_path is not None:
+            if req.video_path is not None:
+                from visionselector_tpu.preprocess.video import process_video
+
+                pixels, grid, spg = process_video(
+                    req.video_path,
+                    patch_size=cfg.vision.patch_size,
+                    temporal_patch_size=cfg.vision.temporal_patch_size,
+                    merge_size=cfg.vision.spatial_merge_size,
+                )
+                input_ids = expand_vision_tokens(
+                    before, after, grid,
+                    spatial_merge_size=cfg.vision.spatial_merge_size,
+                    image_token_id=cfg.video_token_id,
+                    vision_start_token_id=cfg.vision_start_token_id,
+                    vision_end_token_id=cfg.vision_end_token_id,
+                )
+                res = self.engine.generate(
+                    input_ids,
+                    pixel_values_videos=pixels,
+                    video_grid_thw=grid,
+                    second_per_grid_ts=np.array([spg]),
+                    max_new_tokens=req.task.max_new_tokens,
+                )
+            else:
+                if req.image_path is None:
+                    raise NotImplementedError("text-only requests not wired")
                 from PIL import Image
 
                 image = Image.open(req.image_path)
                 pixels, grid = preprocess_image(image)
-            else:
-                raise NotImplementedError("text-only requests not wired")
-            input_ids = expand_vision_tokens(
-                before, after, grid,
-                spatial_merge_size=cfg.vision.spatial_merge_size,
-                image_token_id=cfg.image_token_id,
-                vision_start_token_id=cfg.vision_start_token_id,
-                vision_end_token_id=cfg.vision_end_token_id,
-            )
-            res = self.engine.generate(
-                input_ids, pixels, grid,
-                max_new_tokens=req.task.max_new_tokens,
-            )
+                input_ids = expand_vision_tokens(
+                    before, after, grid,
+                    spatial_merge_size=cfg.vision.spatial_merge_size,
+                    image_token_id=cfg.image_token_id,
+                    vision_start_token_id=cfg.vision_start_token_id,
+                    vision_end_token_id=cfg.vision_end_token_id,
+                )
+                res = self.engine.generate(
+                    input_ids, pixels, grid,
+                    max_new_tokens=req.task.max_new_tokens,
+                )
             text = self.tokenizer.decode(res.tokens, skip_special_tokens=True)
             for stop in until:
                 if stop in text:

@@ -61,6 +61,7 @@ class Request:
     answers: List[str]
     image_path: Optional[str]
     task: TaskConfig
+    video_path: Optional[str] = None  # frame dir / .npy / video file
 
 
 def load_task_docs(task: TaskConfig, data_dir: str,
@@ -77,12 +78,14 @@ def load_task_docs(task: TaskConfig, data_dir: str,
             if isinstance(answers, str):
                 answers = [answers]
             img = doc.get("image")
+            vid = doc.get("video")
             requests.append(
                 Request(
                     doc_id=i,
                     question=doc["question"] + task.prompt_suffix,
                     answers=[str(a) for a in answers],
                     image_path=os.path.join(data_dir, img) if img else None,
+                    video_path=os.path.join(data_dir, vid) if vid else None,
                     task=task,
                 )
             )
