@@ -178,7 +178,9 @@ def _flash_pallas(
              jnp.full(num_q_blocks, num_kv_blocks, jnp.int32)], axis=1
         )
 
-    # [B, H, S, D] layout so the last two dims are the compute tile.
+    # [B, H, S, D] layout: Mosaic requires the last block dim divisible by 128
+    # or equal to the array dim, so a head-sliced [S, H*D] layout is illegal at
+    # d=80 — the head axis must be a leading grid dim (transpose in HBM).
     qt = q.transpose(0, 2, 1, 3)
     kt = k.transpose(0, 2, 1, 3)
     vt = v.transpose(0, 2, 1, 3)
