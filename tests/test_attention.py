@@ -158,3 +158,38 @@ class TestDecode:
         np.testing.assert_allclose(
             np.asarray(got[:, 0]), np.asarray(full[:, -1]), atol=2e-5
         )
+
+
+class TestPackedLayout:
+    """Transpose-free packed-head path (d % 128 == 0)."""
+
+    @pytest.mark.parametrize("causal", [False, True])
+    def test_packed_vs_reference(self, causal):
+        from visionselector_tpu.kernels.attention import _flash_pallas_packed
+
+        seg = np.concatenate(
+            [np.repeat(np.arange(1, 4), 80), np.zeros(16, np.int32)]
+        ).astype(np.int32)
+        q, k, v, qs, ks = make_inputs(1, 256, 256, 2, 128, seg, seed=5)
+        want = mha_reference(q, k, v, qs, ks, causal=causal)
+        got = _flash_pallas_packed(
+            q, k, v, qs, ks, causal, 128**-0.5, block_q=64, block_k=64,
+            interpret=True,
+        )
+        np.testing.assert_allclose(
+            np.asarray(got), np.asarray(want), atol=3e-5, rtol=1e-4
+        )
+
+    def test_packed_internal_padding(self):
+        from visionselector_tpu.kernels.attention import _flash_pallas_packed
+
+        seg = np.concatenate([np.ones(100, np.int32), np.zeros(20, np.int32)])
+        q, k, v, qs, ks = make_inputs(1, 120, 120, 2, 128, seg, seed=6)
+        want = mha_reference(q, k, v, qs, ks, causal=True)
+        got = _flash_pallas_packed(
+            q, k, v, qs, ks, True, 128**-0.5, block_q=64, block_k=64,
+            interpret=True,
+        )
+        np.testing.assert_allclose(
+            np.asarray(got), np.asarray(want), atol=3e-5, rtol=1e-4
+        )

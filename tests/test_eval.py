@@ -130,3 +130,46 @@ class TestExtractTime:
         assert stats["avg_prefill_ms"] == 25.0
         assert stats["avg_latency_ms"] == 100.0
         assert stats["n_visual_tokens"] == 2.0
+
+
+class TestResponseCache:
+    def test_roundtrip_and_env(self, tmp_path, monkeypatch):
+        from visionselector_tpu.eval.caching import ResponseCache
+
+        monkeypatch.setenv("LM_HARNESS_CACHE_PATH", str(tmp_path))
+        c = ResponseCache()
+        assert c.enabled()
+        k = c.key("chartqa", 3, "q?", "selector", 0.2)
+        assert c.get(k) is None
+        c.put(k, "42")
+        # fresh instance reads from disk
+        c2 = ResponseCache()
+        assert c2.get(k) == "42"
+        # different budget -> different key
+        assert c.key("chartqa", 3, "q?", "selector", 0.3) != k
+
+
+class TestCheckData:
+    def test_detects_problems(self, tmp_path):
+        import numpy as np
+        from PIL import Image
+
+        from visionselector_tpu.train.check_data import check
+
+        Image.fromarray(
+            (np.random.RandomState(0).rand(8, 8, 3) * 255).astype(np.uint8)
+        ).save(tmp_path / "ok.png")
+        ann = tmp_path / "a.jsonl"
+        with open(ann, "w") as f:
+            f.write(json.dumps({"image": "ok.png", "conversations": [
+                {"from": "human", "value": "<image>hi"},
+                {"from": "gpt", "value": "yo"}]}) + "\n")
+            f.write(json.dumps({"image": "missing.png", "conversations": [
+                {"from": "human", "value": "<image>hi"}]}) + "\n")
+            f.write(json.dumps({"conversations": []}) + "\n")
+        n, problems = check(str(ann), str(tmp_path))
+        assert n == 3
+        msgs = [m for _, m in problems]
+        assert any("missing image" in m for m in msgs)
+        assert any("empty conversations" in m for m in msgs)
+        assert len(problems) == 2

@@ -259,3 +259,46 @@ class TestMultiImage:
         assert len(res.selected_indices) == k
         # joint top-k may select from either image
         assert res.selected_indices.max() < n
+
+
+class TestPaddedHeads:
+    def test_padded_vit_equivalence(self, params):
+        """head-dim padding in the weights must not change ViT outputs."""
+        from visionselector_tpu.models.qwen25vl.weights import pad_vit_head_dim
+
+        img = make_image(seed=21)
+        pixels, grid = preprocess_image(img, min_pixels=1, max_pixels=10**9)
+        out_ref, vb = vit_run(params, pixels, grid, pad_to=pixels.shape[0])
+
+        padded = dict(params)
+        padded["visual"] = pad_vit_head_dim(params["visual"], CFG.vision, dp=32)
+        out_pad, _ = vit_run(padded, pixels, grid, pad_to=pixels.shape[0])
+        n = vb.num_merged
+        np.testing.assert_allclose(out_ref[:n], out_pad[:n], atol=2e-5,
+                                   rtol=1e-4)
+
+    def test_padded_rotary_matches(self):
+        from visionselector_tpu.models.qwen25vl.vit import (
+            apply_rotary,
+            apply_rotary_padded,
+            vision_rotary_cos_sin,
+        )
+
+        rng = np.random.RandomState(0)
+        s, h, d, dp = 8, 2, 16, 32
+        q = rng.randn(s, h, d).astype(np.float32)
+        k = rng.randn(s, h, d).astype(np.float32)
+        pos = rng.randint(0, 10, (s, 2))
+        cos, sin = vision_rotary_cos_sin(jnp.asarray(pos), d)
+        want_q, want_k = apply_rotary(jnp.asarray(q), jnp.asarray(k), cos, sin)
+
+        qp = np.pad(q, ((0, 0), (0, 0), (0, dp - d)))
+        kp = np.pad(k, ((0, 0), (0, 0), (0, dp - d)))
+        got_q, got_k = apply_rotary_padded(
+            jnp.asarray(qp), jnp.asarray(kp), cos, sin, d
+        )
+        np.testing.assert_allclose(np.asarray(got_q[..., :d]),
+                                   np.asarray(want_q), atol=1e-5)
+        np.testing.assert_allclose(np.asarray(got_q[..., d:]), 0.0)
+        np.testing.assert_allclose(np.asarray(got_k[..., :d]),
+                                   np.asarray(want_k), atol=1e-5)

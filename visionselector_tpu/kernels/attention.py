@@ -76,7 +76,7 @@ def mha_reference(
 
 
 def _flash_kernel(q_ref, k_ref, v_ref, qseg_ref, kseg_ref, bounds_ref, o_ref,
-                  *, scale, causal, block_k, kv_len):
+                  *, scale, causal, block_k, kv_len, packed=False):
     """Online-softmax flash attention body. Grid: (B, H, num_q_blocks).
 
     ``bounds_ref`` (SMEM, [num_q_blocks, 2]) gives each query block its
@@ -86,7 +86,7 @@ def _flash_kernel(q_ref, k_ref, v_ref, qseg_ref, kseg_ref, bounds_ref, o_ref,
     O(S^2) into O(S * window). This block-skip + online softmax is the
     TPU-native replacement for ``flash_attn_varlen_func``.
     """
-    q = q_ref[0, 0]  # [bq, d]
+    q = q_ref[0] if packed else q_ref[0, 0]  # [bq, d]
     bq = q.shape[0]
     iq = pl.program_id(2)
     q_seg = qseg_ref[0]  # [bq]
@@ -100,8 +100,12 @@ def _flash_kernel(q_ref, k_ref, v_ref, qseg_ref, kseg_ref, bounds_ref, o_ref,
 
     def body(j, carry):
         acc, m_prev, l_prev = carry
-        k = k_ref[0, 0, pl.ds(j * block_k, block_k)]  # [bk, d]
-        v = v_ref[0, 0, pl.ds(j * block_k, block_k)]
+        if packed:
+            k = k_ref[0, pl.ds(j * block_k, block_k)]  # [bk, d]
+            v = v_ref[0, pl.ds(j * block_k, block_k)]
+        else:
+            k = k_ref[0, 0, pl.ds(j * block_k, block_k)]  # [bk, d]
+            v = v_ref[0, 0, pl.ds(j * block_k, block_k)]
         k_seg = kseg_ref[0, pl.ds(j * block_k, block_k)]
 
         s = jax.lax.dot_general(
@@ -136,7 +140,10 @@ def _flash_kernel(q_ref, k_ref, v_ref, qseg_ref, kseg_ref, bounds_ref, o_ref,
     acc, m, l = jax.lax.fori_loop(lo_block, num_kv_blocks, body, (acc, m0, l0))
 
     out = acc / jnp.where(l == 0.0, 1.0, l)
-    o_ref[0, 0] = out.astype(o_ref.dtype)
+    if packed:
+        o_ref[0] = out.astype(o_ref.dtype)
+    else:
+        o_ref[0, 0] = out.astype(o_ref.dtype)
 
 
 DEFAULT_BLOCK = 256
@@ -254,6 +261,86 @@ def segment_block_bounds(seg_ids, block_q: int, block_k: int,
     return bounds
 
 
+def _flash_pallas_packed(
+    q, k, v, q_seg, kv_seg, causal, scale, block_q=DEFAULT_BLOCK,
+    block_k=DEFAULT_BLOCK, kv_bounds=None, interpret=False, head_dim=128,
+):
+    """Transpose-free flash attention for 128-multiple head dims.
+
+    q, k, v: [B, S, H, dp] with dp % 128 == 0 — viewed as [B, S, H*dp], each
+    grid program slices its head's dp columns via the BlockSpec index map, so
+    no HBM transposes happen (the [B, H, S, D] layout costs ~0.7 ms/layer in
+    transposes for the ViT; this path removes them). For the Qwen ViT (d=80),
+    heads are zero-padded to 128 in the WEIGHTS (see
+    ``models.qwen25vl.weights.pad_vit_head_dim``) — logits/outputs are exactly
+    equal because the pad columns are zero; ``scale`` must be the REAL
+    head_dim**-0.5.
+    """
+    b, sq, h, dp = q.shape
+    sk = k.shape[1]
+    assert dp % 128 == 0, dp
+    block_q = min(block_q, sq)
+    block_k = min(block_k, sk)
+    if sq % block_q or sk % block_k:
+        assert kv_bounds is None, "kv_bounds require block-aligned lengths"
+        pq = -sq % block_q
+        pk = -sk % block_k
+        out = _flash_pallas_packed(
+            jnp.pad(q, ((0, 0), (0, pq), (0, 0), (0, 0))),
+            jnp.pad(k, ((0, 0), (0, pk), (0, 0), (0, 0))),
+            jnp.pad(v, ((0, 0), (0, pk), (0, 0), (0, 0))),
+            jnp.pad(q_seg, ((0, 0), (0, pq))),
+            jnp.pad(kv_seg, ((0, 0), (0, pk))),
+            causal, scale, block_q, block_k, None, interpret, head_dim,
+        )
+        return out[:, :sq]
+    num_q_blocks = sq // block_q
+    num_kv_blocks = sk // block_k
+    if kv_bounds is None:
+        kv_bounds = jnp.stack(
+            [jnp.zeros(num_q_blocks, jnp.int32),
+             jnp.full(num_q_blocks, num_kv_blocks, jnp.int32)], axis=1
+        )
+
+    qf = q.reshape(b, sq, h * dp)
+    kf = k.reshape(b, sk, h * dp)
+    vf = v.reshape(b, sk, h * dp)
+
+    grid = (b, h, num_q_blocks)
+    kernel = functools.partial(
+        _flash_kernel, scale=scale, causal=causal, block_k=block_k, kv_len=sk,
+        packed=True,
+    )
+    out = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, block_q, dp), lambda ib, ih, iq: (ib, iq, ih)),
+            pl.BlockSpec((1, sk, dp), lambda ib, ih, iq: (ib, 0, ih)),
+            pl.BlockSpec((1, sk, dp), lambda ib, ih, iq: (ib, 0, ih)),
+            pl.BlockSpec((1, block_q), lambda ib, ih, iq: (ib, iq)),
+            pl.BlockSpec((1, sk), lambda ib, ih, iq: (ib, 0)),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, block_q, dp), lambda ib, ih, iq: (ib, iq, ih)
+        ),
+        out_shape=jax.ShapeDtypeStruct((b, sq, h * dp), q.dtype),
+        interpret=interpret,
+        cost_estimate=pl.CostEstimate(
+            flops=4 * b * h * sq * sk * head_dim,
+            bytes_accessed=2 * (qf.size + kf.size + vf.size) * qf.dtype.itemsize,
+            transcendentals=b * h * sq * sk,
+        ),
+    )(
+        qf, kf, vf,
+        q_seg.astype(jnp.int32),
+        kv_seg.astype(jnp.int32),
+        kv_bounds.astype(jnp.int32),
+    )
+    return out.reshape(b, sq, h, dp)
+
+
 def default_impl() -> str:
     impl = os.environ.get("VST_ATTN_IMPL", "auto")
     if impl != "auto":
@@ -289,13 +376,17 @@ def attention(
     impl = impl or default_impl()
     if impl == "xla":
         return mha_reference(q, k, v, q_seg, kv_seg, causal, scale)
-    if impl == "pallas":
-        return _flash_pallas(q, k, v, q_seg, kv_seg, causal, scale,
-                             block_q, block_k, kv_bounds=kv_bounds)
-    if impl == "pallas_interpret":
+    if impl in ("pallas", "pallas_interpret"):
+        interpret = impl == "pallas_interpret"
+        if q.shape[-1] % 128 == 0:
+            # transpose-free packed-head layout
+            return _flash_pallas_packed(
+                q, k, v, q_seg, kv_seg, causal, scale, block_q, block_k,
+                kv_bounds=kv_bounds, interpret=interpret,
+            )
         return _flash_pallas(q, k, v, q_seg, kv_seg, causal, scale,
                              block_q, block_k, kv_bounds=kv_bounds,
-                             interpret=True)
+                             interpret=interpret)
     raise ValueError(f"unknown attention impl {impl!r}")
 
 

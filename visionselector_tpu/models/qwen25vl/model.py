@@ -342,7 +342,6 @@ class QwenVLEngine:
         """``strategy``: optional training-free baseline from
         ``selector.baselines`` — overrides the LIS selector."""
         self.cfg = cfg
-        self.params = params
         self.strategy = strategy
         self.use_selector = (
             strategy is None and use_selector and ("scorer" in params)
@@ -350,6 +349,18 @@ class QwenVLEngine:
         self.budget = budget
         self.vision_buckets = vision_buckets
         self.text_buckets = text_buckets
+        # On the Pallas path, pad ViT heads to 128 columns so attention runs
+        # transpose-free (exact; see weights.pad_vit_head_dim).
+        from visionselector_tpu.kernels.attention import default_impl
+
+        if default_impl() == "pallas" and cfg.vision.head_dim % 128 != 0:
+            from visionselector_tpu.models.qwen25vl.weights import (
+                pad_vit_head_dim,
+            )
+
+            params = dict(params)
+            params["visual"] = pad_vit_head_dim(params["visual"], cfg.vision)
+        self.params = params
 
     def generate(
         self,

@@ -72,6 +72,35 @@ def vision_rotary_cos_sin(rot_pos_ids: jax.Array, head_dim: int) -> Tuple[jax.Ar
     return jnp.cos(emb), jnp.sin(emb)
 
 
+def apply_rotary_padded(q, k, cos, sin, real_d: int):
+    """Rotary for zero-padded heads [S, H, dp] (dp > real_d).
+
+    rotate_half pairs dim i with i±d/2 of the REAL d channels; expressed as a
+    static lane permutation + signed sin so the padded tail stays zero:
+      out[i] = q[i]*cos'[i] + q[perm[i]]*sin'[i],
+      perm: swap halves of the first d dims, identity after; sin' negated on
+      the first half, zero on the pad; cos' = 1 on the pad.
+    """
+    s, _, dp = q.shape
+    d = real_d
+    half = d // 2
+    perm = jnp.concatenate([
+        jnp.arange(half) + half, jnp.arange(half), jnp.arange(d, dp)
+    ])
+    cos_pad = jnp.pad(cos[:, :d], ((0, 0), (0, dp - d)), constant_values=1.0)
+    sin_pad = jnp.concatenate(
+        [-sin[:, :half], sin[:, half:d], jnp.zeros((s, dp - d), sin.dtype)],
+        axis=-1,
+    )
+    cos_pad = cos_pad[:, None, :].astype(q.dtype)
+    sin_pad = sin_pad[:, None, :].astype(q.dtype)
+
+    def rot(x):
+        return x * cos_pad + jnp.take(x, perm, axis=-1) * sin_pad
+
+    return rot(q), rot(k)
+
+
 def _block(
     x: jax.Array,
     p: dict,
@@ -81,17 +110,27 @@ def _block(
     cfg: VisionConfig,
     kv_bounds: jax.Array | None = None,
 ) -> jax.Array:
-    """One ViT block: pre-RMSNorm attn + pre-RMSNorm SwiGLU MLP, residuals."""
+    """One ViT block: pre-RMSNorm attn + pre-RMSNorm SwiGLU MLP, residuals.
+
+    Supports zero-padded attention heads (dp=128 > head_dim=80, see
+    ``weights.pad_vit_head_dim``): detected from the qkv kernel shape; enables
+    the transpose-free packed Pallas layout. Results are exactly equal (pad
+    columns are zero in the weights)."""
     h = rms_norm(x, p["norm1_scale"], cfg.rms_norm_eps)
     s, d = h.shape[0], cfg.head_dim
-    qkv = h @ p["qkv_kernel"] + p["qkv_bias"]  # [S, 3*hidden]
-    q, k, v = jnp.split(qkv.reshape(s, 3, cfg.num_heads, d), 3, axis=1)
-    q, k, v = q[:, 0], k[:, 0], v[:, 0]  # [S, H, D]
-    q, k = apply_rotary(q, k, cos, sin)
+    dp = p["qkv_kernel"].shape[-1] // (3 * cfg.num_heads)
+    qkv = h @ p["qkv_kernel"] + p["qkv_bias"]  # [S, 3*H*dp]
+    q, k, v = jnp.split(qkv.reshape(s, 3, cfg.num_heads, dp), 3, axis=1)
+    q, k, v = q[:, 0], k[:, 0], v[:, 0]  # [S, H, dp]
+    if dp == d:
+        q, k = apply_rotary(q, k, cos, sin)
+    else:
+        q, k = apply_rotary_padded(q, k, cos, sin, d)
     from visionselector_tpu.kernels.attention import VIT_BLOCK
 
     attn = attention(
         q[None], k[None], v[None], seg_ids[None], seg_ids[None], causal=False,
+        scale=d**-0.5,
         kv_bounds=kv_bounds, block_q=VIT_BLOCK, block_k=VIT_BLOCK,
     )[0]
     attn = attn.reshape(s, -1) @ p["proj_kernel"] + p["proj_bias"]
@@ -201,10 +240,14 @@ def vit_forward_stats(
     seg = full_seg_ids if use_full[i] else window_seg_ids
     h = rms_norm(x, p["norm1_scale"], cfg.rms_norm_eps)
     s, d = h.shape[0], cfg.head_dim
+    dp = p["qkv_kernel"].shape[-1] // (3 * cfg.num_heads)
     qkv = h @ p["qkv_kernel"] + p["qkv_bias"]
-    q, k, v = jnp.split(qkv.reshape(s, 3, cfg.num_heads, d), 3, axis=1)
+    q, k, v = jnp.split(qkv.reshape(s, 3, cfg.num_heads, dp), 3, axis=1)
     q, k, v = q[:, 0], k[:, 0], v[:, 0]
-    q, k = apply_rotary(q, k, cos, sin)
+    if dp == d:
+        q, k = apply_rotary(q, k, cos, sin)
+    else:  # padded heads (weights.pad_vit_head_dim)
+        q, k = apply_rotary_padded(q, k, cos, sin, d)
 
     # Explicit masked softmax (fp32) for the stats + the block's attention out.
     logits = jnp.einsum(
@@ -224,8 +267,8 @@ def vit_forward_stats(
     m = cfg.spatial_merge_unit
     recv_pooled = recv.reshape(-1, m).mean(axis=1)  # [L] window order
     keys_pooled = (
-        k.reshape(s // m, m, cfg.num_heads * d).astype(jnp.float32).mean(axis=1)
-    )  # [L, hidden]
+        k.reshape(s // m, m, cfg.num_heads * dp).astype(jnp.float32).mean(axis=1)
+    )  # [L, H*dp] (zero pad channels don't affect norms/similarities)
 
     x = x + attn_out.reshape(s, -1) @ p["proj_kernel"] + p["proj_bias"]
     h2 = rms_norm(x, p["norm2_scale"], cfg.rms_norm_eps)

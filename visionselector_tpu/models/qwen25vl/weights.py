@@ -204,6 +204,45 @@ def config_from_hf(path: str) -> VLConfig:
     )
 
 
+def pad_vit_head_dim(vit_params: dict, cfg: VisionConfig,
+                     dp: int = 128) -> dict:
+    """Zero-pad ViT attention heads to ``dp`` columns in the WEIGHTS.
+
+    head_dim=80 forces HBM transposes for the Pallas kernel (Mosaic last-dim
+    constraint); with heads padded to 128 the transpose-free packed layout
+    applies and results are exactly equal (pad channels carry zeros end to
+    end: qkv output columns zero, proj input rows zero).
+    """
+    import numpy as np
+
+    d = cfg.head_dim
+    if d == dp:
+        return vit_params
+    h = cfg.num_heads
+    blocks = dict(vit_params["blocks"])
+    n = blocks["qkv_kernel"].shape[0]
+
+    qkv = np.asarray(blocks["qkv_kernel"])  # [n, D, 3*H*d]
+    qkv = qkv.reshape(n, -1, 3, h, d)
+    qkv = np.pad(qkv, ((0, 0), (0, 0), (0, 0), (0, 0), (0, dp - d)))
+    blocks["qkv_kernel"] = jnp.asarray(
+        qkv.reshape(n, -1, 3 * h * dp), vit_params["blocks"]["qkv_kernel"].dtype
+    )
+    qb = np.asarray(blocks["qkv_bias"]).reshape(n, 3, h, d)
+    qb = np.pad(qb, ((0, 0), (0, 0), (0, 0), (0, dp - d)))
+    blocks["qkv_bias"] = jnp.asarray(
+        qb.reshape(n, 3 * h * dp), vit_params["blocks"]["qkv_bias"].dtype
+    )
+    proj = np.asarray(blocks["proj_kernel"]).reshape(n, h, d, -1)
+    proj = np.pad(proj, ((0, 0), (0, 0), (0, dp - d), (0, 0)))
+    blocks["proj_kernel"] = jnp.asarray(
+        proj.reshape(n, h * dp, -1), vit_params["blocks"]["proj_kernel"].dtype
+    )
+    out = dict(vit_params)
+    out["blocks"] = blocks
+    return out
+
+
 def export_scorer_to_safetensors(scorer_params: dict, path: str,
                                  prefix: str = "visual.importance_scorer.") -> None:
     """Save a trained scorer in the reference checkpoint layout so it can be
