@@ -173,13 +173,6 @@ def main():
         model_name = "qwen2.5-vl-3b (random weights)"
     params = jax.jit(lambda key: init_params(key, cfg))(jax.random.PRNGKey(0))
     jax.block_until_ready(params)
-    from visionselector_tpu.kernels.attention import default_impl
-
-    if default_impl() == "pallas" and cfg.vision.head_dim % 128 != 0:
-        from visionselector_tpu.models.qwen25vl.weights import pad_vit_head_dim
-
-        params = dict(params)
-        params["visual"] = pad_vit_head_dim(params["visual"], cfg.vision)
 
     args_sel, k_max_sel, n = build_inputs(cfg, budget, True, s_bucket, img_hw)
     t_sel = time_prefill(params, cfg, k_max_sel, True, args_sel)

@@ -378,8 +378,10 @@ def attention(
         return mha_reference(q, k, v, q_seg, kv_seg, causal, scale)
     if impl in ("pallas", "pallas_interpret"):
         interpret = impl == "pallas_interpret"
-        if q.shape[-1] % 128 == 0:
-            # transpose-free packed-head layout
+        # NOTE: the transpose-free packed layout (_flash_pallas_packed)
+        # measured SLOWER on v5e (strided per-head kv DMA beats the one-time
+        # HBM transposes it avoids) — opt in via VST_PACKED_ATTN=1.
+        if q.shape[-1] % 128 == 0 and os.environ.get("VST_PACKED_ATTN") == "1":
             return _flash_pallas_packed(
                 q, k, v, q_seg, kv_seg, causal, scale, block_q, block_k,
                 kv_bounds=kv_bounds, interpret=interpret,

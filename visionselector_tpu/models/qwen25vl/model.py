@@ -349,11 +349,12 @@ class QwenVLEngine:
         self.budget = budget
         self.vision_buckets = vision_buckets
         self.text_buckets = text_buckets
-        # On the Pallas path, pad ViT heads to 128 columns so attention runs
-        # transpose-free (exact; see weights.pad_vit_head_dim).
-        from visionselector_tpu.kernels.attention import default_impl
+        # Optional: pad ViT heads to 128 for the packed attention layout
+        # (measured slower on v5e; opt in together with VST_PACKED_ATTN=1).
+        import os
 
-        if default_impl() == "pallas" and cfg.vision.head_dim % 128 != 0:
+        if (os.environ.get("VST_PACKED_ATTN") == "1"
+                and cfg.vision.head_dim % 128 != 0):
             from visionselector_tpu.models.qwen25vl.weights import (
                 pad_vit_head_dim,
             )
