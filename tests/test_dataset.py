@@ -128,3 +128,50 @@ class TestTrainCLI:
         main(["--output-dir", out, "--smoke", "--total-steps", "4",
               "--batch-size", "2", "--save-steps", "4"])
         assert os.path.exists(os.path.join(out, "checkpoint-4"))
+
+
+class TestPackedTrainSample:
+    def test_pack_two_records_forward(self, tmp_path):
+        import jax
+        import jax.numpy as jnp
+
+        from visionselector_tpu.core.config import qwen25vl_tiny
+        from visionselector_tpu.models.qwen25vl.model import init_params
+        from visionselector_tpu.train.dataset import build_packed_train_sample
+        from visionselector_tpu.train.loss import selector_train_forward
+
+        cfg = qwen25vl_tiny()
+        params = init_params(jax.random.PRNGKey(0), cfg)
+
+        from PIL import Image
+
+        rng = np.random.RandomState(0)
+        recs = []
+        for i in range(2):
+            img = Image.fromarray(
+                (rng.rand(56, 56, 3) * 255).astype(np.uint8)
+            )
+            recs.append({
+                "ids": [100 + i, 200], "labels": [IGNORE_INDEX, 201 + i],
+                "image_slot": 1, "image": img,
+            })
+        sample = build_packed_train_sample(
+            cfg, recs, budget=0.25, s_bucket=64, t_bucket=64,
+            min_pixels=1, max_pixels=10**9,
+        )
+        # two LM segments, joint vision batch
+        assert set(np.unique(sample.seg_ids)) == {0, 1, 2}
+        assert sample.num_merged == 8  # 2 images x 4 merged tokens
+        # first token of each sample not supervised (no cross-sample CE)
+        starts = [0, np.where(sample.seg_ids == 2)[0][0]]
+        for s in starts:
+            assert sample.labels[s] == IGNORE_INDEX
+
+        jsample = jax.tree.map(jnp.asarray, sample)
+        loss, metrics = selector_train_forward(
+            params, jsample, cfg, jnp.asarray(1.0), k_max=4
+        )
+        assert np.isfinite(float(loss))
+        np.testing.assert_allclose(
+            float(metrics["soft_mass"]), float(sample.k), rtol=0.05
+        )

@@ -230,3 +230,79 @@ class TestOVTraining:
             scorer, opt_state, metrics = step(scorer, opt_state)
             bces.append(float(metrics["bce"]))
         assert bces[-1] < bces[0], bces
+
+
+class TestOVWeights:
+    def test_synthetic_checkpoint_roundtrip(self, tmp_path, params):
+        """Save a synthetic HF-layout OV checkpoint, load it, run the engine."""
+        from safetensors.numpy import save_file
+
+        from visionselector_tpu.models.llava_ov15.weights import (
+            load_ov_checkpoint,
+        )
+
+        rng = np.random.RandomState(0)
+        v, t = CFG.vision, CFG.text
+        tensors = {}
+
+        def add(name, shape):
+            tensors[name] = rng.randn(*shape).astype(np.float32)
+
+        p = "model.visual."
+        add(p + "patch_embed.proj.weight", (v.hidden_size, 3, 14, 14))
+        tensors[p + "class_embedding"] = rng.randn(v.hidden_size).astype(np.float32)
+        tensors[p + "class_pos_emb"] = rng.randn(1, v.head_dim // 2).astype(np.float32)
+        add(p + "pre_layernorm.weight", (v.hidden_size,))
+        add(p + "pre_layernorm.bias", (v.hidden_size,))
+        for i in range(v.depth):
+            b = f"{p}blocks.{i}."
+            for nm in ("norm1", "norm2"):
+                add(b + nm + ".weight", (v.hidden_size,))
+                add(b + nm + ".bias", (v.hidden_size,))
+            add(b + "attn.qkv.weight", (3 * v.hidden_size, v.hidden_size))
+            add(b + "attn.qkv.bias", (3 * v.hidden_size,))
+            add(b + "attn.proj.weight", (v.hidden_size, v.hidden_size))
+            add(b + "attn.proj.bias", (v.hidden_size,))
+            add(b + "mlp.fc1.weight", (v.intermediate_size, v.hidden_size))
+            add(b + "mlp.fc1.bias", (v.intermediate_size,))
+            add(b + "mlp.fc2.weight", (v.hidden_size, v.intermediate_size))
+            add(b + "mlp.fc2.bias", (v.hidden_size,))
+        m = v.spatial_merge_unit * v.hidden_size
+        add(p + "merger.ln_q.weight", (v.hidden_size,))
+        add(p + "merger.ln_q.bias", (v.hidden_size,))
+        add(p + "merger.mlp.0.weight", (m, m))
+        add(p + "merger.mlp.0.bias", (m,))
+        add(p + "merger.mlp.2.weight", (v.text_hidden_size, m))
+        add(p + "merger.mlp.2.bias", (v.text_hidden_size,))
+
+        lp = "model.language_model."
+        add(lp + "embed_tokens.weight", (t.vocab_size, t.hidden_size))
+        dh = t.head_dim
+        for i in range(t.num_hidden_layers):
+            b = f"{lp}layers.{i}."
+            add(b + "input_layernorm.weight", (t.hidden_size,))
+            add(b + "post_attention_layernorm.weight", (t.hidden_size,))
+            add(b + "self_attn.q_proj.weight", (t.num_attention_heads * dh, t.hidden_size))
+            add(b + "self_attn.k_proj.weight", (t.num_key_value_heads * dh, t.hidden_size))
+            add(b + "self_attn.v_proj.weight", (t.num_key_value_heads * dh, t.hidden_size))
+            add(b + "self_attn.o_proj.weight", (t.hidden_size, t.num_attention_heads * dh))
+            add(b + "self_attn.q_norm.weight", (dh,))
+            add(b + "self_attn.k_norm.weight", (dh,))
+            add(b + "mlp.gate_proj.weight", (t.intermediate_size, t.hidden_size))
+            add(b + "mlp.up_proj.weight", (t.intermediate_size, t.hidden_size))
+            add(b + "mlp.down_proj.weight", (t.hidden_size, t.intermediate_size))
+        add(lp + "norm.weight", (t.hidden_size,))
+
+        save_file(tensors, str(tmp_path / "model.safetensors"))
+        loaded = load_ov_checkpoint(str(tmp_path), CFG)
+        np.testing.assert_allclose(
+            np.asarray(loaded["lm"]["layers"]["q_norm_scale"][1]),
+            tensors[lp + "layers.1.self_attn.q_norm.weight"],
+        )
+        assert "scorer" not in loaded  # no scorer in this checkpoint
+
+        pixels, grid = make_pixels(seed=3)
+        ids = expand_vision_tokens([10], [20], grid)
+        eng = OVEngine(CFG, loaded, use_selector=False)
+        res = eng.generate(ids, pixels, grid, max_new_tokens=2)
+        assert len(res.tokens) >= 1

@@ -32,6 +32,8 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--prompt-ids", default=None,
                    help="comma-separated token ids (skips tokenizer)")
     p.add_argument("--method", default="selector", choices=METHODS)
+    p.add_argument("--family", default="qwen25vl", choices=("qwen25vl", "llava_ov15"),
+                   help="model family (llava_ov15 = RICE ViT + Qwen3 text)")
     p.add_argument("--budget", type=float, default=0.2)
     p.add_argument("--max-new-tokens", type=int, default=64)
     p.add_argument("--eval-time", action="store_true",
@@ -63,15 +65,24 @@ def chat_prompt_ids(tokenizer, prompt: str):
 def main(argv=None) -> int:
     args = build_parser().parse_args(argv)
 
-    from visionselector_tpu.core.config import qwen25vl_tiny
-    from visionselector_tpu.models.qwen25vl.model import QwenVLEngine, init_params
+    import jax
+
     from visionselector_tpu.preprocess.image import preprocess_image
     from visionselector_tpu.preprocess.rope import expand_vision_tokens
 
     tokenizer = None
-    if args.model_path:
-        import jax
+    if args.family == "llava_ov15":
+        from visionselector_tpu.core.config import llava_ov_tiny
+        from visionselector_tpu.models.llava_ov15.model import (
+            OVEngine as EngineCls,
+            init_ov_params as init_fn,
+        )
 
+        assert args.model_path is None, "OV checkpoint loading lands in r2"
+        cfg = llava_ov_tiny()
+        params = init_fn(jax.random.PRNGKey(0), cfg)
+    elif args.model_path:
+        from visionselector_tpu.models.qwen25vl.model import QwenVLEngine
         from visionselector_tpu.models.qwen25vl.weights import (
             config_from_hf,
             load_hf_checkpoint,
@@ -81,20 +92,27 @@ def main(argv=None) -> int:
         params = load_hf_checkpoint(args.model_path, cfg)
         tokenizer = load_tokenizer(args.model_path)
     else:
-        import jax
+        from visionselector_tpu.core.config import qwen25vl_tiny
+        from visionselector_tpu.models.qwen25vl.model import (
+            QwenVLEngine,
+            init_params,
+        )
 
         cfg = qwen25vl_tiny()
         params = init_params(jax.random.PRNGKey(0), cfg)
 
+    tp = cfg.vision.temporal_patch_size
     if args.image:
         from PIL import Image
 
         image = Image.open(args.image)
-        pixels, grid = preprocess_image(image)
+        pixels, grid = preprocess_image(image, temporal_patch_size=tp)
     else:
         rng = np.random.RandomState(0)
         img = (rng.rand(112, 112, 3) * 255).astype(np.uint8)
-        pixels, grid = preprocess_image(img, min_pixels=1, max_pixels=10**9)
+        pixels, grid = preprocess_image(
+            img, min_pixels=1, max_pixels=10**9, temporal_patch_size=tp
+        )
 
     if args.prompt_ids:
         ids_after = [int(x) for x in args.prompt_ids.split(",")]
@@ -118,12 +136,19 @@ def main(argv=None) -> int:
 
         strategy = get_baseline(args.method)
 
-    engine = QwenVLEngine(
-        cfg, params,
-        use_selector=(args.method == "selector"),
-        budget=args.budget,
-        strategy=strategy,
-    )
+    if args.family == "llava_ov15":
+        assert strategy is None, "training-free baselines for OV land in r2"
+        engine = EngineCls(
+            cfg, params, use_selector=(args.method == "selector"),
+            budget=args.budget,
+        )
+    else:
+        engine = QwenVLEngine(
+            cfg, params,
+            use_selector=(args.method == "selector"),
+            budget=args.budget,
+            strategy=strategy,
+        )
 
     res = engine.generate(
         input_ids, pixels, grid, max_new_tokens=args.max_new_tokens

@@ -242,6 +242,118 @@ def build_sample_from_record(
     )
 
 
+def build_packed_train_sample(
+    cfg,
+    records: List[dict],
+    budget: float,
+    s_bucket: int,
+    t_bucket: int,
+    min_pixels: int = 56 * 56,
+    max_pixels: int = 28 * 28 * 1280,
+):
+    """Pack several dataset records into ONE TrainBatchSample row.
+
+    TPU-native equivalent of the reference's flattened collator
+    (``data_qwen.py:566-637`` emitting cu_seqlens): samples get distinct
+    segment ids (block-diagonal LM attention), per-sample M-RoPE ids restart
+    at 0, all images ride one multi-image ViT batch, and the soft top-k runs
+    jointly over the row's merged tokens with k = budget * total (matching the
+    reference's joint scoring over the flattened batch).
+    """
+    import numpy as np
+
+    from visionselector_tpu.preprocess.image import preprocess_image
+    from visionselector_tpu.preprocess.indices import build_vision_batch
+    from visionselector_tpu.preprocess.rope import get_rope_index
+    from visionselector_tpu.train.loss import TrainBatchSample
+
+    all_pixels, all_grids = [], []
+    ids_parts, label_parts, pos_parts, seg_parts = [], [], [], []
+    for si, rec in enumerate(records):
+        assert rec["image"] is not None and rec["image_slot"] >= 0
+        pixels, grid = preprocess_image(
+            rec["image"], min_pixels=min_pixels, max_pixels=max_pixels,
+            patch_size=cfg.vision.patch_size,
+            temporal_patch_size=cfg.vision.temporal_patch_size,
+            merge_size=cfg.vision.spatial_merge_size,
+        )
+        all_pixels.append(pixels)
+        all_grids.append(grid)
+        n_i = pixels.shape[0] // cfg.vision.spatial_merge_unit
+        vision_ids = (
+            [cfg.vision_start_token_id] + [cfg.image_token_id] * n_i
+            + [cfg.vision_end_token_id]
+        )
+        slot = rec["image_slot"]
+        ids_i = np.asarray(
+            rec["ids"][:slot] + vision_ids + rec["ids"][slot:], np.int64
+        )
+        labels_i = np.asarray(
+            rec["labels"][:slot] + [IGNORE_INDEX] * len(vision_ids)
+            + rec["labels"][slot:], np.int64,
+        )
+        pos_i, _ = get_rope_index(
+            ids_i, image_grid_thw=grid,
+            spatial_merge_size=cfg.vision.spatial_merge_size,
+            tokens_per_second=cfg.vision.tokens_per_second,
+            image_token_id=cfg.image_token_id,
+            video_token_id=cfg.video_token_id,
+            vision_start_token_id=cfg.vision_start_token_id,
+        )
+        ids_parts.append(ids_i)
+        label_parts.append(labels_i)
+        pos_parts.append(pos_i)
+        seg_parts.append(np.full(len(ids_i), si + 1, np.int32))
+        # block CE leakage across the sample boundary: the first token of a
+        # sample must not be predicted from the previous sample's last token
+        label_parts[-1][0] = IGNORE_INDEX
+
+    pixels = np.concatenate(all_pixels)
+    grid = np.concatenate(all_grids)
+    vb = build_vision_batch(
+        pixels, grid,
+        window_size=cfg.vision.window_size,
+        spatial_merge_size=cfg.vision.spatial_merge_size,
+        patch_size=cfg.vision.patch_size,
+        pad_to=s_bucket,
+    )
+    n = vb.num_merged
+    l_pad = s_bucket // cfg.vision.spatial_merge_unit
+
+    full_ids = np.concatenate(ids_parts)
+    t_real = len(full_ids)
+    assert t_real <= t_bucket, (t_real, t_bucket)
+
+    ids_p = np.zeros(t_bucket, np.int64)
+    ids_p[:t_real] = full_ids
+    lab_p = np.full(t_bucket, IGNORE_INDEX, np.int64)
+    lab_p[:t_real] = np.concatenate(label_parts)
+    pos_p = np.zeros((3, t_bucket), np.int64)
+    pos_p[:, :t_real] = np.concatenate(pos_parts, axis=1)
+    seg = np.zeros(t_bucket, np.int32)
+    seg[:t_real] = np.concatenate(seg_parts)
+    image_pos = np.where(ids_p == cfg.image_token_id)[0][:n]
+    image_pos_p = np.full(l_pad, t_bucket, np.int64)
+    image_pos_p[:n] = image_pos
+
+    return TrainBatchSample(
+        pixel_values=vb.pixel_values,
+        rot_pos_ids=vb.rot_pos_ids,
+        window_seg_ids=vb.window_seg_ids,
+        full_seg_ids=vb.full_seg_ids,
+        reverse_index=vb.reverse_index,
+        num_merged=np.asarray(n, np.int32),
+        k=np.asarray(max(1, int(n * budget)), np.int32),
+        input_ids=ids_p,
+        labels=lab_p,
+        position_ids=pos_p,
+        seg_ids=seg,
+        image_positions=image_pos_p,
+        window_kv_bounds=vb.window_kv_bounds,
+        full_kv_bounds=vb.full_kv_bounds,
+    )
+
+
 def pack_text_samples(
     samples: List[dict],
     t_bucket: int,
