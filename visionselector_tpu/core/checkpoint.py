@@ -18,7 +18,6 @@ import os
 import re
 from typing import Optional
 
-import jax
 import orbax.checkpoint as ocp
 
 

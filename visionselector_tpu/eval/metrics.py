@@ -17,7 +17,7 @@ from __future__ import annotations
 import random
 import re
 import string
-from typing import Callable, Dict, List, Sequence
+from typing import Callable, Dict, Sequence
 
 
 def _to_float(text: str):

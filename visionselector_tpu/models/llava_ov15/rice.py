@@ -17,8 +17,6 @@ Functional re-design of ``RiceTransformerPretrainedModel``
 from __future__ import annotations
 
 import dataclasses
-from typing import Tuple
-
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -27,7 +25,6 @@ from visionselector_tpu.core.config import RiceVisionConfig
 from visionselector_tpu.kernels.attention import attention
 from visionselector_tpu.models.qwen25vl.vit import apply_rotary
 from visionselector_tpu.preprocess.indices import (
-    cu_seqlens_to_segment_ids,
     full_attn_cu_seqlens,
     vision_rot_pos_ids,
 )

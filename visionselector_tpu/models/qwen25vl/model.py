@@ -17,7 +17,7 @@ from __future__ import annotations
 
 import dataclasses
 import functools
-from typing import Any, Dict, List, Optional, Tuple
+from typing import Any, List, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -29,7 +29,6 @@ from visionselector_tpu.models.qwen25vl import vit as vit_mod
 from visionselector_tpu.preprocess.indices import build_vision_batch, pick_bucket
 from visionselector_tpu.preprocess.rope import get_rope_index
 from visionselector_tpu.selector.select import (
-    CompactedSequence,
     Selection,
     compact_sequence,
     select_hard,

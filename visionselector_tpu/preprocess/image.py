@@ -15,7 +15,7 @@ on host, FLOPs on device.
 from __future__ import annotations
 
 import math
-from typing import Optional, Tuple
+from typing import Tuple
 
 import numpy as np
 
@@ -91,11 +91,7 @@ def _bilinear_resize(image: np.ndarray, out_h: int, out_w: int) -> np.ndarray:
     b = image[y0][:, x1]
     c = image[y1][:, x0]
     d = image[y1][:, x1]
-    top = a * (1 - wx) + b * wx
-    bot = c * (1 - wx) + d * wx
-    return top * (1 - wy[:, 0:1]) + bot * wy[:, 0:1] if False else (
-        (a * (1 - wx) + b * wx) * (1 - wy) + (c * (1 - wx) + d * wx) * wy
-    )
+    return (a * (1 - wx) + b * wx) * (1 - wy) + (c * (1 - wx) + d * wx) * wy
 
 
 def resize_image(image, out_h: int, out_w: int) -> np.ndarray:

@@ -13,9 +13,8 @@ Parity with ``qwen-vl-utils/src/qwen_vl_utils/vision_process.py``:
 
 from __future__ import annotations
 
-import math
 import os
-from typing import List, Optional, Sequence, Tuple
+from typing import Optional, Sequence, Tuple
 
 import numpy as np
 

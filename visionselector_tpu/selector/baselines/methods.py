@@ -18,8 +18,6 @@ forward. Semantics cite the reference implementations.
 
 from __future__ import annotations
 
-from typing import Optional, Tuple
-
 import numpy as np
 
 

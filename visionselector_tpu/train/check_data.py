@@ -14,7 +14,6 @@ from __future__ import annotations
 import argparse
 import json
 import os
-import sys
 
 
 def check(annotation: str, image_root: str, max_tokens: int | None = None):

@@ -10,13 +10,13 @@ contract every loader must produce.
 
 from __future__ import annotations
 
-from typing import List, Sequence, Tuple
+from typing import List, Sequence
 
 import numpy as np
 
 from visionselector_tpu.core.config import VLConfig
 from visionselector_tpu.preprocess.image import preprocess_image
-from visionselector_tpu.preprocess.indices import build_vision_batch, pick_bucket
+from visionselector_tpu.preprocess.indices import build_vision_batch
 from visionselector_tpu.preprocess.rope import expand_vision_tokens, get_rope_index
 from visionselector_tpu.train.loss import IGNORE_INDEX, TrainBatchSample
 
