@@ -193,3 +193,38 @@ class TestPackedLayout:
         np.testing.assert_allclose(
             np.asarray(got), np.asarray(want), atol=3e-5, rtol=1e-4
         )
+
+
+class TestFusedViTAttention:
+    """Experimental fused rotary+attention kernel (interpret mode)."""
+
+    def test_vs_composed_reference(self):
+        from visionselector_tpu.kernels.attention import segment_block_bounds
+        from visionselector_tpu.kernels.fused_vit_attn import fused_vit_attention
+        from visionselector_tpu.models.qwen25vl.vit import (
+            apply_rotary,
+            vision_rotary_cos_sin,
+        )
+
+        S, H, D = 256, 4, 16
+        rng = np.random.RandomState(0)
+        qkv = jnp.asarray(rng.randn(S, 3 * H * D), jnp.float32)
+        seg = np.concatenate(
+            [np.repeat([1, 2, 3], [90, 100, 50]), np.zeros(16, np.int32)]
+        ).astype(np.int32)
+        pos = rng.randint(0, 12, (S, 2))
+        cos, sin = vision_rotary_cos_sin(jnp.asarray(pos), D)
+        bounds = jnp.asarray(segment_block_bounds(seg, 64, 64))
+        got = fused_vit_attention(
+            qkv, jnp.asarray(seg), cos, sin, bounds, H, D,
+            block_q=64, block_k=64, interpret=True,
+        )
+        q, k, v = jnp.split(qkv.reshape(S, 3, H, D), 3, axis=1)
+        qr, kr = apply_rotary(q[:, 0], k[:, 0], cos, sin)
+        want = mha_reference(
+            qr[None], kr[None], v[:, 0][None], jnp.asarray(seg)[None],
+            jnp.asarray(seg)[None], causal=False, scale=D**-0.5,
+        )[0].reshape(S, H * D)
+        np.testing.assert_allclose(
+            np.asarray(got), np.asarray(want), atol=3e-5, rtol=1e-4
+        )
