@@ -17,3 +17,11 @@ os.environ["VST_ATTN_IMPL"] = "xla"
 import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
+
+import warnings
+
+# CPU backend doesn't support buffer donation; the decode loop donates the KV
+# cache for TPU. Quiet the benign warning in tests.
+warnings.filterwarnings(
+    "ignore", message="Some donated buffers were not usable"
+)

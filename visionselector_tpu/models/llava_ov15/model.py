@@ -152,16 +152,12 @@ class OVEngine:
             v=jnp.pad(v_l, ((0, 0), (0, 0), (0, t_max - t_comp), (0, 0), (0, 0))),
             length=jnp.full((cfg.text.num_hidden_layers, 1), valid_len_i, jnp.int32),
         )
-        tokens = [int(next_token)]
-        tok = next_token
-        for step in range(max_new_tokens - 1):
-            if tokens[-1] in eos_token_ids:
-                break
-            pos = jnp.asarray(valid_len_i + step + rope_delta, jnp.int32)
-            tok, cache, _ = _decode(self.params, cfg, cache, tok, pos)
-            tokens.append(int(tok))
-        if tokens and tokens[-1] in eos_token_ids:
-            tokens = tokens[:-1]
+        from visionselector_tpu.models.qwen25vl.model import _run_decode_loop
+
+        tokens = _run_decode_loop(
+            self.params, cfg, cache, next_token,
+            valid_len_i + rope_delta, eos_token_ids, max_new_tokens,
+        )
 
         sel_idx_np = np.asarray(sel_idx)
         sel_valid_np = np.asarray(sel_valid)

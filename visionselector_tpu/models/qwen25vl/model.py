@@ -308,6 +308,72 @@ def _decode(params, cfg: VLConfig, cache: lm_mod.KVCache, token: jax.Array,
     return jnp.argmax(logits, axis=-1).astype(jnp.int32), cache, logits
 
 
+@functools.partial(jax.jit, static_argnames=("cfg", "max_steps"),
+                   donate_argnums=(2,))
+def _decode_loop(
+    params,
+    cfg: VLConfig,
+    cache: lm_mod.KVCache,
+    first_token: jax.Array,  # [] int32 (from prefill)
+    start_pos: jax.Array,  # [] int32: valid_len + rope_delta
+    eos_ids: jax.Array,  # [n_eos] int32
+    max_steps: int,
+):
+    """Greedy decode fully on device with early EOS exit.
+
+    The reference (and our earlier python loop) dispatches one step per token
+    with a host sync each; a ``while_loop`` keeps the whole decode on device
+    and transfers the token buffer once — removing per-token host round trips
+    (~26 ms each through the axon tunnel; dispatch overhead on any host).
+
+    Returns (tokens [max_steps] int32 — entries past `count` undefined,
+    count []).
+    """
+
+    def cond(state):
+        step, tok, cache, done = state[:4]
+        return (step < max_steps) & jnp.logical_not(done)
+
+    def body(state):
+        step, tok, cache, done, toks = state
+        pos = start_pos + step
+        embed = lm_mod.embed_tokens(params["lm"], tok[None])[None]
+        pos3 = jnp.broadcast_to(pos, (3, 1, 1))
+        hidden, cache = lm_mod.lm_decode_step(
+            params["lm"], cache, embed, pos3, cfg.text
+        )
+        logits = lm_mod.lm_head(params["lm"], hidden[0, 0], cfg.text)
+        tok2 = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+        toks = toks.at[step].set(tok2)
+        done = jnp.any(tok2 == eos_ids)
+        return step + 1, tok2, cache, done, toks
+
+    toks0 = jnp.zeros((max_steps,), jnp.int32)
+    done0 = jnp.any(first_token == eos_ids)
+    step, tok, cache, done, toks = jax.lax.while_loop(
+        cond, body, (jnp.zeros((), jnp.int32), first_token, cache, done0, toks0)
+    )
+    # count excludes a trailing EOS
+    count = step - jnp.where(done & (step > 0), 1, 0)
+    return toks, count
+
+
+def _run_decode_loop(params, cfg, cache, first_token, start_pos, eos_token_ids,
+                     max_new_tokens):
+    """Host wrapper: on-device greedy decode, one transfer for all tokens."""
+    first = int(first_token)
+    if first in eos_token_ids:
+        return []
+    if max_new_tokens <= 1:
+        return [first]
+    eos_arr = jnp.asarray(list(eos_token_ids), jnp.int32)
+    toks, count = _decode_loop(
+        params, cfg, cache, first_token,
+        jnp.asarray(start_pos, jnp.int32), eos_arr, max_new_tokens - 1,
+    )
+    return [first] + np.asarray(toks)[: int(count)].tolist()
+
+
 # ---------------------------------------------------------------------------
 # Host orchestration
 # ---------------------------------------------------------------------------
@@ -505,16 +571,10 @@ class QwenVLEngine:
                     jnp.full((nl - target, 1), keep_valid, jnp.int32),
                 ]),
             )
-            tokens = [int(next_token)]
-            tok = next_token
-            for step in range(max_new_tokens - 1):
-                if tokens[-1] in eos_token_ids:
-                    break
-                pos = jnp.asarray(t_orig + step + rope_delta, jnp.int32)
-                tok, cache, _ = _decode(self.params, cfg, cache, tok, pos)
-                tokens.append(int(tok))
-            if tokens and tokens[-1] in eos_token_ids:
-                tokens = tokens[:-1]
+            tokens = _run_decode_loop(
+                self.params, cfg, cache, next_token,
+                t_orig + rope_delta, eos_token_ids, max_new_tokens,
+            )
             # map retained sequence positions back to vision-token indices
             pos_to_vis = {int(p): j for j, p in enumerate(image_pos)}
             sel_vis = np.asarray(
@@ -588,17 +648,10 @@ class QwenVLEngine:
             ),
         )
 
-        tokens = [int(next_token)]
-        tok = next_token
-        for step in range(max_new_tokens - 1):
-            if tokens[-1] in eos_token_ids:
-                break
-            pos = jnp.asarray(valid_len_i + step + rope_delta, jnp.int32)
-            tok, cache, _ = _decode(self.params, cfg, cache, tok, pos)
-            tokens.append(int(tok))
-
-        if tokens and tokens[-1] in eos_token_ids:
-            tokens = tokens[:-1]
+        tokens = _run_decode_loop(
+            self.params, cfg, cache, next_token,
+            valid_len_i + rope_delta, eos_token_ids, max_new_tokens,
+        )
 
         sel_idx_np = np.asarray(sel_idx)
         sel_valid_np = np.asarray(sel_valid)
