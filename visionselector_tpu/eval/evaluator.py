@@ -68,14 +68,46 @@ class EngineAdapter:
         after = tok.encode(f"{question}<|im_end|>\n<|im_start|>assistant\n")
         return before, after
 
+    @staticmethod
+    def _bucket_key(req: Request) -> int:
+        """Estimated vision-bucket size (reads image dims without decoding) —
+        grouping same-bucket requests avoids shape recompiles (the role of
+        lmms-eval's sort-by-length Collator, ``utils.py:863-927``)."""
+        if req.image_path is None:
+            return 0
+        try:
+            from PIL import Image
+
+            from visionselector_tpu.preprocess.image import (
+                PROCESSOR_MAX_PIXELS,
+                PROCESSOR_MIN_PIXELS,
+                smart_resize,
+            )
+            from visionselector_tpu.preprocess.indices import pick_bucket
+
+            with Image.open(req.image_path) as im:
+                w, h = im.size
+            hb, wb = smart_resize(h, w, factor=28,
+                                  min_pixels=PROCESSOR_MIN_PIXELS,
+                                  max_pixels=PROCESSOR_MAX_PIXELS)
+            return pick_bucket((hb // 14) * (wb // 14),
+                               [512, 1024, 2048, 4096, 8192, 16384])
+        except Exception:  # noqa: BLE001
+            return 1 << 30
+
     def generate_until(self, requests: Sequence[Request],
                        until: Sequence[str] = ("<|im_end|>",)) -> List[str]:
         from visionselector_tpu.preprocess.image import preprocess_image
         from visionselector_tpu.preprocess.rope import expand_vision_tokens
 
         cfg = self.engine.cfg
+        # sort by bucket, run, restore original order (Collator parity)
+        order = sorted(range(len(requests)),
+                       key=lambda i: self._bucket_key(requests[i]))
+        out_by_pos = [None] * len(requests)
         out = []
-        for req in requests:
+        for oi in order:
+            req = requests[oi]
             before, after = self._encode_prompt(req.question)
             if req.video_path is not None:
                 from visionselector_tpu.preprocess.video import process_video
@@ -122,7 +154,7 @@ class EngineAdapter:
             for stop in until:
                 if stop in text:
                     text = text.split(stop)[0]
-            out.append(text.strip())
+            out_by_pos[oi] = text.strip()
 
             if self.eval_time:
                 kept = (
@@ -138,7 +170,7 @@ class EngineAdapter:
                 print(f"Input visual token number is: {kept}")
                 print(f"Generation prefill time is: {res.prefill_seconds * 1e3}")
                 print(f"Generation total time is: {res.total_seconds * 1e3}")
-        return out
+        return out_by_pos
 
 
 def evaluate(
