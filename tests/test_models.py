@@ -302,3 +302,27 @@ class TestPaddedHeads:
         np.testing.assert_allclose(np.asarray(got_q[..., d:]), 0.0)
         np.testing.assert_allclose(np.asarray(got_k[..., :d]),
                                    np.asarray(want_k), atol=1e-5)
+
+
+class TestSampling:
+    def test_temperature_zero_matches_greedy(self, params):
+        img = make_image(seed=31)
+        pixels, grid = preprocess_image(img, min_pixels=1, max_pixels=10**9)
+        ids = expand_vision_tokens([100, 200], [300], grid)
+        eng = QwenVLEngine(CFG, params, use_selector=True, budget=0.5)
+        r1 = eng.generate(ids, pixels, grid, max_new_tokens=4)
+        r2 = eng.generate(ids, pixels, grid, max_new_tokens=4,
+                          temperature=0.0)
+        assert r1.tokens == r2.tokens
+
+    def test_sampling_valid_and_seeded(self, params):
+        img = make_image(seed=32)
+        pixels, grid = preprocess_image(img, min_pixels=1, max_pixels=10**9)
+        ids = expand_vision_tokens([100, 200], [300], grid)
+        eng = QwenVLEngine(CFG, params, use_selector=True, budget=0.5)
+        ra = eng.generate(ids, pixels, grid, max_new_tokens=6,
+                          temperature=1.5, top_p=0.95, seed=7)
+        rb = eng.generate(ids, pixels, grid, max_new_tokens=6,
+                          temperature=1.5, top_p=0.95, seed=7)
+        assert ra.tokens == rb.tokens  # deterministic for fixed seed
+        assert all(0 <= t < CFG.text.vocab_size for t in ra.tokens)

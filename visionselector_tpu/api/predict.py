@@ -36,6 +36,10 @@ def build_parser() -> argparse.ArgumentParser:
                    help="model family (llava_ov15 = RICE ViT + Qwen3 text)")
     p.add_argument("--budget", type=float, default=0.2)
     p.add_argument("--max-new-tokens", type=int, default=64)
+    p.add_argument("--temperature", type=float, default=0.0,
+                   help="0 = greedy; >0 enables top-p sampling")
+    p.add_argument("--top-p", type=float, default=1.0)
+    p.add_argument("--seed", type=int, default=0)
     p.add_argument("--eval-time", action="store_true",
                    help="print timing/memory probes (EVAL_TIME parity)")
     return p
@@ -150,8 +154,13 @@ def main(argv=None) -> int:
             strategy=strategy,
         )
 
+    gen_kwargs = {}
+    if args.family != "llava_ov15":
+        gen_kwargs = dict(temperature=args.temperature, top_p=args.top_p,
+                          seed=args.seed)
     res = engine.generate(
-        input_ids, pixels, grid, max_new_tokens=args.max_new_tokens
+        input_ids, pixels, grid, max_new_tokens=args.max_new_tokens,
+        **gen_kwargs,
     )
 
     text = (

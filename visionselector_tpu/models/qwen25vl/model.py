@@ -308,6 +308,28 @@ def _decode(params, cfg: VLConfig, cache: lm_mod.KVCache, token: jax.Array,
     return jnp.argmax(logits, axis=-1).astype(jnp.int32), cache, logits
 
 
+def _sample_token(logits: jax.Array, key: jax.Array, temperature: jax.Array,
+                  top_p: jax.Array) -> jax.Array:
+    """Greedy when temperature == 0, else nucleus (top-p) sampling.
+
+    Fully branchless so it lives inside the decode while_loop: the top-p mask
+    keeps the smallest prefix of the sorted distribution whose mass reaches
+    top_p (HF nucleus semantics).
+    """
+    greedy = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+    temp = jnp.maximum(temperature, 1e-6)
+    scaled = logits.astype(jnp.float32) / temp
+    probs = jax.nn.softmax(scaled, axis=-1)
+    sort_idx = jnp.argsort(-probs)
+    sorted_probs = probs[sort_idx]
+    cum = jnp.cumsum(sorted_probs)
+    keep = (cum - sorted_probs) < top_p  # always keeps the top token
+    masked = jnp.where(keep, jnp.log(sorted_probs + 1e-20), -jnp.inf)
+    choice = jax.random.categorical(key, masked)
+    sampled = sort_idx[choice].astype(jnp.int32)
+    return jnp.where(temperature > 0.0, sampled, greedy)
+
+
 @functools.partial(jax.jit, static_argnames=("cfg", "max_steps"),
                    donate_argnums=(2,))
 def _decode_loop(
@@ -318,8 +340,11 @@ def _decode_loop(
     start_pos: jax.Array,  # [] int32: valid_len + rope_delta
     eos_ids: jax.Array,  # [n_eos] int32
     max_steps: int,
+    temperature: jax.Array = 0.0,
+    top_p: jax.Array = 1.0,
+    rng_key: jax.Array | None = None,
 ):
-    """Greedy decode fully on device with early EOS exit.
+    """Decode fully on device with early EOS exit (greedy or top-p sampling).
 
     The reference (and our earlier python loop) dispatches one step per token
     with a host sync each; a ``while_loop`` keeps the whole decode on device
@@ -329,13 +354,17 @@ def _decode_loop(
     Returns (tokens [max_steps] int32 — entries past `count` undefined,
     count []).
     """
+    temperature = jnp.asarray(temperature, jnp.float32)
+    top_p = jnp.asarray(top_p, jnp.float32)
+    if rng_key is None:
+        rng_key = jax.random.PRNGKey(0)
 
     def cond(state):
         step, tok, cache, done = state[:4]
         return (step < max_steps) & jnp.logical_not(done)
 
     def body(state):
-        step, tok, cache, done, toks = state
+        step, tok, cache, done, toks, key = state
         pos = start_pos + step
         embed = lm_mod.embed_tokens(params["lm"], tok[None])[None]
         pos3 = jnp.broadcast_to(pos, (3, 1, 1))
@@ -343,15 +372,17 @@ def _decode_loop(
             params["lm"], cache, embed, pos3, cfg.text
         )
         logits = lm_mod.lm_head(params["lm"], hidden[0, 0], cfg.text)
-        tok2 = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+        key, sub = jax.random.split(key)
+        tok2 = _sample_token(logits, sub, temperature, top_p)
         toks = toks.at[step].set(tok2)
         done = jnp.any(tok2 == eos_ids)
-        return step + 1, tok2, cache, done, toks
+        return step + 1, tok2, cache, done, toks, key
 
     toks0 = jnp.zeros((max_steps,), jnp.int32)
     done0 = jnp.any(first_token == eos_ids)
-    step, tok, cache, done, toks = jax.lax.while_loop(
-        cond, body, (jnp.zeros((), jnp.int32), first_token, cache, done0, toks0)
+    step, tok, cache, done, toks, _ = jax.lax.while_loop(
+        cond, body,
+        (jnp.zeros((), jnp.int32), first_token, cache, done0, toks0, rng_key),
     )
     # count excludes a trailing EOS
     count = step - jnp.where(done & (step > 0), 1, 0)
@@ -359,8 +390,8 @@ def _decode_loop(
 
 
 def _run_decode_loop(params, cfg, cache, first_token, start_pos, eos_token_ids,
-                     max_new_tokens):
-    """Host wrapper: on-device greedy decode, one transfer for all tokens."""
+                     max_new_tokens, temperature=0.0, top_p=1.0, seed=0):
+    """Host wrapper: on-device decode, one transfer for all tokens."""
     first = int(first_token)
     if first in eos_token_ids:
         return []
@@ -370,6 +401,8 @@ def _run_decode_loop(params, cfg, cache, first_token, start_pos, eos_token_ids,
     toks, count = _decode_loop(
         params, cfg, cache, first_token,
         jnp.asarray(start_pos, jnp.int32), eos_arr, max_new_tokens - 1,
+        jnp.asarray(temperature, jnp.float32), jnp.asarray(top_p, jnp.float32),
+        jax.random.PRNGKey(seed),
     )
     return [first] + np.asarray(toks)[: int(count)].tolist()
 
@@ -438,6 +471,9 @@ class QwenVLEngine:
         pixel_values_videos: Optional[np.ndarray] = None,
         video_grid_thw: Optional[np.ndarray] = None,
         second_per_grid_ts: Optional[np.ndarray] = None,
+        temperature: float = 0.0,
+        top_p: float = 1.0,
+        seed: int = 0,
         timer: Optional[Any] = None,
     ) -> GenerationResult:
         """Greedy generation for one sample.
@@ -574,6 +610,7 @@ class QwenVLEngine:
             tokens = _run_decode_loop(
                 self.params, cfg, cache, next_token,
                 t_orig + rope_delta, eos_token_ids, max_new_tokens,
+                temperature, top_p, seed,
             )
             # map retained sequence positions back to vision-token indices
             pos_to_vis = {int(p): j for j, p in enumerate(image_pos)}
@@ -651,6 +688,7 @@ class QwenVLEngine:
         tokens = _run_decode_loop(
             self.params, cfg, cache, next_token,
             valid_len_i + rope_delta, eos_token_ids, max_new_tokens,
+            temperature, top_p, seed,
         )
 
         sel_idx_np = np.asarray(sel_idx)
