@@ -173,3 +173,21 @@ class TestCheckData:
         assert any("missing image" in m for m in msgs)
         assert any("empty conversations" in m for m in msgs)
         assert len(problems) == 2
+
+
+class TestOVEvalFamily:
+    def test_run_eval_ov_family(self, tmp_path):
+        """BASELINE config 3 surface: OV selector through the eval harness."""
+        data_dir = TestTasks().make_data(tmp_path, n=2)
+        out_dir = str(tmp_path / "ov_results")
+        from visionselector_tpu.api.run_eval import main
+
+        rc = main([
+            "--data-dir", data_dir, "--tasks", "chartqa",
+            "--method", "selector", "--budgets", "0.5", "--limit", "1",
+            "--output-dir", out_dir, "--family", "llava_ov15",
+        ])
+        assert rc == 0
+        with open(os.path.join(out_dir, "selector_0.5_rank0.json")) as f:
+            res = json.load(f)
+        assert "chartqa/relaxed_accuracy" in res["results"]

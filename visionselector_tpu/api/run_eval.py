@@ -26,6 +26,8 @@ def build_parser():
     p.add_argument("--data-dir", required=True)
     p.add_argument("--tasks", required=True, help="comma-separated task names")
     p.add_argument("--method", default="selector")
+    p.add_argument("--family", default="qwen25vl",
+                   choices=("qwen25vl", "llava_ov15"))
     p.add_argument("--budgets", default="0.2", help="comma-separated ratios")
     p.add_argument("--limit", type=int, default=None)
     p.add_argument("--output-dir", default="eval_results")
@@ -44,7 +46,28 @@ def main(argv=None) -> int:
     from visionselector_tpu.eval.evaluator import EngineAdapter, evaluate
     from visionselector_tpu.models.qwen25vl.model import QwenVLEngine, init_params
 
-    if args.model_path:
+    tokenizer = None
+    if args.family == "llava_ov15":
+        from visionselector_tpu.models.llava_ov15.model import (
+            OVEngine,
+            init_ov_params,
+        )
+
+        if args.model_path:
+            from visionselector_tpu.models.llava_ov15.weights import (
+                load_ov_checkpoint,
+                ov_config_from_hf,
+            )
+
+            cfg = ov_config_from_hf(args.model_path)
+            params = load_ov_checkpoint(args.model_path, cfg)
+            tokenizer = load_tokenizer(args.model_path)
+        else:
+            from visionselector_tpu.core.config import llava_ov_tiny
+
+            cfg = llava_ov_tiny()
+            params = init_ov_params(jax.random.PRNGKey(0), cfg)
+    elif args.model_path:
         from visionselector_tpu.models.qwen25vl.weights import (
             config_from_hf,
             load_hf_checkpoint,
@@ -56,7 +79,6 @@ def main(argv=None) -> int:
     else:
         cfg = qwen25vl_tiny()
         params = init_params(jax.random.PRNGKey(0), cfg)
-        tokenizer = None
     if tokenizer is None:
         class _IdTokenizer:  # smoke mode: ids-as-text
             def encode(self, s):
@@ -76,12 +98,19 @@ def main(argv=None) -> int:
         strategy = get_baseline(args.method)
 
     for budget in [float(b) for b in args.budgets.split(",")]:
-        engine = QwenVLEngine(
-            cfg, params,
-            use_selector=(args.method == "selector"),
-            budget=budget,
-            strategy=strategy,
-        )
+        if args.family == "llava_ov15":
+            assert strategy is None, "OV training-free baselines land in r2"
+            engine = OVEngine(
+                cfg, params, use_selector=(args.method == "selector"),
+                budget=budget,
+            )
+        else:
+            engine = QwenVLEngine(
+                cfg, params,
+                use_selector=(args.method == "selector"),
+                budget=budget,
+                strategy=strategy,
+            )
         adapter = EngineAdapter(engine, tokenizer)
         results = evaluate(
             adapter, tasks, args.data_dir, limit=args.limit,

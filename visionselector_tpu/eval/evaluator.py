@@ -138,7 +138,12 @@ class EngineAdapter:
                 from PIL import Image
 
                 image = Image.open(req.image_path)
-                pixels, grid = preprocess_image(image)
+                pixels, grid = preprocess_image(
+                    image,
+                    patch_size=cfg.vision.patch_size,
+                    temporal_patch_size=cfg.vision.temporal_patch_size,
+                    merge_size=cfg.vision.spatial_merge_size,
+                )
                 input_ids = expand_vision_tokens(
                     before, after, grid,
                     spatial_merge_size=cfg.vision.spatial_merge_size,
