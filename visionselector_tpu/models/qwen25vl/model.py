@@ -312,22 +312,26 @@ def _sample_token(logits: jax.Array, key: jax.Array, temperature: jax.Array,
                   top_p: jax.Array) -> jax.Array:
     """Greedy when temperature == 0, else nucleus (top-p) sampling.
 
-    Fully branchless so it lives inside the decode while_loop: the top-p mask
-    keeps the smallest prefix of the sorted distribution whose mass reaches
-    top_p (HF nucleus semantics).
-    """
-    greedy = jnp.argmax(logits, axis=-1).astype(jnp.int32)
-    temp = jnp.maximum(temperature, 1e-6)
-    scaled = logits.astype(jnp.float32) / temp
-    probs = jax.nn.softmax(scaled, axis=-1)
-    sort_idx = jnp.argsort(-probs)
-    sorted_probs = probs[sort_idx]
-    cum = jnp.cumsum(sorted_probs)
-    keep = (cum - sorted_probs) < top_p  # always keeps the top token
-    masked = jnp.where(keep, jnp.log(sorted_probs + 1e-20), -jnp.inf)
-    choice = jax.random.categorical(key, masked)
-    sampled = sort_idx[choice].astype(jnp.int32)
-    return jnp.where(temperature > 0.0, sampled, greedy)
+    ``lax.cond`` keeps the vocab-size argsort out of the greedy path (it runs
+    only when sampling is enabled); the top-p mask keeps the smallest prefix
+    of the sorted distribution whose mass reaches top_p (HF nucleus
+    semantics)."""
+
+    def greedy(_):
+        return jnp.argmax(logits, axis=-1).astype(jnp.int32)
+
+    def sample(_):
+        temp = jnp.maximum(temperature, 1e-6)
+        probs = jax.nn.softmax(logits.astype(jnp.float32) / temp, axis=-1)
+        sort_idx = jnp.argsort(-probs)
+        sorted_probs = probs[sort_idx]
+        cum = jnp.cumsum(sorted_probs)
+        keep = (cum - sorted_probs) < top_p  # always keeps the top token
+        masked = jnp.where(keep, jnp.log(sorted_probs + 1e-20), -jnp.inf)
+        choice = jax.random.categorical(key, masked)
+        return sort_idx[choice].astype(jnp.int32)
+
+    return jax.lax.cond(temperature > 0.0, sample, greedy, None)
 
 
 @functools.partial(jax.jit, static_argnames=("cfg", "max_steps"),
