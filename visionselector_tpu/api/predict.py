@@ -20,7 +20,11 @@ import sys
 import numpy as np
 
 METHODS = ("orig", "selector", "visionzip", "prumerge_plus", "divprune",
-           "holov", "fastv", "dart", "random")
+           "holov", "fastv", "dart", "dynamic", "random",
+           # reference CLI spellings (qwen-evaluation/predict.py:90-119)
+           "visionzip_official", "prumerge+")
+# reference name -> registry name
+METHOD_ALIASES = {"visionzip_official": "visionzip", "prumerge+": "prumerge_plus"}
 
 
 def build_parser() -> argparse.ArgumentParser:
@@ -67,7 +71,12 @@ def chat_prompt_ids(tokenizer, prompt: str):
 
 
 def main(argv=None) -> int:
+    import os
+
     args = build_parser().parse_args(argv)
+    args.method = METHOD_ALIASES.get(args.method, args.method)
+    if os.environ.get("EVAL_TIME", "").lower() == "true":
+        args.eval_time = True  # reference env-var contract (SURVEY.md §5.1)
 
     import jax
 
