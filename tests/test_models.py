@@ -326,3 +326,24 @@ class TestSampling:
                           temperature=1.5, top_p=0.95, seed=7)
         assert ra.tokens == rb.tokens  # deterministic for fixed seed
         assert all(0 <= t < CFG.text.vocab_size for t in ra.tokens)
+
+
+class TestBucketInvariance:
+    def test_generation_identical_across_vision_buckets(self, params):
+        """End-to-end: the generated tokens and selected indices must not
+        depend on the padding bucket the image lands in."""
+        img = make_image(seed=41)
+        pixels, grid = preprocess_image(img, min_pixels=1, max_pixels=10**9)
+        ids = expand_vision_tokens([100, 200], [300], grid)
+        s = pixels.shape[0]
+
+        res = []
+        for buckets in ([s], [s * 2], [s * 4]):
+            eng = QwenVLEngine(CFG, params, use_selector=True, budget=0.3,
+                               vision_buckets=tuple(buckets))
+            res.append(eng.generate(ids, pixels, grid, max_new_tokens=4))
+        for r in res[1:]:
+            assert r.tokens == res[0].tokens
+            np.testing.assert_array_equal(
+                r.selected_indices, res[0].selected_indices
+            )
