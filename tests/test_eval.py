@@ -191,3 +191,89 @@ class TestOVEvalFamily:
         with open(os.path.join(out_dir, "selector_0.5_rank0.json")) as f:
             res = json.load(f)
         assert "chartqa/relaxed_accuracy" in res["results"]
+
+
+class TestShardedAggregation:
+    """Padded duplicates are never scored; merged rank results == single-run
+    (lmms-eval semantics, ``evaluator.py:442-476``)."""
+
+    @staticmethod
+    def _predict(r):
+        return r.answers[0] if r.doc_id % 2 == 0 else "wrong"
+
+    def test_padding_excluded_and_merge_matches_single_process(self, tmp_path):
+        from visionselector_tpu.eval.evaluator import merge_results
+        from visionselector_tpu.eval.tasks import aggregate_scores
+
+        data_dir = TestTasks().make_data(tmp_path, n=10)
+        task = TASKS["chartqa"]
+        reqs = load_task_docs(task, data_dir)
+        ref = aggregate_scores(task, [self._predict(r) for r in reqs], reqs)
+
+        logs = []
+        n_padded = 0
+        for rank in range(4):
+            shard = shard_requests(reqs, rank, 4)
+            n_padded += sum(r.is_padding for r in shard)
+            agg = aggregate_scores(
+                task, [self._predict(r) for r in shard], shard
+            )
+            # rank-local count excludes padding
+            assert agg["chartqa/n"] == float(
+                sum(not r.is_padding for r in shard)
+            )
+            path = tmp_path / f"samples_rank{rank}.jsonl"
+            with open(path, "w") as f:
+                for r in shard:
+                    f.write(json.dumps({
+                        "task": "chartqa", "doc_id": r.doc_id,
+                        "question": r.question, "answers": r.answers,
+                        "prediction": self._predict(r),
+                        "is_padding": r.is_padding,
+                    }) + "\n")
+            logs.append(str(path))
+        assert n_padded == 2  # 10 docs over 4 ranks -> 2 pad rows
+
+        merged = merge_results(logs)
+        assert merged["chartqa/n"] == 10.0
+        assert merged["chartqa/relaxed_accuracy"] == \
+            ref["chartqa/relaxed_accuracy"]
+
+
+class TestMixedRequests:
+    def make_mixed_data(self, tmp_path):
+        from PIL import Image
+
+        rng = np.random.RandomState(3)
+        for name in ("a.png", "b.png"):
+            Image.fromarray(
+                (rng.rand(56, 56, 3) * 255).astype(np.uint8)
+            ).save(tmp_path / name)
+        with open(tmp_path / "mme.jsonl", "w") as f:
+            f.write(json.dumps({  # multi-image doc (MMMU-style)
+                "question": "Compare the two images.",
+                "answers": ["yes"], "images": ["a.png", "b.png"],
+            }) + "\n")
+            f.write(json.dumps({  # text-only doc
+                "question": "Is 2 + 2 = 4?", "answers": ["yes"],
+            }) + "\n")
+        return str(tmp_path)
+
+    def test_multi_image_and_text_only_through_harness(self, tmp_path):
+        data_dir = self.make_mixed_data(tmp_path)
+        reqs = load_task_docs(TASKS["mme"], data_dir)
+        assert len(reqs[0].image_paths) == 2
+        assert reqs[1].image_paths == []
+
+        out_dir = str(tmp_path / "results")
+        from visionselector_tpu.api.run_eval import main
+
+        rc = main([
+            "--data-dir", data_dir, "--tasks", "mme",
+            "--method", "selector", "--budgets", "0.5",
+            "--output-dir", out_dir,
+        ])
+        assert rc == 0
+        with open(os.path.join(out_dir, "selector_0.5_rank0.json")) as f:
+            res = json.load(f)
+        assert res["results"]["mme/n"] == 2.0

@@ -347,3 +347,19 @@ class TestBucketInvariance:
             np.testing.assert_array_equal(
                 r.selected_indices, res[0].selected_indices
             )
+
+
+class TestTextOnly:
+    def test_generate_text_only(self, params):
+        """No vision branch: plain causal prefill + decode (reference stock
+        LM path for imageless mme/scienceqa docs)."""
+        ids = np.asarray([100, 200, 300, 400, 500], np.int64)
+        eng = QwenVLEngine(CFG, params, use_selector=True, budget=0.25)
+        res = eng.generate(ids, max_new_tokens=4)
+        assert res.num_vision_tokens == 0
+        assert res.selected_indices is None
+        assert res.prefill_len == len(ids)
+        assert 1 <= len(res.tokens) <= 4
+        # deterministic greedy
+        res2 = eng.generate(ids, max_new_tokens=4)
+        assert res.tokens == res2.tokens

@@ -34,11 +34,36 @@ def build_parser():
     p.add_argument("--rank", type=int, default=0)
     p.add_argument("--world-size", type=int, default=1)
     p.add_argument("--max-new-tokens", type=int, default=None)
+    p.add_argument("--merge", action="store_true",
+                   help="merge per-rank sample logs in --output-dir (run "
+                        "after all ranks finish) — each doc scored once")
     return p
 
 
 def main(argv=None) -> int:
     args = build_parser().parse_args(argv)
+
+    if args.merge:
+        import glob
+
+        from visionselector_tpu.eval.evaluator import merge_results
+
+        for budget in [float(b) for b in args.budgets.split(",")]:
+            logs = sorted(glob.glob(os.path.join(
+                args.output_dir, f"samples_{args.method}_{budget}_rank*.jsonl"
+            )))
+            if not logs:
+                continue
+            merged = merge_results(logs)
+            out_path = os.path.join(
+                args.output_dir, f"merged_{args.method}_{budget}.json"
+            )
+            with open(out_path, "w") as f:
+                json.dump({"method": args.method, "budget": budget,
+                           "results": merged, "ranks": len(logs)}, f, indent=2)
+            print(json.dumps({"budget": budget, **merged}))
+        return 0
+
     import jax
 
     from visionselector_tpu.api.predict import load_tokenizer

@@ -85,13 +85,15 @@ class EngineAdapter:
             )
             from visionselector_tpu.preprocess.indices import pick_bucket
 
-            with Image.open(req.image_path) as im:
-                w, h = im.size
-            hb, wb = smart_resize(h, w, factor=28,
-                                  min_pixels=PROCESSOR_MIN_PIXELS,
-                                  max_pixels=PROCESSOR_MAX_PIXELS)
-            return pick_bucket((hb // 14) * (wb // 14),
-                               [512, 1024, 2048, 4096, 8192, 16384])
+            total = 0
+            for path in req.image_paths:
+                with Image.open(path) as im:
+                    w, h = im.size
+                hb, wb = smart_resize(h, w, factor=28,
+                                      min_pixels=PROCESSOR_MIN_PIXELS,
+                                      max_pixels=PROCESSOR_MAX_PIXELS)
+                total += (hb // 14) * (wb // 14)
+            return pick_bucket(total, [512, 1024, 2048, 4096, 8192, 16384])
         except Exception:  # noqa: BLE001
             return 1 << 30
 
@@ -132,18 +134,33 @@ class EngineAdapter:
                     second_per_grid_ts=np.array([spg]),
                     max_new_tokens=req.task.max_new_tokens,
                 )
+            elif req.image_path is None:
+                # Text-only request (mme/scienceqa contain some): no vision
+                # branch; the engine prefills over the plain token sequence.
+                input_ids = np.concatenate([before, after]).astype(np.int64)
+                res = self.engine.generate(
+                    input_ids, max_new_tokens=req.task.max_new_tokens,
+                )
             else:
-                if req.image_path is None:
-                    raise NotImplementedError("text-only requests not wired")
                 from PIL import Image
 
-                image = Image.open(req.image_path)
-                pixels, grid = preprocess_image(
-                    image,
-                    patch_size=cfg.vision.patch_size,
-                    temporal_patch_size=cfg.vision.temporal_patch_size,
-                    merge_size=cfg.vision.spatial_merge_size,
-                )
+                # One or several images (MMMU docs are multi-image): each is
+                # preprocessed independently, pixel rows concatenated, one grid
+                # row per image — mirroring the HF processor's batched call
+                # (``qwen25vl/processing_qwen2_5_vl.py:48-219``).
+                pixel_list, grid_list = [], []
+                for path in req.image_paths:
+                    image = Image.open(path)
+                    px, g = preprocess_image(
+                        image,
+                        patch_size=cfg.vision.patch_size,
+                        temporal_patch_size=cfg.vision.temporal_patch_size,
+                        merge_size=cfg.vision.spatial_merge_size,
+                    )
+                    pixel_list.append(px)
+                    grid_list.append(g)
+                pixels = np.concatenate(pixel_list, axis=0)
+                grid = np.concatenate(grid_list, axis=0)
                 input_ids = expand_vision_tokens(
                     before, after, grid,
                     spatial_merge_size=cfg.vision.spatial_merge_size,
@@ -202,7 +219,8 @@ def evaluate(
             for r, p in zip(requests, preds):
                 samples_log.append(
                     {"task": name, "doc_id": r.doc_id, "question": r.question,
-                     "answers": r.answers, "prediction": p}
+                     "answers": r.answers, "prediction": p,
+                     "is_padding": r.is_padding}
                 )
     if adapter.eval_time:
         results.update(adapter.stats.summary())
@@ -210,4 +228,41 @@ def evaluate(
         with open(log_samples_path, "w") as f:
             for s in samples_log:
                 f.write(json.dumps(s) + "\n")
+    return results
+
+
+def merge_results(sample_log_paths: Sequence[str]) -> Dict[str, float]:
+    """Combine per-rank sample logs into one aggregate, each doc counted once.
+
+    The lmms-eval equivalent gathers rank results and drops the tracked
+    padding requests before scoring (``lmms-eval/lmms_eval/evaluator.py:
+    442-476``); here the per-rank jsonl sample logs (written by ``evaluate``
+    with ``log_samples_path``) are deduplicated by (task, doc_id) — padding
+    rows and accidental double-runs alike — and rescored.
+    """
+    from visionselector_tpu.eval.tasks import TASKS, Request, aggregate_scores
+
+    by_task: Dict[str, Dict[int, dict]] = {}
+    for path in sample_log_paths:
+        with open(path) as f:
+            for line in f:
+                rec = json.loads(line)
+                if rec.get("is_padding"):
+                    continue
+                by_task.setdefault(rec["task"], {}).setdefault(
+                    rec["doc_id"], rec
+                )
+    results: Dict[str, float] = {}
+    for name, docs in by_task.items():
+        task = TASKS[name]
+        requests, preds = [], []
+        for doc_id in sorted(docs):
+            rec = docs[doc_id]
+            requests.append(
+                Request(doc_id=doc_id, question=rec["question"],
+                        answers=[str(a) for a in rec["answers"]],
+                        image_path=None, task=task)
+            )
+            preds.append(rec["prediction"])
+        results.update(aggregate_scores(task, preds, requests))
     return results

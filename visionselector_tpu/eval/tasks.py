@@ -59,9 +59,19 @@ class Request:
     doc_id: int
     question: str
     answers: List[str]
-    image_path: Optional[str]
+    image_path: Optional[str]  # first image (None for text-only/video docs)
     task: TaskConfig
     video_path: Optional[str] = None  # frame dir / .npy / video file
+    extra_image_paths: List[str] = dataclasses.field(default_factory=list)
+    # Rank-padding marker: duplicated requests appended so every rank runs the
+    # same count (SPMD) are generated but NEVER scored — lmms-eval tracks its
+    # padding_requests the same way (``evaluator.py:442-473``).
+    is_padding: bool = False
+
+    @property
+    def image_paths(self) -> List[str]:
+        paths = [self.image_path] if self.image_path else []
+        return paths + list(self.extra_image_paths)
 
 
 def load_task_docs(task: TaskConfig, data_dir: str,
@@ -77,14 +87,19 @@ def load_task_docs(task: TaskConfig, data_dir: str,
             answers = doc.get("answers") or [doc.get("answer", "")]
             if isinstance(answers, str):
                 answers = [answers]
-            img = doc.get("image")
+            # "image": str | "images": [str, ...] (multi-image docs, e.g. MMMU)
+            imgs = doc.get("images") or ([doc["image"]] if doc.get("image") else [])
+            if isinstance(imgs, str):
+                imgs = [imgs]
+            imgs = [os.path.join(data_dir, p) for p in imgs]
             vid = doc.get("video")
             requests.append(
                 Request(
                     doc_id=i,
                     question=doc["question"] + task.prompt_suffix,
                     answers=[str(a) for a in answers],
-                    image_path=os.path.join(data_dir, img) if img else None,
+                    image_path=imgs[0] if imgs else None,
+                    extra_image_paths=imgs[1:],
                     video_path=os.path.join(data_dir, vid) if vid else None,
                     task=task,
                 )
@@ -101,7 +116,9 @@ def shard_requests(requests: Sequence[Request], rank: int,
     per_rank = -(-len(requests) // world_size)
     shard = list(requests[rank::world_size])
     while len(shard) < per_rank and requests:
-        shard.append(requests[rank % len(requests)])
+        shard.append(
+            dataclasses.replace(requests[rank % len(requests)], is_padding=True)
+        )
     return shard
 
 
@@ -114,13 +131,16 @@ def score_request(req: Request, prediction: str) -> float:
 
 def aggregate_scores(task: TaskConfig, preds: List[str],
                      requests: List[Request]) -> Dict[str, float]:
-    scores = [score_request(r, p) for r, p in zip(requests, preds)]
+    pairs = [(r, p) for r, p in zip(requests, preds) if not r.is_padding]
+    scores = [score_request(r, p) for r, p in pairs]
     out = {
         f"{task.name}/{task.metric}": M.mean(scores),
         f"{task.name}/stderr": M.bootstrap_stderr(scores),
         f"{task.name}/n": float(len(scores)),
     }
     if task.aggregate == "pope":
-        pope = M.pope_aggregate(preds, [r.answers[0] for r in requests])
+        pope = M.pope_aggregate(
+            [p for _, p in pairs], [r.answers[0] for r, _ in pairs]
+        )
         out.update({f"{task.name}/{k}": v for k, v in pope.items()})
     return out

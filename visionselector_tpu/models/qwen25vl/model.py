@@ -136,6 +136,28 @@ def _prefill(
 
 
 @functools.partial(jax.jit, static_argnames=("cfg",))
+def _prefill_text(
+    params: dict,
+    cfg: VLConfig,
+    input_ids: jax.Array,  # [T_pad] right-padded with pad rows
+    position_ids: jax.Array,  # [3, T_pad]
+    seg_ids: jax.Array,  # [T_pad] int32 (1 valid / 0 pad)
+    valid_len: jax.Array,  # scalar
+):
+    """Causal prefill with no vision branch (text-only requests —
+    mme/scienceqa docs without an image; reference runs the stock LM path)."""
+    embeds = lm_mod.embed_tokens(params["lm"], input_ids)
+    hidden, (k_layers, v_layers) = lm_mod.lm_prefill(
+        params["lm"], embeds[None], position_ids[:, None, :],
+        seg_ids[None], cfg.text,
+    )
+    last = hidden[0, valid_len - 1]
+    logits = lm_mod.lm_head(params["lm"], last, cfg.text)
+    next_token = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+    return next_token, (k_layers, v_layers), logits
+
+
+@functools.partial(jax.jit, static_argnames=("cfg",))
 def _vision_stats(params, cfg: VLConfig, pixel_values, rot_pos_ids,
                   window_seg_ids, full_seg_ids, reverse_index):
     """ViT forward with last-block attention stats (baseline methods)."""
@@ -503,9 +525,43 @@ class QwenVLEngine:
             assert pixel_values is None, "mixed image+video not wired yet"
             pixel_values = pixel_values_videos
             grid_thw = video_grid_thw
-        assert pixel_values is not None and grid_thw is not None, (
-            "text-only path not wired yet"
-        )
+
+        if pixel_values is None:
+            # Text-only request: plain causal prefill, 1D rope on all 3 axes.
+            t_bucket = pick_bucket(t_orig, list(self.text_buckets))
+            t_bucket += (-t_bucket) % 128
+            ids_padded = np.zeros(t_bucket, np.int64)
+            ids_padded[:t_orig] = input_ids
+            pos = np.zeros((3, t_bucket), np.int64)
+            pos[:, :t_orig] = np.tile(np.arange(t_orig), (3, 1))
+            seg = (np.arange(t_bucket) < t_orig).astype(np.int32)
+            next_token, (k_l, v_l), _ = _prefill_text(
+                self.params, cfg, jnp.asarray(ids_padded), jnp.asarray(pos),
+                jnp.asarray(seg), jnp.asarray(t_orig),
+            )
+            next_token.block_until_ready()
+            t_prefill = time.perf_counter() - t_start
+            t_max = t_bucket + max_new_tokens
+            cache = lm_mod.KVCache(
+                k=jnp.pad(k_l, ((0, 0), (0, 0), (0, t_max - t_bucket),
+                                (0, 0), (0, 0))),
+                v=jnp.pad(v_l, ((0, 0), (0, 0), (0, t_max - t_bucket),
+                                (0, 0), (0, 0))),
+                length=jnp.full(
+                    (cfg.text.num_hidden_layers, 1), t_orig, jnp.int32
+                ),
+            )
+            tokens = _run_decode_loop(
+                self.params, cfg, cache, next_token, t_orig, eos_token_ids,
+                max_new_tokens, temperature, top_p, seed,
+            )
+            return GenerationResult(
+                tokens=tokens, selected_indices=None, num_vision_tokens=0,
+                prefill_len=t_orig, prefill_seconds=t_prefill,
+                total_seconds=time.perf_counter() - t_start,
+            )
+
+        assert grid_thw is not None
         vision_token_id = cfg.video_token_id if is_video else cfg.image_token_id
 
         merge_unit = cfg.vision.spatial_merge_unit
