@@ -175,3 +175,25 @@ class TestPackedTrainSample:
         np.testing.assert_allclose(
             float(metrics["soft_mass"]), float(sample.k), rtol=0.05
         )
+
+
+class TestOVTrainCLI:
+    def test_ov_family_smoke_run(self, tmp_path, capsys):
+        """--family llava_ov15 parity with the OV selector SFT entry
+        (``llava-ov-15/src/train/train_sft_visionselector.py``)."""
+        from visionselector_tpu.api.train import main
+
+        out = str(tmp_path / "ov_run")
+        rc = main([
+            "--output-dir", out, "--smoke", "--total-steps", "2",
+            "--batch-size", "2", "--save-steps", "2", "--log-steps", "1",
+            "--budget", "0.25", "--family", "llava_ov15",
+            "--reg-weight-end", "3.0",
+        ])
+        assert rc == 0
+        assert os.path.exists(os.path.join(out, "checkpoint-2"))
+        assert os.path.exists(os.path.join(out, "importance_scorer.safetensors"))
+        lines = [l for l in capsys.readouterr().out.splitlines()
+                 if l.startswith("{")]
+        metrics = json.loads(lines[-1])
+        assert np.isfinite(metrics["loss"])

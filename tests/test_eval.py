@@ -277,3 +277,21 @@ class TestMixedRequests:
         with open(os.path.join(out_dir, "selector_0.5_rank0.json")) as f:
             res = json.load(f)
         assert res["results"]["mme/n"] == 2.0
+
+
+class TestOVBaselineEval:
+    def test_run_eval_ov_fastv(self, tmp_path):
+        """VERDICT r1 item 4: OV training-free baselines through the harness."""
+        data_dir = TestTasks().make_data(tmp_path, n=2)
+        out_dir = str(tmp_path / "ov_fastv")
+        from visionselector_tpu.api.run_eval import main
+
+        rc = main([
+            "--data-dir", data_dir, "--tasks", "chartqa",
+            "--method", "fastv", "--budgets", "0.5", "--limit", "1",
+            "--output-dir", out_dir, "--family", "llava_ov15",
+        ])
+        assert rc == 0
+        with open(os.path.join(out_dir, "fastv_0.5_rank0.json")) as f:
+            res = json.load(f)
+        assert "chartqa/relaxed_accuracy" in res["results"]

@@ -306,3 +306,64 @@ class TestOVWeights:
         eng = OVEngine(CFG, loaded, use_selector=False)
         res = eng.generate(ids, pixels, grid, max_new_tokens=2)
         assert len(res.tokens) >= 1
+
+
+class TestOVBaselines:
+    """OV training-free compression parity
+    (``llava-ov-15/compression_method/{fastv,dart,visionzip,divprune}.py``)."""
+
+    def _generate(self, params, method, budget=0.3):
+        from visionselector_tpu.selector.baselines import get_baseline
+
+        pixels, grid = make_pixels(seed=5)
+        ids = expand_vision_tokens(
+            [100, 200], [300, 400], grid,
+            image_token_id=CFG.image_token_id,
+            vision_start_token_id=CFG.vision_start_token_id,
+            vision_end_token_id=CFG.vision_end_token_id,
+        )
+        n = pixels.shape[0] // CFG.vision.spatial_merge_unit
+        eng = OVEngine(CFG, params, budget=budget,
+                       strategy=get_baseline(method))
+        return eng.generate(ids, pixels, grid, max_new_tokens=2), n
+
+    @pytest.mark.parametrize("method", ["visionzip", "divprune"])
+    def test_vit_side_methods(self, params, method):
+        res, n = self._generate(params, method)
+        assert res.selected_indices is not None
+        assert 1 <= len(res.selected_indices) <= int(n * 0.3) + 2
+        assert res.selected_indices.max() < n
+        assert len(res.tokens) >= 1
+
+    @pytest.mark.parametrize("method", ["fastv", "dart"])
+    def test_llm_side_methods(self, params, method):
+        res, n = self._generate(params, method)
+        assert res.selected_indices is not None
+        assert res.selected_indices.max() < n
+        assert len(res.tokens) >= 1
+
+    def test_fastv_keeps_budget_count(self, params):
+        res, n = self._generate(params, "fastv", budget=0.25)
+        assert len(res.selected_indices) == max(1, int(n * 0.25))
+
+    def test_sampling_knobs(self, params):
+        """temperature/top_p/seed parity with the Qwen engine."""
+        pixels, grid = make_pixels(seed=9)
+        ids = expand_vision_tokens(
+            [100], [400], grid,
+            image_token_id=CFG.image_token_id,
+            vision_start_token_id=CFG.vision_start_token_id,
+            vision_end_token_id=CFG.vision_end_token_id,
+        )
+        eng = OVEngine(CFG, params, budget=0.5)
+        r1 = eng.generate(ids, pixels, grid, max_new_tokens=6,
+                          temperature=1.5, top_p=0.9, seed=1)
+        r2 = eng.generate(ids, pixels, grid, max_new_tokens=6,
+                          temperature=1.5, top_p=0.9, seed=1)
+        assert r1.tokens == r2.tokens  # same seed -> same sample
+
+    def test_text_only(self, params):
+        eng = OVEngine(CFG, params)
+        res = eng.generate(np.asarray([100, 200, 300]), max_new_tokens=3)
+        assert res.num_vision_tokens == 0
+        assert len(res.tokens) >= 1

@@ -124,10 +124,9 @@ def main(argv=None) -> int:
 
     for budget in [float(b) for b in args.budgets.split(",")]:
         if args.family == "llava_ov15":
-            assert strategy is None, "OV training-free baselines land in r2"
             engine = OVEngine(
                 cfg, params, use_selector=(args.method == "selector"),
-                budget=budget,
+                budget=budget, strategy=strategy,
             )
         else:
             engine = QwenVLEngine(

@@ -44,6 +44,10 @@ def build_parser():
     p.add_argument("--seed", type=int, default=42)
     p.add_argument("--smoke", action="store_true",
                    help="tiny random model + synthetic data (CI)")
+    p.add_argument("--family", default="qwen25vl",
+                   choices=("qwen25vl", "llava_ov15"),
+                   help="model family (OV selector SFT parity: "
+                        "llava-ov-15/src/train/train_sft_visionselector.py)")
     return p
 
 
@@ -67,19 +71,38 @@ def main(argv=None) -> int:
         train_step,
     )
 
+    is_ov = args.family == "llava_ov15"
     if args.smoke or not args.model_path:
-        cfg = qwen25vl_tiny()
-        params = init_params(jax.random.PRNGKey(args.seed), cfg)
+        if is_ov:
+            from visionselector_tpu.core.config import llava_ov_tiny
+            from visionselector_tpu.models.llava_ov15.model import (
+                init_ov_params,
+            )
+
+            cfg = llava_ov_tiny()
+            params = init_ov_params(jax.random.PRNGKey(args.seed), cfg)
+        else:
+            cfg = qwen25vl_tiny()
+            params = init_params(jax.random.PRNGKey(args.seed), cfg)
         args.vision_bucket = min(args.vision_bucket, 128)
         args.text_bucket = min(args.text_bucket, 128)
     else:
-        from visionselector_tpu.models.qwen25vl.weights import (
-            config_from_hf,
-            load_hf_checkpoint,
-        )
+        if is_ov:
+            from visionselector_tpu.models.llava_ov15.weights import (
+                load_ov_checkpoint,
+                ov_config_from_hf,
+            )
 
-        cfg = config_from_hf(args.model_path)
-        params = load_hf_checkpoint(args.model_path, cfg)
+            cfg = ov_config_from_hf(args.model_path)
+            params = load_ov_checkpoint(args.model_path, cfg)
+        else:
+            from visionselector_tpu.models.qwen25vl.weights import (
+                config_from_hf,
+                load_hf_checkpoint,
+            )
+
+            cfg = config_from_hf(args.model_path)
+            params = load_hf_checkpoint(args.model_path, cfg)
         if "scorer" not in params:
             from visionselector_tpu.selector.scorer import init_scorer_params
 
@@ -103,12 +126,31 @@ def main(argv=None) -> int:
                 args.model_path, local_files_only=True
             )
             ds = ConversationDataset(args.annotation, args.image_root, tokenizer)
+            if is_ov:
+                from visionselector_tpu.train.ov_loss import (
+                    build_ov_sample_from_record,
+                )
+
+                builder = build_ov_sample_from_record
+            else:
+                builder = build_sample_from_record
             i = 0
             while True:
                 rec = ds[i % len(ds)]
                 i += 1
-                yield build_sample_from_record(
+                yield builder(
                     cfg, rec, args.budget, args.vision_bucket, args.text_bucket
+                )
+        elif is_ov:  # synthetic smoke data (OV family)
+            from visionselector_tpu.train.ov_loss import build_ov_train_sample
+
+            while True:
+                img = (rng.rand(56, 56, 3) * 255).astype(np.uint8)
+                yield build_ov_train_sample(
+                    cfg, img, [101, 102], [201, 202, 203],
+                    answer_ids=[301, 302],
+                    budget=args.budget, s_bucket=args.vision_bucket,
+                    t_bucket=args.text_bucket,
                 )
         else:  # synthetic smoke data
             from visionselector_tpu.train.data import build_train_sample

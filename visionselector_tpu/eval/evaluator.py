@@ -60,6 +60,15 @@ class EngineAdapter:
         self.stats = EvalTimeStats()
 
     def _encode_prompt(self, question: str):
+        # Both model families use the same Qwen chat format: the reference's
+        # OV processor templates with identical <|im_start|> structure and the
+        # identical "You are a helpful assistant." system message
+        # (``llava-ov-15/src/constants.py:SYSTEM_MESSAGE``). An engine may
+        # still override via a ``chat_template(question) -> (before, after)``
+        # attribute.
+        custom = getattr(self.engine, "chat_template", None)
+        if custom is not None:
+            return custom(question)
         tok = self.tokenizer
         before = tok.encode(
             "<|im_start|>system\nYou are a helpful assistant.<|im_end|>\n"

@@ -67,23 +67,54 @@ def _rice_encode_select(
     return merged, jnp.where(valid, idx, n_pad).astype(jnp.int32), valid
 
 
+@functools.partial(jax.jit, static_argnames=("cfg",))
+def _rice_encode(params, cfg: OVConfig, pixel_values, rot_pos_ids,
+                 insert_map, strip_map, seg_ids):
+    return rice_mod.rice_forward(
+        params["visual"], pixel_values, rot_pos_ids, insert_map, strip_map,
+        seg_ids, cfg.vision,
+    )
+
+
+@functools.partial(jax.jit, static_argnames=("cfg",))
+def _rice_encode_stats(params, cfg: OVConfig, pixel_values, rot_pos_ids,
+                       insert_map, strip_map, seg_ids):
+    return rice_mod.rice_forward_stats(
+        params["visual"], pixel_values, rot_pos_ids, insert_map, strip_map,
+        seg_ids, cfg.vision,
+    )
+
+
 class OVEngine:
-    """Batch-1 generation engine for LLaVA-OneVision-1.5."""
+    """Batch-1 generation engine for LLaVA-OneVision-1.5.
+
+    ``strategy``: optional training-free baseline from ``selector.baselines``
+    (overrides the LIS selector) — parity with the reference OV compression
+    methods (``llava-ov-15/compression_method/{fastv,dart,visionzip,
+    divprune}.py``).
+    """
 
     def __init__(self, cfg: OVConfig, params: dict, use_selector: bool = True,
-                 budget: float = 0.2):
+                 budget: float = 0.2, strategy=None):
         self.cfg = cfg
         self.params = params
-        self.use_selector = use_selector and ("scorer" in params)
+        self.strategy = strategy
+        self.use_selector = (
+            strategy is None and use_selector and ("scorer" in params)
+        )
         self.budget = budget
 
     def generate(
         self,
         input_ids: np.ndarray,
-        pixel_values: np.ndarray,
-        grid_thw: np.ndarray,
+        pixel_values: Optional[np.ndarray] = None,
+        grid_thw: Optional[np.ndarray] = None,
         max_new_tokens: int = 64,
         eos_token_ids: Optional[Tuple[int, ...]] = None,
+        temperature: float = 0.0,
+        top_p: float = 1.0,
+        seed: int = 0,
+        timer=None,
     ) -> GenerationResult:
         import time
 
@@ -93,6 +124,48 @@ class OVEngine:
         input_ids = np.asarray(input_ids).reshape(-1)
         t_orig = len(input_ids)
         t_start = time.perf_counter()
+
+        if pixel_values is None:
+            # Text-only: shared family-agnostic path (1D rope already).
+            from visionselector_tpu.models.qwen25vl.model import _prefill_text
+            from visionselector_tpu.preprocess.indices import pick_bucket as pb
+
+            t_bucket = pb(t_orig, [64, 128, 256, 512, 1024])
+            t_bucket += (-t_bucket) % 128
+            ids_padded = np.zeros(t_bucket, np.int64)
+            ids_padded[:t_orig] = input_ids
+            pos = np.zeros((3, t_bucket), np.int64)
+            pos[:, :t_orig] = np.tile(np.arange(t_orig), (3, 1))
+            seg = (np.arange(t_bucket) < t_orig).astype(np.int32)
+            next_token, (k_l, v_l), _ = _prefill_text(
+                self.params, cfg, jnp.asarray(ids_padded), jnp.asarray(pos),
+                jnp.asarray(seg), jnp.asarray(t_orig),
+            )
+            next_token.block_until_ready()
+            t_prefill = time.perf_counter() - t_start
+            t_max = t_bucket + max_new_tokens
+            cache = lm_mod.KVCache(
+                k=jnp.pad(k_l, ((0, 0), (0, 0), (0, t_max - t_bucket),
+                                (0, 0), (0, 0))),
+                v=jnp.pad(v_l, ((0, 0), (0, 0), (0, t_max - t_bucket),
+                                (0, 0), (0, 0))),
+                length=jnp.full(
+                    (cfg.text.num_hidden_layers, 1), t_orig, jnp.int32
+                ),
+            )
+            from visionselector_tpu.models.qwen25vl.model import (
+                _run_decode_loop,
+            )
+
+            tokens = _run_decode_loop(
+                self.params, cfg, cache, next_token, t_orig, eos_token_ids,
+                max_new_tokens, temperature, top_p, seed,
+            )
+            return GenerationResult(
+                tokens=tokens, selected_indices=None, num_vision_tokens=0,
+                prefill_len=t_orig, prefill_seconds=t_prefill,
+                total_seconds=time.perf_counter() - t_start,
+            )
 
         s_real = pixel_values.shape[0]
         s_bucket = pick_bucket(s_real, [256, 512, 1024, 2048, 4096, 8192])
@@ -109,15 +182,11 @@ class OVEngine:
         if self.use_selector:
             k = min(max(1, int(n * self.budget)), max(1, int(l_pad * self.budget)))
             k_max = max(1, int(l_pad * self.budget))
+        elif self.strategy is not None:
+            k = None
+            k_max = min(l_pad, int(l_pad * self.budget) + 2)
         else:
             k, k_max = n, l_pad
-
-        merged, sel_idx, sel_valid = _rice_encode_select(
-            self.params, cfg, k_max, self.use_selector,
-            jnp.asarray(rb.pixel_values), jnp.asarray(rb.rot_pos_ids),
-            jnp.asarray(rb.insert_map), jnp.asarray(rb.strip_map),
-            jnp.asarray(rb.seg_ids), jnp.asarray(n), jnp.asarray(k),
-        )
 
         is_vision = input_ids == cfg.image_token_id
         image_pos = np.where(is_vision)[0]
@@ -134,6 +203,124 @@ class OVEngine:
         # (``modeling_llavaonevision1_5.py:1167-1168``).
         position_ids = np.tile(np.arange(t_orig), (3, 1))
         rope_delta = 0
+        from visionselector_tpu.models.qwen25vl.model import _run_decode_loop
+
+        if self.strategy is not None and getattr(self.strategy, "llm_side", False):
+            # FastV/DART over the OV decoder: two-stage prefill, RICE tower
+            # runs separately (``llava-ov-15/compression_method/fastv.py``,
+            # ``dart.py`` semantics).
+            from visionselector_tpu.models.qwen25vl.model import (
+                _stage_a_from_vision,
+                _stage_b,
+            )
+
+            merged = _rice_encode(
+                self.params, cfg, jnp.asarray(rb.pixel_values),
+                jnp.asarray(rb.rot_pos_ids), jnp.asarray(rb.insert_map),
+                jnp.asarray(rb.strip_map), jnp.asarray(rb.seg_ids),
+            )
+            target = self.strategy.target_layer
+            (hidden_t, (k_a, v_a), fv_scores, key_l1, _full_valid_len,
+             pos_full, _sel) = _stage_a_from_vision(
+                self.params, cfg, target, self.strategy.capture,
+                merged, jnp.asarray(n), jnp.asarray(input_ids),
+                jnp.asarray(image_pos_padded), jnp.asarray(text_pos_padded),
+                jnp.asarray(num_text), jnp.asarray(position_ids),
+            )
+            t_pad_full = hidden_t.shape[1]
+            fv = np.asarray(fv_scores)[:t_orig]
+            kl1 = np.asarray(key_l1)[:t_orig]
+            h_t = np.asarray(hidden_t[0], np.float32)[:t_orig]
+            retained = np.asarray(
+                self.strategy.select(fv, kl1, h_t, image_pos, self.budget),
+                np.int64,
+            )
+            keep = np.sort(np.concatenate([retained, text_pos]))
+            k_img_max = k_max + 8
+            t_keep_pad = k_img_max + t_text_bucket
+            keep_padded = np.full(t_keep_pad, t_pad_full, np.int64)
+            keep_padded[: len(keep)] = keep
+            keep_valid = len(keep)
+
+            next_token, (k_b, v_b), _ = _stage_b(
+                self.params, cfg, target, hidden_t, pos_full,
+                jnp.asarray(keep_padded), jnp.asarray(keep_valid),
+            )
+            next_token.block_until_ready()
+            t_prefill = time.perf_counter() - t_start
+
+            t_max = max(t_pad_full, t_keep_pad) + max_new_tokens
+            nl = cfg.text.num_hidden_layers
+
+            def pad_t(x, t_now):
+                return jnp.pad(
+                    x, ((0, 0), (0, 0), (0, t_max - t_now), (0, 0), (0, 0))
+                )
+
+            cache = lm_mod.KVCache(
+                k=jnp.concatenate(
+                    [pad_t(k_a, t_pad_full), pad_t(k_b, t_keep_pad)]
+                ),
+                v=jnp.concatenate(
+                    [pad_t(v_a, t_pad_full), pad_t(v_b, t_keep_pad)]
+                ),
+                length=jnp.concatenate([
+                    jnp.full((target, 1), t_orig, jnp.int32),
+                    jnp.full((nl - target, 1), keep_valid, jnp.int32),
+                ]),
+            )
+            tokens = _run_decode_loop(
+                self.params, cfg, cache, next_token, t_orig + rope_delta,
+                eos_token_ids, max_new_tokens, temperature, top_p, seed,
+            )
+            pos_to_vis = {int(p): j for j, p in enumerate(image_pos)}
+            sel_vis = np.asarray(
+                sorted(pos_to_vis[int(p)] for p in retained), np.int64
+            )
+            return GenerationResult(
+                tokens=tokens, selected_indices=sel_vis, num_vision_tokens=n,
+                prefill_len=keep_valid, prefill_seconds=t_prefill,
+                total_seconds=time.perf_counter() - t_start,
+            )
+
+        if self.strategy is not None:
+            # ViT-side baseline: RICE stats -> host selection -> prefill.
+            merged, attn_recv, keys = _rice_encode_stats(
+                self.params, cfg,
+                jnp.asarray(rb.pixel_values), jnp.asarray(rb.rot_pos_ids),
+                jnp.asarray(rb.insert_map), jnp.asarray(rb.strip_map),
+                jnp.asarray(rb.seg_ids),
+            )
+            merged_np = np.asarray(merged)[:n]
+            attn_np = (
+                np.asarray(attn_recv)[:n] if self.strategy.needs_stats else None
+            )
+            keys_np = (
+                np.asarray(keys)[:n] if self.strategy.needs_stats else None
+            )
+            idx_np, new_embeds = self.strategy(
+                merged_np, attn_np, keys_np, self.budget, rb.grid_thw
+            )
+            idx_np = np.asarray(idx_np, np.int64)[:k_max]
+            k = len(idx_np)
+            vision_embeds = np.asarray(merged)
+            if new_embeds is not None:
+                vision_embeds = vision_embeds.copy()
+                vision_embeds[idx_np] = np.asarray(
+                    new_embeds, vision_embeds.dtype
+                )[:k]
+            sel_idx = np.full(k_max, l_pad, np.int64)
+            sel_idx[:k] = idx_np
+            sel_valid = np.arange(k_max) < k
+            merged = jnp.asarray(vision_embeds)
+            sel_idx, sel_valid = jnp.asarray(sel_idx), jnp.asarray(sel_valid)
+        else:
+            merged, sel_idx, sel_valid = _rice_encode_select(
+                self.params, cfg, k_max, self.use_selector,
+                jnp.asarray(rb.pixel_values), jnp.asarray(rb.rot_pos_ids),
+                jnp.asarray(rb.insert_map), jnp.asarray(rb.strip_map),
+                jnp.asarray(rb.seg_ids), jnp.asarray(n), jnp.asarray(k),
+            )
 
         next_token, valid_len, (k_l, v_l), _ = _prefill_from_vision(
             self.params, cfg, merged, sel_idx, sel_valid,
@@ -152,18 +339,18 @@ class OVEngine:
             v=jnp.pad(v_l, ((0, 0), (0, 0), (0, t_max - t_comp), (0, 0), (0, 0))),
             length=jnp.full((cfg.text.num_hidden_layers, 1), valid_len_i, jnp.int32),
         )
-        from visionselector_tpu.models.qwen25vl.model import _run_decode_loop
-
         tokens = _run_decode_loop(
             self.params, cfg, cache, next_token,
             valid_len_i + rope_delta, eos_token_ids, max_new_tokens,
+            temperature, top_p, seed,
         )
 
         sel_idx_np = np.asarray(sel_idx)
         sel_valid_np = np.asarray(sel_valid)
+        compressed = self.use_selector or self.strategy is not None
         return GenerationResult(
             tokens=tokens,
-            selected_indices=sel_idx_np[sel_valid_np] if self.use_selector else None,
+            selected_indices=sel_idx_np[sel_valid_np] if compressed else None,
             num_vision_tokens=n,
             prefill_len=valid_len_i,
             prefill_seconds=t_prefill,

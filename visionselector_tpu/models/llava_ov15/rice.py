@@ -197,6 +197,99 @@ def rice_forward(
     return h  # [L_pad, text_hidden]
 
 
+def rice_forward_stats(
+    params: dict,
+    pixel_values: jax.Array,
+    rot_pos_ids: jax.Array,
+    insert_map: jax.Array,
+    strip_map: jax.Array,
+    seg_ids: jax.Array,
+    cfg: RiceVisionConfig,
+):
+    """RICE forward that also exposes last-block attention statistics.
+
+    OV training-free baselines consume the last block's attention map and key
+    states (reference captures them by patching the attention module:
+    ``llava-ov-15/compression_method/visionzip.py``, ``divprune.py``). Mirrors
+    ``qwen25vl.vit.vit_forward_stats``.
+
+    Returns (merged [L_pad, text_hidden], attn_received [L_pad] fp32 pooled to
+    merged tokens in patch order, pooled_keys [L_pad, H*d] fp32).
+    """
+    dtype = params["patch_embed_kernel"].dtype
+    patches = pixel_values.astype(dtype) @ params["patch_embed_kernel"]
+    s_pad, d_model = patches.shape
+
+    dim = cfg.head_dim // 2
+    inv_freq = 1.0 / (
+        10000.0 ** (jnp.arange(0, dim, 2, dtype=jnp.float32) / dim)
+    )
+    freqs = rot_pos_ids.astype(jnp.float32)[:, :, None] * inv_freq[None, None, :]
+    freqs = freqs.reshape(s_pad, -1)
+    cls_row = params["class_embedding"].astype(dtype)[None]
+    patch_buf = jnp.concatenate(
+        [patches, cls_row, jnp.zeros((1, d_model), dtype)]
+    )
+    freq_buf = jnp.concatenate(
+        [freqs,
+         jnp.broadcast_to(params["class_pos_emb"].astype(jnp.float32), (1, dim)),
+         jnp.zeros((1, dim), jnp.float32)]
+    )
+    x = patch_buf[insert_map]
+    f = freq_buf[insert_map]
+    emb = jnp.concatenate([f, f], axis=-1)
+    cos, sin = jnp.cos(emb), jnp.sin(emb)
+    x = layer_norm(x, params["pre_ln_scale"], params["pre_ln_bias"],
+                   cfg.layer_norm_eps)
+
+    blocks = params["blocks"]
+    for i in range(cfg.depth - 1):
+        p = jax.tree.map(lambda a: a[i], blocks)
+        x = _rice_block(x, p, seg_ids, cos, sin, cfg)
+
+    # Last block with explicit fp32 masked softmax for the stats.
+    p = jax.tree.map(lambda a: a[cfg.depth - 1], blocks)
+    h = layer_norm(x, p["norm1_scale"], p["norm1_bias"], cfg.layer_norm_eps)
+    sp, d = h.shape[0], cfg.head_dim
+    qkv = h @ p["qkv_kernel"] + p["qkv_bias"]
+    q, k, v = jnp.split(qkv.reshape(sp, 3, cfg.num_heads, d), 3, axis=1)
+    q, k, v = q[:, 0], k[:, 0], v[:, 0]
+    q, k = apply_rotary(q, k, cos, sin)
+    logits = jnp.einsum(
+        "qhd,khd->hqk", q, k, preferred_element_type=jnp.float32
+    ) * (d**-0.5)
+    mask = (seg_ids[:, None] == seg_ids[None, :]) & (seg_ids[None, :] > 0)
+    logits = jnp.where(mask[None], logits, -1e30)
+    probs = jax.nn.softmax(logits, axis=-1)
+    probs = jnp.where(mask[None], probs, 0.0)
+    attn_out = jnp.einsum("hqk,khd->qhd", probs.astype(v.dtype), v)
+
+    valid_q = (seg_ids > 0).astype(jnp.float32)
+    n_valid = jnp.maximum(valid_q.sum(), 1.0)
+    recv = (probs.mean(axis=0) * valid_q[:, None]).sum(axis=0) / n_valid  # [S']
+
+    x = x + attn_out.reshape(sp, -1) @ p["proj_kernel"] + p["proj_bias"]
+    h2 = layer_norm(x, p["norm2_scale"], p["norm2_bias"], cfg.layer_norm_eps)
+    h2 = jax.nn.gelu(h2 @ p["fc1_kernel"] + p["fc1_bias"], approximate=False)
+    x = x + h2 @ p["fc2_kernel"] + p["fc2_bias"]
+
+    # strip CLS rows back to patch order, pool 4->1 to merged granularity
+    m = cfg.spatial_merge_unit
+    recv_patch = recv[strip_map]  # [S_pad]
+    recv_pooled = recv_patch.reshape(-1, m).mean(axis=1)  # [L_pad]
+    keys_flat = k.reshape(sp, cfg.num_heads * d).astype(jnp.float32)
+    keys_pooled = keys_flat[strip_map].reshape(s_pad // m, m, -1).mean(axis=1)
+
+    x = x[strip_map]
+    h = layer_norm(x, params["merger_ln_scale"], params["merger_ln_bias"],
+                   cfg.layer_norm_eps)
+    h = h.reshape(s_pad // m, m * cfg.hidden_size)
+    h = h @ params["merger_fc1_kernel"] + params["merger_fc1_bias"]
+    h = jax.nn.gelu(h, approximate=False)
+    h = h @ params["merger_fc2_kernel"] + params["merger_fc2_bias"]
+    return h, recv_pooled, keys_pooled
+
+
 def init_rice_params(key: jax.Array, cfg: RiceVisionConfig,
                      dtype=jnp.float32) -> dict:
     ks = jax.random.split(key, 10)

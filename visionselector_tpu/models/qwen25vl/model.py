@@ -229,6 +229,30 @@ def _stage_a(
         params["visual"], pixel_values, rot_pos_ids, window_seg_ids,
         full_seg_ids, reverse_index, cfg.vision,
     )
+    return _stage_a_core(
+        params, cfg, target, capture, vision_embeds, num_merged, input_ids,
+        image_positions, text_positions, num_text, position_ids_orig,
+    )
+
+
+@functools.partial(jax.jit, static_argnames=("cfg", "target", "capture"))
+def _stage_a_from_vision(
+    params: dict, cfg, target: int, capture: str,
+    vision_embeds: jax.Array, num_merged, input_ids, image_positions,
+    text_positions, num_text, position_ids_orig,
+):
+    """Stage A given precomputed vision embeddings (OV family: RICE tower
+    runs in its own program; the decoder stack is family-agnostic)."""
+    return _stage_a_core(
+        params, cfg, target, capture, vision_embeds, num_merged, input_ids,
+        image_positions, text_positions, num_text, position_ids_orig,
+    )
+
+
+def _stage_a_core(
+    params, cfg, target, capture, vision_embeds, num_merged, input_ids,
+    image_positions, text_positions, num_text, position_ids_orig,
+):
     text_embeds = lm_mod.embed_tokens(params["lm"], input_ids)
     n_pad = vision_embeds.shape[0]
     idx = jnp.arange(n_pad, dtype=jnp.int32)

@@ -104,7 +104,10 @@ def build_train_sample(
     )
 
 
-def stack_samples(samples: List[TrainBatchSample]) -> TrainBatchSample:
-    return TrainBatchSample(
-        *[np.stack([getattr(s, f) for s in samples]) for f in TrainBatchSample._fields]
+def stack_samples(samples: List):
+    """Stack per-sample NamedTuples (Qwen TrainBatchSample or OVTrainSample)
+    into one batched NamedTuple of the same type."""
+    cls = type(samples[0])
+    return cls(
+        *[np.stack([getattr(s, f) for s in samples]) for f in cls._fields]
     )

@@ -81,6 +81,76 @@ def ov_selector_train_forward(
     }
 
 
+def build_ov_sample_from_record(cfg: OVConfig, record: dict, budget: float,
+                                s_bucket: int, t_bucket: int,
+                                min_pixels: int = 56 * 56,
+                                max_pixels: int = 28 * 28 * 1280) -> "OVTrainSample":
+    """Dataset record -> OVTrainSample (OV SFT parity:
+    ``llava-ov-15/src/dataset/sft_dataset.py`` — same chat-templated
+    ids/labels as the Qwen path, 1D rope, RICE vision batch)."""
+    import numpy as np
+
+    from visionselector_tpu.preprocess.image import preprocess_image
+    from visionselector_tpu.train.loss import IGNORE_INDEX
+
+    ids = list(record["ids"])
+    labels = list(record["labels"])
+    slot = record["image_slot"]
+    assert record["image"] is not None and slot >= 0, "text-only packing TBD"
+
+    pixels, grid = preprocess_image(
+        record["image"], min_pixels=min_pixels, max_pixels=max_pixels,
+        patch_size=cfg.vision.patch_size,
+        temporal_patch_size=cfg.vision.temporal_patch_size,
+        merge_size=cfg.vision.spatial_merge_size,
+    )
+    rb = rice_mod.build_rice_batch(
+        pixels, grid, spatial_merge_size=cfg.vision.spatial_merge_size,
+        pad_to=s_bucket, cls_slots=max(len(grid), 4),
+    )
+    n = rb.num_merged
+    l_pad = s_bucket // cfg.vision.spatial_merge_unit
+
+    vision_ids = (
+        [cfg.vision_start_token_id] + [cfg.image_token_id] * n
+        + [cfg.vision_end_token_id]
+    )
+    full_ids = np.asarray(ids[:slot] + vision_ids + ids[slot:], np.int64)
+    full_labels = np.asarray(
+        labels[:slot] + [IGNORE_INDEX] * len(vision_ids) + labels[slot:],
+        np.int64,
+    )
+    t_real = len(full_ids)
+    assert t_real <= t_bucket, (t_real, t_bucket)
+
+    ids_p = np.zeros(t_bucket, np.int64)
+    ids_p[:t_real] = full_ids
+    lab_p = np.full(t_bucket, IGNORE_INDEX, np.int64)
+    lab_p[:t_real] = full_labels
+    pos_p = np.zeros((3, t_bucket), np.int64)
+    pos_p[:, :t_real] = np.tile(np.arange(t_real), (3, 1))
+    seg = np.zeros(t_bucket, np.int32)
+    seg[:t_real] = 1
+    image_pos = np.where(ids_p == cfg.image_token_id)[0][:n]
+    image_pos_p = np.full(l_pad, t_bucket, np.int64)
+    image_pos_p[:n] = image_pos
+
+    return OVTrainSample(
+        pixel_values=rb.pixel_values,
+        rot_pos_ids=rb.rot_pos_ids,
+        insert_map=rb.insert_map,
+        strip_map=rb.strip_map,
+        vit_seg_ids=rb.seg_ids,
+        num_merged=np.asarray(n, np.int32),
+        k=np.asarray(max(1, int(n * budget)), np.int32),
+        input_ids=ids_p,
+        labels=lab_p,
+        position_ids=pos_p,
+        seg_ids=seg,
+        image_positions=image_pos_p,
+    )
+
+
 def build_ov_train_sample(cfg: OVConfig, image, prompt_before, prompt_after,
                           answer_ids, budget: float, s_bucket: int,
                           t_bucket: int, min_pixels: int = 1,

@@ -77,8 +77,18 @@ def batch_loss(
     params = dict(frozen_params)
     params["scorer"] = scorer_params
 
-    def per_sample(sample):
-        return selector_train_forward(params, sample, cfg, reg_weight, k_max)
+    from visionselector_tpu.core.config import OVConfig
+
+    if isinstance(cfg, OVConfig):
+        from visionselector_tpu.train.ov_loss import ov_selector_train_forward
+
+        def per_sample(sample):
+            return ov_selector_train_forward(
+                params, sample, cfg, reg_weight, k_max
+            )
+    else:
+        def per_sample(sample):
+            return selector_train_forward(params, sample, cfg, reg_weight, k_max)
 
     losses, metrics = jax.vmap(per_sample)(batch)
     return losses.mean(), jax.tree.map(jnp.mean, metrics)
