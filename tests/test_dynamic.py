@@ -14,6 +14,18 @@ from visionselector_tpu.selector.baselines.dynamic import (
 )
 
 
+from visionselector_tpu.core.config import qwen25vl_tiny
+
+CFG = qwen25vl_tiny()
+
+
+@pytest.fixture(scope="module")
+def params():
+    from visionselector_tpu.models.qwen25vl.model import init_params
+
+    return init_params(jax.random.PRNGKey(0), CFG)
+
+
 class TestPredictor:
     def test_forward_shape(self):
         params = init_predictor_params(jax.random.PRNGKey(0), input_dim=64,
@@ -85,3 +97,116 @@ class TestStrategy:
         n = res.num_vision_tokens
         assert len(res.selected_indices) == max(1, int(n * 0.3))
         assert len(res.tokens) >= 1
+
+
+class TestDynamicTraining:
+    def test_train_cli_smoke(self, tmp_path, capsys):
+        """--method dynamic CLI: runs, tau decays exponentially, predictor
+        exported (``train_qwen_dynamic.py:57-92`` parity)."""
+        import json as _json
+        import os
+
+        import numpy as np
+
+        from visionselector_tpu.api.train import main
+
+        out = str(tmp_path / "dyn")
+        rc = main([
+            "--output-dir", out, "--smoke", "--method", "dynamic",
+            "--total-steps", "4", "--batch-size", "2", "--save-steps", "4",
+            "--log-steps", "1", "--budget", "0.25",
+        ])
+        assert rc == 0
+        lines = [l for l in capsys.readouterr().out.splitlines()
+                 if l.startswith("{")]
+        ms = [_json.loads(l) for l in lines]
+        assert all(np.isfinite(m["loss"]) for m in ms)
+        taus = [m["tau"] for m in ms]
+        assert taus[0] > taus[-1] > 0  # exponential decay
+        assert os.path.exists(
+            os.path.join(out, "image_score_predictor.safetensors")
+        )
+
+    def test_keep_ratio_converges_to_budget(self, params):
+        """The keep-ratio MSE (``dynamic_model.py:760-766``) drives the
+        predictor's expected keep probability toward the budget."""
+        import jax
+        import jax.numpy as jnp
+        import numpy as np
+
+        from visionselector_tpu.selector.baselines.dynamic import (
+            init_predictor_params,
+            predictor_forward,
+        )
+        from visionselector_tpu.train.data import (
+            build_train_sample,
+            stack_samples,
+        )
+        from visionselector_tpu.train.dynamic_train import (
+            DynamicScheduleConfig,
+            dynamic_train_step,
+            init_dynamic_train_state,
+        )
+
+        cfg = CFG
+        budget = 0.2
+        rng = np.random.RandomState(0)
+        samples = []
+        for _ in range(2):
+            img = (rng.rand(112, 112, 3) * 255).astype(np.uint8)  # 16 merged
+            samples.append(build_train_sample(
+                cfg, img, [101, 102], [103], [201, 202, 203],
+                budget=budget, s_bucket=128, t_bucket=128,
+                min_pixels=1, max_pixels=10**9,
+            ))
+        batch = jax.tree.map(jnp.asarray, stack_samples(samples))
+
+        sched = DynamicScheduleConfig(
+            total_steps=30, lr=3e-3, budget=budget, mask_loss_weight=100.0,
+        )
+        predictor = init_predictor_params(
+            jax.random.PRNGKey(0), cfg.text.hidden_size, d_model=32,
+            num_heads=4,
+        )
+
+        def keep_prob(pp):
+            # expected keep probability over one sample's image tokens
+            from visionselector_tpu.models.qwen25vl import lm as lm_mod
+            from visionselector_tpu.models.qwen25vl import vit as vit_mod
+
+            s0 = jax.tree.map(lambda a: a[0], batch)
+            ve = vit_mod.vit_forward(
+                params["visual"], s0.pixel_values, s0.rot_pos_ids,
+                s0.window_seg_ids, s0.full_seg_ids, s0.reverse_index,
+                cfg.vision,
+            )
+            te = lm_mod.embed_tokens(params["lm"], s0.input_ids)
+            t_pad, d = te.shape
+            full = jnp.zeros((t_pad + 1, d), te.dtype).at[:t_pad].set(te)
+            full = full.at[s0.image_positions].set(ve.astype(te.dtype))
+            pre = jax.tree.map(lambda a: a[:2], params["lm"]["layers"])
+            hidden, _ = lm_mod.lm_prefill_layers(
+                pre, full[:t_pad][None], s0.position_ids[:, None, :],
+                s0.seg_ids[None], cfg.text,
+            )
+            h_pad = jnp.concatenate([hidden[0], jnp.zeros((1, d), hidden.dtype)])
+            x = h_pad[jnp.minimum(s0.image_positions, t_pad)]
+            ok = jnp.arange(x.shape[0]) < s0.num_merged
+            logits = predictor_forward(
+                pp, x.astype(jnp.float32)[None],
+                policy=ok.astype(jnp.float32)[None, :, None], num_heads=4,
+            )[0]
+            probs = jax.nn.softmax(logits, -1)[:, 0]
+            return float((probs * ok).sum() / ok.sum())
+
+        p0 = keep_prob(predictor)
+        state = init_dynamic_train_state(predictor, sched, seed=0)
+        for _ in range(30):
+            state, metrics = dynamic_train_step(
+                state, params, batch, cfg, sched
+            )
+        p1 = keep_prob(state.predictor_params)
+        # random init starts near 0.5; training pulls toward budget 0.2
+        assert abs(p0 - 0.5) < 0.2, p0
+        assert abs(p1 - budget) < abs(p0 - budget), (p0, p1)
+        assert p1 < 0.4, p1

@@ -48,6 +48,13 @@ def build_parser():
                    choices=("qwen25vl", "llava_ov15"),
                    help="model family (OV selector SFT parity: "
                         "llava-ov-15/src/train/train_sft_visionselector.py)")
+    p.add_argument("--method", default="selector",
+                   choices=("selector", "dynamic"),
+                   help="dynamic = Gumbel-ST VisionPredictor training "
+                        "(train_qwen_dynamic.py parity)")
+    p.add_argument("--tau-start", type=float, default=1.0)
+    p.add_argument("--tau-end", type=float, default=0.1)
+    p.add_argument("--mask-loss-weight", type=float, default=100.0)
     return p
 
 
@@ -169,12 +176,39 @@ def main(argv=None) -> int:
     n_data = math.gcd(args.batch_size, len(devices))
     mesh = make_mesh(n_data=n_data, n_model=1, devices=devices[:n_data])
     frozen = shard_params(params, mesh)
-    sched = ScheduleConfig(
-        total_steps=args.total_steps, lr=args.lr,
-        reg_weight_start=args.reg_weight_start,
-        reg_weight_end=args.reg_weight_end,
-    )
-    state = init_train_state(params, sched)
+    is_dynamic = args.method == "dynamic"
+    if is_dynamic:
+        assert not is_ov, "dynamic training is a Qwen-family method"
+        from visionselector_tpu.selector.baselines.dynamic import (
+            init_predictor_params,
+        )
+        from visionselector_tpu.train.dynamic_train import (
+            DynamicScheduleConfig,
+            dynamic_train_step,
+            init_dynamic_train_state,
+        )
+
+        sched = DynamicScheduleConfig(
+            total_steps=args.total_steps, lr=args.lr,
+            tau_start=args.tau_start, tau_end=args.tau_end,
+            budget=args.budget, mask_loss_weight=args.mask_loss_weight,
+        )
+        # predictor sized to the LM hidden (reference VisionPredictor
+        # input_dim=3584 for 7B, dynamic_model.py:302); small d_model for
+        # the tiny smoke config
+        d_model = 64 if args.smoke or not args.model_path else 512
+        predictor = init_predictor_params(
+            jax.random.PRNGKey(args.seed), cfg.text.hidden_size,
+            d_model=d_model, num_heads=8 if d_model >= 512 else 4,
+        )
+        state = init_dynamic_train_state(predictor, sched, seed=args.seed)
+    else:
+        sched = ScheduleConfig(
+            total_steps=args.total_steps, lr=args.lr,
+            reg_weight_start=args.reg_weight_start,
+            reg_weight_end=args.reg_weight_end,
+        )
+        state = init_train_state(params, sched)
     state, resumed = maybe_resume(args.output_dir, state)
     if resumed:
         print(f"[train] resumed at step {int(state.step)}")
@@ -195,7 +229,10 @@ def main(argv=None) -> int:
         samples = [next(stream) for _ in range(args.batch_size)]
         batch = jax.tree.map(jnp.asarray, stack_samples(samples))
         batch = jax.tree.map(lambda x: jax.device_put(x, spec(x)), batch)
-        state, metrics = train_step(state, frozen, batch, cfg, k_max, sched)
+        if is_dynamic:
+            state, metrics = dynamic_train_step(state, frozen, batch, cfg, sched)
+        else:
+            state, metrics = train_step(state, frozen, batch, cfg, k_max, sched)
         step = int(state.step)
         if step % args.log_steps == 0 or step == args.total_steps:
             m = {k: float(v) for k, v in metrics.items()}
@@ -207,11 +244,22 @@ def main(argv=None) -> int:
             path = save_train_state(state, args.output_dir)
             print(f"[train] saved {path}")
 
-    export_scorer_to_safetensors(
-        jax.device_get(state.scorer_params),
-        os.path.join(args.output_dir, "importance_scorer.safetensors"),
-    )
-    print(f"[train] exported scorer to {args.output_dir}")
+    if is_dynamic:
+        from visionselector_tpu.train.dynamic_train import (
+            export_predictor_to_safetensors,
+        )
+
+        export_predictor_to_safetensors(
+            jax.device_get(state.predictor_params),
+            os.path.join(args.output_dir, "image_score_predictor.safetensors"),
+        )
+        print(f"[train] exported predictor to {args.output_dir}")
+    else:
+        export_scorer_to_safetensors(
+            jax.device_get(state.scorer_params),
+            os.path.join(args.output_dir, "importance_scorer.safetensors"),
+        )
+        print(f"[train] exported scorer to {args.output_dir}")
     return 0
 
 
