@@ -9,6 +9,7 @@ from visionselector_tpu.models.qwen25vl.model import QwenVLEngine, init_params
 from visionselector_tpu.preprocess.image import preprocess_image
 from visionselector_tpu.preprocess.rope import expand_vision_tokens
 from visionselector_tpu.selector.baselines import available_baselines, get_baseline
+from visionselector_tpu.selector.baselines.methods import PruMergePlus
 from visionselector_tpu.selector.baselines.methods import (
     DivPrune,
     HoloV,
@@ -123,3 +124,24 @@ class TestEngineIntegration:
         assert res.selected_indices.max() < n
         assert res.prefill_len == (len(ids) - n) + len(res.selected_indices)
         assert len(res.tokens) >= 1
+
+
+class TestPruMergeScale:
+    def test_16k_tokens_fast(self):
+        """Vectorized cluster-merge: N=16k (the largest vision bucket) must
+        run in ~1s, not thousands of host sorts (measured 1.6s; generous
+        bound for CI noise)."""
+        import time
+
+        rng = np.random.RandomState(0)
+        n, d = 16384, 64
+        embeds = rng.randn(n, d).astype(np.float32)
+        attn = rng.rand(n).astype(np.float32)
+        keys = rng.randn(n, d).astype(np.float32)
+        t0 = time.perf_counter()
+        idx, upd = PruMergePlus()(embeds, attn, keys, 0.2, None)
+        dt = time.perf_counter() - t0
+        assert len(idx) == int(n * 0.2)
+        assert upd.shape == (len(idx), d)
+        assert np.isfinite(upd).all()
+        assert dt < 10.0, dt

@@ -92,3 +92,36 @@ class TestVideoEval:
         with open(os.path.join(out, "selector_0.1_rank0.json")) as f:
             res = json.load(f)
         assert "videomme/multiple_choice" in res["results"]
+
+
+class TestVideoTaskRegistry:
+    @pytest.mark.parametrize("task", ["mlvu", "longvideobench", "mvbench"])
+    def test_new_video_tasks_run(self, tmp_path, task):
+        """Video suite breadth (paper's 13-benchmark claim, README.md:47)."""
+        from PIL import Image
+
+        vid_dir = tmp_path / "vid0"
+        os.makedirs(vid_dir)
+        for i in range(4):
+            Image.fromarray(
+                (np.random.RandomState(i).rand(56, 56, 3) * 255).astype(np.uint8)
+            ).save(vid_dir / f"f{i:02d}.png")
+        with open(tmp_path / f"{task}.jsonl", "w") as f:
+            f.write(json.dumps({
+                "question": "What happens? A. x B. y",
+                "answers": ["B"],
+                "video": "vid0",
+            }) + "\n")
+
+        from visionselector_tpu.api.run_eval import main
+
+        out = str(tmp_path / "res")
+        rc = main([
+            "--data-dir", str(tmp_path), "--tasks", task,
+            "--method", "selector", "--budgets", "0.2", "--limit", "1",
+            "--output-dir", out,
+        ])
+        assert rc == 0
+        with open(os.path.join(out, "selector_0.2_rank0.json")) as f:
+            res = json.load(f)
+        assert f"{task}/multiple_choice" in res["results"]

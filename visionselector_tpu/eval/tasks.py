@@ -47,7 +47,12 @@ TASKS: Dict[str, TaskConfig] = {
     "mme": TaskConfig("mme", "yes_no", _SHORT, 8),
     "pope": TaskConfig("pope", "yes_no", _SHORT, 8, aggregate="pope"),
     "ocr_vqa": TaskConfig("ocr_vqa", "exact_match", _SHORT, 32),
+    # Video suite (the paper's "13 image & video benchmarks", README.md:47;
+    # task configs mirror lmms-eval/lmms_eval/tasks/<name>/ MC yaml schemas).
     "videomme": TaskConfig("videomme", "multiple_choice", _MC, 8),
+    "mlvu": TaskConfig("mlvu", "multiple_choice", _MC, 8),
+    "longvideobench": TaskConfig("longvideobench", "multiple_choice", _MC, 8),
+    "mvbench": TaskConfig("mvbench", "multiple_choice", _MC, 8),
 }
 
 

@@ -145,18 +145,28 @@ class PruMergePlus(_Strategy):
 
         # Cluster-merge update of kept tokens (prumerge.py:259-305):
         # center_i += sum over its 32 most similar (by key cosine) of the
-        # pool {other kept tokens, all dropped tokens}, weighted by attention.
+        # pool {all tokens except itself}, weighted by attention. Vectorized
+        # (batched matmul + argpartition) instead of the reference's per-token
+        # loop — the summed top-m SET is order-invariant, so partial selection
+        # suffices; blocked over kept rows to cap the [K, N] similarity
+        # buffer. (N=16k, K=3k runs in well under a second vs thousands of
+        # host sorts.)
         keep = np.asarray(idx, np.int64)
-        compl = np.setdiff1d(np.arange(n), keep)
         kn = keys / (np.linalg.norm(keys, axis=-1, keepdims=True) + 1e-12)
+        kn = kn.astype(np.float32)
+        m = min(max(self.cluster_size, 1), n - 1)
+        ef = embeds.astype(np.float64)
         updated = np.array(embeds[keep], np.float64)
-        for i, t in enumerate(keep):
-            rest = np.concatenate([np.delete(keep, i), compl])
-            sims = kn[t] @ kn[rest].T
-            m = min(max(self.cluster_size, 1), len(rest))
-            top = rest[np.argsort(-sims, kind="stable")[:m]]
-            w = attn[top][:, None]
-            updated[i] += (embeds[top].astype(np.float64) * w).sum(axis=0)
+        block = 512
+        for s in range(0, len(keep), block):
+            rows = keep[s : s + block]
+            sims = kn[rows] @ kn.T  # [b, N]
+            sims[np.arange(len(rows)), rows] = -np.inf  # exclude self
+            top = np.argpartition(-sims, m - 1, axis=1)[:, :m]  # [b, m]
+            w = attn[top]  # [b, m]
+            updated[s : s + block] += np.einsum(
+                "bm,bmd->bd", w, ef[top], optimize=True
+            )
 
         order = np.argsort(keep, kind="stable")
         return keep[order], updated[order].astype(embeds.dtype)
