@@ -74,3 +74,65 @@ class TestPredictCLI:
         res = json.loads(out)
         assert res["method"] == "selector"
         assert res["kept_vision_tokens"] <= res["num_vision_tokens"]
+
+
+class TestVerifyCheckpoint:
+    def test_record_then_verify_roundtrip(self, tmp_path):
+        """tools/verify_checkpoint flow (VERDICT r1 item 10): record greedy
+        transcript, verify matches; tampered transcript fails."""
+        import json
+
+        from visionselector_tpu.api.verify_checkpoint import main
+
+        t = str(tmp_path / "transcript.json")
+        assert main(["--record", t, "--max-new-tokens", "3",
+                     "--budget", "0.5"]) == 0
+        assert main(["--verify", t, "--max-new-tokens", "3",
+                     "--budget", "0.5"]) == 0
+        # tamper with the recorded tokens -> mismatch detected
+        with open(t) as f:
+            rec = json.load(f)
+        rec["tokens"] = [x + 1 for x in rec["tokens"]]
+        with open(t, "w") as f:
+            json.dump(rec, f)
+        assert main(["--verify", t, "--max-new-tokens", "3",
+                     "--budget", "0.5"]) == 1
+
+    def test_verify_with_real_layout_checkpoint(self, tmp_path):
+        """End-to-end with a synthetic HF-layout checkpoint dir."""
+        import json
+
+        from tests.test_weights import CFG, make_hf_checkpoint
+
+        from visionselector_tpu.api.verify_checkpoint import main
+
+        ckpt = tmp_path / "ckpt"
+        ckpt.mkdir()
+        make_hf_checkpoint(str(ckpt))
+        v, t = CFG.vision, CFG.text
+        with open(ckpt / "config.json", "w") as f:
+            json.dump({
+                "vocab_size": t.vocab_size, "hidden_size": t.hidden_size,
+                "intermediate_size": t.intermediate_size,
+                "num_hidden_layers": t.num_hidden_layers,
+                "num_attention_heads": t.num_attention_heads,
+                "num_key_value_heads": t.num_key_value_heads,
+                "tie_word_embeddings": t.tie_word_embeddings,
+                "rope_scaling": {"mrope_section": list(t.mrope_section)},
+                "image_token_id": CFG.image_token_id,
+                "vision_config": {
+                    "depth": v.depth, "hidden_size": v.hidden_size,
+                    "intermediate_size": v.intermediate_size,
+                    "num_heads": v.num_heads, "patch_size": v.patch_size,
+                    "spatial_merge_size": v.spatial_merge_size,
+                    "temporal_patch_size": v.temporal_patch_size,
+                    "window_size": v.window_size,
+                    "out_hidden_size": v.out_hidden_size,
+                    "fullatt_block_indexes": list(v.fullatt_block_indexes),
+                },
+            }, f)
+        t = str(tmp_path / "transcript.json")
+        args = ["--model-path", str(ckpt), "--max-new-tokens", "2",
+                "--budget", "0.5"]
+        assert main(["--record", t] + args) == 0
+        assert main(["--verify", t] + args) == 0

@@ -75,3 +75,38 @@ class TestEngineE2E:
         r2 = eng_plain.generate(ids, pixels, grid, max_new_tokens=2)
         assert len(r1.selected_indices) == r1.num_vision_tokens
         assert r1.tokens == r2.tokens
+
+
+class TestStreamedFastVCapture:
+    def test_blocked_colsum_matches_naive(self):
+        """The query-blocked FastV column-sum must equal the materialized
+        T x T softmax exactly (same math, streamed)."""
+        import jax.numpy as jnp
+
+        from visionselector_tpu.models.qwen25vl.model import (
+            _fastv_attention_colsum,
+        )
+
+        rng = np.random.RandomState(0)
+        t, h, d = 100, 3, 8  # t NOT a multiple of the block size
+        q = rng.randn(t, h, d).astype(np.float32)
+        k = rng.randn(t, h, d).astype(np.float32)
+        seg = np.ones(t, np.int32)
+        seg[90:] = 0  # padding tail
+        scale = d**-0.5
+
+        got = np.asarray(_fastv_attention_colsum(
+            jnp.asarray(q), jnp.asarray(k), jnp.asarray(seg), scale, block=32
+        ))
+
+        logits = np.einsum("qhd,khd->hqk", q, k) * scale
+        qi = np.arange(t)
+        mask = (qi[:, None] >= qi[None, :]) & (seg > 0)[None, :] \
+            & (seg > 0)[:, None]
+        logits = np.where(mask[None], logits, -1e30)
+        e = np.exp(logits - logits.max(-1, keepdims=True))
+        probs = np.where(mask[None], e / e.sum(-1, keepdims=True), 0.0)
+        nq = max((seg > 0).sum(), 1)
+        want = probs.mean(axis=0).sum(axis=0) / nq
+
+        np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-7)

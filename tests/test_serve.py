@@ -49,6 +49,17 @@ class TestServe:
             assert out["kept_vision_tokens"] <= out["num_vision_tokens"]
             assert len(out["tokens"]) >= 1
 
+            # text-only request: no silent image substitution
+            req = urllib.request.Request(
+                f"http://127.0.0.1:{port}/generate",
+                data=json.dumps({"prompt": "hi", "max_new_tokens": 2}).encode(),
+                headers={"Content-Type": "application/json"},
+            )
+            with urllib.request.urlopen(req, timeout=300) as r:
+                out = json.loads(r.read())
+            assert out["num_vision_tokens"] == 0
+            assert len(out["tokens"]) >= 1
+
             # probe: bad route
             try:
                 urllib.request.urlopen(

@@ -85,15 +85,25 @@ def main(argv=None) -> int:
 
     tokenizer = None
     if args.family == "llava_ov15":
-        from visionselector_tpu.core.config import llava_ov_tiny
         from visionselector_tpu.models.llava_ov15.model import (
             OVEngine as EngineCls,
             init_ov_params as init_fn,
         )
 
-        assert args.model_path is None, "OV checkpoint loading lands in r2"
-        cfg = llava_ov_tiny()
-        params = init_fn(jax.random.PRNGKey(0), cfg)
+        if args.model_path:
+            from visionselector_tpu.models.llava_ov15.weights import (
+                load_ov_checkpoint,
+                ov_config_from_hf,
+            )
+
+            cfg = ov_config_from_hf(args.model_path)
+            params = load_ov_checkpoint(args.model_path, cfg)
+            tokenizer = load_tokenizer(args.model_path)
+        else:
+            from visionselector_tpu.core.config import llava_ov_tiny
+
+            cfg = llava_ov_tiny()
+            params = init_fn(jax.random.PRNGKey(0), cfg)
     elif args.model_path:
         from visionselector_tpu.models.qwen25vl.model import QwenVLEngine
         from visionselector_tpu.models.qwen25vl.weights import (
@@ -150,10 +160,9 @@ def main(argv=None) -> int:
         strategy = get_baseline(args.method)
 
     if args.family == "llava_ov15":
-        assert strategy is None, "training-free baselines for OV land in r2"
         engine = EngineCls(
             cfg, params, use_selector=(args.method == "selector"),
-            budget=args.budget,
+            budget=args.budget, strategy=strategy,
         )
     else:
         engine = QwenVLEngine(
@@ -163,13 +172,9 @@ def main(argv=None) -> int:
             strategy=strategy,
         )
 
-    gen_kwargs = {}
-    if args.family != "llava_ov15":
-        gen_kwargs = dict(temperature=args.temperature, top_p=args.top_p,
-                          seed=args.seed)
     res = engine.generate(
         input_ids, pixels, grid, max_new_tokens=args.max_new_tokens,
-        **gen_kwargs,
+        temperature=args.temperature, top_p=args.top_p, seed=args.seed,
     )
 
     text = (

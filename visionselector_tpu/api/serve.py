@@ -37,30 +37,28 @@ class Server:
         from visionselector_tpu.preprocess.rope import expand_vision_tokens
 
         cfg = self.engine.cfg
-        if image_b64:
-            from PIL import Image
-
-            img = Image.open(io.BytesIO(base64.b64decode(image_b64)))
-            pixels, grid = preprocess_image(img)
-        else:
-            rng = np.random.RandomState(0)
-            pixels, grid = preprocess_image(
-                (rng.rand(112, 112, 3) * 255).astype(np.uint8),
-                min_pixels=1, max_pixels=10**9,
-            )
         if self.tokenizer is not None:
             from visionselector_tpu.api.predict import chat_prompt_ids
 
             before, after = chat_prompt_ids(self.tokenizer, prompt)
         else:
             before, after = [100, 200], [300, 400]
-        input_ids = expand_vision_tokens(
-            before, after, grid,
-            spatial_merge_size=cfg.vision.spatial_merge_size,
-            image_token_id=cfg.image_token_id,
-            vision_start_token_id=cfg.vision_start_token_id,
-            vision_end_token_id=cfg.vision_end_token_id,
-        )
+        if image_b64:
+            from PIL import Image
+
+            img = Image.open(io.BytesIO(base64.b64decode(image_b64)))
+            pixels, grid = preprocess_image(img)
+            input_ids = expand_vision_tokens(
+                before, after, grid,
+                spatial_merge_size=cfg.vision.spatial_merge_size,
+                image_token_id=cfg.image_token_id,
+                vision_start_token_id=cfg.vision_start_token_id,
+                vision_end_token_id=cfg.vision_end_token_id,
+            )
+        else:
+            # text-only request: no vision branch (no silent image injection)
+            pixels, grid = None, None
+            input_ids = np.concatenate([before, after]).astype(np.int64)
         with self.lock:
             res = self.engine.generate(
                 input_ids, pixels, grid, max_new_tokens=max_new_tokens

@@ -277,19 +277,13 @@ def _stage_a_core(
         layers, cap_layer, hidden, comp.position_ids[:, None, :], cfg.text
     )
 
-    t = hidden.shape[1]
     # FastV image score: mean over heads & (valid) queries of causal softmax
     # attention received per position (origin=False variant, fastv.py:252).
-    logits = jnp.einsum(
-        "bqhd,bkhd->hqk", q_cap, k_cap, preferred_element_type=jnp.float32
-    ) * (cfg.text.head_dim**-0.5)
-    qi = jnp.arange(t)
-    mask = (qi[:, None] >= qi[None, :]) & (comp.seg_ids > 0)[None, :] \
-        & (comp.seg_ids > 0)[:, None]
-    logits = jnp.where(mask[None], logits, -1e30)
-    probs = jnp.where(mask[None], jax.nn.softmax(logits, axis=-1), 0.0)
-    nq = jnp.maximum((comp.seg_ids > 0).sum(), 1)
-    fastv_scores = probs.mean(axis=0).sum(axis=0) / nq  # [T]
+    # Streamed over query blocks: the naive T x T x H fp32 map is ~16 GB at
+    # the 16384 vision bucket; the blocked column-sum peaks at H x B x T.
+    fastv_scores = _fastv_attention_colsum(
+        q_cap[0], k_cap[0], comp.seg_ids, cfg.text.head_dim**-0.5
+    )
 
     key_l1 = jnp.abs(k_cap[0]).sum(axis=(1, 2))  # [T] L1 over heads*dims
 
@@ -307,6 +301,48 @@ def _stage_a_core(
 
     return (hidden, (k_a, v_a), fastv_scores, key_l1, comp.valid_len,
             comp.position_ids, comp.selected_positions)
+
+
+def _fastv_attention_colsum(q, k, seg_ids, scale, block: int = 128):
+    """Mean attention received per key under causal masked softmax, streamed
+    over query blocks (FastV capture without materializing T x T).
+
+    q, k: [T, H, D]; seg_ids: [T] (0 = padding). Returns [T] fp32:
+    ``probs.mean(heads).sum(valid queries) / n_valid_queries`` — identical to
+    the reference's eager fp32 recompute (``fastv.py:84-93``) semantics.
+    """
+    t = q.shape[0]
+    t_pad = -(-t // block) * block
+    qp = jnp.pad(q, ((0, t_pad - t), (0, 0), (0, 0)))
+    segp = jnp.pad(seg_ids, (0, t_pad - t))
+    valid_k = (seg_ids > 0)
+    kf = k.astype(jnp.float32)
+
+    def body(colsum, qb):
+        qs = jax.lax.dynamic_slice_in_dim(qp, qb * block, block)  # [B, H, D]
+        logits = jnp.einsum(
+            "bhd,khd->hbk", qs.astype(jnp.float32), kf,
+            preferred_element_type=jnp.float32,
+        ) * scale  # [H, B, T]
+        qi = qb * block + jnp.arange(block)
+        seg_q = jax.lax.dynamic_slice_in_dim(segp, qb * block, block)
+        mask = (
+            (qi[:, None] >= jnp.arange(t)[None, :])
+            & valid_k[None, :] & (seg_q > 0)[:, None]
+        )  # [B, T]
+        probs = jnp.where(
+            mask[None], jax.nn.softmax(
+                jnp.where(mask[None], logits, -1e30), axis=-1
+            ), 0.0,
+        )
+        colsum = colsum + probs.mean(axis=0).sum(axis=0)  # [T]
+        return colsum, None
+
+    colsum, _ = jax.lax.scan(
+        body, jnp.zeros((t,), jnp.float32), jnp.arange(t_pad // block)
+    )
+    nq = jnp.maximum((seg_ids > 0).sum(), 1)
+    return colsum / nq
 
 
 @functools.partial(jax.jit, static_argnames=("cfg", "target"))
