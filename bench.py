@@ -138,10 +138,20 @@ def time_prefill(params, cfg, k_max, use_selector, args, iters=8):
 
     fetch(1)
     fetch(iters)  # compile both
-    t0 = time.perf_counter(); fetch(1); t1 = time.perf_counter() - t0
-    t0 = time.perf_counter(); fetch(iters); tk = time.perf_counter() - t0
-    per_iter = (tk - t1) / (iters - 1)
-    return max(per_iter, 1e-9)
+
+    def once():
+        t0 = time.perf_counter(); fetch(1); t1 = time.perf_counter() - t0
+        t0 = time.perf_counter(); fetch(iters); tk = time.perf_counter() - t0
+        return (tk - t1) / (iters - 1)
+
+    # The tunnel adds noisy constant overhead per fetch; a slow T(1) can make
+    # one differential non-positive. Sample a few and keep the median of the
+    # plausible ones.
+    samples = [once() for _ in range(3)]
+    ok = sorted(s for s in samples if s > 1e-4)
+    if not ok:
+        return 1e-9
+    return ok[len(ok) // 2]
 
 
 def peak_memory_bytes():
@@ -152,12 +162,40 @@ def peak_memory_bytes():
         return 0
 
 
+def measure(cfg, params, budget, s_bucket, img_hw):
+    args_sel, k_max_sel, n = build_inputs(cfg, budget, True, s_bucket, img_hw)
+    t_sel = time_prefill(params, cfg, k_max_sel, True, args_sel)
+    args_full, k_max_full, _ = build_inputs(cfg, budget, False, s_bucket, img_hw)
+    t_full = time_prefill(params, cfg, k_max_full, False, args_full)
+    return t_sel, t_full, n
+
+
+def init_7b_int8(cfg):
+    """7B-shape params: bf16 ViT/scorer + int8 weight-only LM (bf16 7B does
+    not fit one 16 GB v5e; int8 halves weight HBM — the deployment-realistic
+    single-chip 7B configuration)."""
+    from visionselector_tpu.models.qwen25vl import lm as lm_mod
+    from visionselector_tpu.models.qwen25vl import vit as vit_mod
+    from visionselector_tpu.selector.scorer import init_scorer_params
+
+    k1, k2, k3 = jax.random.split(jax.random.PRNGKey(0), 3)
+    dtype = cfg.jax_dtype
+    visual = jax.jit(
+        lambda k: vit_mod.init_vit_params(k, cfg.vision, dtype)
+    )(k1)
+    lm = jax.jit(lambda k: lm_mod.init_lm_params_int8(k, cfg.text, dtype))(k2)
+    sel = cfg.with_selector().selector
+    scorer = init_scorer_params(k3, sel, jnp.float32)
+    return {"visual": visual, "lm": lm, "scorer": scorer}
+
+
 def main():
-    from visionselector_tpu.core.config import qwen25vl_3b
+    from visionselector_tpu.core.config import qwen25vl_3b, qwen25vl_7b
     from visionselector_tpu.models.qwen25vl.model import init_params
 
     budget = float(os.environ.get("VST_BENCH_BUDGET", "0.2"))
     preset = os.environ.get("VST_BENCH_PRESET", "3b")
+    run_7b = os.environ.get("VST_BENCH_7B", "1") != "0"
     if preset == "tiny":  # fast CPU smoke of the bench harness itself
         from visionselector_tpu.core.config import qwen25vl_tiny
 
@@ -165,6 +203,7 @@ def main():
         s_bucket = 1024
         img_hw = (252, 364)  # 468 patches
         model_name = "qwen2.5-vl-tiny (smoke)"
+        run_7b = False
     else:
         cfg = qwen25vl_3b()
         # ChartQA-scale: ~1292 merged vision tokens under default pixel budget.
@@ -174,28 +213,53 @@ def main():
     params = jax.jit(lambda key: init_params(key, cfg))(jax.random.PRNGKey(0))
     jax.block_until_ready(params)
 
-    args_sel, k_max_sel, n = build_inputs(cfg, budget, True, s_bucket, img_hw)
-    t_sel = time_prefill(params, cfg, k_max_sel, True, args_sel)
+    t_sel3, t_full3, n = measure(cfg, params, budget, s_bucket, img_hw)
+    speedup3 = t_full3 / t_sel3
 
-    args_full, k_max_full, _ = build_inputs(cfg, budget, False, s_bucket, img_hw)
-    t_full = time_prefill(params, cfg, k_max_full, False, args_full)
+    detail = {
+        "prefill_ms_selector": round(t_sel3 * 1e3, 2),
+        "prefill_ms_uncompressed": round(t_full3 * 1e3, 2),
+        "vision_tokens": int(n),
+        "kept_tokens": int(max(1, int(n * budget))),
+        "budget": budget,
+        "model": model_name,
+        "speedup_3b": round(speedup3, 4),
+        "attn_impl": os.environ.get("VST_ATTN_IMPL"),
+        "platform": jax.devices()[0].platform,
+    }
 
-    speedup = t_full / t_sel
+    # Headline-comparable 7B measurement: the reference's 1.73x is a 7B
+    # figure (README.md:47) where the LM dominates and compression buys more.
+    speedup = speedup3
+    if run_7b:
+        try:
+            import gc
+
+            del params
+            gc.collect()
+            cfg7 = qwen25vl_7b()
+            params7 = init_7b_int8(cfg7)
+            jax.block_until_ready(params7)
+            t_sel7, t_full7, _ = measure(cfg7, params7, budget, s_bucket, img_hw)
+            speedup = t_full7 / t_sel7
+            detail.update(
+                model="qwen2.5-vl-7b int8-LM (random weights)",
+                speedup_7b_int8=round(speedup, 4),
+                prefill_ms_selector=round(t_sel7 * 1e3, 2),
+                prefill_ms_uncompressed=round(t_full7 * 1e3, 2),
+                model_3b="qwen2.5-vl-3b (random weights)",
+                prefill_ms_selector_3b=round(t_sel3 * 1e3, 2),
+                prefill_ms_uncompressed_3b=round(t_full3 * 1e3, 2),
+            )
+        except Exception as e:  # noqa: BLE001 — fall back to the 3B figure
+            detail["bench_7b_error"] = repr(e)
+
     result = {
         "metric": "prefill_speedup_at_20pct_retention",
         "value": round(speedup, 4),
         "unit": "x",
         "vs_baseline": round(speedup / BASELINE_SPEEDUP, 4),
-        "detail": {
-            "prefill_ms_selector": round(t_sel * 1e3, 2),
-            "prefill_ms_uncompressed": round(t_full * 1e3, 2),
-            "vision_tokens": int(n),
-            "kept_tokens": int(max(1, int(n * budget))),
-            "budget": budget,
-            "model": model_name,
-            "attn_impl": os.environ.get("VST_ATTN_IMPL"),
-            "platform": jax.devices()[0].platform,
-        },
+        "detail": detail,
     }
     print(json.dumps(result))
 

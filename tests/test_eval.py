@@ -295,3 +295,34 @@ class TestOVBaselineEval:
         with open(os.path.join(out_dir, "fastv_0.5_rank0.json")) as f:
             res = json.load(f)
         assert "chartqa/relaxed_accuracy" in res["results"]
+
+
+class TestTracker:
+    def test_save_aggregated_and_samples(self, tmp_path):
+        from visionselector_tpu.eval.tracker import EvaluationTracker
+
+        t = EvaluationTracker(output_dir=str(tmp_path), model_name="qwen25vl",
+                              model_args="method=selector")
+        p = t.save_results_aggregated({"chartqa/relaxed_accuracy": 0.5},
+                                      config={"tasks": ["chartqa"]})
+        s = t.save_results_samples("chartqa", [{"doc_id": 0, "prediction": "x"}])
+        with open(p) as f:
+            rec = json.load(f)
+        assert rec["results"]["chartqa/relaxed_accuracy"] == 0.5
+        assert rec["model_name"] == "qwen25vl"
+        assert "date" in rec and "total_evaluation_time_seconds" in rec
+        assert sum(1 for _ in open(s)) == 1
+
+    def test_run_eval_writes_tracker_files(self, tmp_path):
+        data_dir = TestTasks().make_data(tmp_path, n=2)
+        out_dir = str(tmp_path / "r")
+        from visionselector_tpu.api.run_eval import main
+
+        rc = main([
+            "--data-dir", data_dir, "--tasks", "chartqa",
+            "--method", "selector", "--budgets", "0.5", "--limit", "1",
+            "--output-dir", out_dir,
+        ])
+        assert rc == 0
+        tdir = os.path.join(out_dir, "tracker")
+        assert any(n.startswith("results_") for n in os.listdir(tdir))

@@ -363,3 +363,36 @@ class TestTextOnly:
         # deterministic greedy
         res2 = eng.generate(ids, max_new_tokens=4)
         assert res.tokens == res2.tokens
+
+
+class TestMixedBlockAttention:
+    def test_vit_bounds_path_matches_xla(self, params, monkeypatch):
+        """vit_forward's per-layer-type block dispatch (window=128 / full=512
+        with kv-block skipping) must equal the XLA reference path."""
+        monkeypatch.setenv("VST_ATTN_IMPL", "pallas_interpret")
+        img = make_image(seed=33)
+        pixels, grid = preprocess_image(img, min_pixels=1, max_pixels=10**9)
+        vb = build_vision_batch(
+            pixels, grid, window_size=CFG.vision.window_size,
+            spatial_merge_size=CFG.vision.spatial_merge_size,
+            patch_size=CFG.vision.patch_size, pad_to=512,
+        )
+        got = vit_mod.vit_forward(
+            params["visual"], jnp.asarray(vb.pixel_values),
+            jnp.asarray(vb.rot_pos_ids), jnp.asarray(vb.window_seg_ids),
+            jnp.asarray(vb.full_seg_ids), jnp.asarray(vb.reverse_index),
+            CFG.vision,
+            window_kv_bounds=jnp.asarray(vb.window_kv_bounds),
+            full_kv_bounds=jnp.asarray(vb.full_kv_bounds),
+        )
+        monkeypatch.setenv("VST_ATTN_IMPL", "xla")
+        want = vit_mod.vit_forward(
+            params["visual"], jnp.asarray(vb.pixel_values),
+            jnp.asarray(vb.rot_pos_ids), jnp.asarray(vb.window_seg_ids),
+            jnp.asarray(vb.full_seg_ids), jnp.asarray(vb.reverse_index),
+            CFG.vision,
+        )
+        n = vb.num_merged
+        np.testing.assert_allclose(
+            np.asarray(got)[:n], np.asarray(want)[:n], atol=2e-4, rtol=1e-3
+        )

@@ -148,3 +148,94 @@ class TestTrainStep:
         np.testing.assert_allclose(
             float(metrics["loss"]), float(metrics3["loss"]), rtol=1e-5
         )
+
+
+class TestBaselineSFT:
+    def test_sft_step_trains_only_masked_leaves(self, params):
+        """train_qwen.py parity: tune_mm_llm trains the LM, vision/scorer
+        frozen; loss decreases."""
+        import jax
+        import jax.numpy as jnp
+        import numpy as np
+
+        from visionselector_tpu.train.data import (
+            build_train_sample,
+            stack_samples,
+        )
+        from visionselector_tpu.train.sft import (
+            SFTScheduleConfig,
+            init_sft_state,
+            sft_train_step,
+            trainable_mask,
+        )
+
+        cfg = CFG
+        rng = np.random.RandomState(0)
+        samples = [build_train_sample(
+            cfg, (rng.rand(56, 56, 3) * 255).astype(np.uint8),
+            [101, 102], [103], [201, 202, 203],
+            budget=0.25, s_bucket=64, t_bucket=64,
+            min_pixels=1, max_pixels=10**9,
+        ) for _ in range(2)]
+        batch = jax.tree.map(jnp.asarray, stack_samples(samples))
+
+        sched = SFTScheduleConfig(total_steps=6, lr=5e-4, tune_mm_llm=True)
+        mask = trainable_mask(params, sched)
+        assert mask["lm"]["embed_tokens"] is True
+        assert mask["visual"]["patch_embed_kernel"] is False
+        assert mask["visual"]["merger_fc1_kernel"] is False
+        assert mask["scorer"]["q_kernel"] is False
+
+        state = init_sft_state(jax.tree.map(jnp.copy, params), sched)
+        vis_before = np.asarray(state.params["visual"]["patch_embed_kernel"])
+        losses = []
+        for _ in range(6):
+            state, metrics = sft_train_step(state, batch, cfg, sched)
+            losses.append(float(metrics["loss"]))
+        assert losses[-1] < losses[0], losses
+        # frozen leaves unchanged, trainable moved
+        np.testing.assert_array_equal(
+            np.asarray(state.params["visual"]["patch_embed_kernel"]),
+            vis_before,
+        )
+        assert not np.array_equal(
+            np.asarray(state.params["lm"]["embed_tokens"]),
+            np.asarray(params["lm"]["embed_tokens"]),
+        )
+
+    def test_mlp_flag_overrides_vision(self):
+        import jax
+
+        from visionselector_tpu.models.qwen25vl.model import init_params
+        from visionselector_tpu.train.sft import (
+            SFTScheduleConfig,
+            trainable_mask,
+        )
+
+        p = init_params(jax.random.PRNGKey(0), CFG)
+        sched = SFTScheduleConfig(tune_mm_vision=True, tune_mm_mlp=False,
+                                  tune_mm_llm=False)
+        mask = trainable_mask(p, sched)
+        assert mask["visual"]["qkv_kernel" if "qkv_kernel" in mask["visual"]
+                              else "patch_embed_kernel"] is True
+        assert mask["visual"]["merger_fc1_kernel"] is False
+
+    def test_sft_cli_smoke(self, tmp_path, capsys):
+        import json
+        import os
+
+        import numpy as np
+
+        from visionselector_tpu.api.train import main
+
+        out = str(tmp_path / "sft")
+        rc = main([
+            "--output-dir", out, "--smoke", "--method", "sft",
+            "--total-steps", "2", "--batch-size", "2", "--save-steps", "2",
+            "--log-steps", "1", "--tune-mm-llm",
+        ])
+        assert rc == 0
+        lines = [l for l in capsys.readouterr().out.splitlines()
+                 if l.startswith("{")]
+        assert np.isfinite(json.loads(lines[-1])["loss"])
+        assert os.path.exists(os.path.join(out, "checkpoint-2"))

@@ -150,6 +150,21 @@ def main(argv=None) -> int:
         with open(out_path, "w") as f:
             json.dump({"method": args.method, "budget": budget,
                        "results": results}, f, indent=2)
+        # EvaluationTracker persistence (timestamped results + metadata)
+        from visionselector_tpu.eval.tracker import EvaluationTracker
+
+        tracker = EvaluationTracker(
+            output_dir=os.path.join(args.output_dir, "tracker"),
+            model_name=args.family,
+            model_args=f"method={args.method},budget={budget},"
+                       f"model_path={args.model_path}",
+        )
+        tracker.save_results_aggregated(
+            results, config={"tasks": tasks, "limit": args.limit,
+                             "rank": args.rank,
+                             "world_size": args.world_size},
+        )
+        tracker.finish()
         print(json.dumps({"budget": budget, **results}))
     return 0
 

@@ -49,12 +49,17 @@ def build_parser():
                    help="model family (OV selector SFT parity: "
                         "llava-ov-15/src/train/train_sft_visionselector.py)")
     p.add_argument("--method", default="selector",
-                   choices=("selector", "dynamic"),
+                   choices=("selector", "dynamic", "sft"),
                    help="dynamic = Gumbel-ST VisionPredictor training "
-                        "(train_qwen_dynamic.py parity)")
+                        "(train_qwen_dynamic.py parity); sft = baseline "
+                        "full-model CE training (train_qwen.py parity)")
     p.add_argument("--tau-start", type=float, default=1.0)
     p.add_argument("--tau-end", type=float, default=0.1)
     p.add_argument("--mask-loss-weight", type=float, default=100.0)
+    # SFT freeze policy (reference argument.py tune_mm_* knobs)
+    p.add_argument("--tune-mm-vision", action="store_true")
+    p.add_argument("--tune-mm-mlp", action="store_true")
+    p.add_argument("--tune-mm-llm", action="store_true", default=None)
     return p
 
 
@@ -177,7 +182,24 @@ def main(argv=None) -> int:
     mesh = make_mesh(n_data=n_data, n_model=1, devices=devices[:n_data])
     frozen = shard_params(params, mesh)
     is_dynamic = args.method == "dynamic"
-    if is_dynamic:
+    is_sft = args.method == "sft"
+    if is_sft:
+        assert not is_ov, "baseline SFT entry is Qwen-family (train_qwen.py)"
+        from visionselector_tpu.train.sft import (
+            SFTScheduleConfig,
+            init_sft_state,
+            sft_train_step,
+        )
+
+        sched = SFTScheduleConfig(
+            total_steps=args.total_steps, lr=args.lr,
+            tune_mm_vision=args.tune_mm_vision,
+            tune_mm_mlp=args.tune_mm_mlp,
+            tune_mm_llm=(True if args.tune_mm_llm is None
+                         else args.tune_mm_llm),
+        )
+        state = init_sft_state(params, sched)
+    elif is_dynamic:
         assert not is_ov, "dynamic training is a Qwen-family method"
         from visionselector_tpu.selector.baselines.dynamic import (
             init_predictor_params,
@@ -229,7 +251,9 @@ def main(argv=None) -> int:
         samples = [next(stream) for _ in range(args.batch_size)]
         batch = jax.tree.map(jnp.asarray, stack_samples(samples))
         batch = jax.tree.map(lambda x: jax.device_put(x, spec(x)), batch)
-        if is_dynamic:
+        if is_sft:
+            state, metrics = sft_train_step(state, batch, cfg, sched)
+        elif is_dynamic:
             state, metrics = dynamic_train_step(state, frozen, batch, cfg, sched)
         else:
             state, metrics = train_step(state, frozen, batch, cfg, k_max, sched)
@@ -244,7 +268,10 @@ def main(argv=None) -> int:
             path = save_train_state(state, args.output_dir)
             print(f"[train] saved {path}")
 
-    if is_dynamic:
+    if is_sft:
+        # full-model weights live in the orbax checkpoint-<step> dirs
+        print(f"[train] SFT checkpoints in {args.output_dir}")
+    elif is_dynamic:
         from visionselector_tpu.train.dynamic_train import (
             export_predictor_to_safetensors,
         )

@@ -30,6 +30,9 @@ class TaskConfig:
     max_new_tokens: int = 32
     aggregate: str = "mean"  # "mean" | "pope"
     splits_answers: bool = True  # answers field is a list
+    # response filter pipeline (eval.filters.PIPELINES key) applied to raw
+    # generations before scoring — lmms-eval filter_list equivalent
+    filter: str = "none"
 
 
 # The paper image suite (run_selector.sh:36) + shapes of their prompting.
@@ -41,18 +44,25 @@ TASKS: Dict[str, TaskConfig] = {
     "docvqa_val": TaskConfig("docvqa_val", "anls", _SHORT, 32),
     "textvqa_val": TaskConfig("textvqa_val", "vqa_accuracy", _SHORT, 32),
     "ocrbench": TaskConfig("ocrbench", "contains_accuracy", _SHORT, 48),
-    "scienceqa_img": TaskConfig("scienceqa_img", "multiple_choice", _MC, 8),
-    "ai2d_no_mask": TaskConfig("ai2d_no_mask", "multiple_choice", _MC, 8),
-    "mmmu_val": TaskConfig("mmmu_val", "multiple_choice", _MC, 8),
-    "mme": TaskConfig("mme", "yes_no", _SHORT, 8),
-    "pope": TaskConfig("pope", "yes_no", _SHORT, 8, aggregate="pope"),
+    "scienceqa_img": TaskConfig("scienceqa_img", "multiple_choice", _MC, 8,
+                                filter="mc_letter"),
+    "ai2d_no_mask": TaskConfig("ai2d_no_mask", "multiple_choice", _MC, 8,
+                               filter="mc_letter"),
+    "mmmu_val": TaskConfig("mmmu_val", "multiple_choice", _MC, 8,
+                           filter="mc_letter"),
+    "mme": TaskConfig("mme", "yes_no", _SHORT, 8, filter="yes_no"),
+    "pope": TaskConfig("pope", "yes_no", _SHORT, 8, aggregate="pope",
+                       filter="yes_no"),
     "ocr_vqa": TaskConfig("ocr_vqa", "exact_match", _SHORT, 32),
     # Video suite (the paper's "13 image & video benchmarks", README.md:47;
     # task configs mirror lmms-eval/lmms_eval/tasks/<name>/ MC yaml schemas).
-    "videomme": TaskConfig("videomme", "multiple_choice", _MC, 8),
-    "mlvu": TaskConfig("mlvu", "multiple_choice", _MC, 8),
-    "longvideobench": TaskConfig("longvideobench", "multiple_choice", _MC, 8),
-    "mvbench": TaskConfig("mvbench", "multiple_choice", _MC, 8),
+    "videomme": TaskConfig("videomme", "multiple_choice", _MC, 8,
+                           filter="mc_letter"),
+    "mlvu": TaskConfig("mlvu", "multiple_choice", _MC, 8, filter="mc_letter"),
+    "longvideobench": TaskConfig("longvideobench", "multiple_choice", _MC, 8,
+                                 filter="mc_letter"),
+    "mvbench": TaskConfig("mvbench", "multiple_choice", _MC, 8,
+                          filter="mc_letter"),
 }
 
 
@@ -128,6 +138,9 @@ def shard_requests(requests: Sequence[Request], rank: int,
 
 
 def score_request(req: Request, prediction: str) -> float:
+    from visionselector_tpu.eval.filters import apply_pipeline
+
+    prediction = apply_pipeline(req.task.filter, prediction)
     fn = M.METRICS[req.task.metric]
     if req.task.metric in ("multiple_choice", "yes_no"):
         return fn(prediction, req.answers[0])
@@ -144,8 +157,11 @@ def aggregate_scores(task: TaskConfig, preds: List[str],
         f"{task.name}/n": float(len(scores)),
     }
     if task.aggregate == "pope":
+        from visionselector_tpu.eval.filters import apply_pipeline
+
         pope = M.pope_aggregate(
-            [p for _, p in pairs], [r.answers[0] for r, _ in pairs]
+            [apply_pipeline(task.filter, p) for _, p in pairs],
+            [r.answers[0] for r, _ in pairs],
         )
         out.update({f"{task.name}/{k}": v for k, v in pope.items()})
     return out

@@ -78,12 +78,48 @@ def _apply_mrope(q, k, cos, sin):
     return q_out.astype(q.dtype), k_out.astype(k.dtype)
 
 
+def _dense(x, p, name):
+    """Matmul against a possibly int8-quantized kernel.
+
+    int8 weight-only quantization (per-output-channel symmetric scales): the
+    weight stays int8 in HBM — the cast fuses into the matmul read — and the
+    fp scale is applied to the [.., out] result. Halves 7B LM weight HBM so a
+    7B fits one 16 GB v5e (the reference's 1.73x headline is a 7B figure).
+    """
+    w = p[name]
+    if w.dtype == jnp.int8:
+        return (x @ w.astype(x.dtype)) * p[name + "_scale"].astype(x.dtype)
+    return x @ w
+
+
+QUANT_KERNELS = ("q_kernel", "k_kernel", "v_kernel", "o_kernel",
+                 "gate_kernel", "up_kernel", "down_kernel")
+
+
+def quantize_lm_params(lm_params: dict) -> dict:
+    """Per-output-channel symmetric int8 quantization of all decoder matmul
+    kernels (embeddings / lm_head / norms stay in the original dtype)."""
+    layers = dict(lm_params["layers"])
+    for name in QUANT_KERNELS:
+        w = layers[name]  # [n_layers, in, out]
+        amax = jnp.max(jnp.abs(w.astype(jnp.float32)), axis=1)  # [n, out]
+        scale = jnp.maximum(amax / 127.0, 1e-12)
+        wq = jnp.clip(
+            jnp.round(w.astype(jnp.float32) / scale[:, None, :]), -127, 127
+        ).astype(jnp.int8)
+        layers[name] = wq
+        layers[name + "_scale"] = scale
+    out = dict(lm_params)
+    out["layers"] = layers
+    return out
+
+
 def _qkv(x, p, cfg: TextConfig):
     b, t, _ = x.shape
     dh = cfg.head_dim
-    q = x @ p["q_kernel"]
-    k = x @ p["k_kernel"]
-    v = x @ p["v_kernel"]
+    q = _dense(x, p, "q_kernel")
+    k = _dense(x, p, "k_kernel")
+    v = _dense(x, p, "v_kernel")
     if cfg.attention_bias:
         q = q + p["q_bias"]
         k = k + p["k_bias"]
@@ -109,7 +145,8 @@ def _repeat_kv(x: jax.Array, n_rep: int) -> jax.Array:
 
 
 def _mlp(x, p):
-    return (jax.nn.silu(x @ p["gate_kernel"]) * (x @ p["up_kernel"])) @ p["down_kernel"]
+    h = jax.nn.silu(_dense(x, p, "gate_kernel")) * _dense(x, p, "up_kernel")
+    return _dense(h, p, "down_kernel")
 
 
 def lm_prefill_layers(
@@ -141,7 +178,7 @@ def lm_prefill_layers(
             causal=True,
         )
         b, t = x.shape[:2]
-        x = x + attn.reshape(b, t, -1) @ p["o_kernel"]
+        x = x + _dense(attn.reshape(b, t, -1), p, "o_kernel")
         h = rms_norm(x, p["post_ln_scale"], cfg.rms_norm_eps)
         x = x + _mlp(h, p)
         return x, (k, v)
@@ -234,7 +271,7 @@ def lm_decode_step(
             _repeat_kv(v_cache, n_rep),
             pos + 1,
         )
-        x = x + attn.reshape(b, 1, -1) @ p["o_kernel"]
+        x = x + _dense(attn.reshape(b, 1, -1), p, "o_kernel")
         h = rms_norm(x, p["post_ln_scale"], cfg.rms_norm_eps)
         x = x + _mlp(h, p)
         return x, (k_cache, v_cache)
@@ -298,6 +335,65 @@ def init_lm_params(key: jax.Array, cfg: TextConfig, dtype=jnp.float32) -> dict:
     }
     if not cfg.tie_word_embeddings:
         params["lm_head_kernel"] = nrm(ks[8], (d, v))
+    return params
+
+
+def init_lm_params_int8(key: jax.Array, cfg: TextConfig,
+                        dtype=jnp.bfloat16) -> dict:
+    """Random-init the LM directly with int8 matmul kernels.
+
+    For benchmark/memory purposes at 7B scale: initializing bf16 then
+    quantizing would transiently hold ~13 GB of bf16 kernels — more than one
+    v5e's HBM. Kernels are uniform int8 with a per-channel scale chosen so the
+    dequantized std matches the usual 0.02 init.
+    """
+    d, i = cfg.hidden_size, cfg.intermediate_size
+    dh, hq, hkv = cfg.head_dim, cfg.num_attention_heads, cfg.num_key_value_heads
+    n = cfg.num_hidden_layers
+    shapes = {
+        "q_kernel": (n, d, hq * dh),
+        "k_kernel": (n, d, hkv * dh),
+        "v_kernel": (n, d, hkv * dh),
+        "o_kernel": (n, hq * dh, d),
+        "gate_kernel": (n, d, i),
+        "up_kernel": (n, d, i),
+        "down_kernel": (n, i, d),
+    }
+    ks = jax.random.split(key, len(shapes) + 2)
+    layers = {
+        "input_ln_scale": jnp.ones((n, d), dtype),
+        "post_ln_scale": jnp.ones((n, d), dtype),
+    }
+    # uniform int8 in [-127, 127] has std ~73.3; scale to weight std 0.02
+    scale_val = 0.02 / 73.3
+    for idx, (name, shape) in enumerate(shapes.items()):
+        layers[name] = jax.random.randint(ks[idx], shape, -127, 128, jnp.int8)
+        layers[name + "_scale"] = jnp.full(
+            (shape[0], shape[2]), scale_val, jnp.float32
+        )
+    if cfg.attention_bias:
+        layers.update(
+            q_bias=jnp.zeros((n, hq * dh), dtype),
+            k_bias=jnp.zeros((n, hkv * dh), dtype),
+            v_bias=jnp.zeros((n, hkv * dh), dtype),
+        )
+    if cfg.qk_norm:
+        layers.update(
+            q_norm_scale=jnp.ones((n, dh), dtype),
+            k_norm_scale=jnp.ones((n, dh), dtype),
+        )
+    v = cfg.vocab_size
+    params = {
+        "layers": layers,
+        "embed_tokens": (
+            jax.random.normal(ks[-2], (v, d)) * 0.02
+        ).astype(dtype),
+        "final_ln_scale": jnp.ones((d,), dtype),
+    }
+    if not cfg.tie_word_embeddings:
+        params["lm_head_kernel"] = (
+            jax.random.normal(ks[-1], (d, v)) * 0.02
+        ).astype(dtype)
     return params
 
 

@@ -109,13 +109,18 @@ def _block(
     sin: jax.Array,
     cfg: VisionConfig,
     kv_bounds: jax.Array | None = None,
+    attn_fn=None,
 ) -> jax.Array:
     """One ViT block: pre-RMSNorm attn + pre-RMSNorm SwiGLU MLP, residuals.
 
     Supports zero-padded attention heads (dp=128 > head_dim=80, see
     ``weights.pad_vit_head_dim``): detected from the qkv kernel shape; enables
     the transpose-free packed Pallas layout. Results are exactly equal (pad
-    columns are zero in the weights)."""
+    columns are zero in the weights).
+
+    ``attn_fn(q, k, v) -> attn`` overrides the attention call (used by
+    vit_forward to dispatch window vs full layers with their own block
+    sizes)."""
     h = rms_norm(x, p["norm1_scale"], cfg.rms_norm_eps)
     s, d = h.shape[0], cfg.head_dim
     dp = p["qkv_kernel"].shape[-1] // (3 * cfg.num_heads)
@@ -126,13 +131,16 @@ def _block(
         q, k = apply_rotary(q, k, cos, sin)
     else:
         q, k = apply_rotary_padded(q, k, cos, sin, d)
-    from visionselector_tpu.kernels.attention import VIT_BLOCK
+    if attn_fn is not None:
+        attn = attn_fn(q, k, v)
+    else:
+        from visionselector_tpu.kernels.attention import VIT_BLOCK
 
-    attn = attention(
-        q[None], k[None], v[None], seg_ids[None], seg_ids[None], causal=False,
-        scale=d**-0.5,
-        kv_bounds=kv_bounds, block_q=VIT_BLOCK, block_k=VIT_BLOCK,
-    )[0]
+        attn = attention(
+            q[None], k[None], v[None], seg_ids[None], seg_ids[None],
+            causal=False, scale=d**-0.5,
+            kv_bounds=kv_bounds, block_q=VIT_BLOCK, block_k=VIT_BLOCK,
+        )[0]
     attn = attn.reshape(s, -1) @ p["proj_kernel"] + p["proj_bias"]
     x = x + attn
 
@@ -175,15 +183,45 @@ def vit_forward(
         [i in cfg.fullatt_block_indexes for i in range(cfg.depth)]
     )
     have_bounds = window_kv_bounds is not None and full_kv_bounds is not None
+    d = cfg.head_dim
 
-    def layer(x, scanned):
-        p, full = scanned
-        seg = jnp.where(full, full_seg_ids, window_seg_ids)
-        bounds = (
-            jnp.where(full, full_kv_bounds, window_kv_bounds)
-            if have_bounds else None
-        )
-        return _block(x, p, seg, cos, sin, cfg, kv_bounds=bounds), None
+    if have_bounds:
+        # Window and full layers get their own attention configurations:
+        # small blocks + kv-block skipping for the ~64-patch window segments,
+        # large blocks for the per-image full-attention layers. lax.cond
+        # runs exactly one branch per layer at runtime.
+        from visionselector_tpu.kernels.attention import VIT_BLOCK, WINDOW_BLOCK
+
+        def layer(x, scanned):
+            p, full = scanned
+
+            def attn_fn(q, k, v):
+                def window_branch(ops):
+                    q, k, v = ops
+                    return attention(
+                        q[None], k[None], v[None], window_seg_ids[None],
+                        window_seg_ids[None], causal=False, scale=d**-0.5,
+                        kv_bounds=window_kv_bounds,
+                        block_q=WINDOW_BLOCK, block_k=WINDOW_BLOCK,
+                    )[0]
+
+                def full_branch(ops):
+                    q, k, v = ops
+                    return attention(
+                        q[None], k[None], v[None], full_seg_ids[None],
+                        full_seg_ids[None], causal=False, scale=d**-0.5,
+                        kv_bounds=full_kv_bounds,
+                        block_q=VIT_BLOCK, block_k=VIT_BLOCK,
+                    )[0]
+
+                return jax.lax.cond(full, full_branch, window_branch, (q, k, v))
+
+            return _block(x, p, None, cos, sin, cfg, attn_fn=attn_fn), None
+    else:
+        def layer(x, scanned):
+            p, full = scanned
+            seg = jnp.where(full, full_seg_ids, window_seg_ids)
+            return _block(x, p, seg, cos, sin, cfg), None
 
     x, _ = jax.lax.scan(layer, x, (params["blocks"], use_full))
 

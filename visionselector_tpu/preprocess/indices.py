@@ -203,12 +203,16 @@ def build_vision_batch(
 
     from visionselector_tpu.kernels.attention import (
         VIT_BLOCK,
+        WINDOW_BLOCK,
         segment_block_bounds,
     )
 
     window_seg_padded = pad_rows(window_seg, s_pad)
     full_seg_padded = pad_rows(full_seg, s_pad)
-    block = min(VIT_BLOCK, s_pad)
+    # Window layers use a smaller block (their segments are ~64 patches);
+    # full-attention layers keep the large block (better MXU utilization).
+    wblock = min(WINDOW_BLOCK, s_pad)
+    fblock = min(VIT_BLOCK, s_pad)
     return VisionBatch(
         pixel_values=pad_rows(pixels_w.astype(np.float32), s_pad),
         rot_pos_ids=pad_rows(rot_ids_w, s_pad),
@@ -219,8 +223,8 @@ def build_vision_batch(
         grid_thw=np.asarray(grid_thw),
         num_patches=seq_len,
         num_merged=num_merged,
-        window_kv_bounds=segment_block_bounds(window_seg_padded, block, block),
-        full_kv_bounds=segment_block_bounds(full_seg_padded, block, block),
+        window_kv_bounds=segment_block_bounds(window_seg_padded, wblock, wblock),
+        full_kv_bounds=segment_block_bounds(full_seg_padded, fblock, fblock),
     )
 
 

@@ -1,0 +1,134 @@
+"""Baseline full-model SFT (reference parity:
+``qwen-vl-finetune/qwenvl/train/train_qwen.py`` — plain CE training with the
+``tune_mm_vision`` / ``tune_mm_mlp`` / ``tune_mm_llm`` freeze policy,
+``set_model`` :70-93).
+
+TPU-native: the trainable subset is an optax ``masked`` transform over the
+full parameter pytree (frozen leaves get zero updates and no optimizer
+state), replacing per-parameter ``requires_grad`` flips. The data-parallel
+mesh + ``core.mesh.shard_params`` weight sharding are the ZeRO analog.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple, Tuple
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from visionselector_tpu.core.config import VLConfig
+from visionselector_tpu.models.qwen25vl import lm as lm_mod
+from visionselector_tpu.models.qwen25vl import vit as vit_mod
+from visionselector_tpu.train.loss import TrainBatchSample, cross_entropy
+
+
+class SFTScheduleConfig(NamedTuple):
+    total_steps: int = 1000
+    lr: float = 1e-5
+    weight_decay: float = 0.0
+    warmup_ratio: float = 0.03
+    tune_mm_vision: bool = False
+    tune_mm_mlp: bool = False
+    tune_mm_llm: bool = True
+
+
+class SFTState(NamedTuple):
+    params: dict  # FULL tree (frozen leaves ride along, untouched)
+    opt_state: optax.OptState
+    step: jax.Array
+
+
+def trainable_mask(params: dict, sched: SFTScheduleConfig) -> dict:
+    """Pytree of bools mirroring ``set_model``'s freeze policy: visual.* =
+    tune_mm_vision, visual merger.* = tune_mm_mlp (overrides vision flag for
+    merger leaves, as the reference applies it after), lm.* = tune_mm_llm;
+    scorer never trains here (that is the selector entry's job)."""
+
+    def mark(path, _leaf):
+        name = "/".join(str(getattr(p, "key", p)) for p in path)
+        if name.startswith("visual/merger"):
+            return sched.tune_mm_mlp
+        if name.startswith("visual"):
+            return sched.tune_mm_vision
+        if name.startswith("lm"):
+            return sched.tune_mm_llm
+        return False  # scorer & anything else
+
+    return jax.tree_util.tree_map_with_path(mark, params)
+
+
+def make_optimizer(params: dict,
+                   sched: SFTScheduleConfig) -> optax.GradientTransformation:
+    warmup = max(1, int(sched.total_steps * sched.warmup_ratio))
+    lr = optax.warmup_cosine_decay_schedule(
+        init_value=0.0, peak_value=sched.lr, warmup_steps=warmup,
+        decay_steps=max(sched.total_steps, warmup + 1),
+    )
+    mask = trainable_mask(params, sched)
+    not_mask = jax.tree.map(lambda m: not m, mask)
+    # masked() leaves unmasked updates untouched — frozen leaves must be
+    # explicitly zeroed, then AdamW runs (with state) only on trainables.
+    return optax.chain(
+        optax.masked(optax.set_to_zero(), not_mask),
+        optax.masked(optax.adamw(lr, weight_decay=sched.weight_decay), mask),
+    )
+
+
+def init_sft_state(params: dict, sched: SFTScheduleConfig) -> SFTState:
+    opt = make_optimizer(params, sched)
+    return SFTState(params=params, opt_state=opt.init(params),
+                    step=jnp.zeros((), jnp.int32))
+
+
+def sft_train_forward(
+    params: dict, sample: TrainBatchSample, cfg: VLConfig
+) -> Tuple[jax.Array, dict]:
+    """Plain CE forward: full ViT -> scatter -> decoder -> CE (no selector)."""
+    vision_embeds = vit_mod.vit_forward(
+        params["visual"], sample.pixel_values, sample.rot_pos_ids,
+        sample.window_seg_ids, sample.full_seg_ids, sample.reverse_index,
+        cfg.vision,
+    )
+    text_embeds = lm_mod.embed_tokens(params["lm"], sample.input_ids)
+    t_pad, d = text_embeds.shape
+    full = jnp.zeros((t_pad + 1, d), text_embeds.dtype)
+    full = full.at[:t_pad].set(text_embeds)
+    full = full.at[sample.image_positions].set(
+        vision_embeds.astype(text_embeds.dtype)
+    )
+    hidden, _ = lm_mod.lm_prefill(
+        params["lm"], full[:t_pad][None], sample.position_ids[:, None, :],
+        sample.seg_ids[None], cfg.text,
+    )
+    logits = lm_mod.lm_head(params["lm"], hidden[0], cfg.text)
+    ce = cross_entropy(logits[:-1], sample.labels[1:])
+    return ce, {"ce": ce}
+
+
+@functools.partial(jax.jit, static_argnames=("cfg", "sched"),
+                   donate_argnums=(0,))
+def sft_train_step(
+    state: SFTState,
+    batch: TrainBatchSample,
+    cfg: VLConfig,
+    sched: SFTScheduleConfig,
+) -> Tuple[SFTState, dict]:
+    def batch_loss(params):
+        def per_sample(sample):
+            return sft_train_forward(params, sample, cfg)
+
+        losses, metrics = jax.vmap(per_sample)(batch)
+        return losses.mean(), jax.tree.map(jnp.mean, metrics)
+
+    (loss, metrics), grads = jax.value_and_grad(batch_loss, has_aux=True)(
+        state.params
+    )
+    opt = make_optimizer(state.params, sched)
+    updates, opt_state = opt.update(grads, state.opt_state, state.params)
+    params = optax.apply_updates(state.params, updates)
+    metrics = dict(metrics)
+    metrics.update(loss=loss, grad_norm=optax.global_norm(grads))
+    return SFTState(params=params, opt_state=opt_state,
+                    step=state.step + 1), metrics
