@@ -367,3 +367,22 @@ class TestOVBaselines:
         res = eng.generate(np.asarray([100, 200, 300]), max_new_tokens=3)
         assert res.num_vision_tokens == 0
         assert len(res.tokens) >= 1
+
+
+class TestMergeModel:
+    def test_smoke_assembly_and_report(self, tmp_path):
+        """merge_model.py parity: assemble OV from parts, cosine sanity."""
+        import json
+        import os
+
+        from visionselector_tpu.api.merge_model import main
+
+        out = str(tmp_path / "merged")
+        rc = main(["--output-dir", out, "--smoke"])
+        assert rc == 0
+        with open(os.path.join(out, "merge_report.json")) as f:
+            rep = json.load(f)
+        assert rep["ok"] is True
+        assert rep["cosine"]["visual"] > 0.999
+        assert rep["cosine"]["lm"] > 0.999
+        assert os.path.isdir(os.path.join(out, "merged"))

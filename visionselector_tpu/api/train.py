@@ -60,6 +60,9 @@ def build_parser():
     p.add_argument("--tune-mm-vision", action="store_true")
     p.add_argument("--tune-mm-mlp", action="store_true")
     p.add_argument("--tune-mm-llm", action="store_true", default=None)
+    # LoRA (reference params.py lora_rank=64 / lora_alpha=16; 0 = off)
+    p.add_argument("--lora-rank", type=int, default=0)
+    p.add_argument("--lora-alpha", type=int, default=16)
     return p
 
 
@@ -191,12 +194,22 @@ def main(argv=None) -> int:
             sft_train_step,
         )
 
+        if args.lora_rank > 0:
+            from visionselector_tpu.train.lora import add_lora_params
+
+            params = dict(params)
+            params["lm"] = add_lora_params(
+                params["lm"], jax.random.PRNGKey(args.seed + 1),
+                rank=args.lora_rank, alpha=args.lora_alpha,
+                dtype=cfg.jax_dtype,
+            )
         sched = SFTScheduleConfig(
             total_steps=args.total_steps, lr=args.lr,
             tune_mm_vision=args.tune_mm_vision,
             tune_mm_mlp=args.tune_mm_mlp,
             tune_mm_llm=(True if args.tune_mm_llm is None
                          else args.tune_mm_llm),
+            lora_rank=args.lora_rank,
         )
         state = init_sft_state(params, sched)
     elif is_dynamic:
@@ -269,6 +282,20 @@ def main(argv=None) -> int:
             print(f"[train] saved {path}")
 
     if is_sft:
+        if args.lora_rank > 0:
+            # merge adapters into dense weights (merge_lora_weights.py flow)
+            import orbax.checkpoint as ocp
+
+            from visionselector_tpu.train.lora import merge_lora_params
+
+            merged = dict(state.params)
+            merged["lm"] = merge_lora_params(state.params["lm"])
+            path = os.path.join(
+                os.path.abspath(args.output_dir), "lora_merged"
+            )
+            with ocp.StandardCheckpointer() as ckptr:
+                ckptr.save(path, merged, force=True)
+            print(f"[train] LoRA merged into {path}")
         # full-model weights live in the orbax checkpoint-<step> dirs
         print(f"[train] SFT checkpoints in {args.output_dir}")
     elif is_dynamic:

@@ -88,8 +88,16 @@ def _dense(x, p, name):
     """
     w = p[name]
     if w.dtype == jnp.int8:
-        return (x @ w.astype(x.dtype)) * p[name + "_scale"].astype(x.dtype)
-    return x @ w
+        y = (x @ w.astype(x.dtype)) * p[name + "_scale"].astype(x.dtype)
+    else:
+        y = x @ w
+    a = p.get(name + "_lora_a")
+    if a is not None:
+        # LoRA adapter (peft parity: out += x @ A @ B * alpha/rank); the
+        # scalar is baked into the adapter tree at init (train.lora).
+        y = y + ((x @ a.astype(x.dtype)) @ p[name + "_lora_b"].astype(x.dtype)
+                 ) * p[name + "_lora_scale"]
+    return y
 
 
 QUANT_KERNELS = ("q_kernel", "k_kernel", "v_kernel", "o_kernel",

@@ -32,6 +32,9 @@ class SFTScheduleConfig(NamedTuple):
     tune_mm_vision: bool = False
     tune_mm_mlp: bool = False
     tune_mm_llm: bool = True
+    # LoRA: rank > 0 trains ONLY the adapter leaves (reference requires
+    # freeze_llm with lora_enable, train_sft_visionselector.py:160-161)
+    lora_rank: int = 0
 
 
 class SFTState(NamedTuple):
@@ -48,6 +51,10 @@ def trainable_mask(params: dict, sched: SFTScheduleConfig) -> dict:
 
     def mark(path, _leaf):
         name = "/".join(str(getattr(p, "key", p)) for p in path)
+        if sched.lora_rank > 0:
+            from visionselector_tpu.train.lora import lora_leaf
+
+            return lora_leaf(name)
         if name.startswith("visual/merger"):
             return sched.tune_mm_mlp
         if name.startswith("visual"):
