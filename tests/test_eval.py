@@ -326,3 +326,77 @@ class TestTracker:
         assert rc == 0
         tdir = os.path.join(out_dir, "tracker")
         assert any(n.startswith("results_") for n in os.listdir(tdir))
+
+
+class TestPrepData:
+    def test_filter_and_sample_merge(self, tmp_path):
+        from visionselector_tpu.train.prep_data import main
+
+        src = tmp_path / "cambrian.jsonl"
+        with open(src, "w") as f:
+            for i in range(10):
+                name = "ocr_vqa" if i % 2 == 0 else "chartqa"
+                f.write(json.dumps({
+                    "image": f"{name}/img_{i}.png", "conversations": []
+                }) + "\n")
+            f.write(json.dumps({"image": "other/x.png"}) + "\n")
+        out = tmp_path / "split"
+        rc = main(["filter", "--input", str(src), "--output-dir", str(out),
+                   "--datasets", "ocr_vqa,chartqa"])
+        assert rc == 0
+        assert sum(1 for _ in open(out / "ocr_vqa_cambrian.jsonl")) == 5
+        assert sum(1 for _ in open(out / "chartqa_cambrian.jsonl")) == 5
+
+        merged = tmp_path / "merged.jsonl"
+        rc = main(["sample-merge", "--inputs",
+                   f"{out}/ocr_vqa_cambrian.jsonl:1.0,"
+                   f"{out}/chartqa_cambrian.jsonl:0.4",
+                   "--output", str(merged)])
+        assert rc == 0
+        assert sum(1 for _ in open(merged)) == 5 + 2
+
+
+class TestTaskConfigDir:
+    def test_yaml_task_registration_and_run(self, tmp_path):
+        """lmms-eval YAML-task extensibility: a user-supplied task config
+        registers and runs through the harness."""
+        cfg_dir = tmp_path / "task_cfgs"
+        cfg_dir.mkdir()
+        with open(cfg_dir / "mytask.yaml", "w") as f:
+            f.write(
+                "name: mytask\n"
+                "metric: multiple_choice\n"
+                "prompt_suffix: \"\\nAnswer with the letter.\"\n"
+                "max_new_tokens: 4\n"
+                "filter: mc_letter\n"
+            )
+        from PIL import Image
+
+        Image.fromarray(
+            (np.random.RandomState(0).rand(56, 56, 3) * 255).astype(np.uint8)
+        ).save(tmp_path / "i.png")
+        with open(tmp_path / "mytask.jsonl", "w") as f:
+            f.write(json.dumps({"question": "A or B?", "answers": ["A"],
+                                "image": "i.png"}) + "\n")
+        from visionselector_tpu.api.run_eval import main
+
+        out = str(tmp_path / "res")
+        rc = main([
+            "--data-dir", str(tmp_path), "--tasks", "mytask",
+            "--method", "selector", "--budgets", "0.5",
+            "--output-dir", out, "--task-config-dir", str(cfg_dir),
+        ])
+        assert rc == 0
+        with open(os.path.join(out, "selector_0.5_rank0.json")) as f:
+            res = json.load(f)
+        assert "mytask/multiple_choice" in res["results"]
+
+    def test_unknown_field_raises(self, tmp_path):
+        from visionselector_tpu.eval.tasks import load_task_configs
+
+        with open(tmp_path / "bad.yaml", "w") as f:
+            f.write("name: x\nmetric: anls\nnot_a_field: 1\n")
+        import pytest as _pytest
+
+        with _pytest.raises(ValueError, match="not_a_field"):
+            load_task_configs(str(tmp_path))

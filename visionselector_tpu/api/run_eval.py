@@ -37,11 +37,20 @@ def build_parser():
     p.add_argument("--merge", action="store_true",
                    help="merge per-rank sample logs in --output-dir (run "
                         "after all ranks finish) — each doc scored once")
+    p.add_argument("--task-config-dir", default=None,
+                   help="directory of YAML/JSON TaskConfig files to register "
+                        "(lmms-eval per-task yaml extensibility)")
     return p
 
 
 def main(argv=None) -> int:
     args = build_parser().parse_args(argv)
+
+    if args.task_config_dir:
+        from visionselector_tpu.eval.tasks import load_task_configs
+
+        registered = load_task_configs(args.task_config_dir)
+        print(f"[run_eval] registered tasks: {registered}")
 
     if args.merge:
         import glob

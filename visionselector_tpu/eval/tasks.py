@@ -66,6 +66,51 @@ TASKS: Dict[str, TaskConfig] = {
 }
 
 
+def register_task(cfg: TaskConfig) -> None:
+    TASKS[cfg.name] = cfg
+
+
+def load_task_configs(config_dir: str) -> List[str]:
+    """Register TaskConfigs from ``*.yaml``/``*.json`` files in a directory.
+
+    The extensibility mechanism standing in for lmms-eval's 147 per-task YAML
+    dirs (``lmms-eval/lmms_eval/tasks/<name>/<name>.yaml``): each file holds
+    one task spec (or a list) with the TaskConfig field names::
+
+        name: my_task
+        metric: multiple_choice
+        prompt_suffix: "\\nAnswer with the option's letter."
+        max_new_tokens: 8
+        filter: mc_letter
+
+    Returns the registered task names.
+    """
+    import glob
+
+    import yaml
+
+    names = []
+    for path in sorted(
+        glob.glob(os.path.join(config_dir, "*.yaml"))
+        + glob.glob(os.path.join(config_dir, "*.yml"))
+        + glob.glob(os.path.join(config_dir, "*.json"))
+    ):
+        with open(path) as f:
+            spec = (json.load(f) if path.endswith(".json")
+                    else yaml.safe_load(f))
+        for item in (spec if isinstance(spec, list) else [spec]):
+            fields = {f.name for f in dataclasses.fields(TaskConfig)}
+            unknown = set(item) - fields
+            if unknown:
+                raise ValueError(
+                    f"{path}: unknown TaskConfig fields {sorted(unknown)}"
+                )
+            cfg = TaskConfig(**item)
+            register_task(cfg)
+            names.append(cfg.name)
+    return names
+
+
 @dataclasses.dataclass
 class Request:
     """One evaluation request (lmms-eval Instance equivalent,
