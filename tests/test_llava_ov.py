@@ -386,3 +386,111 @@ class TestMergeModel:
         assert rep["cosine"]["visual"] > 0.999
         assert rep["cosine"]["lm"] > 0.999
         assert os.path.isdir(os.path.join(out, "merged"))
+
+
+class TestOVMoE:
+    """LLaVA-OV-1.5 MoE variant (Qwen3-MoE text backbone,
+    ``modeling_llavaonevision1_5_moe.py:658-707``)."""
+
+    def test_moe_mlp_matches_manual(self):
+        from visionselector_tpu.core.config import llava_ov_moe_tiny
+        from visionselector_tpu.models.qwen25vl.lm import _moe_mlp
+
+        cfg = llava_ov_moe_tiny().text
+        rng = np.random.RandomState(0)
+        d, e, mi = cfg.hidden_size, cfg.num_experts, cfg.moe_intermediate_size
+        p = {
+            "router_kernel": jnp.asarray(rng.randn(d, e), jnp.float32),
+            "expert_gate_kernel": jnp.asarray(rng.randn(e, d, mi), jnp.float32) * 0.1,
+            "expert_up_kernel": jnp.asarray(rng.randn(e, d, mi), jnp.float32) * 0.1,
+            "expert_down_kernel": jnp.asarray(rng.randn(e, mi, d), jnp.float32) * 0.1,
+        }
+        x = jnp.asarray(rng.randn(1, 5, d), jnp.float32)
+        got = np.asarray(_moe_mlp(x, p, cfg))
+
+        # manual reference (torch loop semantics)
+        xf = np.asarray(x)[0]
+        logits = xf @ np.asarray(p["router_kernel"])
+        probs = np.exp(logits - logits.max(-1, keepdims=True))
+        probs = probs / probs.sum(-1, keepdims=True)
+        want = np.zeros_like(xf)
+        for t in range(xf.shape[0]):
+            top = np.argsort(-probs[t], kind="stable")[: cfg.num_experts_per_tok]
+            w = probs[t, top]
+            w = w / w.sum()  # norm_topk_prob
+            for ei, wi in zip(top, w):
+                g = xf[t] @ np.asarray(p["expert_gate_kernel"][ei])
+                u = xf[t] @ np.asarray(p["expert_up_kernel"][ei])
+                silu = g / (1 + np.exp(-g)) * u
+                want[t] += wi * (silu @ np.asarray(p["expert_down_kernel"][ei]))
+        np.testing.assert_allclose(got[0], want, rtol=2e-4, atol=2e-5)
+
+    def test_moe_engine_generate(self):
+        from visionselector_tpu.core.config import llava_ov_moe_tiny
+
+        cfg = llava_ov_moe_tiny()
+        params = init_ov_params(jax.random.PRNGKey(0), cfg)
+        assert "router_kernel" in params["lm"]["layers"]
+        pixels, grid = make_pixels(seed=7)
+        ids = expand_vision_tokens(
+            [100], [400], grid,
+            image_token_id=cfg.image_token_id,
+            vision_start_token_id=cfg.vision_start_token_id,
+            vision_end_token_id=cfg.vision_end_token_id,
+        )
+        eng = OVEngine(cfg, params, use_selector=True, budget=0.5)
+        res = eng.generate(ids, pixels, grid, max_new_tokens=3)
+        assert len(res.tokens) >= 1
+        assert res.selected_indices is not None
+
+    def test_moe_weights_roundtrip(self, tmp_path):
+        """Synthetic HF MoE checkpoint loads with expert stacking."""
+        import os
+
+        from safetensors.numpy import save_file
+
+        from visionselector_tpu.core.config import llava_ov_moe_tiny
+        from visionselector_tpu.models.llava_ov15.weights import (
+            load_qwen3_lm_params,
+        )
+
+        cfg = llava_ov_moe_tiny().text
+        rng = np.random.RandomState(1)
+        d, e, mi = cfg.hidden_size, cfg.num_experts, cfg.moe_intermediate_size
+        dh, hq, hkv = cfg.head_dim, cfg.num_attention_heads, cfg.num_key_value_heads
+        tensors = {"model.embed_tokens.weight":
+                   rng.randn(cfg.vocab_size, d).astype(np.float32),
+                   "model.norm.weight": np.ones(d, np.float32)}
+        for i in range(cfg.num_hidden_layers):
+            pfx = f"model.layers.{i}."
+            tensors[pfx + "input_layernorm.weight"] = np.ones(d, np.float32)
+            tensors[pfx + "post_attention_layernorm.weight"] = np.ones(d, np.float32)
+            tensors[pfx + "self_attn.q_proj.weight"] = rng.randn(hq * dh, d).astype(np.float32)
+            tensors[pfx + "self_attn.k_proj.weight"] = rng.randn(hkv * dh, d).astype(np.float32)
+            tensors[pfx + "self_attn.v_proj.weight"] = rng.randn(hkv * dh, d).astype(np.float32)
+            tensors[pfx + "self_attn.o_proj.weight"] = rng.randn(d, hq * dh).astype(np.float32)
+            tensors[pfx + "self_attn.q_norm.weight"] = np.ones(dh, np.float32)
+            tensors[pfx + "self_attn.k_norm.weight"] = np.ones(dh, np.float32)
+            tensors[pfx + "mlp.gate.weight"] = rng.randn(e, d).astype(np.float32)
+            for j in range(e):
+                ep = pfx + f"mlp.experts.{j}."
+                tensors[ep + "gate_proj.weight"] = rng.randn(mi, d).astype(np.float32)
+                tensors[ep + "up_proj.weight"] = rng.randn(mi, d).astype(np.float32)
+                tensors[ep + "down_proj.weight"] = rng.randn(d, mi).astype(np.float32)
+        save_file(tensors, os.path.join(tmp_path, "model.safetensors"))
+
+        from visionselector_tpu.models.llava_ov15.weights import _open_checkpoint
+
+        get = _open_checkpoint(str(tmp_path))
+        params = load_qwen3_lm_params(get, cfg, jnp.float32, "model.")
+        assert params["layers"]["expert_gate_kernel"].shape == (
+            cfg.num_hidden_layers, e, d, mi
+        )
+        np.testing.assert_allclose(
+            np.asarray(params["layers"]["expert_down_kernel"][0, 1]),
+            tensors["model.layers.0.mlp.experts.1.down_proj.weight"].T,
+        )
+        np.testing.assert_allclose(
+            np.asarray(params["layers"]["router_kernel"][0]),
+            tensors["model.layers.0.mlp.gate.weight"].T,
+        )

@@ -71,6 +71,13 @@ class TextConfig:
     qk_norm: bool = False  # per-head-dim RMSNorm on q and k
     attention_bias: bool = True  # qkv projection bias
     mrope: bool = True  # False -> plain 1D rope (all 3 axes identical)
+    # Qwen3-MoE knobs (LLaVA-OV-1.5 MoE variant,
+    # ``configuration_llavaonevision1_5_moe.py:214-264``); num_experts = 0
+    # keeps the dense MLP.
+    num_experts: int = 0
+    num_experts_per_tok: int = 8
+    moe_intermediate_size: int = 768
+    norm_topk_prob: bool = True
 
     @property
     def head_dim(self) -> int:
@@ -235,6 +242,22 @@ def llava_ov_tiny() -> "OVConfig":
             tie_word_embeddings=True,
         ),
         dtype="float32",
+    )
+
+
+def llava_ov_moe_tiny() -> "OVConfig":
+    """CPU-testable RICE + Qwen3-MoE config (LLaVA-OV-1.5 MoE variant,
+    ``modeling_llavaonevision1_5_moe.py`` — 128 experts / top-8 at scale;
+    4 experts / top-2 here)."""
+    base = llava_ov_tiny()
+    return dataclasses.replace(
+        base,
+        text=dataclasses.replace(
+            base.text,
+            num_experts=4,
+            num_experts_per_tok=2,
+            moe_intermediate_size=64,
+        ),
     )
 
 

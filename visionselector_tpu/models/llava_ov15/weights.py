@@ -94,10 +94,31 @@ def load_qwen3_lm_params(get, cfg: TextConfig, dtype, prefix: str) -> dict:
         "k_kernel": stack(p + "layers.{i}.self_attn.k_proj.weight", T),
         "v_kernel": stack(p + "layers.{i}.self_attn.v_proj.weight", T),
         "o_kernel": stack(p + "layers.{i}.self_attn.o_proj.weight", T),
-        "gate_kernel": stack(p + "layers.{i}.mlp.gate_proj.weight", T),
-        "up_kernel": stack(p + "layers.{i}.mlp.up_proj.weight", T),
-        "down_kernel": stack(p + "layers.{i}.mlp.down_proj.weight", T),
     }
+    if cfg.num_experts > 0:
+        # Qwen3-MoE experts (``modeling_llavaonevision1_5_moe.py:658-707``):
+        # router = mlp.gate, experts stacked [n_layers, E, ...].
+        layers["router_kernel"] = stack(p + "layers.{i}.mlp.gate.weight", T)
+
+        def stack_experts(fmt):
+            ts = []
+            for i in range(n):
+                ts.append(np.stack([
+                    np.transpose(get(fmt.format(i=i, j=j)))
+                    for j in range(cfg.num_experts)
+                ]))
+            return _to(np.stack(ts), dtype)
+
+        layers["expert_gate_kernel"] = stack_experts(
+            p + "layers.{i}.mlp.experts.{j}.gate_proj.weight")
+        layers["expert_up_kernel"] = stack_experts(
+            p + "layers.{i}.mlp.experts.{j}.up_proj.weight")
+        layers["expert_down_kernel"] = stack_experts(
+            p + "layers.{i}.mlp.experts.{j}.down_proj.weight")
+    else:
+        layers["gate_kernel"] = stack(p + "layers.{i}.mlp.gate_proj.weight", T)
+        layers["up_kernel"] = stack(p + "layers.{i}.mlp.up_proj.weight", T)
+        layers["down_kernel"] = stack(p + "layers.{i}.mlp.down_proj.weight", T)
     if cfg.qk_norm:
         layers["q_norm_scale"] = stack(p + "layers.{i}.self_attn.q_norm.weight")
         layers["k_norm_scale"] = stack(p + "layers.{i}.self_attn.k_norm.weight")
@@ -155,6 +176,11 @@ def ov_config_from_hf(path: str) -> OVConfig:
         attention_bias=t.get("attention_bias", False),
         mrope=False,
         tie_word_embeddings=raw.get("tie_word_embeddings", False),
+        # MoE variant (configuration_llavaonevision1_5_moe.py:214-264)
+        num_experts=t.get("num_experts", 0),
+        num_experts_per_tok=t.get("num_experts_per_tok", 8),
+        moe_intermediate_size=t.get("moe_intermediate_size", 768),
+        norm_topk_prob=t.get("norm_topk_prob", True),
     )
     return OVConfig(
         vision=vision,

@@ -109,6 +109,8 @@ def quantize_lm_params(lm_params: dict) -> dict:
     kernels (embeddings / lm_head / norms stay in the original dtype)."""
     layers = dict(lm_params["layers"])
     for name in QUANT_KERNELS:
+        if name not in layers:  # MoE trees have expert kernels instead
+            continue
         w = layers[name]  # [n_layers, in, out]
         amax = jnp.max(jnp.abs(w.astype(jnp.float32)), axis=1)  # [n, out]
         scale = jnp.maximum(amax / 127.0, 1e-12)
@@ -152,7 +154,42 @@ def _repeat_kv(x: jax.Array, n_rep: int) -> jax.Array:
     )
 
 
-def _mlp(x, p):
+def _moe_mlp(x, p, cfg: TextConfig):
+    """Qwen3-MoE sparse MLP (LLaVA-OV-1.5 MoE variant,
+    ``modeling_llavaonevision1_5_moe.py:658-707``): softmax router over all
+    experts, top-k selection with renormalized weights (norm_topk_prob).
+
+    TPU-native evaluation: a ``lax.scan`` over the stacked expert weights
+    computes every expert densely and combines with the per-token routing
+    weight (zero for unrouted experts). Static shapes, no ragged dispatch —
+    right for batch-1 inference/small scale; production-scale serving would
+    shard the expert axis over the mesh ('expert parallel') with the same
+    math.
+    """
+    logits = x @ p["router_kernel"]  # [B, T, E]
+    probs = jax.nn.softmax(logits.astype(jnp.float32), axis=-1)
+    topv, topi = jax.lax.top_k(probs, cfg.num_experts_per_tok)
+    if cfg.norm_topk_prob:
+        topv = topv / topv.sum(-1, keepdims=True)
+
+    def expert(carry, packed):
+        gate_k, up_k, down_k, e = packed
+        w = (topv * (topi == e)).sum(-1).astype(x.dtype)  # [B, T]
+        y = (jax.nn.silu(x @ gate_k) * (x @ up_k)) @ down_k
+        return carry + y * w[..., None], None
+
+    out, _ = jax.lax.scan(
+        expert,
+        jnp.zeros_like(x),
+        (p["expert_gate_kernel"], p["expert_up_kernel"],
+         p["expert_down_kernel"], jnp.arange(cfg.num_experts)),
+    )
+    return out
+
+
+def _mlp(x, p, cfg: TextConfig | None = None):
+    if "router_kernel" in p:
+        return _moe_mlp(x, p, cfg)
     h = jax.nn.silu(_dense(x, p, "gate_kernel")) * _dense(x, p, "up_kernel")
     return _dense(h, p, "down_kernel")
 
@@ -188,7 +225,7 @@ def lm_prefill_layers(
         b, t = x.shape[:2]
         x = x + _dense(attn.reshape(b, t, -1), p, "o_kernel")
         h = rms_norm(x, p["post_ln_scale"], cfg.rms_norm_eps)
-        x = x + _mlp(h, p)
+        x = x + _mlp(h, p, cfg)
         return x, (k, v)
 
     return jax.lax.scan(layer, inputs_embeds, layers)
@@ -281,7 +318,7 @@ def lm_decode_step(
         )
         x = x + _dense(attn.reshape(b, 1, -1), p, "o_kernel")
         h = rms_norm(x, p["post_ln_scale"], cfg.rms_norm_eps)
-        x = x + _mlp(h, p)
+        x = x + _mlp(h, p, cfg)
         return x, (k_cache, v_cache)
 
     x, (k_new, v_new) = jax.lax.scan(
@@ -321,10 +358,21 @@ def init_lm_params(key: jax.Array, cfg: TextConfig, dtype=jnp.float32) -> dict:
         "k_kernel": nrm(ks[1], (n, d, hkv * dh)),
         "v_kernel": nrm(ks[2], (n, d, hkv * dh)),
         "o_kernel": nrm(ks[3], (n, hq * dh, d)),
-        "gate_kernel": nrm(ks[4], (n, d, i)),
-        "up_kernel": nrm(ks[5], (n, d, i)),
-        "down_kernel": nrm(ks[6], (n, i, d)),
     }
+    if cfg.num_experts > 0:
+        e, mi = cfg.num_experts, cfg.moe_intermediate_size
+        layers.update(
+            router_kernel=nrm(ks[4], (n, d, e)),
+            expert_gate_kernel=nrm(ks[5], (n, e, d, mi)),
+            expert_up_kernel=nrm(ks[6], (n, e, d, mi)),
+            expert_down_kernel=nrm(ks[9], (n, e, mi, d)),
+        )
+    else:
+        layers.update(
+            gate_kernel=nrm(ks[4], (n, d, i)),
+            up_kernel=nrm(ks[5], (n, d, i)),
+            down_kernel=nrm(ks[6], (n, i, d)),
+        )
     if cfg.attention_bias:
         layers.update(
             q_bias=jnp.zeros((n, hq * dh), dtype),
