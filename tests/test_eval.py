@@ -400,3 +400,32 @@ class TestTaskConfigDir:
 
         with _pytest.raises(ValueError, match="not_a_field"):
             load_task_configs(str(tmp_path))
+
+
+class TestLmmsEvalCLI:
+    def test_reference_invocation_shape(self, tmp_path):
+        """run_selector.sh-style invocation through the lmms-eval front end."""
+        data_dir = TestTasks().make_data(tmp_path, n=2)
+        out = str(tmp_path / "lmms_out")
+        from visionselector_tpu.api.lmms_eval_cli import main
+
+        rc = main([
+            "--model", "qwen2_5_vl_with_token_compression",
+            "--model_args", "method=selector,budgets=0.5",
+            "--tasks", "chartqa", "--batch_size", "1",
+            "--limit", "1", "--output_path", out, "--log_samples",
+            "--data_dir", data_dir,
+        ])
+        assert rc == 0
+        with open(os.path.join(out, "selector_0.5_rank0.json")) as f:
+            res = json.load(f)
+        assert "chartqa/relaxed_accuracy" in res["results"]
+
+    def test_unknown_model_rejected(self):
+        from visionselector_tpu.api.lmms_eval_cli import main
+
+        import pytest as _pytest
+
+        with _pytest.raises(SystemExit):
+            main(["--model", "nope", "--tasks", "chartqa",
+                  "--data_dir", "/tmp"])
