@@ -429,3 +429,67 @@ class TestLmmsEvalCLI:
         with _pytest.raises(SystemExit):
             main(["--model", "nope", "--tasks", "chartqa",
                   "--data_dir", "/tmp"])
+
+
+class TestCacheIntegration:
+    def test_second_run_served_from_cache(self, tmp_path, monkeypatch):
+        """LM_HARNESS_CACHE_PATH: re-runs skip generation for cached docs."""
+        monkeypatch.setenv("LM_HARNESS_CACHE_PATH", str(tmp_path / "cache"))
+        data_dir = TestTasks().make_data(tmp_path, n=2)
+        out = str(tmp_path / "res")
+        from visionselector_tpu.api.run_eval import main
+
+        args = ["--data-dir", data_dir, "--tasks", "chartqa",
+                "--method", "selector", "--budgets", "0.5",
+                "--output-dir", out]
+        assert main(args) == 0
+        cache_files = os.listdir(str(tmp_path / "cache"))
+        assert len(cache_files) == 2
+
+        # second run: engine never called (poison generate_until)
+        import visionselector_tpu.eval.evaluator as ev
+
+        called = []
+        orig = ev.EngineAdapter.generate_until
+
+        def spy(self, requests, until=("<|im_end|>",)):
+            called.append(len(requests))
+            return orig(self, requests, until)
+
+        monkeypatch.setattr(ev.EngineAdapter, "generate_until", spy)
+        assert main(args) == 0
+        assert called == []  # all served from cache
+
+
+class TestMultiRound:
+    def test_two_round_generation(self, tmp_path):
+        """generate_until_multi_round: rounds chained through the prompt."""
+        import jax
+
+        from visionselector_tpu.core.config import qwen25vl_tiny
+        from visionselector_tpu.eval.evaluator import EngineAdapter
+        from visionselector_tpu.eval.tasks import TASKS, Request
+        from visionselector_tpu.models.qwen25vl.model import (
+            QwenVLEngine,
+            init_params,
+        )
+
+        data_dir = TestTasks().make_data(tmp_path, n=1)
+        cfg = qwen25vl_tiny()
+        eng = QwenVLEngine(cfg, init_params(jax.random.PRNGKey(0), cfg),
+                           budget=0.5)
+
+        class Tok:
+            def encode(self, s):
+                return [abs(hash(w)) % 1000 + 600 for w in s.split()][:8]
+
+            def decode(self, ids, skip_special_tokens=True):
+                return " ".join(str(i) for i in ids)
+
+        adapter = EngineAdapter(eng, Tok())
+        req = Request(doc_id=0, question=["Round one?", "Round two?"],
+                      answers=["x"],
+                      image_path=os.path.join(data_dir, "img.png"),
+                      task=TASKS["chartqa"])
+        out = adapter.generate_until_multi_round([req])
+        assert len(out) == 1 and isinstance(out[0], str) and out[0]

@@ -396,3 +396,36 @@ class TestMixedBlockAttention:
         np.testing.assert_allclose(
             np.asarray(got)[:n], np.asarray(want)[:n], atol=2e-4, rtol=1e-3
         )
+
+
+class TestFusedViTPath:
+    def test_fused_forward_matches_xla(self, params, monkeypatch):
+        """VST_FUSED_ATTN=1 (fused rotary+attention kernel, interpret mode on
+        CPU) must match the XLA reference forward."""
+        monkeypatch.setenv("VST_FUSED_ATTN", "1")
+        img = make_image(seed=44)
+        pixels, grid = preprocess_image(img, min_pixels=1, max_pixels=10**9)
+        vb = build_vision_batch(
+            pixels, grid, window_size=CFG.vision.window_size,
+            spatial_merge_size=CFG.vision.spatial_merge_size,
+            patch_size=CFG.vision.patch_size, pad_to=512,
+        )
+        got = vit_mod.vit_forward(
+            params["visual"], jnp.asarray(vb.pixel_values),
+            jnp.asarray(vb.rot_pos_ids), jnp.asarray(vb.window_seg_ids),
+            jnp.asarray(vb.full_seg_ids), jnp.asarray(vb.reverse_index),
+            CFG.vision,
+            window_kv_bounds=jnp.asarray(vb.window_kv_bounds),
+            full_kv_bounds=jnp.asarray(vb.full_kv_bounds),
+        )
+        monkeypatch.delenv("VST_FUSED_ATTN")
+        want = vit_mod.vit_forward(
+            params["visual"], jnp.asarray(vb.pixel_values),
+            jnp.asarray(vb.rot_pos_ids), jnp.asarray(vb.window_seg_ids),
+            jnp.asarray(vb.full_seg_ids), jnp.asarray(vb.reverse_index),
+            CFG.vision,
+        )
+        n = vb.num_merged
+        np.testing.assert_allclose(
+            np.asarray(got)[:n], np.asarray(want)[:n], atol=2e-4, rtol=1e-3
+        )

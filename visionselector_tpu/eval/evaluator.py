@@ -203,6 +203,31 @@ class EngineAdapter:
                 print(f"Generation total time is: {res.total_seconds * 1e3}")
         return out_by_pos
 
+    def generate_until_multi_round(
+        self, requests: Sequence[Request],
+        until: Sequence[str] = ("<|im_end|>",),
+    ) -> List[str]:
+        """Multi-turn generation (lmms ABC ``generate_until_multi_round``,
+        ``api/model.py:77-93``): a request whose ``question`` is a LIST of
+        per-round questions is answered round by round, each round's answer
+        folded back into the next round's prompt. Returns the final round's
+        answer per request."""
+        import dataclasses as dc
+
+        out = []
+        for req in requests:
+            rounds = (req.question if isinstance(req.question, list)
+                      else [req.question])
+            context = ""
+            answer = ""
+            for q in rounds:
+                merged = (context + q) if context else q
+                one = dc.replace(req, question=merged)
+                answer = self.generate_until([one], until)[0]
+                context += f"{q}\n{answer}\n"
+            out.append(answer)
+        return out
+
 
 def evaluate(
     adapter: EngineAdapter,
@@ -214,6 +239,16 @@ def evaluate(
     log_samples_path: Optional[str] = None,
 ) -> Dict[str, float]:
     """Run tasks and return the aggregated metric dict."""
+    from visionselector_tpu.eval.caching import ResponseCache
+
+    cache = ResponseCache()
+    engine = adapter.engine
+    method = (
+        getattr(getattr(engine, "strategy", None), "name", None)
+        or ("selector" if getattr(engine, "use_selector", False) else "orig")
+    )
+    budget = float(getattr(engine, "budget", 0.0))
+
     results: Dict[str, float] = {}
     samples_log = []
     for name in task_names:
@@ -221,7 +256,20 @@ def evaluate(
         requests = load_task_docs(task, data_dir, limit=limit)
         requests = shard_requests(requests, rank, world_size)
         t0 = time.perf_counter()
-        preds = adapter.generate_until(requests)
+        if cache.enabled():
+            # LM_HARNESS_CACHE_PATH contract: serve hits from the response
+            # cache, generate only the misses (lmms-eval caching/cache.py).
+            keys = [cache.key(name, r.doc_id, r.question, method, budget)
+                    for r in requests]
+            preds = [cache.get(k) for k in keys]
+            miss = [i for i, p in enumerate(preds) if p is None]
+            if miss:
+                fresh = adapter.generate_until([requests[i] for i in miss])
+                for i, p in zip(miss, fresh):
+                    preds[i] = p
+                    cache.put(keys[i], p)
+        else:
+            preds = adapter.generate_until(requests)
         results.update(aggregate_scores(task, preds, requests))
         results[f"{name}/wall_s"] = time.perf_counter() - t0
         if log_samples_path:

@@ -146,9 +146,9 @@ def _flash_kernel(q_ref, k_ref, v_ref, qseg_ref, kseg_ref, bounds_ref, o_ref,
         o_ref[0, 0] = out.astype(o_ref.dtype)
 
 
-DEFAULT_BLOCK = 256
+DEFAULT_BLOCK = int(os.environ.get("VST_LM_BLOCK", "256"))
 # ViT layers prefer bigger blocks (full-attn layers ~2x faster at 512 on v5e).
-VIT_BLOCK = 512
+VIT_BLOCK = int(os.environ.get("VST_VIT_BLOCK", "512"))
 # Window-attention layers: segments are only 64 patches, so smaller blocks do
 # ~4x less masked-block work in theory — but MEASURED SLOWER on v5e (128:
 # 81.8 ms vs 512: 79.2 ms full ViT; grid/launch overhead dominates the saved

@@ -9,7 +9,12 @@ moves). This kernel consumes the qkv projection output [S, 3*H*d] directly:
 - the q slab arrives via BlockSpec (block [bq, 3*H*d] — legal since the last
   dim equals the full array dim); k/v slabs are DMA'd from HBM per kv block
   (kv-range limited by the host-computed block bounds),
-- rotary is applied in-kernel per head via static 80-column lane slices,
+- **double-buffered kv DMA**: block j+1's copy is issued before block j's
+  compute, so HBM reads overlap the per-head matmuls (the round-1 version
+  serialized start();wait() per block and measured 90.8 ms vs 78 ms — this
+  rewrite is the "round 2" of IMPLEMENTATION_NOTES' roadmap),
+- rotary is applied in-kernel: q once per program (hoisted out of the kv
+  loop), k once per (kv block, head),
 - online-softmax state lives in VMEM scratch [H, bq, d],
 - output is written as one [bq, H*d] slab — ready for the proj matmul.
 
@@ -32,15 +37,16 @@ def _fused_kernel(
     bounds_ref,  # SMEM [nq, 2]
     q_slab_ref,  # VMEM [bq, 3*H*d] (this q block's qkv rows)
     qkv_hbm_ref,  # ANY/HBM [S, 3*H*d] (for kv DMA)
-    seg_ref,  # VMEM [S]
+    seg_ref,  # VMEM [1, S]
     cos_ref,  # VMEM [S, d]
     sin_ref,  # VMEM [S, d]
     o_ref,  # VMEM [bq, H*d]
-    kv_scratch,  # VMEM [bk, 2*H*d]
+    kv_scratch,  # VMEM [2, bk, 2*H*d] (double buffer)
+    q_rot_ref,  # VMEM [H, bq, d] (rotated q, hoisted)
     acc_ref,  # VMEM [H, bq, d] f32
     m_ref,  # VMEM [H, bq, 1] f32
     l_ref,  # VMEM [H, bq, 1] f32
-    dma_sem,
+    dma_sems,  # DMA semaphores [2]
     *,
     num_heads,
     head_dim,
@@ -66,34 +72,45 @@ def _fused_kernel(
         rot = jnp.concatenate([-x2, x1], axis=-1)
         return x * cos + rot * sin
 
-    # initialize state
+    # rotated q, once per program (round-1 re-rotated q per kv block)
+    for h in range(h_count):
+        q_rot_ref[h] = rotate(q_slab_ref[:, h * d : (h + 1) * d], cos_q, sin_q)
+
     acc_ref[...] = jnp.zeros(acc_ref.shape, acc_ref.dtype)
     m_ref[...] = jnp.full(m_ref.shape, NEG_INF, m_ref.dtype)
     l_ref[...] = jnp.zeros(l_ref.shape, l_ref.dtype)
 
-    def kv_body(j, _):
-        # DMA this kv block's k+v columns: rows [j*bk, bk), cols [H*d, 3*H*d)
-        copy = pltpu.make_async_copy(
-            qkv_hbm_ref.at[pl.ds(j * block_k, block_k),
-                           pl.ds(h_count * d, 2 * h_count * d)],
-            kv_scratch,
-            dma_sem,
+    kv_cols = pl.ds(h_count * d, 2 * h_count * d)
+
+    def _copy(j, slot):
+        return pltpu.make_async_copy(
+            qkv_hbm_ref.at[pl.ds(j * block_k, block_k), kv_cols],
+            kv_scratch.at[slot],
+            dma_sems.at[slot],
         )
-        copy.start()
-        copy.wait()
+
+    @pl.when(lo < hi)
+    def _prologue():
+        _copy(lo, lo % 2).start()
+
+    def kv_body(j, _):
+        slot = jax.lax.rem(j, 2)
+        _copy(j, slot).wait()
+
+        @pl.when(j + 1 < hi)
+        def _prefetch():
+            _copy(j + 1, jax.lax.rem(j + 1, 2)).start()
 
         k_rows = pl.ds(j * block_k, block_k)
-        cos_k = cos_ref[k_rows].astype(kv_scratch.dtype)
-        sin_k = sin_ref[k_rows].astype(kv_scratch.dtype)
+        cos_k = cos_ref[k_rows].astype(q_slab_ref.dtype)
+        sin_k = sin_ref[k_rows].astype(q_slab_ref.dtype)
         k_seg = seg_ref[0, k_rows]  # [bk]
         base_mask = (q_seg[:, None] == k_seg[None, :]) & (k_seg[None, :] > 0)
 
         for h in range(h_count):
-            q_h = rotate(
-                q_slab_ref[:, h * d : (h + 1) * d], cos_q, sin_q
-            )  # [bq, d]
-            k_h = rotate(kv_scratch[:, h * d : (h + 1) * d], cos_k, sin_k)
-            v_h = kv_scratch[:, (h_count + h) * d : (h_count + h + 1) * d]
+            q_h = q_rot_ref[h]  # [bq, d]
+            k_h = rotate(kv_scratch[slot, :, h * d : (h + 1) * d], cos_k, sin_k)
+            v_h = kv_scratch[slot, :, (h_count + h) * d : (h_count + h + 1) * d]
 
             s = jax.lax.dot_general(
                 q_h, k_h, (((1,), (1,)), ((), ())),
@@ -172,11 +189,12 @@ def fused_vit_attention(
                 memory_space=pltpu.VMEM,
             ),
             scratch_shapes=[
-                pltpu.VMEM((block_k, 2 * num_heads * head_dim), qkv.dtype),
+                pltpu.VMEM((2, block_k, 2 * num_heads * head_dim), qkv.dtype),
+                pltpu.VMEM((num_heads, block_q, head_dim), qkv.dtype),
                 pltpu.VMEM((num_heads, block_q, head_dim), jnp.float32),
                 pltpu.VMEM((num_heads, block_q, 1), jnp.float32),
                 pltpu.VMEM((num_heads, block_q, 1), jnp.float32),
-                pltpu.SemaphoreType.DMA(()),
+                pltpu.SemaphoreType.DMA((2,)),
             ],
         ),
         out_shape=jax.ShapeDtypeStruct((s, num_heads * head_dim), qkv.dtype),

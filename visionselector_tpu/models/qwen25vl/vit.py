@@ -110,6 +110,7 @@ def _block(
     cfg: VisionConfig,
     kv_bounds: jax.Array | None = None,
     attn_fn=None,
+    fused_fn=None,
 ) -> jax.Array:
     """One ViT block: pre-RMSNorm attn + pre-RMSNorm SwiGLU MLP, residuals.
 
@@ -125,6 +126,15 @@ def _block(
     s, d = h.shape[0], cfg.head_dim
     dp = p["qkv_kernel"].shape[-1] // (3 * cfg.num_heads)
     qkv = h @ p["qkv_kernel"] + p["qkv_bias"]  # [S, 3*H*dp]
+    if fused_fn is not None:
+        # fused rotary+attention kernel consumes the raw qkv slab — no
+        # split / rotary / transpose HBM passes (kernels.fused_vit_attn)
+        attn = fused_fn(qkv)
+        x = x + attn @ p["proj_kernel"] + p["proj_bias"]
+        h = rms_norm(x, p["norm2_scale"], cfg.rms_norm_eps)
+        gate = h @ p["gate_kernel"] + p["gate_bias"]
+        up = h @ p["up_kernel"] + p["up_bias"]
+        return x + (jax.nn.silu(gate) * up) @ p["down_kernel"] + p["down_bias"]
     q, k, v = jnp.split(qkv.reshape(s, 3, cfg.num_heads, dp), 3, axis=1)
     q, k, v = q[:, 0], k[:, 0], v[:, 0]  # [S, H, dp]
     if dp == d:
@@ -184,6 +194,59 @@ def vit_forward(
     )
     have_bounds = window_kv_bounds is not None and full_kv_bounds is not None
     d = cfg.head_dim
+
+    import os
+
+    if have_bounds and os.environ.get("VST_FUSED_ATTN") == "1":
+        # Fused rotary+multihead kernel (opt-in): qkv slab in, attention out.
+        from visionselector_tpu.kernels.fused_vit_attn import (
+            fused_vit_attention,
+        )
+
+        s_pad = pixel_values.shape[0]
+        fused_block = min(256, s_pad)
+
+        def _rescale(bounds):
+            built = s_pad // bounds.shape[0]
+            factor = built // fused_block
+            if factor <= 1:
+                return bounds
+            return jnp.repeat(bounds * factor, factor, axis=0)
+
+        wb = _rescale(window_kv_bounds)
+        fb = _rescale(full_kv_bounds)
+        interpret = jax.devices()[0].platform not in ("tpu", "axon")
+
+        def layer(x, scanned):
+            p, full = scanned
+
+            def fused_fn(qkv):
+                def window_branch(qkv):
+                    return fused_vit_attention(
+                        qkv, window_seg_ids, cos, sin, wb, cfg.num_heads, d,
+                        block_q=fused_block, block_k=fused_block,
+                        interpret=interpret,
+                    )
+
+                def full_branch(qkv):
+                    return fused_vit_attention(
+                        qkv, full_seg_ids, cos, sin, fb, cfg.num_heads, d,
+                        block_q=fused_block, block_k=fused_block,
+                        interpret=interpret,
+                    )
+
+                return jax.lax.cond(full, full_branch, window_branch, qkv)
+
+            return _block(x, p, None, cos, sin, cfg, fused_fn=fused_fn), None
+
+        x, _ = jax.lax.scan(layer, x, (params["blocks"], use_full))
+        m = cfg.spatial_merge_unit
+        h = rms_norm(x, params["merger_ln_scale"], cfg.rms_norm_eps)
+        h = h.reshape(x.shape[0] // m, m * cfg.hidden_size)
+        h = h @ params["merger_fc1_kernel"] + params["merger_fc1_bias"]
+        h = jax.nn.gelu(h, approximate=False)
+        h = h @ params["merger_fc2_kernel"] + params["merger_fc2_bias"]
+        return h[reverse_index]
 
     if have_bounds:
         # Window and full layers get their own attention configurations:
