@@ -494,3 +494,35 @@ class TestOVMoE:
             np.asarray(params["layers"]["router_kernel"][0]),
             tensors["model.layers.0.mlp.gate.weight"].T,
         )
+
+
+class TestOVVideo:
+    def test_video_generate_through_harness(self, tmp_path):
+        """OV video requests: per-frame RICE segments, 1D rope."""
+        import json
+        import os
+
+        from PIL import Image
+
+        vid_dir = tmp_path / "vid0"
+        os.makedirs(vid_dir)
+        for i in range(4):
+            Image.fromarray(
+                (np.random.RandomState(i).rand(56, 56, 3) * 255).astype(np.uint8)
+            ).save(vid_dir / f"f{i:02d}.png")
+        with open(tmp_path / "videomme.jsonl", "w") as f:
+            f.write(json.dumps({"question": "A or B?", "answers": ["A"],
+                                "video": "vid0"}) + "\n")
+
+        from visionselector_tpu.api.run_eval import main
+
+        out = str(tmp_path / "res")
+        rc = main([
+            "--data-dir", str(tmp_path), "--tasks", "videomme",
+            "--method", "selector", "--budgets", "0.2", "--limit", "1",
+            "--output-dir", out, "--family", "llava_ov15",
+        ])
+        assert rc == 0
+        with open(os.path.join(out, "selector_0.2_rank0.json")) as f:
+            res = json.load(f)
+        assert "videomme/multiple_choice" in res["results"]

@@ -115,10 +115,20 @@ class OVEngine:
         top_p: float = 1.0,
         seed: int = 0,
         timer=None,
+        pixel_values_videos: Optional[np.ndarray] = None,
+        video_grid_thw: Optional[np.ndarray] = None,
+        second_per_grid_ts=None,  # accepted for adapter parity; OV is 1D rope
     ) -> GenerationResult:
         import time
 
         cfg = self.cfg
+        is_video = pixel_values_videos is not None
+        if is_video:
+            # video = per-frame grid rows through the same RICE path (the OV
+            # text model uses 1D rope, so no temporal rope scaling applies)
+            assert pixel_values is None, "mixed image+video not wired yet"
+            pixel_values = pixel_values_videos
+            grid_thw = video_grid_thw
         if eos_token_ids is None:
             eos_token_ids = (cfg.eos_token_id,)
         input_ids = np.asarray(input_ids).reshape(-1)
@@ -188,7 +198,9 @@ class OVEngine:
         else:
             k, k_max = n, l_pad
 
-        is_vision = input_ids == cfg.image_token_id
+        vision_token_id = (cfg.video_token_id if is_video
+                           else cfg.image_token_id)
+        is_vision = input_ids == vision_token_id
         image_pos = np.where(is_vision)[0]
         assert len(image_pos) == n, (len(image_pos), n)
         text_pos = np.where(~is_vision)[0]
