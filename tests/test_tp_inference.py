@@ -1,0 +1,37 @@
+"""Tensor-parallel inference: _prefill with model-axis-sharded weights must
+equal the single-device forward (SURVEY §2.9 TP analog; the 7B-on-v5e
+fallback besides int8)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from visionselector_tpu.core.config import qwen25vl_tiny
+from visionselector_tpu.core.mesh import make_mesh, shard_params
+from visionselector_tpu.models.qwen25vl.model import init_params
+
+CFG = qwen25vl_tiny()
+
+
+class TestTPInference:
+    def test_sharded_prefill_matches_single_device(self):
+        import __graft_entry__ as g
+
+        params = init_params(jax.random.PRNGKey(0), CFG)
+        inputs, k_max = g._example_inputs(CFG)
+
+        from visionselector_tpu.models.qwen25vl.model import _prefill
+
+        def run(p):
+            out = _prefill(p, CFG, k_max, True, *inputs.values())
+            return np.asarray(out[0]), np.asarray(out[6])  # token, logits
+
+        tok_ref, logits_ref = run(params)
+
+        mesh = make_mesh(n_data=4, n_model=2, devices=jax.devices()[:8])
+        sharded = shard_params(params, mesh)
+        tok_tp, logits_tp = run(sharded)
+
+        assert tok_tp == tok_ref
+        np.testing.assert_allclose(logits_tp, logits_ref, atol=2e-4, rtol=1e-3)
