@@ -65,3 +65,50 @@ class TestVisualize:
         # heatmap renders from the engine output directly
         hm = render_heatmap(img, res.scores, grid)
         assert hm.shape == img.shape
+
+
+class TestPredictVisualize:
+    def test_predict_writes_pngs(self, tmp_path, capsys):
+        import json
+        import os
+
+        from visionselector_tpu.api.predict import main
+
+        vdir = str(tmp_path / "viz")
+        rc = main(["--method", "selector", "--budget", "0.5",
+                   "--max-new-tokens", "1", "--visualize-dir", vdir])
+        assert rc == 0
+        out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+        assert len(out["visualizations"]) == 2
+        for p in out["visualizations"]:
+            assert os.path.exists(p)
+
+
+class TestEvalVisualize:
+    def test_run_eval_writes_per_sample_pngs(self, tmp_path):
+        import json
+        import os
+
+        import numpy as np
+        from PIL import Image
+
+        img_path = tmp_path / "img.png"
+        Image.fromarray(
+            (np.random.RandomState(0).rand(56, 56, 3) * 255).astype(np.uint8)
+        ).save(img_path)
+        with open(tmp_path / "chartqa.jsonl", "w") as f:
+            f.write(json.dumps({"question": "q?", "answers": ["1"],
+                                "image": "img.png"}) + "\n")
+
+        from visionselector_tpu.api.run_eval import main
+
+        vdir = str(tmp_path / "viz")
+        rc = main([
+            "--data-dir", str(tmp_path), "--tasks", "chartqa",
+            "--method", "selector", "--budgets", "0.5", "--limit", "1",
+            "--output-dir", str(tmp_path / "res"), "--visualize-dir", vdir,
+        ])
+        assert rc == 0
+        names = os.listdir(vdir)
+        assert any(n.endswith("_heatmap.png") for n in names)
+        assert any(n.endswith("_mask.png") for n in names)

@@ -46,6 +46,10 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--eval-time", action="store_true",
                    help="print timing/memory probes (EVAL_TIME parity)")
+    p.add_argument("--visualize-dir", default=None,
+                   help="write <dir>/selection_{heatmap,mask}.png (parity "
+                        "with the _visual eval adapter's PNG rendering, "
+                        "qwen2_5_vl_with_token_compression_visual.py:418-663)")
     return p
 
 
@@ -200,6 +204,22 @@ def main(argv=None) -> int:
         print(f"Input visual token number is: {out['kept_vision_tokens']}")
         print(f"Generation prefill time is: {res.prefill_seconds * 1e3}")
         print(f"Generation total time is: {res.total_seconds * 1e3}")
+    if args.visualize_dir and res.selected_indices is not None:
+        from visionselector_tpu.eval.visualize import visualize_selection
+
+        os.makedirs(args.visualize_dir, exist_ok=True)
+        if args.image:
+            from PIL import Image as _Image
+
+            img_arr = np.asarray(_Image.open(args.image).convert("RGB"))
+        else:
+            img_arr = img  # smoke-mode synthetic image
+        written = visualize_selection(
+            img_arr, res.scores, res.selected_indices, grid,
+            os.path.join(args.visualize_dir, "selection"),
+            spatial_merge_size=cfg.vision.spatial_merge_size,
+        )
+        out["visualizations"] = written
     print(json.dumps(out))
     return 0
 

@@ -40,6 +40,9 @@ def build_parser():
     p.add_argument("--task-config-dir", default=None,
                    help="directory of YAML/JSON TaskConfig files to register "
                         "(lmms-eval per-task yaml extensibility)")
+    p.add_argument("--visualize-dir", default=None,
+                   help="write per-sample heatmap/mask PNGs (run_visual.sh "
+                        "parity)")
     return p
 
 
@@ -144,7 +147,8 @@ def main(argv=None) -> int:
                 budget=budget,
                 strategy=strategy,
             )
-        adapter = EngineAdapter(engine, tokenizer)
+        adapter = EngineAdapter(engine, tokenizer,
+                                visualize_dir=args.visualize_dir)
         results = evaluate(
             adapter, tasks, args.data_dir, limit=args.limit,
             rank=args.rank, world_size=args.world_size,

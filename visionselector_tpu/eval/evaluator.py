@@ -51,12 +51,16 @@ class EngineAdapter:
     """generate_until-contract adapter (``lmms-eval/lmms_eval/api/model.py:58``)
     over a QwenVLEngine + tokenizer."""
 
-    def __init__(self, engine, tokenizer, eval_time: bool = False):
+    def __init__(self, engine, tokenizer, eval_time: bool = False,
+                 visualize_dir: Optional[str] = None):
         self.engine = engine
         self.tokenizer = tokenizer
         self.eval_time = eval_time or (
             os.environ.get("EVAL_TIME", "").lower() == "true"
         )
+        # heatmap/mask PNG rendering per evaluated sample (parity with the
+        # _visual adapter, qwen2_5_vl_with_token_compression_visual.py:418-663)
+        self.visualize_dir = visualize_dir
         self.stats = EvalTimeStats()
 
     def _encode_prompt(self, question: str):
@@ -180,6 +184,27 @@ class EngineAdapter:
                 res = self.engine.generate(
                     input_ids, pixels, grid,
                     max_new_tokens=req.task.max_new_tokens,
+                )
+            if (self.visualize_dir and req.video_path is None
+                    and len(req.image_paths) == 1
+                    and res.selected_indices is not None):
+                from PIL import Image as _Image
+
+                from visionselector_tpu.eval.visualize import (
+                    visualize_selection,
+                )
+
+                os.makedirs(self.visualize_dir, exist_ok=True)
+                img_arr = np.asarray(
+                    _Image.open(req.image_path).convert("RGB")
+                )
+                visualize_selection(
+                    img_arr, res.scores, res.selected_indices, grid,
+                    os.path.join(
+                        self.visualize_dir,
+                        f"{req.task.name}_{req.doc_id}",
+                    ),
+                    spatial_merge_size=cfg.vision.spatial_merge_size,
                 )
             text = self.tokenizer.decode(res.tokens, skip_special_tokens=True)
             for stop in until:
