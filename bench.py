@@ -167,7 +167,28 @@ def measure(cfg, params, budget, s_bucket, img_hw):
     t_sel = time_prefill(params, cfg, k_max_sel, True, args_sel)
     args_full, k_max_full, _ = build_inputs(cfg, budget, False, s_bucket, img_hw)
     t_full = time_prefill(params, cfg, k_max_full, False, args_full)
+
+    # Optional profiler trace of one prefill each (SURVEY §5.1 tracing):
+    # VST_PROFILE=<dir> writes a tensorboard-loadable trace.
+    prof_dir = os.environ.get("VST_PROFILE")
+    if prof_dir:
+        from visionselector_tpu.models.qwen25vl.model import _prefill
+
+        with jax.profiler.trace(prof_dir):
+            jax.block_until_ready(
+                _prefill(params, cfg, k_max_sel, True, *args_sel)
+            )
     return t_sel, t_full, n
+
+
+def kv_cache_reduction(cfg, budget, s_bucket, text_len=64) -> float:
+    """Analytic KV-cache HBM reduction at the given retention (the dominant
+    term of the reference's 86% peak-memory-reduction claim, README.md:47):
+    cache bytes scale with the prefill length."""
+    l_pad = s_bucket // cfg.vision.spatial_merge_unit
+    full_len = l_pad + text_len
+    sel_len = max(1, int(l_pad * budget)) + text_len
+    return 1.0 - sel_len / full_len
 
 
 def init_7b_int8(cfg):
@@ -224,6 +245,10 @@ def main():
         "budget": budget,
         "model": model_name,
         "speedup_3b": round(speedup3, 4),
+        "kv_cache_reduction_at_budget": round(
+            kv_cache_reduction(cfg, budget, s_bucket), 4
+        ),
+        "peak_bytes_in_use": peak_memory_bytes(),
         "attn_impl": os.environ.get("VST_ATTN_IMPL"),
         "platform": jax.devices()[0].platform,
     }
