@@ -247,22 +247,28 @@ def segment_block_bounds(seg_ids, block_q: int, block_k: int,
     seg = np.asarray(seg_ids)
     s = len(seg)
     nq = s // block_q
-    # first and last token index of each segment id
-    bounds = np.zeros((nq, 2), np.int32)
-    first = {}
-    last = {}
-    for i, v in enumerate(seg.tolist()):
-        if v not in first:
-            first[v] = i
-        last[v] = i
-    for b in range(nq):
-        segs = set(seg[b * block_q : (b + 1) * block_q].tolist()) - {0}
-        if not segs:
-            bounds[b] = (0, 0)
-            continue
-        lo = min(first[v] for v in segs)
-        hi = max(last[v] for v in segs)
-        bounds[b] = (lo // block_k, hi // block_k + 1)
+    # Vectorized: segments are contiguous and ascending with 0-padding at the
+    # end, so a block's kv range spans first(min nonzero seg in block) ..
+    # last(max seg in block).
+    vals, first_idx = np.unique(seg, return_index=True)
+    vals_r, first_r = np.unique(seg[::-1], return_index=True)
+    last_idx = s - 1 - first_r  # vals_r == vals (both sorted unique)
+    max_id = int(vals.max(initial=0))
+    first_arr = np.zeros(max_id + 1, np.int64)
+    last_arr = np.zeros(max_id + 1, np.int64)
+    first_arr[vals] = first_idx
+    last_arr[vals_r] = last_idx
+
+    blocks = seg.reshape(nq, block_q)
+    has_valid = (blocks > 0).any(axis=1)
+    bmin = np.where(blocks == 0, max_id + 1, blocks).min(axis=1)
+    bmax = blocks.max(axis=1)
+    bmin = np.where(has_valid, bmin, 0)
+    lo = first_arr[bmin] // block_k
+    hi = last_arr[bmax] // block_k + 1
+    bounds = np.stack([
+        np.where(has_valid, lo, 0), np.where(has_valid, hi, 0)
+    ], axis=1).astype(np.int32)
     return bounds
 
 
