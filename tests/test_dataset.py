@@ -197,3 +197,66 @@ class TestOVTrainCLI:
                  if l.startswith("{")]
         metrics = json.loads(lines[-1])
         assert np.isfinite(metrics["loss"])
+
+
+class TestVideoTraining:
+    def test_video_record_builds_sample_and_trains(self, tmp_path):
+        """Video training records (<video> placeholder, data_qwen.py:266-285):
+        frame-dir video -> TrainBatchSample with video M-RoPE -> train step."""
+        import jax
+        import jax.numpy as jnp
+        from PIL import Image
+
+        from visionselector_tpu.core.config import qwen25vl_tiny
+        from visionselector_tpu.models.qwen25vl.model import init_params
+        from visionselector_tpu.train.data import stack_samples
+        from visionselector_tpu.train.dataset import (
+            ConversationDataset,
+            build_sample_from_record,
+        )
+        from visionselector_tpu.train.train_step import (
+            ScheduleConfig,
+            init_train_state,
+            train_step,
+        )
+
+        cfg = qwen25vl_tiny()
+        vid_dir = tmp_path / "vid0"
+        os.makedirs(vid_dir)
+        for i in range(4):
+            Image.fromarray(
+                (np.random.RandomState(i).rand(28, 28, 3) * 255).astype(np.uint8)
+            ).save(vid_dir / f"f{i:02d}.png")
+        ann = tmp_path / "ann.jsonl"
+        with open(ann, "w") as f:
+            f.write(json.dumps({
+                "video": "vid0",
+                "conversations": [
+                    {"from": "human", "value": "<video>What happens?"},
+                    {"from": "gpt", "value": "Things."},
+                ],
+            }) + "\n")
+
+        class Tok:
+            def encode(self, s):
+                return [abs(hash(w)) % 1000 + 600 for w in s.split()][:6]
+
+        ds = ConversationDataset(str(ann), str(tmp_path), Tok())
+        rec = ds[0]
+        assert rec["video"] is not None and rec["image"] is None
+        sample = build_sample_from_record(cfg, rec, 0.5, 64, 64,
+                                          min_pixels=1, max_pixels=10**9)
+        # video token id used in the spliced run
+        assert (sample.input_ids == cfg.video_token_id).sum() == sample.num_merged
+        # temporal rope axis advances across frames
+        vid_pos = np.where(sample.input_ids == cfg.video_token_id)[0]
+        t_axis = sample.position_ids[0][vid_pos]
+        assert t_axis.max() > t_axis.min()
+
+        params = init_params(jax.random.PRNGKey(0), cfg)
+        sched = ScheduleConfig(total_steps=2)
+        state = init_train_state(params, sched)
+        batch = jax.tree.map(jnp.asarray, stack_samples([sample, sample]))
+        state, metrics = train_step(state, params, batch, cfg,
+                                    max(1, int(16 * 0.5)), sched)
+        assert np.isfinite(float(metrics["loss"]))

@@ -87,8 +87,11 @@ def render_conversation(
         role = turn.get("from", turn.get("role", "human"))
         value = turn.get("value", turn.get("content", ""))
         if role in ("human", "user"):
-            if "<image>" in value:
-                before, after = value.split("<image>", 1)
+            if "<image>" in value or "<video>" in value:
+                # one vision placeholder per sample (<image> or <video>,
+                # data_qwen.py:47-140 semantics)
+                tag = "<image>" if "<image>" in value else "<video>"
+                before, after = value.split(tag, 1)
                 add(f"{IM_START}user\n{before}", False)
                 image_slot = len(ids)
                 add(f"{after}{IM_END}\n", False)
@@ -134,8 +137,11 @@ class ConversationDataset:
 
             image = Image.open(os.path.join(self.data_path, img_name))
             image.load()
+        video = rec.get("video")
         return {"ids": ids, "labels": labels, "image_slot": image_slot,
-                "image": image, "id": rec.get("id", idx)}
+                "image": image, "id": rec.get("id", idx),
+                "video": (os.path.join(self.data_path, video)
+                          if video else None)}
 
     def __getitem__(self, idx: int):
         """3 retries then fall back to neighbor samples (``data_qwen.py:325-358``)."""
@@ -173,14 +179,29 @@ def build_sample_from_record(
     ids = list(record["ids"])
     labels = list(record["labels"])
     slot = record["image_slot"]
-    assert record["image"] is not None and slot >= 0, "text-only packing TBD"
+    is_video = record.get("video") is not None
+    assert (record["image"] is not None or is_video) and slot >= 0, \
+        "text-only packing TBD"
 
-    pixels, grid = preprocess_image(
-        record["image"], min_pixels=min_pixels, max_pixels=max_pixels,
-        patch_size=cfg.vision.patch_size,
-        temporal_patch_size=cfg.vision.temporal_patch_size,
-        merge_size=cfg.vision.spatial_merge_size,
-    )
+    spg = None
+    if is_video:
+        # video training record (<video> placeholder; data_qwen.py:266-285)
+        from visionselector_tpu.preprocess.video import process_video
+
+        pixels, grid, spg = process_video(
+            record["video"],
+            ele={"min_pixels": min_pixels, "max_pixels": max_pixels},
+            patch_size=cfg.vision.patch_size,
+            temporal_patch_size=cfg.vision.temporal_patch_size,
+            merge_size=cfg.vision.spatial_merge_size,
+        )
+    else:
+        pixels, grid = preprocess_image(
+            record["image"], min_pixels=min_pixels, max_pixels=max_pixels,
+            patch_size=cfg.vision.patch_size,
+            temporal_patch_size=cfg.vision.temporal_patch_size,
+            merge_size=cfg.vision.spatial_merge_size,
+        )
     vb = build_vision_batch(
         pixels, grid,
         window_size=cfg.vision.window_size,
@@ -191,8 +212,9 @@ def build_sample_from_record(
     n = vb.num_merged
     l_pad = s_bucket // cfg.vision.spatial_merge_unit
 
+    vision_token = cfg.video_token_id if is_video else cfg.image_token_id
     vision_ids = (
-        [cfg.vision_start_token_id] + [cfg.image_token_id] * n
+        [cfg.vision_start_token_id] + [vision_token] * n
         + [cfg.vision_end_token_id]
     )
     full_ids = np.asarray(ids[:slot] + vision_ids + ids[slot:], np.int64)
@@ -203,8 +225,13 @@ def build_sample_from_record(
     t_real = len(full_ids)
     assert t_real <= t_bucket, (t_real, t_bucket)
 
+    import numpy as _np
+
     position_ids, _ = get_rope_index(
-        full_ids, image_grid_thw=grid,
+        full_ids,
+        image_grid_thw=None if is_video else grid,
+        video_grid_thw=grid if is_video else None,
+        second_per_grid_ts=_np.array([spg]) if is_video else None,
         spatial_merge_size=cfg.vision.spatial_merge_size,
         tokens_per_second=cfg.vision.tokens_per_second,
         image_token_id=cfg.image_token_id,
@@ -220,7 +247,7 @@ def build_sample_from_record(
     pos_p[:, :t_real] = position_ids
     seg = np.zeros(t_bucket, np.int32)
     seg[:t_real] = 1
-    image_pos = np.where(ids_p == cfg.image_token_id)[0][:n]
+    image_pos = np.where(ids_p == vision_token)[0][:n]
     image_pos_p = np.full(l_pad, t_bucket, np.int64)
     image_pos_p[:n] = image_pos
 
@@ -332,7 +359,7 @@ def build_packed_train_sample(
     pos_p[:, :t_real] = np.concatenate(pos_parts, axis=1)
     seg = np.zeros(t_bucket, np.int32)
     seg[:t_real] = np.concatenate(seg_parts)
-    image_pos = np.where(ids_p == cfg.image_token_id)[0][:n]
+    image_pos = np.where(ids_p == vision_token)[0][:n]
     image_pos_p = np.full(l_pad, t_bucket, np.int64)
     image_pos_p[:n] = image_pos
 
