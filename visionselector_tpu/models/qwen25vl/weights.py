@@ -144,26 +144,44 @@ def load_scorer_params(get, dtype=jnp.float32,
         return None
 
 
+def _resolve_qwen_prefixes(get):
+    """Original releases use ``visual.`` / ``model.``; transformers >= 4.52
+    exports use ``model.visual.`` / ``model.language_model.`` (the class's
+    ``_checkpoint_conversion_mapping``). Probe which layout is present."""
+    names = getattr(get, "names", set())
+    if any(n.startswith("model.visual.") for n in names):
+        return "model.visual.", "model.language_model."
+    return "visual.", "model."
+
+
 def load_hf_checkpoint(path: str, cfg: VLConfig) -> dict:
     """Load a full Qwen2.5-VL HF checkpoint dir (optionally with a trained
     ``visual.importance_scorer``) into the functional param tree."""
     get = _open_checkpoint(path)
+    vis_prefix, lm_prefix = _resolve_qwen_prefixes(get)
     dtype = cfg.jax_dtype
     params = {
-        "visual": load_vit_params(get, cfg.vision, dtype),
-        "lm": load_lm_params(get, cfg.text, dtype),
+        "visual": load_vit_params(get, cfg.vision, dtype, prefix=vis_prefix),
+        "lm": load_lm_params(get, cfg.text, dtype, prefix=lm_prefix),
     }
-    scorer = load_scorer_params(get)
+    scorer = load_scorer_params(
+        get, prefix=f"{vis_prefix}importance_scorer."
+    )
     if scorer is not None:
         params["scorer"] = scorer
     return params
 
 
 def config_from_hf(path: str) -> VLConfig:
-    """Build a VLConfig from an HF config.json."""
+    """Build a VLConfig from an HF config.json (both the original flat layout
+    and transformers >= 4.52 nested ``text_config`` exports)."""
     with open(os.path.join(path, "config.json")) as f:
-        raw = json.load(f)
-    v = raw.get("vision_config", {})
+        top = json.load(f)
+    v = top.get("vision_config", {})
+    # text fields live either at top level (original releases) or nested
+    raw = dict(top.get("text_config", {}) or {})
+    for k, val in top.items():
+        raw.setdefault(k, val)
     vision = VisionConfig(
         depth=v.get("depth", 32),
         hidden_size=v.get("hidden_size", 1280),
