@@ -200,3 +200,110 @@ class TestHFParity:
         res = eng.generate(input_ids, pixels, grid, max_new_tokens=6,
                            eos_token_ids=(-1,))  # no early EOS
         assert res.tokens == hf_tokens, (res.tokens, hf_tokens)
+
+    def test_multi_image_logits_match(self, hf_checkpoint, jax_side):
+        """Two images in one prompt: joint grid/M-RoPE parity with HF."""
+        import jax.numpy as jnp
+
+        from visionselector_tpu.models.qwen25vl.model import _prefill
+        from visionselector_tpu.preprocess.image import preprocess_image
+        from visionselector_tpu.preprocess.indices import build_vision_batch
+        from visionselector_tpu.preprocess.rope import (
+            expand_vision_tokens,
+            get_rope_index,
+        )
+
+        _, hf_model = hf_checkpoint
+        cfg, params = jax_side
+        rng = np.random.RandomState(3)
+        p1, g1 = preprocess_image((rng.rand(56, 56, 3) * 255).astype(np.uint8),
+                                  min_pixels=1, max_pixels=10**9)
+        p2, g2 = preprocess_image((rng.rand(56, 84, 3) * 255).astype(np.uint8),
+                                  min_pixels=1, max_pixels=10**9)
+        pixels = np.concatenate([p1, p2])
+        grid = np.concatenate([g1, g2])
+        input_ids = expand_vision_tokens([100, 200], [300], grid)
+        t_orig = len(input_ids)
+
+        with torch.no_grad():
+            out = hf_model(
+                input_ids=torch.tensor(np.asarray(input_ids)[None]),
+                attention_mask=torch.ones(1, t_orig, dtype=torch.long),
+                pixel_values=torch.tensor(pixels, dtype=torch.float32),
+                image_grid_thw=torch.tensor(np.asarray(grid)),
+            )
+        hf_logits = out.logits[0, -1].numpy()
+
+        s_bucket = pixels.shape[0]
+        vb = build_vision_batch(
+            pixels, grid, window_size=cfg.vision.window_size,
+            spatial_merge_size=cfg.vision.spatial_merge_size,
+            patch_size=cfg.vision.patch_size, pad_to=s_bucket,
+        )
+        n = vb.num_merged
+        l_pad = s_bucket // cfg.vision.spatial_merge_unit
+        image_pos = np.where(np.asarray(input_ids) == cfg.image_token_id)[0]
+        text_pos = np.where(np.asarray(input_ids) != cfg.image_token_id)[0]
+        image_pos_p = np.full(l_pad, t_orig, np.int64)
+        image_pos_p[:n] = image_pos
+        text_pos_p = np.full(8, t_orig, np.int64)
+        text_pos_p[: len(text_pos)] = text_pos
+        position_ids, _ = get_rope_index(
+            input_ids, image_grid_thw=grid,
+            spatial_merge_size=cfg.vision.spatial_merge_size,
+            tokens_per_second=cfg.vision.tokens_per_second,
+            image_token_id=cfg.image_token_id,
+            video_token_id=cfg.video_token_id,
+            vision_start_token_id=cfg.vision_start_token_id,
+        )
+        outs = _prefill(
+            params, cfg, l_pad, False,
+            jnp.asarray(vb.pixel_values), jnp.asarray(vb.rot_pos_ids),
+            jnp.asarray(vb.window_seg_ids), jnp.asarray(vb.full_seg_ids),
+            jnp.asarray(vb.reverse_index), jnp.asarray(n), jnp.asarray(n),
+            jnp.asarray(input_ids), jnp.asarray(image_pos_p),
+            jnp.asarray(text_pos_p), jnp.asarray(len(text_pos)),
+            jnp.asarray(position_ids),
+        )
+        ours = np.asarray(outs[6])
+        np.testing.assert_allclose(ours, hf_logits, atol=5e-3, rtol=5e-3)
+        assert int(ours.argmax()) == int(hf_logits.argmax())
+
+    def test_video_generation_matches_hf(self, hf_checkpoint, jax_side):
+        """Video path: temporal M-RoPE + video-token splice parity with HF
+        greedy generate."""
+        from visionselector_tpu.models.qwen25vl.model import QwenVLEngine
+        from visionselector_tpu.preprocess.rope import expand_vision_tokens
+        from visionselector_tpu.preprocess.video import process_video
+
+        _, hf_model = hf_checkpoint
+        cfg, params = jax_side
+        rng = np.random.RandomState(4)
+        frames = (rng.rand(4, 56, 56, 3) * 255).astype(np.uint8)
+        pixels, grid, spg = process_video(
+            frames, ele={"min_pixels": 1, "max_pixels": 10**9, "nframes": 4},
+        )
+        input_ids = expand_vision_tokens(
+            [100, 200], [300, 400], grid,
+            image_token_id=cfg.video_token_id,
+        )
+        t_orig = len(input_ids)
+
+        with torch.no_grad():
+            out = hf_model.generate(
+                input_ids=torch.tensor(np.asarray(input_ids)[None]),
+                attention_mask=torch.ones(1, t_orig, dtype=torch.long),
+                pixel_values_videos=torch.tensor(pixels, dtype=torch.float32),
+                video_grid_thw=torch.tensor(np.asarray(grid)),
+                second_per_grid_ts=torch.tensor([spg]),
+                max_new_tokens=5, do_sample=False,
+            )
+        hf_tokens = out[0, t_orig:].tolist()
+
+        eng = QwenVLEngine(cfg, params, use_selector=False)
+        res = eng.generate(
+            input_ids, pixel_values_videos=pixels, video_grid_thw=grid,
+            second_per_grid_ts=np.array([spg]), max_new_tokens=5,
+            eos_token_ids=(-1,),
+        )
+        assert res.tokens == hf_tokens, (res.tokens, hf_tokens)
