@@ -70,3 +70,32 @@ class TestServe:
                 assert e.code == 404
         finally:
             httpd.shutdown()
+
+
+class TestServeStreaming:
+    def test_stream_chunks_then_summary(self):
+        from visionselector_tpu.api.serve import build_server
+
+        args = argparse.Namespace(
+            model_path=None, method="selector", budget=0.5,
+            host="127.0.0.1", port=0,
+        )
+        httpd = build_server(args)
+        port = httpd.server_address[1]
+        t = threading.Thread(target=httpd.serve_forever, daemon=True)
+        t.start()
+        try:
+            req = urllib.request.Request(
+                f"http://127.0.0.1:{port}/generate",
+                data=json.dumps({"prompt": "hi", "max_new_tokens": 4,
+                                 "stream": True}).encode(),
+                headers={"Content-Type": "application/json"},
+            )
+            with urllib.request.urlopen(req, timeout=300) as r:
+                lines = [json.loads(l) for l in r.read().splitlines() if l]
+            assert lines[-1].get("done") is True
+            streamed = [t for l in lines[:-1] for t in l["tokens"]]
+            assert streamed == lines[-1]["tokens"]
+            assert 1 <= len(streamed) <= 4
+        finally:
+            httpd.shutdown()

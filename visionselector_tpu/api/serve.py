@@ -32,7 +32,7 @@ class Server:
         self.lock = threading.Lock()  # batch-1 engine
 
     def generate(self, prompt: str, image_b64: str | None,
-                 max_new_tokens: int = 64) -> dict:
+                 max_new_tokens: int = 64, on_token_chunk=None) -> dict:
         from visionselector_tpu.preprocess.image import preprocess_image
         from visionselector_tpu.preprocess.rope import expand_vision_tokens
 
@@ -61,7 +61,8 @@ class Server:
             input_ids = np.concatenate([before, after]).astype(np.int64)
         with self.lock:
             res = self.engine.generate(
-                input_ids, pixels, grid, max_new_tokens=max_new_tokens
+                input_ids, pixels, grid, max_new_tokens=max_new_tokens,
+                on_token_chunk=on_token_chunk,
             )
         return {
             "tokens": res.tokens,
@@ -107,6 +108,9 @@ def make_handler(server: Server):
             try:
                 n = int(self.headers.get("Content-Length", 0))
                 req = json.loads(self.rfile.read(n) or b"{}")
+                if req.get("stream"):
+                    self._stream(req)
+                    return
                 out = server.generate(
                     req.get("prompt", ""),
                     req.get("image_b64"),
@@ -115,6 +119,39 @@ def make_handler(server: Server):
                 self._send(200, out)
             except Exception as e:  # noqa: BLE001
                 self._send(500, {"error": str(e)})
+
+        def _stream(self, req: dict):
+            """Chunked token streaming (the serve-side analog of the
+            reference's streaming gradio chat, ``src/serve/app.py:17-142``):
+            one JSON line per decoded chunk, then a final summary line."""
+            self.send_response(200)
+            self.send_header("Content-Type", "application/x-ndjson")
+            self.send_header("Transfer-Encoding", "chunked")
+            self.end_headers()
+
+            def write_line(payload: dict):
+                body = (json.dumps(payload) + "\n").encode()
+                self.wfile.write(f"{len(body):x}\r\n".encode())
+                self.wfile.write(body + b"\r\n")
+
+            def on_chunk(tokens):
+                text = (
+                    server.tokenizer.decode(tokens, skip_special_tokens=True)
+                    if server.tokenizer is not None else None
+                )
+                write_line({"tokens": tokens, "text": text})
+
+            try:
+                out = server.generate(
+                    req.get("prompt", ""),
+                    req.get("image_b64"),
+                    int(req.get("max_new_tokens", 64)),
+                    on_token_chunk=on_chunk,
+                )
+                write_line({"done": True, **out})
+            except Exception as e:  # noqa: BLE001
+                write_line({"error": str(e)})
+            self.wfile.write(b"0\r\n\r\n")
 
     return Handler
 

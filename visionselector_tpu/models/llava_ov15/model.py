@@ -115,6 +115,7 @@ class OVEngine:
         top_p: float = 1.0,
         seed: int = 0,
         timer=None,
+        on_token_chunk=None,
         pixel_values_videos: Optional[np.ndarray] = None,
         video_grid_thw: Optional[np.ndarray] = None,
         second_per_grid_ts=None,  # accepted for adapter parity; OV is 1D rope
@@ -170,6 +171,7 @@ class OVEngine:
             tokens = _run_decode_loop(
                 self.params, cfg, cache, next_token, t_orig, eos_token_ids,
                 max_new_tokens, temperature, top_p, seed,
+                on_chunk=on_token_chunk,
             )
             return GenerationResult(
                 tokens=tokens, selected_indices=None, num_vision_tokens=0,
@@ -284,6 +286,7 @@ class OVEngine:
             tokens = _run_decode_loop(
                 self.params, cfg, cache, next_token, t_orig + rope_delta,
                 eos_token_ids, max_new_tokens, temperature, top_p, seed,
+                on_chunk=on_token_chunk,
             )
             pos_to_vis = {int(p): j for j, p in enumerate(image_pos)}
             sel_vis = np.asarray(
@@ -354,7 +357,7 @@ class OVEngine:
         tokens = _run_decode_loop(
             self.params, cfg, cache, next_token,
             valid_len_i + rope_delta, eos_token_ids, max_new_tokens,
-            temperature, top_p, seed,
+            temperature, top_p, seed, on_chunk=on_token_chunk,
         )
 
         sel_idx_np = np.asarray(sel_idx)

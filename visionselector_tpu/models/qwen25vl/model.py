@@ -472,25 +472,61 @@ def _decode_loop(
     )
     # count excludes a trailing EOS
     count = step - jnp.where(done & (step > 0), 1, 0)
-    return toks, count
+    return toks, count, cache, tok
 
 
 def _run_decode_loop(params, cfg, cache, first_token, start_pos, eos_token_ids,
-                     max_new_tokens, temperature=0.0, top_p=1.0, seed=0):
-    """Host wrapper: on-device decode, one transfer for all tokens."""
+                     max_new_tokens, temperature=0.0, top_p=1.0, seed=0,
+                     on_chunk=None, chunk_size: int = 8):
+    """Host wrapper: on-device decode, one transfer for all tokens.
+
+    ``on_chunk``: optional callback receiving each freshly decoded token
+    chunk (streaming serving); decode then runs in ``chunk_size``-token
+    device dispatches instead of one while_loop over the whole budget.
+    """
     first = int(first_token)
     if first in eos_token_ids:
+        if on_chunk is not None:
+            on_chunk([])
         return []
     if max_new_tokens <= 1:
+        if on_chunk is not None:
+            on_chunk([first])
         return [first]
     eos_arr = jnp.asarray(list(eos_token_ids), jnp.int32)
-    toks, count = _decode_loop(
-        params, cfg, cache, first_token,
-        jnp.asarray(start_pos, jnp.int32), eos_arr, max_new_tokens - 1,
-        jnp.asarray(temperature, jnp.float32), jnp.asarray(top_p, jnp.float32),
-        jax.random.PRNGKey(seed),
-    )
-    return [first] + np.asarray(toks)[: int(count)].tolist()
+    temp = jnp.asarray(temperature, jnp.float32)
+    tp = jnp.asarray(top_p, jnp.float32)
+    key = jax.random.PRNGKey(seed)
+
+    if on_chunk is None:
+        toks, count, _, _ = _decode_loop(
+            params, cfg, cache, first_token,
+            jnp.asarray(start_pos, jnp.int32), eos_arr, max_new_tokens - 1,
+            temp, tp, key,
+        )
+        return [first] + np.asarray(toks)[: int(count)].tolist()
+
+    on_chunk([first])
+    out = [first]
+    tok = first_token
+    remaining = max_new_tokens - 1
+    pos = start_pos
+    while remaining > 0:
+        step = min(chunk_size, remaining)
+        key, sub = jax.random.split(key)
+        toks, count, cache, tok = _decode_loop(
+            params, cfg, cache, tok, jnp.asarray(pos, jnp.int32),
+            eos_arr, step, temp, tp, sub,
+        )
+        n = int(count)
+        chunk = np.asarray(toks)[:n].tolist()
+        out.extend(chunk)
+        on_chunk(chunk)
+        if n < step or (chunk and chunk[-1] in eos_token_ids):
+            break
+        remaining -= step
+        pos += step
+    return out
 
 
 # ---------------------------------------------------------------------------
@@ -561,6 +597,7 @@ class QwenVLEngine:
         top_p: float = 1.0,
         seed: int = 0,
         timer: Optional[Any] = None,
+        on_token_chunk=None,
     ) -> GenerationResult:
         """Greedy generation for one sample.
 
@@ -614,6 +651,7 @@ class QwenVLEngine:
             tokens = _run_decode_loop(
                 self.params, cfg, cache, next_token, t_orig, eos_token_ids,
                 max_new_tokens, temperature, top_p, seed,
+                on_chunk=on_token_chunk,
             )
             return GenerationResult(
                 tokens=tokens, selected_indices=None, num_vision_tokens=0,
@@ -730,7 +768,7 @@ class QwenVLEngine:
             tokens = _run_decode_loop(
                 self.params, cfg, cache, next_token,
                 t_orig + rope_delta, eos_token_ids, max_new_tokens,
-                temperature, top_p, seed,
+                temperature, top_p, seed, on_chunk=on_token_chunk,
             )
             # map retained sequence positions back to vision-token indices
             pos_to_vis = {int(p): j for j, p in enumerate(image_pos)}
@@ -808,7 +846,7 @@ class QwenVLEngine:
         tokens = _run_decode_loop(
             self.params, cfg, cache, next_token,
             valid_len_i + rope_delta, eos_token_ids, max_new_tokens,
-            temperature, top_p, seed,
+            temperature, top_p, seed, on_chunk=on_token_chunk,
         )
 
         sel_idx_np = np.asarray(sel_idx)
