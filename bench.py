@@ -237,6 +237,21 @@ def main():
     t_sel3, t_full3, n = measure(cfg, params, budget, s_bucket, img_hw)
     speedup3 = t_full3 / t_sel3
 
+    # Preliminary result line: the 7B phase below adds several uncached
+    # Mosaic compiles (~2-4 min each through the tunnel); if the harness
+    # times out mid-way, this line stands as the last complete JSON. The
+    # final line (printed at the end) supersedes it.
+    if run_7b:
+        print(json.dumps({
+            "metric": "prefill_speedup_at_20pct_retention",
+            "value": round(speedup3, 4),
+            "unit": "x",
+            "vs_baseline": round(speedup3 / BASELINE_SPEEDUP, 4),
+            "detail": {"model": model_name, "phase": "3b_preliminary",
+                       "prefill_ms_selector": round(t_sel3 * 1e3, 2),
+                       "prefill_ms_uncompressed": round(t_full3 * 1e3, 2)},
+        }), flush=True)
+
     detail = {
         "prefill_ms_selector": round(t_sel3 * 1e3, 2),
         "prefill_ms_uncompressed": round(t_full3 * 1e3, 2),
