@@ -307,3 +307,88 @@ class TestHFParity:
             eos_token_ids=(-1,),
         )
         assert res.tokens == hf_tokens, (res.tokens, hf_tokens)
+
+    def test_sft_loss_matches_hf(self, hf_checkpoint, jax_side):
+        """Plain CE training forward (no selector) equals HF's loss on the
+        same image+labels batch — pins the supervised path."""
+        import jax
+        import jax.numpy as jnp
+
+        from visionselector_tpu.preprocess.image import preprocess_image
+        from visionselector_tpu.preprocess.indices import build_vision_batch
+        from visionselector_tpu.preprocess.rope import (
+            expand_vision_tokens,
+            get_rope_index,
+        )
+        from visionselector_tpu.train.loss import (
+            IGNORE_INDEX,
+            TrainBatchSample,
+        )
+        from visionselector_tpu.train.sft import sft_train_forward
+
+        _, hf_model = hf_checkpoint
+        cfg, params = jax_side
+        rng = np.random.RandomState(5)
+        img = (rng.rand(56, 56, 3) * 255).astype(np.uint8)
+        pixels, grid = preprocess_image(img, min_pixels=1, max_pixels=10**9)
+        prompt, answer = [100, 200], [300, 400, 500]
+        input_ids = expand_vision_tokens(prompt, answer, grid)
+        t = len(input_ids)
+        labels = np.full(t, IGNORE_INDEX, np.int64)
+        labels[-len(answer):] = answer
+
+        with torch.no_grad():
+            out = hf_model(
+                input_ids=torch.tensor(np.asarray(input_ids)[None]),
+                attention_mask=torch.ones(1, t, dtype=torch.long),
+                pixel_values=torch.tensor(pixels, dtype=torch.float32),
+                image_grid_thw=torch.tensor(np.asarray(grid)),
+                labels=torch.tensor(labels[None]),
+            )
+        hf_loss = float(out.loss)
+
+        vb = build_vision_batch(
+            pixels, grid, window_size=cfg.vision.window_size,
+            spatial_merge_size=cfg.vision.spatial_merge_size,
+            patch_size=cfg.vision.patch_size, pad_to=pixels.shape[0],
+        )
+        n = vb.num_merged
+        l_pad = pixels.shape[0] // cfg.vision.spatial_merge_unit
+        t_bucket = 32
+        ids_p = np.zeros(t_bucket, np.int64)
+        ids_p[:t] = input_ids
+        lab_p = np.full(t_bucket, IGNORE_INDEX, np.int64)
+        lab_p[:t] = labels
+        position_ids, _ = get_rope_index(
+            input_ids, image_grid_thw=grid,
+            spatial_merge_size=cfg.vision.spatial_merge_size,
+            tokens_per_second=cfg.vision.tokens_per_second,
+            image_token_id=cfg.image_token_id,
+            video_token_id=cfg.video_token_id,
+            vision_start_token_id=cfg.vision_start_token_id,
+        )
+        pos_p = np.zeros((3, t_bucket), np.int64)
+        pos_p[:, :t] = position_ids
+        seg = (np.arange(t_bucket) < t).astype(np.int32)
+        image_pos = np.where(ids_p == cfg.image_token_id)[0][:n]
+        image_pos_p = np.full(l_pad, t_bucket, np.int64)
+        image_pos_p[:n] = image_pos
+
+        sample = TrainBatchSample(
+            pixel_values=jnp.asarray(vb.pixel_values),
+            rot_pos_ids=jnp.asarray(vb.rot_pos_ids),
+            window_seg_ids=jnp.asarray(vb.window_seg_ids),
+            full_seg_ids=jnp.asarray(vb.full_seg_ids),
+            reverse_index=jnp.asarray(vb.reverse_index),
+            num_merged=jnp.asarray(n, jnp.int32),
+            k=jnp.asarray(n, jnp.int32),
+            input_ids=jnp.asarray(ids_p),
+            labels=jnp.asarray(lab_p),
+            position_ids=jnp.asarray(pos_p),
+            seg_ids=jnp.asarray(seg),
+            image_positions=jnp.asarray(image_pos_p),
+            window_kv_bounds=jnp.asarray(vb.window_kv_bounds),
+            full_kv_bounds=jnp.asarray(vb.full_kv_bounds),
+        )
+        loss, _ = sft_train_forward(params, sample, cfg)
+        assert abs(float(loss) - hf_loss) < 2e-3, (float(loss), hf_loss)
