@@ -28,13 +28,21 @@ MODEL_FAMILIES = {
 
 
 def parse_model_args(s: str) -> dict:
-    """Comma-separated key=value string (``simple_evaluate`` model_args)."""
+    """Comma-separated key=value string (``simple_evaluate`` model_args).
+
+    Comma-separated VALUES (``budgets=0.1,0.2,0.3``) are supported: an item
+    without ``=`` continues the previous key's value."""
     out = {}
+    last = None
     for item in (s or "").split(","):
         if not item.strip():
             continue
+        if "=" not in item and last is not None:
+            out[last] += "," + item.strip()
+            continue
         k, _, v = item.partition("=")
         out[k.strip()] = v.strip()
+        last = k.strip()
     return out
 
 
@@ -79,7 +87,8 @@ def main(argv=None) -> int:
     if model_path:
         argv2 += ["--model-path", model_path]
     if args.limit is not None:
-        argv2 += ["--limit", str(int(args.limit))]
+        # lmms-eval semantics: limit < 1 = fraction of docs, >= 1 = count
+        argv2 += ["--limit", str(args.limit)]
     return run_eval_main(argv2)
 
 

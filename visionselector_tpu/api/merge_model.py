@@ -123,13 +123,16 @@ def main(argv=None) -> int:
         src_visual, src_lm = a["visual"], b["lm"]
 
     params = assemble(vision, lm, scorer)
-    report = sanity_check(params, cfg, src_visual, src_lm)
-    ok = all(v > 0.999 for v in report.values())
 
     os.makedirs(args.output_dir, exist_ok=True)
     path = os.path.join(os.path.abspath(args.output_dir), "merged")
     with ocp.StandardCheckpointer() as ckptr:
         ckptr.save(path, params, force=True)
+        # verify the SAVED artifact (reload round trip), not the in-memory
+        # tree, against the source checkpoints' activations
+        restored = ckptr.restore(path, params)
+    report = sanity_check(restored, cfg, src_visual, src_lm)
+    ok = all(v > 0.999 for v in report.values())
     with open(os.path.join(args.output_dir, "merge_report.json"), "w") as f:
         json.dump({"cosine": report, "ok": ok}, f, indent=2)
     print(json.dumps({"cosine": report, "ok": ok, "saved": path}))

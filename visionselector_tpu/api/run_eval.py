@@ -29,7 +29,9 @@ def build_parser():
     p.add_argument("--family", default="qwen25vl",
                    choices=("qwen25vl", "llava_ov15"))
     p.add_argument("--budgets", default="0.2", help="comma-separated ratios")
-    p.add_argument("--limit", type=int, default=None)
+    p.add_argument("--limit", type=float, default=None,
+                   help=">= 1: doc count; fraction in (0,1): share of docs "
+                        "(lmms-eval --limit semantics)")
     p.add_argument("--output-dir", default="eval_results")
     p.add_argument("--rank", type=int, default=0)
     p.add_argument("--world-size", type=int, default=1)
@@ -147,8 +149,10 @@ def main(argv=None) -> int:
                 budget=budget,
                 strategy=strategy,
             )
-        adapter = EngineAdapter(engine, tokenizer,
-                                visualize_dir=args.visualize_dir)
+        adapter = EngineAdapter(
+            engine, tokenizer, visualize_dir=args.visualize_dir,
+            model_tag=f"{args.family}:{args.model_path or 'smoke'}",
+        )
         results = evaluate(
             adapter, tasks, args.data_dir, limit=args.limit,
             rank=args.rank, world_size=args.world_size,

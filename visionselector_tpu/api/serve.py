@@ -83,6 +83,11 @@ class Server:
 
 def make_handler(server: Server):
     class Handler(BaseHTTPRequestHandler):
+        # chunked Transfer-Encoding (streaming) requires HTTP/1.1 — the
+        # BaseHTTPRequestHandler default is HTTP/1.0, under which compliant
+        # clients would read the chunk framing as body bytes
+        protocol_version = "HTTP/1.1"
+
         def log_message(self, *a):  # quiet
             pass
 

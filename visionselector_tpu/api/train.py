@@ -56,10 +56,13 @@ def build_parser():
     p.add_argument("--tau-start", type=float, default=1.0)
     p.add_argument("--tau-end", type=float, default=0.1)
     p.add_argument("--mask-loss-weight", type=float, default=100.0)
-    # SFT freeze policy (reference argument.py tune_mm_* knobs)
+    # SFT freeze policy (reference argument.py tune_mm_* knobs). tune-mm-llm
+    # defaults ON (an all-frozen SFT trains nothing); disable explicitly with
+    # --no-tune-mm-llm for vision-/merger-only finetuning.
     p.add_argument("--tune-mm-vision", action="store_true")
     p.add_argument("--tune-mm-mlp", action="store_true")
-    p.add_argument("--tune-mm-llm", action="store_true", default=None)
+    p.add_argument("--tune-mm-llm", action=argparse.BooleanOptionalAction,
+                   default=True)
     # LoRA (reference params.py lora_rank=64 / lora_alpha=16; 0 = off)
     p.add_argument("--lora-rank", type=int, default=0)
     p.add_argument("--lora-alpha", type=int, default=16)
@@ -207,8 +210,7 @@ def main(argv=None) -> int:
             total_steps=args.total_steps, lr=args.lr,
             tune_mm_vision=args.tune_mm_vision,
             tune_mm_mlp=args.tune_mm_mlp,
-            tune_mm_llm=(True if args.tune_mm_llm is None
-                         else args.tune_mm_llm),
+            tune_mm_llm=args.tune_mm_llm,
             lora_rank=args.lora_rank,
         )
         state = init_sft_state(params, sched)

@@ -52,9 +52,13 @@ class EngineAdapter:
     over a QwenVLEngine + tokenizer."""
 
     def __init__(self, engine, tokenizer, eval_time: bool = False,
-                 visualize_dir: Optional[str] = None):
+                 visualize_dir: Optional[str] = None,
+                 model_tag: str = ""):
         self.engine = engine
         self.tokenizer = tokenizer
+        # identifies the model for response-cache keys (family + checkpoint);
+        # without it two different checkpoints would share cache entries
+        self.model_tag = model_tag or type(engine).__name__
         self.eval_time = eval_time or (
             os.environ.get("EVAL_TIME", "").lower() == "true"
         )
@@ -284,8 +288,13 @@ def evaluate(
         if cache.enabled():
             # LM_HARNESS_CACHE_PATH contract: serve hits from the response
             # cache, generate only the misses (lmms-eval caching/cache.py).
-            keys = [cache.key(name, r.doc_id, r.question, method, budget)
-                    for r in requests]
+            keys = [
+                cache.key(
+                    name, r.doc_id, r.question,
+                    f"{adapter.model_tag}:{method}", budget,
+                )
+                for r in requests
+            ]
             preds = [cache.get(k) for k in keys]
             miss = [i for i, p in enumerate(preds) if p is None]
             if miss:

@@ -135,13 +135,19 @@ class Request:
 
 
 def load_task_docs(task: TaskConfig, data_dir: str,
-                   limit: Optional[int] = None) -> List[Request]:
-    """Read ``<data_dir>/<task>.jsonl`` into requests."""
+                   limit: Optional[float] = None) -> List[Request]:
+    """Read ``<data_dir>/<task>.jsonl`` into requests.
+
+    ``limit``: lmms-eval semantics — >= 1 is a document count, a fraction in
+    (0, 1) evaluates that share of the docs (``evaluator.py:63,109``)."""
     path = os.path.join(data_dir, f"{task.name}.jsonl")
     requests = []
+    count_limit = None
+    if limit is not None and limit >= 1:
+        count_limit = int(limit)
     with open(path) as f:
         for i, line in enumerate(f):
-            if limit is not None and i >= limit:
+            if count_limit is not None and i >= count_limit:
                 break
             doc = json.loads(line)
             answers = doc.get("answers") or [doc.get("answer", "")]
@@ -164,6 +170,8 @@ def load_task_docs(task: TaskConfig, data_dir: str,
                     task=task,
                 )
             )
+    if limit is not None and 0 < limit < 1:
+        requests = requests[: max(1, int(len(requests) * limit))]
     return requests
 
 

@@ -40,9 +40,15 @@ class EvaluationTracker:
     wandb_args: Optional[dict] = None
 
     def __post_init__(self):
+        import uuid
+
         os.makedirs(self.output_dir, exist_ok=True)
         self._t0 = time.time()
-        self._stamp = time.strftime("%Y%m%dT%H%M%S")
+        # uuid suffix: sweeps create one tracker per (method, budget) cell and
+        # cells finishing within the same second must not clobber each other
+        self._stamp = (
+            time.strftime("%Y%m%dT%H%M%S") + "_" + uuid.uuid4().hex[:8]
+        )
         self._wandb = None
         if self.wandb_args:
             try:

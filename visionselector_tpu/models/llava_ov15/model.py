@@ -137,46 +137,14 @@ class OVEngine:
         t_start = time.perf_counter()
 
         if pixel_values is None:
-            # Text-only: shared family-agnostic path (1D rope already).
-            from visionselector_tpu.models.qwen25vl.model import _prefill_text
-            from visionselector_tpu.preprocess.indices import pick_bucket as pb
-
-            t_bucket = pb(t_orig, [64, 128, 256, 512, 1024])
-            t_bucket += (-t_bucket) % 128
-            ids_padded = np.zeros(t_bucket, np.int64)
-            ids_padded[:t_orig] = input_ids
-            pos = np.zeros((3, t_bucket), np.int64)
-            pos[:, :t_orig] = np.tile(np.arange(t_orig), (3, 1))
-            seg = (np.arange(t_bucket) < t_orig).astype(np.int32)
-            next_token, (k_l, v_l), _ = _prefill_text(
-                self.params, cfg, jnp.asarray(ids_padded), jnp.asarray(pos),
-                jnp.asarray(seg), jnp.asarray(t_orig),
-            )
-            next_token.block_until_ready()
-            t_prefill = time.perf_counter() - t_start
-            t_max = t_bucket + max_new_tokens
-            cache = lm_mod.KVCache(
-                k=jnp.pad(k_l, ((0, 0), (0, 0), (0, t_max - t_bucket),
-                                (0, 0), (0, 0))),
-                v=jnp.pad(v_l, ((0, 0), (0, 0), (0, t_max - t_bucket),
-                                (0, 0), (0, 0))),
-                length=jnp.full(
-                    (cfg.text.num_hidden_layers, 1), t_orig, jnp.int32
-                ),
-            )
+            # Text-only: shared family-agnostic helper (1D rope already).
             from visionselector_tpu.models.qwen25vl.model import (
-                _run_decode_loop,
+                generate_text_only,
             )
 
-            tokens = _run_decode_loop(
-                self.params, cfg, cache, next_token, t_orig, eos_token_ids,
-                max_new_tokens, temperature, top_p, seed,
-                on_chunk=on_token_chunk,
-            )
-            return GenerationResult(
-                tokens=tokens, selected_indices=None, num_vision_tokens=0,
-                prefill_len=t_orig, prefill_seconds=t_prefill,
-                total_seconds=time.perf_counter() - t_start,
+            return generate_text_only(
+                self.params, cfg, input_ids, max_new_tokens, eos_token_ids,
+                temperature, top_p, seed, on_token_chunk,
             )
 
         s_real = pixel_values.shape[0]

@@ -157,6 +157,57 @@ def _prefill_text(
     return next_token, (k_layers, v_layers), logits
 
 
+def generate_text_only(
+    params: dict,
+    cfg,
+    input_ids: np.ndarray,
+    max_new_tokens: int,
+    eos_token_ids,
+    temperature: float = 0.0,
+    top_p: float = 1.0,
+    seed: int = 0,
+    on_token_chunk=None,
+    text_buckets=(64, 128, 256, 512, 1024),
+) -> "GenerationResult":
+    """Text-only generation shared by both family engines: plain causal
+    prefill (1D rope on all three axes) + decode. No vision branch."""
+    import time
+
+    input_ids = np.asarray(input_ids).reshape(-1)
+    t_orig = len(input_ids)
+    t_start = time.perf_counter()
+    t_bucket = pick_bucket(t_orig, list(text_buckets))
+    t_bucket += (-t_bucket) % 128
+    ids_padded = np.zeros(t_bucket, np.int64)
+    ids_padded[:t_orig] = input_ids
+    pos = np.zeros((3, t_bucket), np.int64)
+    pos[:, :t_orig] = np.tile(np.arange(t_orig), (3, 1))
+    seg = (np.arange(t_bucket) < t_orig).astype(np.int32)
+    next_token, (k_l, v_l), _ = _prefill_text(
+        params, cfg, jnp.asarray(ids_padded), jnp.asarray(pos),
+        jnp.asarray(seg), jnp.asarray(t_orig),
+    )
+    next_token.block_until_ready()
+    t_prefill = time.perf_counter() - t_start
+    t_max = t_bucket + max_new_tokens
+    cache = lm_mod.KVCache(
+        k=jnp.pad(k_l, ((0, 0), (0, 0), (0, t_max - t_bucket),
+                        (0, 0), (0, 0))),
+        v=jnp.pad(v_l, ((0, 0), (0, 0), (0, t_max - t_bucket),
+                        (0, 0), (0, 0))),
+        length=jnp.full((cfg.text.num_hidden_layers, 1), t_orig, jnp.int32),
+    )
+    tokens = _run_decode_loop(
+        params, cfg, cache, next_token, t_orig, eos_token_ids,
+        max_new_tokens, temperature, top_p, seed, on_chunk=on_token_chunk,
+    )
+    return GenerationResult(
+        tokens=tokens, selected_indices=None, num_vision_tokens=0,
+        prefill_len=t_orig, prefill_seconds=t_prefill,
+        total_seconds=time.perf_counter() - t_start,
+    )
+
+
 @functools.partial(jax.jit, static_argnames=("cfg",))
 def _vision_stats(params, cfg: VLConfig, pixel_values, rot_pos_ids,
                   window_seg_ids, full_seg_ids, reverse_index):
@@ -624,39 +675,11 @@ class QwenVLEngine:
             grid_thw = video_grid_thw
 
         if pixel_values is None:
-            # Text-only request: plain causal prefill, 1D rope on all 3 axes.
-            t_bucket = pick_bucket(t_orig, list(self.text_buckets))
-            t_bucket += (-t_bucket) % 128
-            ids_padded = np.zeros(t_bucket, np.int64)
-            ids_padded[:t_orig] = input_ids
-            pos = np.zeros((3, t_bucket), np.int64)
-            pos[:, :t_orig] = np.tile(np.arange(t_orig), (3, 1))
-            seg = (np.arange(t_bucket) < t_orig).astype(np.int32)
-            next_token, (k_l, v_l), _ = _prefill_text(
-                self.params, cfg, jnp.asarray(ids_padded), jnp.asarray(pos),
-                jnp.asarray(seg), jnp.asarray(t_orig),
-            )
-            next_token.block_until_ready()
-            t_prefill = time.perf_counter() - t_start
-            t_max = t_bucket + max_new_tokens
-            cache = lm_mod.KVCache(
-                k=jnp.pad(k_l, ((0, 0), (0, 0), (0, t_max - t_bucket),
-                                (0, 0), (0, 0))),
-                v=jnp.pad(v_l, ((0, 0), (0, 0), (0, t_max - t_bucket),
-                                (0, 0), (0, 0))),
-                length=jnp.full(
-                    (cfg.text.num_hidden_layers, 1), t_orig, jnp.int32
-                ),
-            )
-            tokens = _run_decode_loop(
-                self.params, cfg, cache, next_token, t_orig, eos_token_ids,
-                max_new_tokens, temperature, top_p, seed,
-                on_chunk=on_token_chunk,
-            )
-            return GenerationResult(
-                tokens=tokens, selected_indices=None, num_vision_tokens=0,
-                prefill_len=t_orig, prefill_seconds=t_prefill,
-                total_seconds=time.perf_counter() - t_start,
+            # Text-only request (no vision branch) — shared helper.
+            return generate_text_only(
+                self.params, cfg, input_ids, max_new_tokens, eos_token_ids,
+                temperature, top_p, seed, on_token_chunk,
+                text_buckets=self.text_buckets,
             )
 
         assert grid_thw is not None

@@ -207,11 +207,35 @@ def vit_forward(
         fused_block = min(256, s_pad)
 
         def _rescale(bounds):
+            """Convert [lo, hi) kv-block bounds built at one block size to the
+            fused kernel's block size (finer -> repeat+scale; coarser ->
+            group-min/max; mismatched -> conservative full range)."""
             built = s_pad // bounds.shape[0]
-            factor = built // fused_block
-            if factor <= 1:
+            if built == fused_block:
                 return bounds
-            return jnp.repeat(bounds * factor, factor, axis=0)
+            if built > fused_block and built % fused_block == 0:
+                factor = built // fused_block
+                return jnp.repeat(bounds * factor, factor, axis=0)
+            if built < fused_block and fused_block % built == 0 \
+                    and bounds.shape[0] % (fused_block // built) == 0:
+                g = fused_block // built
+                b = bounds.reshape(-1, g, 2)
+                lo = (b[:, :, 0] * built) // fused_block
+                hi = -(-(b[:, :, 1] * built) // fused_block)
+                has = b[:, :, 1] > b[:, :, 0]
+                lo_new = jnp.where(has, lo, 1 << 30).min(axis=1)
+                hi_new = jnp.where(has, hi, 0).max(axis=1)
+                any_has = has.any(axis=1)
+                return jnp.stack(
+                    [jnp.where(any_has, lo_new, 0),
+                     jnp.where(any_has, hi_new, 0)], axis=1
+                )
+            # incompatible granularities: full range (correct, no skipping)
+            nq = s_pad // fused_block
+            return jnp.stack(
+                [jnp.zeros(nq, jnp.int32),
+                 jnp.full(nq, s_pad // fused_block, jnp.int32)], axis=1
+            )
 
         wb = _rescale(window_kv_bounds)
         fb = _rescale(full_kv_bounds)

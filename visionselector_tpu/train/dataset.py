@@ -359,7 +359,7 @@ def build_packed_train_sample(
     pos_p[:, :t_real] = np.concatenate(pos_parts, axis=1)
     seg = np.zeros(t_bucket, np.int32)
     seg[:t_real] = np.concatenate(seg_parts)
-    image_pos = np.where(ids_p == vision_token)[0][:n]
+    image_pos = np.where(ids_p == cfg.image_token_id)[0][:n]
     image_pos_p = np.full(l_pad, t_bucket, np.int64)
     image_pos_p[:n] = image_pos
 
