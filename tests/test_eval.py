@@ -493,3 +493,13 @@ class TestMultiRound:
                       task=TASKS["chartqa"])
         out = adapter.generate_until_multi_round([req])
         assert len(out) == 1 and isinstance(out[0], str) and out[0]
+
+
+class TestFractionalLimit:
+    def test_fraction_and_count_semantics(self, tmp_path):
+        data_dir = TestTasks().make_data(tmp_path, n=10)
+        task = TASKS["chartqa"]
+        assert len(load_task_docs(task, data_dir, limit=4)) == 4
+        assert len(load_task_docs(task, data_dir, limit=0.5)) == 5
+        assert len(load_task_docs(task, data_dir, limit=0.01)) == 1  # min 1
+        assert len(load_task_docs(task, data_dir)) == 10

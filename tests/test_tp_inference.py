@@ -35,3 +35,38 @@ class TestTPInference:
 
         assert tok_tp == tok_ref
         np.testing.assert_allclose(logits_tp, logits_ref, atol=2e-4, rtol=1e-3)
+
+
+class TestExpertParallel:
+    def test_moe_forward_matches_single_device(self):
+        """Expert kernels shard over the model axis (expert parallelism);
+        the sharded forward must equal the single-device one."""
+        import jax.numpy as jnp
+
+        from visionselector_tpu.core.config import llava_ov_moe_tiny
+        from visionselector_tpu.models.llava_ov15.model import init_ov_params
+        from visionselector_tpu.models.qwen25vl import lm as lm_mod
+
+        cfg = llava_ov_moe_tiny()
+        params = init_ov_params(jax.random.PRNGKey(0), cfg)
+
+        t = 8
+        ids = jnp.asarray(np.random.RandomState(0).randint(0, 1000, t))
+        embeds = lm_mod.embed_tokens(params["lm"], ids)[None]
+        pos = jnp.broadcast_to(jnp.arange(t), (3, 1, t))
+        seg = jnp.ones((1, t), jnp.int32)
+
+        def run(p):
+            h, _ = lm_mod.lm_prefill(p["lm"], embeds, pos, seg, cfg.text)
+            return np.asarray(h)
+
+        ref = run(params)
+        mesh = make_mesh(n_data=4, n_model=2, devices=jax.devices()[:8])
+        sharded = shard_params(params, mesh)
+        # expert axis actually sharded (E=4 over 2 model shards)
+        from jax.sharding import NamedSharding
+
+        sh = sharded["lm"]["layers"]["expert_gate_kernel"].sharding
+        assert isinstance(sh, NamedSharding)
+        assert "model" in str(sh.spec), sh.spec
+        np.testing.assert_allclose(run(sharded), ref, atol=2e-5, rtol=1e-4)

@@ -54,6 +54,10 @@ def param_sharding_rules(path: tuple, leaf) -> P:
 
     if "embed_tokens" in name or "lm_head" in name:
         return spec(0 if "embed_tokens" in name else last)
+    if "expert_" in name and ndim >= 3:
+        # MoE expert kernels [n_layers, E, in, out]: shard the EXPERT axis
+        # (expert parallelism — each model-axis shard holds E/n experts)
+        return spec(1)
     if any(k in name for k in ("gate_kernel", "up_kernel", "qkv_kernel",
                                "q_kernel", "k_kernel", "v_kernel",
                                "fc1_kernel")):
