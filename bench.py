@@ -50,9 +50,12 @@ def build_inputs(cfg, budget, use_selector, s_bucket, img_hw=(1036, 1456)):
     n = vb.num_merged
     l_pad = s_bucket // cfg.vision.spatial_merge_unit
 
-    # ~40 text tokens around the image (typical VQA prompt)
-    before = list(range(100, 120))
-    after = list(range(300, 320))
+    # ~40 text tokens around the image (the paper image suite's prompts are
+    # this shape: one question + answer-format instruction). Override with
+    # VST_BENCH_TEXT_TOKENS to measure longer task-shaped prompts.
+    n_text = int(os.environ.get("VST_BENCH_TEXT_TOKENS", "40"))
+    before = list(range(100, 100 + n_text // 2))
+    after = list(range(300, 300 + n_text - n_text // 2))
     input_ids = expand_vision_tokens(
         before, after, grid,
         image_token_id=cfg.image_token_id,
