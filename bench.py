@@ -65,7 +65,7 @@ def build_inputs(cfg, budget, use_selector, s_bucket, img_hw=(1036, 1456)):
     t_orig = len(input_ids)
     image_pos = np.where(input_ids == cfg.image_token_id)[0]
     text_pos = np.where(input_ids != cfg.image_token_id)[0]
-    t_text_bucket = 64
+    t_text_bucket = max(64, -(-(len(text_pos) + 1) // 64) * 64)
     k_max_for_pad = (
         max(1, int((s_bucket // 4) * budget)) if use_selector else s_bucket // 4
     )
