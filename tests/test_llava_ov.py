@@ -526,3 +526,25 @@ class TestOVVideo:
         with open(os.path.join(out, "selector_0.2_rank0.json")) as f:
             res = json.load(f)
         assert "videomme/multiple_choice" in res["results"]
+
+
+class TestOVMultiImage:
+    def test_two_images_one_prompt(self, params):
+        """OV multi-image: per-image CLS segments, joint selection."""
+        p1, g1 = make_pixels(56, 56, 21)
+        p2, g2 = make_pixels(56, 84, 22)
+        pixels = np.concatenate([p1, p2])
+        grid = np.concatenate([g1, g2])
+        ids = expand_vision_tokens(
+            [100, 200], [300], grid,
+            image_token_id=CFG.image_token_id,
+            vision_start_token_id=CFG.vision_start_token_id,
+            vision_end_token_id=CFG.vision_end_token_id,
+        )
+        n = pixels.shape[0] // CFG.vision.spatial_merge_unit
+        eng = OVEngine(CFG, params, use_selector=True, budget=0.3)
+        res = eng.generate(ids, pixels, grid, max_new_tokens=2)
+        assert res.num_vision_tokens == n
+        k = max(1, int(n * 0.3))
+        assert len(res.selected_indices) == k
+        assert res.selected_indices.max() < n
