@@ -503,3 +503,44 @@ class TestFractionalLimit:
         assert len(load_task_docs(task, data_dir, limit=0.5)) == 5
         assert len(load_task_docs(task, data_dir, limit=0.01)) == 1  # min 1
         assert len(load_task_docs(task, data_dir)) == 10
+
+
+class TestLiteShrinker:
+    def test_k_center_subset_is_diverse_and_runnable(self, tmp_path):
+        """tools/lite parity: k-center shrink keeps a diverse subset that
+        still runs through the harness."""
+        from PIL import Image
+
+        img = tmp_path / "img.png"
+        Image.fromarray(
+            (np.random.RandomState(0).rand(56, 56, 3) * 255).astype(np.uint8)
+        ).save(img)
+        topics = ["cats and dogs", "stock market charts", "cooking recipes",
+                  "football scores"]
+        with open(tmp_path / "chartqa.jsonl", "w") as f:
+            for i in range(40):
+                t = topics[i % 2]  # only two topics in the pool
+                f.write(json.dumps({
+                    "question": f"{t} question number {i}?",
+                    "answers": [str(i)], "image": "img.png",
+                }) + "\n")
+
+        from visionselector_tpu.eval.lite import main as lite_main
+
+        out_dir = str(tmp_path / "lite")
+        rc = lite_main(["--data-dir", str(tmp_path), "--task", "chartqa",
+                        "--k", "6", "--output-dir", out_dir])
+        assert rc == 0
+        with open(os.path.join(out_dir, "chartqa.jsonl")) as f:
+            docs = [json.loads(l) for l in f]
+        assert len(docs) == 6
+        # both topics represented (diversity, not a prefix slice)
+        qs = " ".join(d["question"] for d in docs)
+        assert "cats" in qs and "stock" in qs
+
+        # deterministic: same inputs -> same subset
+        rc = lite_main(["--data-dir", str(tmp_path), "--task", "chartqa",
+                        "--k", "6", "--output-dir", str(tmp_path / "lite2")])
+        with open(os.path.join(str(tmp_path / "lite2"), "chartqa.jsonl")) as f:
+            docs2 = [json.loads(l) for l in f]
+        assert docs == docs2
