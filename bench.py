@@ -264,7 +264,11 @@ def main():
         "model": model_name,
         "speedup_3b": round(speedup3, 4),
         "kv_cache_reduction_at_budget": round(
-            kv_cache_reduction(cfg, budget, s_bucket), 4
+            kv_cache_reduction(
+                cfg, budget, s_bucket,
+                text_len=int(os.environ.get("VST_BENCH_TEXT_TOKENS", "40"))
+                + 2 * 2,  # vision_start/end markers per image
+            ), 4
         ),
         "peak_bytes_in_use": peak_memory_bytes(),
         "attn_impl": os.environ.get("VST_ATTN_IMPL"),

@@ -39,8 +39,10 @@ class TestTPInference:
 
 class TestExpertParallel:
     def test_moe_forward_matches_single_device(self):
-        """Expert kernels shard over the model axis (expert parallelism);
-        the sharded forward must equal the single-device one."""
+        """Expert kernels shard their intermediate dim over the model axis
+        (TP inside each expert — the scanned expert axis must stay unsharded
+        or every scan iteration would regather); sharded forward must equal
+        the single-device one."""
         import jax.numpy as jnp
 
         from visionselector_tpu.core.config import llava_ov_moe_tiny
@@ -63,10 +65,14 @@ class TestExpertParallel:
         ref = run(params)
         mesh = make_mesh(n_data=4, n_model=2, devices=jax.devices()[:8])
         sharded = shard_params(params, mesh)
-        # expert axis actually sharded (E=4 over 2 model shards)
-        from jax.sharding import NamedSharding
+        from jax.sharding import NamedSharding, PartitionSpec
 
         sh = sharded["lm"]["layers"]["expert_gate_kernel"].sharding
         assert isinstance(sh, NamedSharding)
-        assert "model" in str(sh.spec), sh.spec
+        # [n_layers, E, d, mi]: intermediate (last) dim sharded, expert
+        # (scanned) axis replicated
+        assert sh.spec == PartitionSpec(None, None, None, "model"), sh.spec
+        sh_down = sharded["lm"]["layers"]["expert_down_kernel"].sharding
+        assert sh_down.spec == PartitionSpec(None, None, "model", None), \
+            sh_down.spec
         np.testing.assert_allclose(run(sharded), ref, atol=2e-5, rtol=1e-4)

@@ -54,10 +54,12 @@ def param_sharding_rules(path: tuple, leaf) -> P:
 
     if "embed_tokens" in name or "lm_head" in name:
         return spec(0 if "embed_tokens" in name else last)
-    if "expert_" in name and ndim >= 3:
-        # MoE expert kernels [n_layers, E, in, out]: shard the EXPERT axis
-        # (expert parallelism — each model-axis shard holds E/n experts)
-        return spec(1)
+    # NOTE: MoE expert kernels ("expert_gate_kernel" etc.) intentionally fall
+    # through to the substring rules below and shard their INTERMEDIATE dim:
+    # _moe_mlp scans over the expert axis, and sharding a scanned leading axis
+    # would force an all-gather per iteration while replicating the compute.
+    # Intermediate-dim sharding splits every expert matmul across the model
+    # axis (true tensor parallelism inside each expert).
     if any(k in name for k in ("gate_kernel", "up_kernel", "qkv_kernel",
                                "q_kernel", "k_kernel", "v_kernel",
                                "fc1_kernel")):

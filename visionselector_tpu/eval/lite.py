@@ -41,17 +41,36 @@ def embed_text(text: str, dim: int = EMBED_DIM) -> np.ndarray:
 
 
 def k_center_indices(embeds: np.ndarray, k: int) -> List[int]:
-    """Greedy max-min (farthest-point) k-center over cosine distance."""
+    """Greedy max-min (farthest-point) k-center over cosine distance.
+
+    O(n*k) memory/compute (distances only to selected centers — no n x n
+    matrix). When every remaining point is a duplicate of a selected center
+    (max min-distance ~ 0), the remainder is filled with arbitrary unselected
+    indices so exactly k DISTINCT documents are returned.
+    """
     n = embeds.shape[0]
     k = min(k, n)
-    sims = embeds @ embeds.T
-    dist = 1.0 - sims
-    selected = [int(np.argmax(dist.sum(axis=1)))]  # most "spread" start
-    min_d = dist[selected[0]].copy()
+    # start from the point farthest from the centroid (spread-out seed)
+    centroid = embeds.mean(axis=0)
+    start = int(np.argmin(embeds @ centroid))
+    selected = [start]
+    chosen = np.zeros(n, bool)
+    chosen[start] = True
+    min_d = 1.0 - embeds @ embeds[start]
     for _ in range(1, k):
+        min_d[chosen] = -np.inf
         nxt = int(np.argmax(min_d))
+        if min_d[nxt] <= 1e-9:
+            # only duplicates left: fill with unselected docs
+            for i in np.flatnonzero(~chosen):
+                selected.append(int(i))
+                chosen[i] = True
+                if len(selected) == k:
+                    break
+            break
         selected.append(nxt)
-        min_d = np.minimum(min_d, dist[nxt])
+        chosen[nxt] = True
+        min_d = np.minimum(min_d, 1.0 - embeds @ embeds[nxt])
     return sorted(selected)
 
 
