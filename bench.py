@@ -267,7 +267,7 @@ def main():
             kv_cache_reduction(
                 cfg, budget, s_bucket,
                 text_len=int(os.environ.get("VST_BENCH_TEXT_TOKENS", "40"))
-                + 2 * 2,  # vision_start/end markers per image
+                + 2,  # + vision_start/end markers (one image)
             ), 4
         ),
         "peak_bytes_in_use": peak_memory_bytes(),

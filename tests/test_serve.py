@@ -99,3 +99,53 @@ class TestServeStreaming:
             assert 1 <= len(streamed) <= 4
         finally:
             httpd.shutdown()
+
+
+class TestOpenAICompat:
+    def test_chat_completions_and_sse_stream(self):
+        from visionselector_tpu.api.serve import build_server
+
+        args = argparse.Namespace(
+            model_path=None, method="selector", budget=0.5,
+            host="127.0.0.1", port=0,
+        )
+        httpd = build_server(args)
+        port = httpd.server_address[1]
+        threading.Thread(target=httpd.serve_forever, daemon=True).start()
+        try:
+            body = {
+                "model": "visionselector",
+                "messages": [{"role": "user", "content": [
+                    {"type": "text", "text": "What is this?"},
+                ]}],
+                "max_tokens": 3,
+            }
+            req = urllib.request.Request(
+                f"http://127.0.0.1:{port}/v1/chat/completions",
+                data=json.dumps(body).encode(),
+                headers={"Content-Type": "application/json"},
+            )
+            with urllib.request.urlopen(req, timeout=300) as r:
+                out = json.loads(r.read())
+            assert out["object"] == "chat.completion"
+            assert out["choices"][0]["message"]["role"] == "assistant"
+            assert out["choices"][0]["message"]["content"]
+            assert out["usage"]["completion_tokens"] >= 1
+
+            body["stream"] = True
+            req = urllib.request.Request(
+                f"http://127.0.0.1:{port}/v1/chat/completions",
+                data=json.dumps(body).encode(),
+                headers={"Content-Type": "application/json"},
+            )
+            with urllib.request.urlopen(req, timeout=300) as r:
+                raw = r.read().decode()
+            events = [l[6:] for l in raw.splitlines()
+                      if l.startswith("data: ")]
+            assert events[-1] == "[DONE]"
+            chunks = [json.loads(e) for e in events[:-1]]
+            assert chunks[-1]["choices"][0]["finish_reason"] == "stop"
+            assert any(c["choices"][0]["delta"].get("content")
+                       for c in chunks)
+        finally:
+            httpd.shutdown()

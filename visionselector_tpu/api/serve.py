@@ -107,6 +107,9 @@ def make_handler(server: Server):
                 self._send(404, {"error": "not found"})
 
         def do_POST(self):
+            if self.path == "/v1/chat/completions":
+                self._chat_completions()
+                return
             if self.path != "/generate":
                 self._send(404, {"error": "not found"})
                 return
@@ -122,6 +125,90 @@ def make_handler(server: Server):
                     int(req.get("max_new_tokens", 64)),
                 )
                 self._send(200, out)
+            except Exception as e:  # noqa: BLE001
+                self._send(500, {"error": str(e)})
+
+        def _chat_completions(self):
+            """Minimal OpenAI-compatible chat endpoint (production-serving
+            surface): messages with text + image_url (data: base64) content
+            parts; supports "stream": true with SSE data: lines."""
+            import time as _time
+
+            try:
+                n = int(self.headers.get("Content-Length", 0))
+                req = json.loads(self.rfile.read(n) or b"{}")
+                prompt_parts, image_b64 = [], None
+                for msg in req.get("messages", []):
+                    content = msg.get("content", "")
+                    if isinstance(content, str):
+                        prompt_parts.append(content)
+                        continue
+                    for part in content:
+                        if part.get("type") == "text":
+                            prompt_parts.append(part.get("text", ""))
+                        elif part.get("type") == "image_url":
+                            url = part["image_url"]["url"]
+                            if url.startswith("data:"):
+                                image_b64 = url.split(",", 1)[1]
+                prompt = "\n".join(p for p in prompt_parts if p)
+                max_tokens = int(req.get("max_tokens",
+                                         req.get("max_completion_tokens", 64)))
+                created = int(_time.time())
+                base = {"id": f"chatcmpl-{created}", "object":
+                        "chat.completion", "created": created,
+                        "model": server.method}
+
+                if req.get("stream"):
+                    self.send_response(200)
+                    self.send_header("Content-Type", "text/event-stream")
+                    self.send_header("Transfer-Encoding", "chunked")
+                    self.end_headers()
+
+                    def sse(payload):
+                        body = f"data: {json.dumps(payload)}\n\n".encode()
+                        self.wfile.write(f"{len(body):x}\r\n".encode())
+                        self.wfile.write(body + b"\r\n")
+
+                    def on_chunk(tokens):
+                        text = (
+                            server.tokenizer.decode(
+                                tokens, skip_special_tokens=True)
+                            if server.tokenizer is not None
+                            else " ".join(map(str, tokens))
+                        )
+                        sse({**base, "object": "chat.completion.chunk",
+                             "choices": [{"index": 0,
+                                          "delta": {"content": text},
+                                          "finish_reason": None}]})
+
+                    server.generate(prompt, image_b64, max_tokens,
+                                    on_token_chunk=on_chunk)
+                    sse({**base, "object": "chat.completion.chunk",
+                         "choices": [{"index": 0, "delta": {},
+                                      "finish_reason": "stop"}]})
+                    done = b"data: [DONE]\n\n"
+                    self.wfile.write(f"{len(done):x}\r\n".encode())
+                    self.wfile.write(done + b"\r\n")
+                    self.wfile.write(b"0\r\n\r\n")
+                    return
+
+                out = server.generate(prompt, image_b64, max_tokens)
+                self._send(200, {
+                    **base,
+                    "choices": [{
+                        "index": 0,
+                        "message": {"role": "assistant",
+                                    "content": out["text"] or " ".join(
+                                        map(str, out["tokens"]))},
+                        "finish_reason": "stop",
+                    }],
+                    "usage": {
+                        "prompt_tokens": out.get("num_vision_tokens", 0),
+                        "completion_tokens": len(out["tokens"]),
+                        "total_tokens": (out.get("num_vision_tokens", 0)
+                                         + len(out["tokens"])),
+                    },
+                })
             except Exception as e:  # noqa: BLE001
                 self._send(500, {"error": str(e)})
 
