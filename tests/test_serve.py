@@ -149,3 +149,17 @@ class TestOpenAICompat:
                        for c in chunks)
         finally:
             httpd.shutdown()
+
+
+class TestWarmup:
+    def test_warmup_compiles_buckets(self, capsys):
+        from visionselector_tpu.api.warmup import main
+
+        rc = main(["--buckets", "128,256", "--max-new-tokens", "2",
+                   "--budget", "0.5"])
+        assert rc == 0
+        lines = [json.loads(l) for l in capsys.readouterr().out.splitlines()
+                 if l.startswith("{")]
+        assert len(lines) == 3  # two buckets + text-only
+        assert lines[0]["patches"] <= 128
+        assert lines[-1]["bucket"] == "text_only"
