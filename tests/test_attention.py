@@ -228,3 +228,19 @@ class TestFusedViTAttention:
         np.testing.assert_allclose(
             np.asarray(got), np.asarray(want), atol=3e-5, rtol=1e-4
         )
+
+
+class TestOddLengthBlocks:
+    def test_large_block_on_unaligned_length(self):
+        """Blocks clamped to a non-128-multiple sequence length must round
+        down to a 128 multiple (Mosaic alignment) and pad — regression for
+        the FastV full-sequence prefill at e.g. t=318 with block 512."""
+        rng = np.random.RandomState(0)
+        for t in (318, 190, 66):
+            q = jnp.asarray(rng.randn(1, t, 2, 32), jnp.float32)
+            seg = jnp.ones((1, t), jnp.int32)
+            want = mha_reference(q, q, q, seg, seg, causal=True)
+            got = _flash_pallas(q, q, q, seg, seg, True, 32**-0.5,
+                                block_q=512, block_k=512, interpret=True)
+            np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                       atol=3e-5, rtol=1e-4)
