@@ -172,13 +172,16 @@ def _flash_pallas(
     block_q = min(block_q, sq)
     block_k = min(block_k, sk)
     # Mosaic requires dynamic-slice offsets provably 128-aligned: a block
-    # clamped to a non-128-multiple sequence length (e.g. 318) would emit
-    # misaligned loads inside the kv loop. Round such blocks down to a 128
-    # multiple — the padding branch below then absorbs the remainder.
-    if block_q >= 128 and block_q % 128:
-        block_q -= block_q % 128
-    if block_k >= 128 and block_k % 128:
-        block_k -= block_k % 128
+    # clamped to a non-128-multiple sequence length (e.g. a FastV full-seq
+    # prefill of 318, or a short OV prefill of 98) would emit misaligned loads
+    # inside the kv loop. When the caller didn't supply kv_bounds (whose
+    # granularity must match the block), snap blocks to 128 multiples — the
+    # padding branch below then absorbs the remainder.
+    if kv_bounds is None:
+        if block_q % 128:
+            block_q = 128 if block_q < 128 else block_q - block_q % 128
+        if block_k % 128:
+            block_k = 128 if block_k < 128 else block_k - block_k % 128
     if sq % block_q or sk % block_k:
         # Pad to block multiples (padding rows get segment id 0 -> inert).
         assert kv_bounds is None, "kv_bounds require block-aligned lengths"

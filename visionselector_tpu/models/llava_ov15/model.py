@@ -178,6 +178,9 @@ class OVEngine:
         image_pos_padded = np.full(l_pad, t_orig, np.int64)
         image_pos_padded[:n] = image_pos
         t_text_bucket = pick_bucket(num_text, [64, 128, 256, 512, 1024])
+        # round the compacted length (k_max + text bucket) to a 128 multiple
+        # so the causal prefill runs block-aligned (Qwen engine parity)
+        t_text_bucket += (-(k_max + t_text_bucket)) % 128
         text_pos_padded = np.full(t_text_bucket, t_orig, np.int64)
         text_pos_padded[:num_text] = text_pos
 
