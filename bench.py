@@ -40,12 +40,23 @@ def build_inputs(cfg, budget, use_selector, s_bucket, img_hw=(1036, 1456)):
     rng = np.random.RandomState(0)
     img = (rng.rand(*img_hw, 3) * 255).astype(np.uint8)
     pixels, grid = preprocess_image(img)  # default processor pixel bounds
+    align = os.environ.get("VST_ALIGN_WINDOWS", "1") == "1"
+    if align:
+        from visionselector_tpu.preprocess.indices import aligned_window_len
+
+        need = aligned_window_len(
+            grid, window_size=cfg.vision.window_size,
+            spatial_merge_size=cfg.vision.spatial_merge_size,
+            patch_size=cfg.vision.patch_size,
+        )
+        s_bucket = max(s_bucket, -(-need // 512) * 512)
     vb = build_vision_batch(
         pixels, grid,
         window_size=cfg.vision.window_size,
         spatial_merge_size=cfg.vision.spatial_merge_size,
         patch_size=cfg.vision.patch_size,
         pad_to=s_bucket,
+        align_windows=align,
     )
     n = vb.num_merged
     l_pad = s_bucket // cfg.vision.spatial_merge_unit
@@ -106,10 +117,11 @@ def build_inputs(cfg, budget, use_selector, s_bucket, img_hw=(1036, 1456)):
         jnp.asarray(vb.window_kv_bounds),
         jnp.asarray(vb.full_kv_bounds),
     )
-    return args, k_max, n
+    return args, k_max, n, vb.window_diag
 
 
-def time_prefill(params, cfg, k_max, use_selector, args, iters=8):
+def time_prefill(params, cfg, k_max, use_selector, args, iters=8,
+                 window_diag=False):
     """Differential timing: run the prefill chained K times inside one jit
     (serialized by a data dependency) and difference T(K) - T(1).
 
@@ -127,7 +139,8 @@ def time_prefill(params, cfg, k_max, use_selector, args, iters=8):
 
         def body(i, carry):
             px, acc = carry
-            out = _prefill(params, cfg, k_max, use_selector, px, *args[1:])
+            out = _prefill(params, cfg, k_max, use_selector, px, *args[1:],
+                           window_diag=window_diag)
             tok = out[0]
             # serialize iterations: make the next input depend on this output
             px = px.at[0, 0].add(tok.astype(px.dtype) * 1e-12)
@@ -166,10 +179,11 @@ def peak_memory_bytes():
 
 
 def measure(cfg, params, budget, s_bucket, img_hw):
-    args_sel, k_max_sel, n = build_inputs(cfg, budget, True, s_bucket, img_hw)
-    t_sel = time_prefill(params, cfg, k_max_sel, True, args_sel)
-    args_full, k_max_full, _ = build_inputs(cfg, budget, False, s_bucket, img_hw)
-    t_full = time_prefill(params, cfg, k_max_full, False, args_full)
+    args_sel, k_max_sel, n, diag = build_inputs(cfg, budget, True, s_bucket, img_hw)
+    t_sel = time_prefill(params, cfg, k_max_sel, True, args_sel, window_diag=diag)
+    args_full, k_max_full, _, diag_f = build_inputs(cfg, budget, False, s_bucket, img_hw)
+    t_full = time_prefill(params, cfg, k_max_full, False, args_full,
+                          window_diag=diag_f)
 
     # Optional profiler trace of one prefill each (SURVEY §5.1 tracing):
     # VST_PROFILE=<dir> writes a tensorboard-loadable trace.
@@ -179,7 +193,8 @@ def measure(cfg, params, budget, s_bucket, img_hw):
 
         with jax.profiler.trace(prof_dir):
             jax.block_until_ready(
-                _prefill(params, cfg, k_max_sel, True, *args_sel)
+                _prefill(params, cfg, k_max_sel, True, *args_sel,
+                         window_diag=diag)
             )
     return t_sel, t_full, n
 

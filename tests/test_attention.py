@@ -244,3 +244,52 @@ class TestOddLengthBlocks:
                                 block_q=512, block_k=512, interpret=True)
             np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                        atol=3e-5, rtol=1e-4)
+
+
+class TestDiagKernel:
+    """Block-diagonal all-heads kernel (window-aligned ViT layout)."""
+
+    def _aligned_segments(self, s, slot, rng):
+        """Segments each confined to one `slot`-aligned slot, ragged lengths
+        (multiples of 4 like real windows), some slots fully empty."""
+        seg = np.zeros(s, np.int32)
+        sid = 1
+        for base in range(0, s, slot):
+            ln = int(rng.choice([0, 4, slot // 2, slot]))
+            if ln:
+                seg[base : base + ln] = sid
+                sid += 1
+        return seg
+
+    @pytest.mark.parametrize("block_q", [64, 128])
+    def test_vs_reference(self, block_q):
+        from visionselector_tpu.kernels.attention import attention_diag
+
+        rng = np.random.RandomState(0)
+        s, h, d, slot = 256, 4, 16, 64
+        seg = self._aligned_segments(s, slot, rng)
+        q = jnp.asarray(rng.randn(1, s, h, d), jnp.float32)
+        k = jnp.asarray(rng.randn(1, s, h, d), jnp.float32)
+        v = jnp.asarray(rng.randn(1, s, h, d), jnp.float32)
+        segj = jnp.asarray(seg)[None]
+        got = attention_diag(q, k, v, segj, block_q=block_q, interpret=True)
+        want = mha_reference(q, k, v, segj, segj, causal=False)
+        np.testing.assert_allclose(
+            np.asarray(got), np.asarray(want), atol=2e-5
+        )
+        # padding rows must be exactly zero
+        np.testing.assert_array_equal(np.asarray(got)[0, seg == 0], 0.0)
+
+    def test_single_block_whole_sequence(self):
+        from visionselector_tpu.kernels.attention import attention_diag
+
+        rng = np.random.RandomState(1)
+        s, h, d = 128, 2, 8
+        seg = self._aligned_segments(s, 64, rng)
+        q = jnp.asarray(rng.randn(1, s, h, d), jnp.float32)
+        k = jnp.asarray(rng.randn(1, s, h, d), jnp.float32)
+        v = jnp.asarray(rng.randn(1, s, h, d), jnp.float32)
+        segj = jnp.asarray(seg)[None]
+        got = attention_diag(q, k, v, segj, block_q=s, interpret=True)
+        want = mha_reference(q, k, v, segj, segj, causal=False)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=2e-5)

@@ -185,3 +185,145 @@ class TestVisionBatch:
         wi, _ = get_window_index(grid)
         expected = (wi[:, None] * 4 + np.arange(4)[None, :]).reshape(-1)
         np.testing.assert_array_equal(vb.pixel_values[:, 0], expected)
+
+
+class TestAlignedWindows:
+    """Window-aligned ViT layout (align_windows=True): every window gets its
+    own 64-patch slot so window attention is block-diagonal."""
+
+    def _build_pair(self, grid, pad_to_aligned=None):
+        from visionselector_tpu.preprocess.indices import aligned_window_len
+
+        n_patches = int((grid[:, 0] * grid[:, 1] * grid[:, 2]).sum())
+        pixels = np.arange(n_patches, dtype=np.float32)[:, None].repeat(4, 1)
+        need = aligned_window_len(grid)
+        pad = pad_to_aligned or need
+        vb_a = build_vision_batch(pixels, grid, pad_to=pad, align_windows=True)
+        vb_u = build_vision_batch(pixels, grid, pad_to=pad)
+        return pixels, vb_a, vb_u, need
+
+    def test_ragged_image_layout(self):
+        grid = np.array([[1, 20, 12]])  # llm grid 10x6: ragged 4-wide windows
+        pixels, vb, _, need = self._build_pair(grid)
+        slot = 64
+        assert need % slot == 0
+        # every window's rows live inside one aligned slot
+        seg = vb.window_seg_ids
+        for sid in range(1, seg.max() + 1):
+            rows = np.where(seg == sid)[0]
+            assert len(rows) > 0
+            assert rows[0] // slot == rows[-1] // slot, sid
+            np.testing.assert_array_equal(rows, np.arange(rows[0], rows[-1] + 1))
+        # reverse_index restores the original merged order: merged token j's
+        # 4 patch rows carry values 4j..4j+3
+        l = vb.num_merged
+        merged_slot_first_patch = vb.reverse_index[:l] * 4
+        vals = vb.pixel_values[np.asarray(merged_slot_first_patch), 0]
+        np.testing.assert_array_equal(vals, np.arange(l) * 4)
+
+    def test_full_segments_preserved(self):
+        grid = np.array([[1, 8, 8], [1, 12, 8]])
+        pixels, vb_a, vb_u, _ = self._build_pair(grid)
+        # per-image token counts identical in both layouts
+        for sid in (1, 2):
+            assert (vb_a.full_seg_ids == sid).sum() == (
+                vb_u.full_seg_ids == sid
+            ).sum()
+        # full kv bounds cover every row of each segment
+        from visionselector_tpu.kernels.attention import VIT_BLOCK
+
+        fblock = min(VIT_BLOCK, len(vb_a.full_seg_ids))
+        rows = np.where(vb_a.full_seg_ids > 0)[0]
+        bounds = vb_a.full_kv_bounds
+        for r in rows:
+            lo, hi = bounds[r // fblock]
+            assert lo * fblock <= r < hi * fblock
+
+    def test_window_diag_flag(self):
+        grid = np.array([[1, 16, 16]])
+        n = 256
+        pixels = np.random.randn(n, 4).astype(np.float32)
+        vb = build_vision_batch(pixels, grid, pad_to=256, align_windows=True)
+        assert vb.window_diag  # 256-slot layout, wblock==s_pad or %64==0
+
+    def test_vit_forward_equal_aligned_vs_not(self):
+        """The aligned layout is a pure re-packing: ViT outputs (original
+        order, real rows) must match the classic layout bit-for-bit in f32."""
+        import jax
+        from visionselector_tpu.core.config import qwen25vl_tiny
+        from visionselector_tpu.models.qwen25vl import vit as vit_mod
+        from visionselector_tpu.models.qwen25vl.model import init_params
+
+        cfg = qwen25vl_tiny()
+        grid = np.array([[1, 10, 6]])  # ragged windows for the tiny config
+        n_patches = 60
+        rng = np.random.RandomState(0)
+        pixels = rng.randn(n_patches, cfg.vision.patch_dim).astype(np.float32)
+        from visionselector_tpu.preprocess.indices import aligned_window_len
+
+        need = aligned_window_len(
+            grid, window_size=cfg.vision.window_size,
+            spatial_merge_size=cfg.vision.spatial_merge_size,
+            patch_size=cfg.vision.patch_size,
+        )
+        pad = max(need, 128)
+        kw = dict(
+            window_size=cfg.vision.window_size,
+            spatial_merge_size=cfg.vision.spatial_merge_size,
+            patch_size=cfg.vision.patch_size, pad_to=pad,
+        )
+        vb_a = build_vision_batch(pixels, grid, align_windows=True, **kw)
+        vb_u = build_vision_batch(pixels, grid, **kw)
+        params = init_params(jax.random.PRNGKey(0), cfg, with_selector=False)
+
+        def run(vb):
+            out = vit_mod.vit_forward(
+                params["visual"], vb.pixel_values, vb.rot_pos_ids,
+                vb.window_seg_ids, vb.full_seg_ids, vb.reverse_index,
+                cfg.vision,
+            )
+            return np.asarray(out)[: vb.num_merged]
+
+        np.testing.assert_allclose(run(vb_a), run(vb_u), atol=1e-5)
+
+    def test_vit_forward_diag_kernel_matches_xla(self, monkeypatch):
+        """window_diag=True routes window layers through attention_diag
+        (pallas interpret on CPU); outputs must match the XLA masked path."""
+        import jax
+        from visionselector_tpu.core.config import qwen25vl_tiny
+        from visionselector_tpu.models.qwen25vl import vit as vit_mod
+        from visionselector_tpu.models.qwen25vl.model import init_params
+        from visionselector_tpu.preprocess.indices import aligned_window_len
+
+        cfg = qwen25vl_tiny()
+        grid = np.array([[1, 10, 6]])
+        rng = np.random.RandomState(0)
+        pixels = rng.randn(60, cfg.vision.patch_dim).astype(np.float32)
+        need = aligned_window_len(
+            grid, window_size=cfg.vision.window_size,
+            spatial_merge_size=cfg.vision.spatial_merge_size,
+            patch_size=cfg.vision.patch_size,
+        )
+        vb = build_vision_batch(
+            pixels, grid, window_size=cfg.vision.window_size,
+            spatial_merge_size=cfg.vision.spatial_merge_size,
+            patch_size=cfg.vision.patch_size, pad_to=max(need, 128),
+            align_windows=True,
+        )
+        params = init_params(jax.random.PRNGKey(0), cfg, with_selector=False)
+
+        def run(impl, diag):
+            monkeypatch.setenv("VST_ATTN_IMPL", impl)
+            out = vit_mod.vit_forward(
+                params["visual"], vb.pixel_values, vb.rot_pos_ids,
+                vb.window_seg_ids, vb.full_seg_ids, vb.reverse_index,
+                cfg.vision,
+                window_kv_bounds=vb.window_kv_bounds,
+                full_kv_bounds=vb.full_kv_bounds,
+                window_diag=diag,
+            )
+            return np.asarray(out)[: vb.num_merged]
+
+        got = run("pallas_interpret", vb.window_diag)
+        want = run("xla", False)
+        np.testing.assert_allclose(got, want, atol=1e-5)

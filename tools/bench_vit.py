@@ -31,10 +31,21 @@ def main():
     rng = np.random.RandomState(0)
     img = (rng.rand(1036, 1456, 3) * 255).astype(np.uint8)
     pixels, grid = preprocess_image(img)
+    align = os.environ.get("VST_ALIGN_WINDOWS") == "1"
+    if align:
+        from visionselector_tpu.preprocess.indices import aligned_window_len
+
+        need = aligned_window_len(
+            grid, window_size=cfg.vision.window_size,
+            spatial_merge_size=cfg.vision.spatial_merge_size,
+            patch_size=cfg.vision.patch_size,
+        )
+        s_bucket = max(s_bucket, -(-need // 512) * 512)
     vb = build_vision_batch(
         pixels, grid, window_size=cfg.vision.window_size,
         spatial_merge_size=cfg.vision.spatial_merge_size,
         patch_size=cfg.vision.patch_size, pad_to=s_bucket,
+        align_windows=align,
     )
 
     from visionselector_tpu.models.qwen25vl.model import init_params
@@ -63,6 +74,7 @@ def main():
                 base_args["reverse_index"], cfg.vision,
                 window_kv_bounds=wb if use_bounds else None,
                 full_kv_bounds=fb if use_bounds else None,
+                window_diag=vb.window_diag,
             )
             s = out[0, 0]
             p = p.at[0, 0].add(s.astype(p.dtype) * 1e-20)
@@ -81,6 +93,8 @@ def main():
     result = {
         "s_bucket": s_bucket,
         "window_block": os.environ.get("VST_WINDOW_BLOCK", "128"),
+        "aligned": align,
+        "window_diag": bool(vb.window_diag),
         "vit_ms_bounds": round(t_bounds * 1e3, 2),
         "platform": jax.devices()[0].platform,
     }

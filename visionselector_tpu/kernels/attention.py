@@ -365,6 +365,100 @@ def _flash_pallas_packed(
     return out.reshape(b, sq, h, dp)
 
 
+def _diag_kernel(q_ref, k_ref, v_ref, seg_ref, o_ref, *, scale, num_heads):
+    """Block-diagonal attention, several heads per program.
+    Grid: (B, head_groups, num_q_blocks).
+
+    Each program's queries attend only to keys in the SAME block (the
+    window-aligned ViT layout guarantees no window straddles a block
+    boundary), so there is no kv loop and no online softmax — one exact
+    fp32 softmax per head over a [bq, bq] tile. Folding heads into the
+    program removes the per-(head, block) grid dispatch overhead that
+    dominates the 28 window layers (kv per block is only bq tokens, so a
+    head group's k/v fits VMEM — unlike full-attention layers). 8 heads per
+    program measured as the VMEM sweet spot (16 heads x 512 x 80 double
+    buffered overflows the 16 MB scoped vmem limit by 4 KB).
+    """
+    seg = seg_ref[0]  # [bq]
+    mask = (seg[:, None] == seg[None, :]) & (seg[None, :] > 0)
+
+    for h in range(num_heads):  # static unroll: Mosaic-friendly head indexing
+        q = q_ref[0, h]  # [bq, d]
+        k = k_ref[0, h]
+        v = v_ref[0, h]
+        s = jax.lax.dot_general(
+            q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        ) * scale
+        s = jnp.where(mask, s, NEG_INF)
+        m = jnp.max(s, axis=-1, keepdims=True)
+        p = jnp.where(mask, jnp.exp(s - m), 0.0)
+        l = jnp.sum(p, axis=-1, keepdims=True)
+        p = p / jnp.where(l == 0.0, 1.0, l)
+        out = jax.lax.dot_general(
+            p.astype(v.dtype), v, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        o_ref[0, h] = out.astype(o_ref.dtype)
+
+
+def attention_diag(
+    q: jax.Array,
+    k: jax.Array,
+    v: jax.Array,
+    seg: jax.Array,
+    scale: float | None = None,
+    block_q: int | None = None,
+    interpret: bool = False,
+    heads_per_program: int | None = None,
+) -> jax.Array:
+    """Block-diagonal segment attention (window-aligned ViT layout).
+
+    q, k, v: [B, S, H, D]; seg: [B, S]. Requires every segment to live inside
+    one ``block_q``-aligned block (``VisionBatch.window_diag``). Equivalent to
+    ``attention(..., causal=False)`` on such layouts; far fewer programs.
+    """
+    b, s, h, d = q.shape
+    if scale is None:
+        scale = d**-0.5
+    if block_q is None:
+        # Must mirror the block used for the ``window_diag`` layout decision
+        # in ``build_vision_batch`` (wblock = min(WINDOW_BLOCK, s_pad)).
+        block_q = WINDOW_BLOCK
+    block_q = min(block_q, s)
+    assert s % block_q == 0, (s, block_q)
+    if heads_per_program is None:
+        heads_per_program = int(os.environ.get("VST_DIAG_HPP", "8"))
+    hpp = min(heads_per_program, h)
+    while h % hpp:
+        hpp -= 1
+
+    qt = q.transpose(0, 2, 1, 3)
+    kt = k.transpose(0, 2, 1, 3)
+    vt = v.transpose(0, 2, 1, 3)
+    grid = (b, h // hpp, s // block_q)
+    kernel = functools.partial(_diag_kernel, scale=scale, num_heads=hpp)
+    spec = pl.BlockSpec((1, hpp, block_q, d), lambda ib, ih, iq: (ib, ih, iq, 0))
+    out = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            spec,
+            spec,
+            spec,
+            pl.BlockSpec((1, block_q), lambda ib, ih, iq: (ib, iq)),
+        ],
+        out_specs=spec,
+        out_shape=jax.ShapeDtypeStruct((b, h, s, d), q.dtype),
+        interpret=interpret,
+        cost_estimate=pl.CostEstimate(
+            flops=4 * b * h * s * block_q * d,
+            bytes_accessed=2 * (qt.size + kt.size + vt.size) * qt.dtype.itemsize,
+            transcendentals=b * h * s * block_q,
+        ),
+    )(qt, kt, vt, seg.astype(jnp.int32))
+    return out.transpose(0, 2, 1, 3)
+
+
 def default_impl() -> str:
     impl = os.environ.get("VST_ATTN_IMPL", "auto")
     if impl != "auto":

@@ -59,18 +59,22 @@ def init_params(key: jax.Array, cfg: VLConfig, with_selector: bool = True) -> di
 # ---------------------------------------------------------------------------
 
 
-@functools.partial(jax.jit, static_argnames=("cfg",))
+@functools.partial(jax.jit, static_argnames=("cfg", "window_diag"))
 def encode_vision(params, cfg: VLConfig, pixel_values, rot_pos_ids,
-                  window_seg_ids, full_seg_ids, reverse_index):
+                  window_seg_ids, full_seg_ids, reverse_index,
+                  window_kv_bounds=None, full_kv_bounds=None,
+                  window_diag: bool = False):
     """ViT forward -> merged tokens [L_pad, out_hidden] in original order."""
     return vit_mod.vit_forward(
         params["visual"], pixel_values, rot_pos_ids, window_seg_ids,
         full_seg_ids, reverse_index, cfg.vision,
+        window_kv_bounds=window_kv_bounds, full_kv_bounds=full_kv_bounds,
+        window_diag=window_diag,
     )
 
 
 @functools.partial(
-    jax.jit, static_argnames=("cfg", "k_max", "use_selector")
+    jax.jit, static_argnames=("cfg", "k_max", "use_selector", "window_diag")
 )
 def _prefill(
     params: dict,
@@ -93,6 +97,7 @@ def _prefill(
     position_ids_orig: jax.Array,  # [3, T_orig]
     window_kv_bounds: jax.Array | None = None,
     full_kv_bounds: jax.Array | None = None,
+    window_diag: bool = False,
 ):
     """Returns (next_token, selection indices/valid, compacted valid_len,
     kv cache (k, v) at prefill length, logits row)."""
@@ -100,6 +105,7 @@ def _prefill(
         params["visual"], pixel_values, rot_pos_ids, window_seg_ids,
         full_seg_ids, reverse_index, cfg.vision,
         window_kv_bounds=window_kv_bounds, full_kv_bounds=full_kv_bounds,
+        window_diag=window_diag,
     )  # [L_pad, out]
 
     text_embeds = lm_mod.embed_tokens(params["lm"], input_ids)  # [T_orig, D]
@@ -254,7 +260,9 @@ def _prefill_from_vision(
     return next_token, comp.valid_len, (k_layers, v_layers), logits
 
 
-@functools.partial(jax.jit, static_argnames=("cfg", "target", "capture"))
+@functools.partial(
+    jax.jit, static_argnames=("cfg", "target", "capture", "window_diag")
+)
 def _stage_a(
     params: dict,
     cfg: VLConfig,
@@ -262,7 +270,8 @@ def _stage_a(
     capture: str,  # "fastv" (qk attention at target-1) | "dart" (keys at target)
     pixel_values, rot_pos_ids, window_seg_ids, full_seg_ids, reverse_index,
     num_merged, input_ids, image_positions, text_positions, num_text,
-    position_ids_orig,
+    position_ids_orig, window_kv_bounds=None, full_kv_bounds=None,
+    window_diag: bool = False,
 ):
     """LLM-side compression, stage A: ViT + full-sequence decoder layers
     [0, target) with attention-statistic capture.
@@ -279,6 +288,8 @@ def _stage_a(
     vision_embeds = vit_mod.vit_forward(
         params["visual"], pixel_values, rot_pos_ids, window_seg_ids,
         full_seg_ids, reverse_index, cfg.vision,
+        window_kv_bounds=window_kv_bounds, full_kv_bounds=full_kv_bounds,
+        window_diag=window_diag,
     )
     return _stage_a_core(
         params, cfg, target, capture, vision_embeds, num_merged, input_ids,
@@ -687,13 +698,29 @@ class QwenVLEngine:
 
         merge_unit = cfg.vision.spatial_merge_unit
         s_real = pixel_values.shape[0]
-        s_bucket = pick_bucket(s_real, [b for b in self.vision_buckets])
+        # Window-aligned layout (default): every window in a 64-patch slot ->
+        # block-diagonal window attention via the all-heads diagonal kernel.
+        # The slot padding usually fits the same bucket the raw length needs.
+        import os as _os
+
+        align = _os.environ.get("VST_ALIGN_WINDOWS", "1") == "1"
+        s_need = s_real
+        if align:
+            from visionselector_tpu.preprocess.indices import aligned_window_len
+
+            s_need = aligned_window_len(
+                grid_thw, window_size=cfg.vision.window_size,
+                spatial_merge_size=cfg.vision.spatial_merge_size,
+                patch_size=cfg.vision.patch_size,
+            )
+        s_bucket = pick_bucket(s_need, [b for b in self.vision_buckets])
         vb = build_vision_batch(
             pixel_values, grid_thw,
             window_size=cfg.vision.window_size,
             spatial_merge_size=cfg.vision.spatial_merge_size,
             patch_size=cfg.vision.patch_size,
             pad_to=s_bucket,
+            align_windows=align,
         )
         l_pad = s_bucket // merge_unit
         n = vb.num_merged
@@ -749,6 +776,9 @@ class QwenVLEngine:
                 jnp.asarray(input_ids), jnp.asarray(image_pos_padded),
                 jnp.asarray(text_pos_padded), jnp.asarray(num_text),
                 jnp.asarray(position_ids),
+                jnp.asarray(vb.window_kv_bounds),
+                jnp.asarray(vb.full_kv_bounds),
+                window_diag=vb.window_diag,
             )
             t_pad_full = hidden_t.shape[1]
             fv = np.asarray(fv_scores)[:t_orig]
@@ -851,6 +881,7 @@ class QwenVLEngine:
                 jnp.asarray(position_ids),
                 jnp.asarray(vb.window_kv_bounds),
                 jnp.asarray(vb.full_kv_bounds),
+                window_diag=vb.window_diag,
             )
         next_token.block_until_ready()
         t_prefill = time.perf_counter() - t_start

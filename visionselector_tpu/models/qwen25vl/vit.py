@@ -171,6 +171,7 @@ def vit_forward(
     cfg: VisionConfig,
     window_kv_bounds: jax.Array | None = None,
     full_kv_bounds: jax.Array | None = None,
+    window_diag: bool = False,
 ) -> jax.Array:
     """Vision tower forward.
 
@@ -181,6 +182,9 @@ def vit_forward(
         reverse_index: [L] permutation restoring original merged order.
         window_kv_bounds / full_kv_bounds: optional [num_q_blocks, 2] kv-block
             ranges (Pallas block skipping — O(S*window) window attention).
+        window_diag: static; True when the batch uses the window-aligned
+            layout (``VisionBatch.window_diag``) — window layers then run the
+            all-heads block-diagonal kernel (no per-head grid dispatch).
     Returns:
         merged hidden states [L, out_hidden] in ORIGINAL (unpermuted) order.
     """
@@ -277,7 +281,15 @@ def vit_forward(
         # small blocks + kv-block skipping for the ~64-patch window segments,
         # large blocks for the per-image full-attention layers. lax.cond
         # runs exactly one branch per layer at runtime.
-        from visionselector_tpu.kernels.attention import VIT_BLOCK, WINDOW_BLOCK
+        from visionselector_tpu.kernels.attention import (
+            VIT_BLOCK,
+            WINDOW_BLOCK,
+            attention_diag,
+            default_impl,
+        )
+
+        impl = default_impl()
+        use_diag = window_diag and impl in ("pallas", "pallas_interpret")
 
         def layer(x, scanned):
             p, full = scanned
@@ -285,6 +297,12 @@ def vit_forward(
             def attn_fn(q, k, v):
                 def window_branch(ops):
                     q, k, v = ops
+                    if use_diag:
+                        return attention_diag(
+                            q[None], k[None], v[None], window_seg_ids[None],
+                            scale=d**-0.5,
+                            interpret=(impl == "pallas_interpret"),
+                        )[0]
                     return attention(
                         q[None], k[None], v[None], window_seg_ids[None],
                         window_seg_ids[None], causal=False, scale=d**-0.5,

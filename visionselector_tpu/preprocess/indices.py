@@ -146,6 +146,29 @@ class VisionBatch:
     # skipping; see kernels.attention.segment_block_bounds)
     window_kv_bounds: np.ndarray = None  # [num_q_blocks, 2] int32
     full_kv_bounds: np.ndarray = None    # [num_q_blocks, 2] int32
+    # True when every window occupies its own 64-patch-aligned slot (see
+    # ``align_windows``): window attention is then strictly block-diagonal at
+    # any block size that is a multiple of 64, enabling the all-heads
+    # diagonal Pallas kernel (kernels.attention.attention_diag).
+    window_diag: bool = False
+
+
+def aligned_window_len(
+    grid_thw: np.ndarray,
+    window_size: int = 112,
+    spatial_merge_size: int = 2,
+    patch_size: int = 14,
+) -> int:
+    """Patch count of the window-aligned layout: 64 slots per (nonempty)
+    window. Used for bucket selection before ``build_vision_batch``."""
+    win = window_size // spatial_merge_size // patch_size
+    slot = win * win * spatial_merge_size * spatial_merge_size
+    total = 0
+    for t, h, w in np.asarray(grid_thw):
+        lh = h // spatial_merge_size
+        lw = w // spatial_merge_size
+        total += int(t) * (-(-int(lh) // win)) * (-(-int(lw) // win))
+    return total * slot
 
 
 def build_vision_batch(
@@ -155,9 +178,20 @@ def build_vision_batch(
     spatial_merge_size: int = 2,
     patch_size: int = 14,
     pad_to: int | None = None,
+    align_windows: bool = False,
 ) -> VisionBatch:
     """Assemble all index arrays for one ViT call, applying the window
-    permutation on the host and padding everything to a static bucket."""
+    permutation on the host and padding everything to a static bucket.
+
+    ``align_windows``: place every (ragged) window in its own 64-patch-aligned
+    slot, with inert padding rows (segment id 0) filling the remainder of each
+    slot. The bucket already pays for padding-row matmuls, so this costs
+    nothing extra when the aligned length fits the same bucket — and it makes
+    window attention strictly block-diagonal at any block size that is a
+    multiple of the slot, enabling the all-heads diagonal kernel
+    (``kernels.attention.attention_diag``) that removes the per-head grid
+    dispatch overhead dominating the 28 window layers.
+    """
     merge_unit = spatial_merge_size * spatial_merge_size
     seq_len = int(pixel_values.shape[0])
     assert seq_len % merge_unit == 0
@@ -182,15 +216,83 @@ def build_vision_batch(
     # through the permutation so both segment arrays index window-ordered rows.
     full_seg = cu_seqlens_to_segment_ids(cu_full, seq_len)[perm]
 
-    s_pad = pad_to if pad_to is not None else seq_len
-    assert s_pad >= seq_len and s_pad % merge_unit == 0
-    l_pad = s_pad // merge_unit
-
     def pad_rows(x, total, fill=0):
         if x.shape[0] == total:
             return x
         pad_shape = (total - x.shape[0],) + x.shape[1:]
         return np.concatenate([x, np.full(pad_shape, fill, dtype=x.dtype)], axis=0)
+
+    from visionselector_tpu.kernels.attention import (
+        VIT_BLOCK,
+        WINDOW_BLOCK,
+        segment_block_bounds,
+    )
+
+    if align_windows:
+        win = window_size // spatial_merge_size // patch_size
+        slot = win * win * merge_unit  # patches per window slot (64)
+        wlen = np.diff(cu_window)  # patches per nonempty window
+        nw = len(wlen)
+        aligned_len = nw * slot
+        s_pad = pad_to if pad_to is not None else aligned_len
+        assert s_pad >= aligned_len and s_pad % merge_unit == 0, (
+            s_pad, aligned_len)
+        l_pad = s_pad // merge_unit
+        # Destination row for each window-ordered patch: window base + offset.
+        win_of = np.repeat(np.arange(nw), wlen)
+        dst = win_of * slot + (np.arange(seq_len) - np.repeat(cu_window[:-1], wlen))
+
+        pixels_a = np.zeros((s_pad, pixel_values.shape[1]), np.float32)
+        pixels_a[dst] = pixels_w
+        rot_a = np.zeros((s_pad, 2), rot_ids_w.dtype)
+        rot_a[dst] = rot_ids_w
+        wseg_a = np.zeros(s_pad, np.int32)
+        wseg_a[dst] = window_seg
+        fseg_a = np.zeros(s_pad, np.int32)
+        fseg_a[dst] = full_seg
+
+        # Merged-token slots: window w's merged tokens at w*(slot/mu) + offset.
+        mslot = slot // merge_unit
+        wlen_m = wlen // merge_unit
+        win_of_m = np.repeat(np.arange(nw), wlen_m)
+        dst_m = win_of_m * mslot + (
+            np.arange(num_merged) - np.repeat((cu_window[:-1] // merge_unit), wlen_m)
+        )
+        # reverse_index[j] = slot of the j-th ORIGINAL merged token; padding
+        # output rows (>= num_merged) point at unused (inert) slots.
+        reverse_real = np.empty(num_merged, np.int64)
+        reverse_real[window_index] = dst_m
+        unused = np.setdiff1d(np.arange(l_pad, dtype=np.int64), dst_m)
+        reverse_index = np.concatenate([reverse_real, unused])
+        # window_index over slots (original merged position per slot; padding
+        # slots get their own identity-ish fill so the array stays total).
+        window_index_padded = np.full(l_pad, 0, np.int64)
+        window_index_padded[dst_m] = window_index
+        window_index_padded[unused] = np.arange(num_merged, l_pad)
+
+        wblock = min(WINDOW_BLOCK, s_pad)
+        fblock = min(VIT_BLOCK, s_pad)
+        return VisionBatch(
+            pixel_values=pixels_a,
+            rot_pos_ids=rot_a,
+            window_seg_ids=wseg_a,
+            full_seg_ids=fseg_a,
+            window_index=window_index_padded,
+            reverse_index=reverse_index,
+            grid_thw=np.asarray(grid_thw),
+            num_patches=seq_len,
+            num_merged=num_merged,
+            window_kv_bounds=segment_block_bounds(wseg_a, wblock, wblock),
+            full_kv_bounds=segment_block_bounds(fseg_a, fblock, fblock),
+            window_diag=(
+                s_pad % wblock == 0
+                and (wblock % slot == 0 or wblock == s_pad)
+            ),
+        )
+
+    s_pad = pad_to if pad_to is not None else seq_len
+    assert s_pad >= seq_len and s_pad % merge_unit == 0
+    l_pad = s_pad // merge_unit
 
     window_index_padded = pad_rows(
         window_index.astype(np.int64), l_pad, fill=l_pad - 1 if l_pad > num_merged else 0
@@ -200,12 +302,6 @@ def build_vision_batch(
     if l_pad > num_merged:
         window_index_padded[num_merged:] = np.arange(num_merged, l_pad)
     reverse_index = np.argsort(window_index_padded, kind="stable")
-
-    from visionselector_tpu.kernels.attention import (
-        VIT_BLOCK,
-        WINDOW_BLOCK,
-        segment_block_bounds,
-    )
 
     window_seg_padded = pad_rows(window_seg, s_pad)
     full_seg_padded = pad_rows(full_seg, s_pad)
