@@ -156,6 +156,11 @@ VIT_BLOCK = int(os.environ.get("VST_VIT_BLOCK", "512"))
 # 81.8 ms vs 512: 79.2 ms full ViT; grid/launch overhead dominates the saved
 # flops). Kept as a tuning knob; default matches the full-attention block.
 WINDOW_BLOCK = int(os.environ.get("VST_WINDOW_BLOCK", "512"))
+# Block-diagonal window kernel (window-aligned layout): 16 heads x 256 block
+# measured best on v5e (69.1 ms full 3B ViT vs 70.8 at 8x512 and 79.8 for the
+# per-head flash path; 16x512 overflows scoped VMEM).
+DIAG_BLOCK = int(os.environ.get("VST_DIAG_BLOCK", "256"))
+DIAG_HPP = int(os.environ.get("VST_DIAG_HPP", "16"))
 
 
 def _flash_pallas(
@@ -422,12 +427,12 @@ def attention_diag(
         scale = d**-0.5
     if block_q is None:
         # Must mirror the block used for the ``window_diag`` layout decision
-        # in ``build_vision_batch`` (wblock = min(WINDOW_BLOCK, s_pad)).
-        block_q = WINDOW_BLOCK
+        # in ``build_vision_batch`` (wblock = min(DIAG_BLOCK, s_pad)).
+        block_q = DIAG_BLOCK
     block_q = min(block_q, s)
     assert s % block_q == 0, (s, block_q)
     if heads_per_program is None:
-        heads_per_program = int(os.environ.get("VST_DIAG_HPP", "8"))
+        heads_per_program = DIAG_HPP
     hpp = min(heads_per_program, h)
     while h % hpp:
         hpp -= 1

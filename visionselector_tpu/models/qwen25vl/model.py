@@ -174,6 +174,7 @@ def generate_text_only(
     seed: int = 0,
     on_token_chunk=None,
     text_buckets=(64, 128, 256, 512, 1024),
+    _defer_decode: bool = False,
 ) -> "GenerationResult":
     """Text-only generation shared by both family engines: plain causal
     prefill (1D rope on all three axes) + decode. No vision branch."""
@@ -203,6 +204,17 @@ def generate_text_only(
                         (0, 0), (0, 0))),
         length=jnp.full((cfg.text.num_hidden_layers, 1), t_orig, jnp.int32),
     )
+    if _defer_decode:
+        return PrefillState(
+            cache=cache, next_token=int(next_token), start_pos=t_orig,
+            eos_token_ids=tuple(eos_token_ids),
+            max_new_tokens=max_new_tokens,
+            result=GenerationResult(
+                tokens=[], selected_indices=None, num_vision_tokens=0,
+                prefill_len=t_orig, prefill_seconds=t_prefill,
+            ),
+            t_start=t_start,
+        )
     tokens = _run_decode_loop(
         params, cfg, cache, next_token, t_orig, eos_token_ids,
         max_new_tokens, temperature, top_p, seed, on_chunk=on_token_chunk,
@@ -591,9 +603,93 @@ def _run_decode_loop(params, cfg, cache, first_token, start_pos, eos_token_ids,
     return out
 
 
+def _decode_loop_batch(
+    params,
+    cfg: VLConfig,
+    cache: lm_mod.KVCache,
+    first_tokens: jax.Array,  # [B] int32
+    start_pos: jax.Array,  # [B] int32 (per-sample valid_len + rope_delta)
+    eos_ids: jax.Array,  # [n_eos]
+    max_steps: int,
+    temperature: jax.Array = 0.0,
+    top_p: jax.Array = 1.0,
+    rng_key: jax.Array | None = None,
+):
+    """Batched on-device decode (continuous micro-batch serving).
+
+    Decode is weight-bandwidth-bound at batch 1 (every step streams the whole
+    LM from HBM); stacking B requests' KV caches amortizes the weight reads
+    ~B-fold. ``lm_decode_step`` already supports per-layer AND per-row cache
+    lengths, so requests with different prefill lengths (even mixed
+    FastV-style per-layer lengths) batch together. Finished rows keep
+    stepping with their last token frozen; their cache writes land past the
+    returned counts and are ignored.
+
+    Returns (toks [max_steps, B], counts [B] valid tokens excl. trailing EOS).
+    """
+    b = first_tokens.shape[0]
+    temperature = jnp.asarray(temperature, jnp.float32)
+    top_p = jnp.asarray(top_p, jnp.float32)
+    if rng_key is None:
+        rng_key = jax.random.PRNGKey(0)
+
+    def cond(state):
+        step, tok, cache, done = state[:4]
+        return (step < max_steps) & jnp.logical_not(jnp.all(done))
+
+    def body(state):
+        step, tok, cache, done, finish, toks, key = state
+        pos = start_pos + step  # [B]
+        embed = lm_mod.embed_tokens(params["lm"], tok)[:, None]  # [B, 1, D]
+        pos3 = jnp.broadcast_to(pos[None, :, None], (3, b, 1))
+        hidden, cache = lm_mod.lm_decode_step(
+            params["lm"], cache, embed, pos3, cfg.text
+        )
+        logits = lm_mod.lm_head(params["lm"], hidden[:, 0], cfg.text)  # [B, V]
+        key, sub = jax.random.split(key)
+        subs = jax.random.split(sub, b)
+        tok2 = jax.vmap(
+            lambda lg, kk: _sample_token(lg, kk, temperature, top_p)
+        )(logits, subs)
+        tok2 = jnp.where(done, tok, tok2)
+        toks = toks.at[step].set(tok2)
+        now_done = jnp.any(tok2[:, None] == eos_ids[None, :], axis=1)
+        finish = jnp.where(done, finish, jnp.where(now_done, step, finish))
+        done = done | now_done
+        return step + 1, tok2, cache, done, finish, toks, key
+
+    toks0 = jnp.zeros((max_steps, b), jnp.int32)
+    done0 = jnp.any(first_tokens[:, None] == eos_ids[None, :], axis=1)
+    finish0 = jnp.where(done0, -1, max_steps)
+    step, tok, cache, done, finish, toks, _ = jax.lax.while_loop(
+        cond, body,
+        (jnp.zeros((), jnp.int32), first_tokens, cache, done0, finish0,
+         toks0, rng_key),
+    )
+    # per-sample count excludes the trailing EOS (mirrors _decode_loop):
+    # finished at step s -> s tokens; never finished -> all decoded steps.
+    counts = jnp.clip(jnp.minimum(finish, step), 0)
+    return toks, counts
+
+
 # ---------------------------------------------------------------------------
 # Host orchestration
 # ---------------------------------------------------------------------------
+
+
+@dataclasses.dataclass
+class PrefillState:
+    """Deferred-decode prefill output (``generate(..., _defer_decode=True)``):
+    everything ``generate_batch`` needs to join this request into one batched
+    decode dispatch."""
+
+    cache: "lm_mod.KVCache"  # [L, 1, T, H_kv, Dh] (T = t_comp + max_new)
+    next_token: int
+    start_pos: int  # valid_len + rope_delta
+    eos_token_ids: Tuple[int, ...]
+    max_new_tokens: int
+    result: "GenerationResult"  # tokens empty; filled after batched decode
+    t_start: float = 0.0
 
 
 @dataclasses.dataclass
@@ -660,6 +756,7 @@ class QwenVLEngine:
         seed: int = 0,
         timer: Optional[Any] = None,
         on_token_chunk=None,
+        _defer_decode: bool = False,
     ) -> GenerationResult:
         """Greedy generation for one sample.
 
@@ -691,6 +788,7 @@ class QwenVLEngine:
                 self.params, cfg, input_ids, max_new_tokens, eos_token_ids,
                 temperature, top_p, seed, on_token_chunk,
                 text_buckets=self.text_buckets,
+                _defer_decode=_defer_decode,
             )
 
         assert grid_thw is not None
@@ -818,15 +916,28 @@ class QwenVLEngine:
                     jnp.full((nl - target, 1), keep_valid, jnp.int32),
                 ]),
             )
-            tokens = _run_decode_loop(
-                self.params, cfg, cache, next_token,
-                t_orig + rope_delta, eos_token_ids, max_new_tokens,
-                temperature, top_p, seed, on_chunk=on_token_chunk,
-            )
             # map retained sequence positions back to vision-token indices
             pos_to_vis = {int(p): j for j, p in enumerate(image_pos)}
             sel_vis = np.asarray(
                 sorted(pos_to_vis[int(p)] for p in retained), np.int64
+            )
+            if _defer_decode:
+                return PrefillState(
+                    cache=cache, next_token=int(next_token),
+                    start_pos=t_orig + int(rope_delta),
+                    eos_token_ids=tuple(eos_token_ids),
+                    max_new_tokens=max_new_tokens,
+                    result=GenerationResult(
+                        tokens=[], selected_indices=sel_vis,
+                        num_vision_tokens=n, prefill_len=keep_valid,
+                        prefill_seconds=t_prefill,
+                    ),
+                    t_start=t_start,
+                )
+            tokens = _run_decode_loop(
+                self.params, cfg, cache, next_token,
+                t_orig + rope_delta, eos_token_ids, max_new_tokens,
+                temperature, top_p, seed, on_chunk=on_token_chunk,
             )
             return GenerationResult(
                 tokens=tokens,
@@ -897,15 +1008,35 @@ class QwenVLEngine:
             ),
         )
 
+        sel_idx_np = np.asarray(sel_idx)
+        sel_valid_np = np.asarray(sel_valid)
+        compressed = self.use_selector or self.strategy is not None
+        if _defer_decode:  # see generate_batch
+
+            return PrefillState(
+                cache=cache, next_token=int(next_token),
+                start_pos=valid_len_i + int(rope_delta),
+                eos_token_ids=tuple(eos_token_ids),
+                max_new_tokens=max_new_tokens,
+                result=GenerationResult(
+                    tokens=[],
+                    scores=(np.asarray(sel_scores)[:n]
+                            if self.use_selector else None),
+                    selected_indices=(
+                        sel_idx_np[sel_valid_np] if compressed else None
+                    ),
+                    num_vision_tokens=n,
+                    prefill_len=valid_len_i,
+                    prefill_seconds=t_prefill,
+                ),
+                t_start=t_start,
+            )
         tokens = _run_decode_loop(
             self.params, cfg, cache, next_token,
             valid_len_i + rope_delta, eos_token_ids, max_new_tokens,
             temperature, top_p, seed, on_chunk=on_token_chunk,
         )
 
-        sel_idx_np = np.asarray(sel_idx)
-        sel_valid_np = np.asarray(sel_valid)
-        compressed = self.use_selector or self.strategy is not None
         return GenerationResult(
             tokens=tokens,
             scores=(np.asarray(sel_scores)[:n] if self.use_selector else None),
@@ -917,3 +1048,80 @@ class QwenVLEngine:
             prefill_seconds=t_prefill,
             total_seconds=time.perf_counter() - t_start,
         )
+
+    def generate_batch(
+        self,
+        requests: List[dict],
+        max_new_tokens: int = 64,
+        eos_token_ids: Optional[Tuple[int, ...]] = None,
+        temperature: float = 0.0,
+        top_p: float = 1.0,
+        seed: int = 0,
+    ) -> List[GenerationResult]:
+        """Decode-batched generation: prefill each request through the
+        bucketed single-sample programs (mirroring the reference's batch=1
+        prefill), then join ALL requests into ONE batched decode dispatch.
+
+        Decode is LM-weight-bandwidth-bound, so a size-B micro-batch
+        amortizes the per-step HBM weight stream ~B-fold — the TPU-native
+        serving-throughput lever the reference (sequential CUDA decode)
+        doesn't have. Mixed request shapes batch fine: per-layer/per-row
+        cache lengths cover selector, orig, ViT-side and FastV/DART
+        (LLM-side) prefills, and text-only requests.
+
+        Each request is a dict of ``generate`` kwargs (input_ids,
+        pixel_values, grid_thw, ...).
+        """
+        import time
+
+        if not requests:
+            return []
+        states: List[PrefillState] = [
+            self.generate(
+                **req, max_new_tokens=max_new_tokens,
+                eos_token_ids=eos_token_ids, temperature=temperature,
+                top_p=top_p, seed=seed, _defer_decode=True,
+            )
+            for req in requests
+        ]
+        eos = states[0].eos_token_ids
+        assert all(s.eos_token_ids == eos for s in states)
+
+        t_all = max(s.cache.k.shape[2] for s in states)
+
+        def pad_t(x):
+            return jnp.pad(
+                x, ((0, 0), (0, 0), (0, t_all - x.shape[2]), (0, 0), (0, 0))
+            )
+
+        cache = lm_mod.KVCache(
+            k=jnp.concatenate([pad_t(s.cache.k) for s in states], axis=1),
+            v=jnp.concatenate([pad_t(s.cache.v) for s in states], axis=1),
+            length=jnp.concatenate([s.cache.length for s in states], axis=1),
+        )
+        firsts = jnp.asarray([s.next_token for s in states], jnp.int32)
+        starts = jnp.asarray([s.start_pos for s in states], jnp.int32)
+        eos_arr = jnp.asarray(list(eos), jnp.int32)
+
+        results = []
+        if max_new_tokens > 1:
+            toks, counts = _decode_loop_batch(
+                self.params, self.cfg, cache, firsts, starts, eos_arr,
+                max_new_tokens - 1, jnp.asarray(temperature, jnp.float32),
+                jnp.asarray(top_p, jnp.float32), jax.random.PRNGKey(seed),
+            )
+            toks = np.asarray(toks)
+            counts = np.asarray(counts)
+        else:
+            toks = np.zeros((0, len(states)), np.int32)
+            counts = np.zeros(len(states), np.int64)
+        for i, s in enumerate(states):
+            if s.next_token in eos:
+                s.result.tokens = []  # mirror _run_decode_loop
+            else:
+                s.result.tokens = (
+                    [s.next_token] + toks[: int(counts[i]), i].tolist()
+                )
+            s.result.total_seconds = time.perf_counter() - s.t_start
+            results.append(s.result)
+        return results

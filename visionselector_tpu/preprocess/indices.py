@@ -223,6 +223,7 @@ def build_vision_batch(
         return np.concatenate([x, np.full(pad_shape, fill, dtype=x.dtype)], axis=0)
 
     from visionselector_tpu.kernels.attention import (
+        DIAG_BLOCK,
         VIT_BLOCK,
         WINDOW_BLOCK,
         segment_block_bounds,
@@ -270,8 +271,14 @@ def build_vision_batch(
         window_index_padded[dst_m] = window_index
         window_index_padded[unused] = np.arange(num_merged, l_pad)
 
-        wblock = min(WINDOW_BLOCK, s_pad)
+        wblock = min(DIAG_BLOCK, s_pad)
         fblock = min(VIT_BLOCK, s_pad)
+        window_diag = (
+            s_pad % wblock == 0 and (wblock % slot == 0 or wblock == s_pad)
+        )
+        if not window_diag:
+            # Flash fallback reads bounds at WINDOW_BLOCK granularity.
+            wblock = min(WINDOW_BLOCK, s_pad)
         return VisionBatch(
             pixel_values=pixels_a,
             rot_pos_ids=rot_a,
@@ -284,10 +291,7 @@ def build_vision_batch(
             num_merged=num_merged,
             window_kv_bounds=segment_block_bounds(wseg_a, wblock, wblock),
             full_kv_bounds=segment_block_bounds(fseg_a, fblock, fblock),
-            window_diag=(
-                s_pad % wblock == 0
-                and (wblock % slot == 0 or wblock == s_pad)
-            ),
+            window_diag=window_diag,
         )
 
     s_pad = pad_to if pad_to is not None else seq_len
