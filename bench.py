@@ -209,6 +209,39 @@ def kv_cache_reduction(cfg, budget, s_bucket, text_len=64) -> float:
     return 1.0 - sel_len / full_len
 
 
+def time_decode_tok_s(params, cfg, batch, t_ctx=384, steps=48):
+    """Decode throughput (tokens/s) at the given micro-batch size via the
+    batched on-device decode loop. Differential over step counts cancels the
+    tunnel's constant dispatch/fetch overhead (same rationale as
+    time_prefill)."""
+    from visionselector_tpu.models.qwen25vl import lm as lm_mod
+    from visionselector_tpu.models.qwen25vl.model import _decode_loop_batch
+
+    dtype = cfg.jax_dtype
+    cache = lm_mod.init_kv_cache(cfg.text, batch, t_ctx + steps + 2, dtype)
+    cache = lm_mod.KVCache(
+        k=cache.k, v=cache.v, length=jnp.full_like(cache.length, t_ctx)
+    )
+    firsts = jnp.full((batch,), 11, jnp.int32)
+    starts = jnp.full((batch,), t_ctx, jnp.int32)
+    eos = jnp.asarray([-1], jnp.int32)  # never fires
+
+    def run(n):
+        toks, counts = _decode_loop_batch(
+            params, cfg, cache, firsts, starts, eos, n)
+        return int(np.asarray(counts).sum())
+
+    run(2); run(steps)  # compile
+    samples = []
+    for _ in range(3):
+        t0 = time.perf_counter(); run(2); t1 = time.perf_counter() - t0
+        t0 = time.perf_counter(); run(steps); tk = time.perf_counter() - t0
+        samples.append((tk - t1) / (steps - 2))
+    ok = sorted(s for s in samples if s > 1e-6)
+    per_step = ok[len(ok) // 2] if ok else float("nan")
+    return batch / per_step
+
+
 def init_7b_int8(cfg):
     """7B-shape params: bf16 ViT/scorer + int8 weight-only LM (bf16 7B does
     not fit one 16 GB v5e; int8 halves weight HBM — the deployment-realistic
@@ -289,6 +322,17 @@ def main():
         "attn_impl": os.environ.get("VST_ATTN_IMPL"),
         "platform": jax.devices()[0].platform,
     }
+
+    # Decode-batching throughput (serving): weight-bandwidth-bound decode
+    # amortizes the per-step HBM weight stream across the micro-batch.
+    if os.environ.get("VST_BENCH_DECODE", "1") != "0":
+        try:
+            detail["decode_tok_s_b1"] = round(
+                time_decode_tok_s(params, cfg, 1), 1)
+            detail["decode_tok_s_b8"] = round(
+                time_decode_tok_s(params, cfg, 8), 1)
+        except Exception as e:  # noqa: BLE001
+            detail["bench_decode_error"] = repr(e)
 
     # Headline-comparable 7B measurement: the reference's 1.73x is a 7B
     # figure (README.md:47) where the LM dominates and compression buys more.

@@ -79,3 +79,39 @@ class TestGenerateBatch:
         got = eng.generate_batch(reqs, max_new_tokens=1)
         for g, w in zip(got, want):
             assert g.tokens == w.tokens
+
+
+class TestOVGenerateBatch:
+    def test_matches_sequential_greedy(self):
+        from visionselector_tpu.core.config import llava_ov_tiny
+        from visionselector_tpu.models.llava_ov15.model import (
+            OVEngine,
+            init_ov_params,
+        )
+
+        cfg = llava_ov_tiny()
+        params = init_ov_params(jax.random.PRNGKey(0), cfg)
+        rng = np.random.RandomState(3)
+
+        def make_req(hw, seed):
+            img = (rng.rand(*hw, 3) * 255).astype(np.uint8)
+            pixels, grid = preprocess_image(
+                img, min_pixels=1, max_pixels=10**9,
+                temporal_patch_size=cfg.vision.temporal_patch_size,
+            )
+            ids = expand_vision_tokens(
+                [100 + seed], [300], grid,
+                image_token_id=cfg.image_token_id,
+                vision_start_token_id=cfg.vision_start_token_id,
+                vision_end_token_id=cfg.vision_end_token_id,
+            )
+            return dict(input_ids=ids, pixel_values=pixels, grid_thw=grid)
+
+        reqs = [make_req((56, 84), 0), make_req((56, 56), 1),
+                dict(input_ids=np.array([4, 5, 6]))]
+        eng = OVEngine(cfg, params, use_selector=True, budget=0.3)
+        want = [eng.generate(**r, max_new_tokens=5) for r in reqs]
+        got = eng.generate_batch(reqs, max_new_tokens=5)
+        for g, w in zip(got, want):
+            assert g.tokens == w.tokens
+            assert g.prefill_len == w.prefill_len

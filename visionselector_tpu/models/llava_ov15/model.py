@@ -119,6 +119,7 @@ class OVEngine:
         pixel_values_videos: Optional[np.ndarray] = None,
         video_grid_thw: Optional[np.ndarray] = None,
         second_per_grid_ts=None,  # accepted for adapter parity; OV is 1D rope
+        _defer_decode: bool = False,
     ) -> GenerationResult:
         import time
 
@@ -145,6 +146,7 @@ class OVEngine:
             return generate_text_only(
                 self.params, cfg, input_ids, max_new_tokens, eos_token_ids,
                 temperature, top_p, seed, on_token_chunk,
+                _defer_decode=_defer_decode,
             )
 
         s_real = pixel_values.shape[0]
@@ -254,14 +256,31 @@ class OVEngine:
                     jnp.full((nl - target, 1), keep_valid, jnp.int32),
                 ]),
             )
+            pos_to_vis = {int(p): j for j, p in enumerate(image_pos)}
+            sel_vis = np.asarray(
+                sorted(pos_to_vis[int(p)] for p in retained), np.int64
+            )
+            if _defer_decode:
+                from visionselector_tpu.models.qwen25vl.model import (
+                    PrefillState,
+                )
+
+                return PrefillState(
+                    cache=cache, next_token=int(next_token),
+                    start_pos=t_orig + rope_delta,
+                    eos_token_ids=tuple(eos_token_ids),
+                    max_new_tokens=max_new_tokens,
+                    result=GenerationResult(
+                        tokens=[], selected_indices=sel_vis,
+                        num_vision_tokens=n, prefill_len=keep_valid,
+                        prefill_seconds=t_prefill,
+                    ),
+                    t_start=t_start,
+                )
             tokens = _run_decode_loop(
                 self.params, cfg, cache, next_token, t_orig + rope_delta,
                 eos_token_ids, max_new_tokens, temperature, top_p, seed,
                 on_chunk=on_token_chunk,
-            )
-            pos_to_vis = {int(p): j for j, p in enumerate(image_pos)}
-            sel_vis = np.asarray(
-                sorted(pos_to_vis[int(p)] for p in retained), np.int64
             )
             return GenerationResult(
                 tokens=tokens, selected_indices=sel_vis, num_vision_tokens=n,
@@ -325,15 +344,34 @@ class OVEngine:
             v=jnp.pad(v_l, ((0, 0), (0, 0), (0, t_max - t_comp), (0, 0), (0, 0))),
             length=jnp.full((cfg.text.num_hidden_layers, 1), valid_len_i, jnp.int32),
         )
+        sel_idx_np = np.asarray(sel_idx)
+        sel_valid_np = np.asarray(sel_valid)
+        compressed = self.use_selector or self.strategy is not None
+        if _defer_decode:
+            from visionselector_tpu.models.qwen25vl.model import PrefillState
+
+            return PrefillState(
+                cache=cache, next_token=int(next_token),
+                start_pos=valid_len_i + rope_delta,
+                eos_token_ids=tuple(eos_token_ids),
+                max_new_tokens=max_new_tokens,
+                result=GenerationResult(
+                    tokens=[],
+                    selected_indices=(
+                        sel_idx_np[sel_valid_np] if compressed else None
+                    ),
+                    num_vision_tokens=n,
+                    prefill_len=valid_len_i,
+                    prefill_seconds=t_prefill,
+                ),
+                t_start=t_start,
+            )
         tokens = _run_decode_loop(
             self.params, cfg, cache, next_token,
             valid_len_i + rope_delta, eos_token_ids, max_new_tokens,
             temperature, top_p, seed, on_chunk=on_token_chunk,
         )
 
-        sel_idx_np = np.asarray(sel_idx)
-        sel_valid_np = np.asarray(sel_valid)
-        compressed = self.use_selector or self.strategy is not None
         return GenerationResult(
             tokens=tokens,
             selected_indices=sel_idx_np[sel_valid_np] if compressed else None,
@@ -341,4 +379,22 @@ class OVEngine:
             prefill_len=valid_len_i,
             prefill_seconds=t_prefill,
             total_seconds=time.perf_counter() - t_start,
+        )
+
+    def generate_batch(
+        self,
+        requests,
+        max_new_tokens: int = 64,
+        eos_token_ids: Optional[Tuple[int, ...]] = None,
+        temperature: float = 0.0,
+        top_p: float = 1.0,
+        seed: int = 0,
+    ):
+        """Decode-batched generation (see ``QwenVLEngine.generate_batch``)."""
+        from visionselector_tpu.models.qwen25vl.model import run_generate_batch
+
+        return run_generate_batch(
+            self, requests, max_new_tokens=max_new_tokens,
+            eos_token_ids=eos_token_ids, temperature=temperature,
+            top_p=top_p, seed=seed,
         )

@@ -1072,56 +1072,74 @@ class QwenVLEngine:
         Each request is a dict of ``generate`` kwargs (input_ids,
         pixel_values, grid_thw, ...).
         """
-        import time
-
-        if not requests:
-            return []
-        states: List[PrefillState] = [
-            self.generate(
-                **req, max_new_tokens=max_new_tokens,
-                eos_token_ids=eos_token_ids, temperature=temperature,
-                top_p=top_p, seed=seed, _defer_decode=True,
-            )
-            for req in requests
-        ]
-        eos = states[0].eos_token_ids
-        assert all(s.eos_token_ids == eos for s in states)
-
-        t_all = max(s.cache.k.shape[2] for s in states)
-
-        def pad_t(x):
-            return jnp.pad(
-                x, ((0, 0), (0, 0), (0, t_all - x.shape[2]), (0, 0), (0, 0))
-            )
-
-        cache = lm_mod.KVCache(
-            k=jnp.concatenate([pad_t(s.cache.k) for s in states], axis=1),
-            v=jnp.concatenate([pad_t(s.cache.v) for s in states], axis=1),
-            length=jnp.concatenate([s.cache.length for s in states], axis=1),
+        return run_generate_batch(
+            self, requests, max_new_tokens=max_new_tokens,
+            eos_token_ids=eos_token_ids, temperature=temperature,
+            top_p=top_p, seed=seed,
         )
-        firsts = jnp.asarray([s.next_token for s in states], jnp.int32)
-        starts = jnp.asarray([s.start_pos for s in states], jnp.int32)
-        eos_arr = jnp.asarray(list(eos), jnp.int32)
 
-        results = []
-        if max_new_tokens > 1:
-            toks, counts = _decode_loop_batch(
-                self.params, self.cfg, cache, firsts, starts, eos_arr,
-                max_new_tokens - 1, jnp.asarray(temperature, jnp.float32),
-                jnp.asarray(top_p, jnp.float32), jax.random.PRNGKey(seed),
-            )
-            toks = np.asarray(toks)
-            counts = np.asarray(counts)
+
+def run_generate_batch(
+    engine,
+    requests: List[dict],
+    max_new_tokens: int = 64,
+    eos_token_ids: Optional[Tuple[int, ...]] = None,
+    temperature: float = 0.0,
+    top_p: float = 1.0,
+    seed: int = 0,
+) -> List[GenerationResult]:
+    """Family-agnostic decode batching over an engine whose ``generate``
+    supports ``_defer_decode`` (QwenVLEngine, OVEngine)."""
+    import time
+
+    if not requests:
+        return []
+    states: List[PrefillState] = [
+        engine.generate(
+            **req, max_new_tokens=max_new_tokens,
+            eos_token_ids=eos_token_ids, temperature=temperature,
+            top_p=top_p, seed=seed, _defer_decode=True,
+        )
+        for req in requests
+    ]
+    eos = states[0].eos_token_ids
+    assert all(s.eos_token_ids == eos for s in states)
+
+    t_all = max(s.cache.k.shape[2] for s in states)
+
+    def pad_t(x):
+        return jnp.pad(
+            x, ((0, 0), (0, 0), (0, t_all - x.shape[2]), (0, 0), (0, 0))
+        )
+
+    cache = lm_mod.KVCache(
+        k=jnp.concatenate([pad_t(s.cache.k) for s in states], axis=1),
+        v=jnp.concatenate([pad_t(s.cache.v) for s in states], axis=1),
+        length=jnp.concatenate([s.cache.length for s in states], axis=1),
+    )
+    firsts = jnp.asarray([s.next_token for s in states], jnp.int32)
+    starts = jnp.asarray([s.start_pos for s in states], jnp.int32)
+    eos_arr = jnp.asarray(list(eos), jnp.int32)
+
+    results = []
+    if max_new_tokens > 1:
+        toks, counts = _decode_loop_batch(
+            engine.params, engine.cfg, cache, firsts, starts, eos_arr,
+            max_new_tokens - 1, jnp.asarray(temperature, jnp.float32),
+            jnp.asarray(top_p, jnp.float32), jax.random.PRNGKey(seed),
+        )
+        toks = np.asarray(toks)
+        counts = np.asarray(counts)
+    else:
+        toks = np.zeros((0, len(states)), np.int32)
+        counts = np.zeros(len(states), np.int64)
+    for i, s in enumerate(states):
+        if s.next_token in eos:
+            s.result.tokens = []  # mirror _run_decode_loop
         else:
-            toks = np.zeros((0, len(states)), np.int32)
-            counts = np.zeros(len(states), np.int64)
-        for i, s in enumerate(states):
-            if s.next_token in eos:
-                s.result.tokens = []  # mirror _run_decode_loop
-            else:
-                s.result.tokens = (
-                    [s.next_token] + toks[: int(counts[i]), i].tolist()
-                )
-            s.result.total_seconds = time.perf_counter() - s.t_start
-            results.append(s.result)
-        return results
+            s.result.tokens = (
+                [s.next_token] + toks[: int(counts[i]), i].tolist()
+            )
+        s.result.total_seconds = time.perf_counter() - s.t_start
+        results.append(s.result)
+    return results
