@@ -115,3 +115,44 @@ class TestOVGenerateBatch:
         for g, w in zip(got, want):
             assert g.tokens == w.tokens
             assert g.prefill_len == w.prefill_len
+
+
+class TestEvalDecodeBatch:
+    def test_harness_batched_equals_sequential(self, tmp_path, monkeypatch):
+        """generate_until with decode_batch=2 (mixed image + text-only docs)
+        must produce the same predictions as per-request decode."""
+        import json
+
+        from PIL import Image
+
+        from visionselector_tpu.eval.evaluator import EngineAdapter
+        from visionselector_tpu.eval.tasks import TASKS, load_task_docs
+
+        rng = np.random.RandomState(3)
+        for name in ("a.png", "b.png"):
+            Image.fromarray(
+                (rng.rand(56, 56, 3) * 255).astype(np.uint8)
+            ).save(tmp_path / name)
+        with open(tmp_path / "mme.jsonl", "w") as f:
+            f.write(json.dumps({"question": "Q1?", "answers": ["yes"],
+                                "images": ["a.png"]}) + "\n")
+            f.write(json.dumps({"question": "Q2?", "answers": ["yes"],
+                                "images": ["b.png"]}) + "\n")
+            f.write(json.dumps({"question": "Q3?", "answers": ["yes"]}) + "\n")
+        reqs = load_task_docs(TASKS["mme"], str(tmp_path))
+
+        cfg = qwen25vl_tiny()
+        params = init_params(jax.random.PRNGKey(0), cfg)
+        eng = QwenVLEngine(cfg, params, use_selector=True, budget=0.3)
+
+        class Tok:
+            def encode(self, s):
+                return [ord(c) % 900 + 10 for c in s][:8]
+
+            def decode(self, toks, skip_special_tokens=True):
+                return " ".join(str(t) for t in toks)
+
+        adapter = EngineAdapter(eng, Tok())
+        seq = adapter.generate_until(reqs, decode_batch=1)
+        bat = adapter.generate_until(reqs, decode_batch=2)
+        assert seq == bat

@@ -45,11 +45,17 @@ def build_parser():
     p.add_argument("--visualize-dir", default=None,
                    help="write per-sample heatmap/mask PNGs (run_visual.sh "
                         "parity)")
+    p.add_argument("--decode-batch", type=int, default=None,
+                   help="micro-batch size for the shared decode dispatch "
+                        "(engine.generate_batch); default 1")
     return p
 
 
 def main(argv=None) -> int:
     args = build_parser().parse_args(argv)
+
+    if args.decode_batch:
+        os.environ["VST_DECODE_BATCH"] = str(args.decode_batch)
 
     if args.task_config_dir:
         from visionselector_tpu.eval.tasks import load_task_configs

@@ -114,122 +114,141 @@ class EngineAdapter:
         except Exception:  # noqa: BLE001
             return 1 << 30
 
-    def generate_until(self, requests: Sequence[Request],
-                       until: Sequence[str] = ("<|im_end|>",)) -> List[str]:
+    def _prepare_request(self, req: Request):
+        """Build the engine ``generate`` kwargs for one request. Returns
+        (gen_kwargs, grid) — grid for the visualization hook (None for
+        text-only/video)."""
         from visionselector_tpu.preprocess.image import preprocess_image
         from visionselector_tpu.preprocess.rope import expand_vision_tokens
 
         cfg = self.engine.cfg
+        before, after = self._encode_prompt(req.question)
+        if req.video_path is not None:
+            from visionselector_tpu.preprocess.video import process_video
+
+            pixels, grid, spg = process_video(
+                req.video_path,
+                patch_size=cfg.vision.patch_size,
+                temporal_patch_size=cfg.vision.temporal_patch_size,
+                merge_size=cfg.vision.spatial_merge_size,
+            )
+            input_ids = expand_vision_tokens(
+                before, after, grid,
+                spatial_merge_size=cfg.vision.spatial_merge_size,
+                image_token_id=cfg.video_token_id,
+                vision_start_token_id=cfg.vision_start_token_id,
+                vision_end_token_id=cfg.vision_end_token_id,
+            )
+            return dict(
+                input_ids=input_ids, pixel_values_videos=pixels,
+                video_grid_thw=grid, second_per_grid_ts=np.array([spg]),
+            ), None
+        if req.image_path is None:
+            # Text-only request (mme/scienceqa contain some): no vision
+            # branch; the engine prefills over the plain token sequence.
+            input_ids = np.concatenate([before, after]).astype(np.int64)
+            return dict(input_ids=input_ids), None
+        from PIL import Image
+
+        # One or several images (MMMU docs are multi-image): each is
+        # preprocessed independently, pixel rows concatenated, one grid
+        # row per image — mirroring the HF processor's batched call
+        # (``qwen25vl/processing_qwen2_5_vl.py:48-219``).
+        pixel_list, grid_list = [], []
+        for path in req.image_paths:
+            image = Image.open(path)
+            px, g = preprocess_image(
+                image,
+                patch_size=cfg.vision.patch_size,
+                temporal_patch_size=cfg.vision.temporal_patch_size,
+                merge_size=cfg.vision.spatial_merge_size,
+            )
+            pixel_list.append(px)
+            grid_list.append(g)
+        pixels = np.concatenate(pixel_list, axis=0)
+        grid = np.concatenate(grid_list, axis=0)
+        input_ids = expand_vision_tokens(
+            before, after, grid,
+            spatial_merge_size=cfg.vision.spatial_merge_size,
+            image_token_id=cfg.image_token_id,
+            vision_start_token_id=cfg.vision_start_token_id,
+            vision_end_token_id=cfg.vision_end_token_id,
+        )
+        return dict(input_ids=input_ids, pixel_values=pixels,
+                    grid_thw=grid), grid
+
+    def _postprocess(self, req: Request, res, grid, until) -> str:
+        cfg = self.engine.cfg
+        if (self.visualize_dir and req.video_path is None
+                and len(req.image_paths) == 1
+                and res.selected_indices is not None):
+            from PIL import Image as _Image
+
+            from visionselector_tpu.eval.visualize import visualize_selection
+
+            os.makedirs(self.visualize_dir, exist_ok=True)
+            img_arr = np.asarray(_Image.open(req.image_path).convert("RGB"))
+            visualize_selection(
+                img_arr, res.scores, res.selected_indices, grid,
+                os.path.join(
+                    self.visualize_dir, f"{req.task.name}_{req.doc_id}"
+                ),
+                spatial_merge_size=cfg.vision.spatial_merge_size,
+            )
+        text = self.tokenizer.decode(res.tokens, skip_special_tokens=True)
+        for stop in until:
+            if stop in text:
+                text = text.split(stop)[0]
+
+        if self.eval_time:
+            kept = (
+                len(res.selected_indices)
+                if res.selected_indices is not None
+                else res.num_vision_tokens
+            )
+            self.stats.prefill_ms.append(res.prefill_seconds * 1e3)
+            self.stats.latency_ms.append(res.total_seconds * 1e3)
+            self.stats.visual_tokens.append(kept)
+            self.stats.input_tokens.append(res.prefill_len)
+            self.stats.output_tokens.append(len(res.tokens))
+            print(f"Input visual token number is: {kept}")
+            print(f"Generation prefill time is: {res.prefill_seconds * 1e3}")
+            print(f"Generation total time is: {res.total_seconds * 1e3}")
+        return text.strip()
+
+    def generate_until(self, requests: Sequence[Request],
+                       until: Sequence[str] = ("<|im_end|>",),
+                       decode_batch: int | None = None) -> List[str]:
+        """``decode_batch`` > 1 groups bucket-sorted requests (same
+        max_new_tokens) into one batched decode dispatch per group
+        (``engine.generate_batch``) — serving-style micro-batching; default
+        from VST_DECODE_BATCH, else 1 (per-request decode)."""
+        if decode_batch is None:
+            decode_batch = int(os.environ.get("VST_DECODE_BATCH", "1"))
         # sort by bucket, run, restore original order (Collator parity)
         order = sorted(range(len(requests)),
                        key=lambda i: self._bucket_key(requests[i]))
         out_by_pos = [None] * len(requests)
-        out = []
-        for oi in order:
-            req = requests[oi]
-            before, after = self._encode_prompt(req.question)
-            if req.video_path is not None:
-                from visionselector_tpu.preprocess.video import process_video
-
-                pixels, grid, spg = process_video(
-                    req.video_path,
-                    patch_size=cfg.vision.patch_size,
-                    temporal_patch_size=cfg.vision.temporal_patch_size,
-                    merge_size=cfg.vision.spatial_merge_size,
-                )
-                input_ids = expand_vision_tokens(
-                    before, after, grid,
-                    spatial_merge_size=cfg.vision.spatial_merge_size,
-                    image_token_id=cfg.video_token_id,
-                    vision_start_token_id=cfg.vision_start_token_id,
-                    vision_end_token_id=cfg.vision_end_token_id,
-                )
-                res = self.engine.generate(
-                    input_ids,
-                    pixel_values_videos=pixels,
-                    video_grid_thw=grid,
-                    second_per_grid_ts=np.array([spg]),
-                    max_new_tokens=req.task.max_new_tokens,
-                )
-            elif req.image_path is None:
-                # Text-only request (mme/scienceqa contain some): no vision
-                # branch; the engine prefills over the plain token sequence.
-                input_ids = np.concatenate([before, after]).astype(np.int64)
-                res = self.engine.generate(
-                    input_ids, max_new_tokens=req.task.max_new_tokens,
-                )
+        i = 0
+        while i < len(order):
+            mnt = requests[order[i]].task.max_new_tokens
+            chunk = [order[i]]
+            while (len(chunk) < decode_batch
+                   and i + len(chunk) < len(order)
+                   and requests[order[i + len(chunk)]].task.max_new_tokens
+                   == mnt):
+                chunk.append(order[i + len(chunk)])
+            i += len(chunk)
+            prepared = [self._prepare_request(requests[oi]) for oi in chunk]
+            if len(chunk) == 1:
+                results = [self.engine.generate(
+                    **prepared[0][0], max_new_tokens=mnt)]
             else:
-                from PIL import Image
-
-                # One or several images (MMMU docs are multi-image): each is
-                # preprocessed independently, pixel rows concatenated, one grid
-                # row per image — mirroring the HF processor's batched call
-                # (``qwen25vl/processing_qwen2_5_vl.py:48-219``).
-                pixel_list, grid_list = [], []
-                for path in req.image_paths:
-                    image = Image.open(path)
-                    px, g = preprocess_image(
-                        image,
-                        patch_size=cfg.vision.patch_size,
-                        temporal_patch_size=cfg.vision.temporal_patch_size,
-                        merge_size=cfg.vision.spatial_merge_size,
-                    )
-                    pixel_list.append(px)
-                    grid_list.append(g)
-                pixels = np.concatenate(pixel_list, axis=0)
-                grid = np.concatenate(grid_list, axis=0)
-                input_ids = expand_vision_tokens(
-                    before, after, grid,
-                    spatial_merge_size=cfg.vision.spatial_merge_size,
-                    image_token_id=cfg.image_token_id,
-                    vision_start_token_id=cfg.vision_start_token_id,
-                    vision_end_token_id=cfg.vision_end_token_id,
-                )
-                res = self.engine.generate(
-                    input_ids, pixels, grid,
-                    max_new_tokens=req.task.max_new_tokens,
-                )
-            if (self.visualize_dir and req.video_path is None
-                    and len(req.image_paths) == 1
-                    and res.selected_indices is not None):
-                from PIL import Image as _Image
-
-                from visionselector_tpu.eval.visualize import (
-                    visualize_selection,
-                )
-
-                os.makedirs(self.visualize_dir, exist_ok=True)
-                img_arr = np.asarray(
-                    _Image.open(req.image_path).convert("RGB")
-                )
-                visualize_selection(
-                    img_arr, res.scores, res.selected_indices, grid,
-                    os.path.join(
-                        self.visualize_dir,
-                        f"{req.task.name}_{req.doc_id}",
-                    ),
-                    spatial_merge_size=cfg.vision.spatial_merge_size,
-                )
-            text = self.tokenizer.decode(res.tokens, skip_special_tokens=True)
-            for stop in until:
-                if stop in text:
-                    text = text.split(stop)[0]
-            out_by_pos[oi] = text.strip()
-
-            if self.eval_time:
-                kept = (
-                    len(res.selected_indices)
-                    if res.selected_indices is not None
-                    else res.num_vision_tokens
-                )
-                self.stats.prefill_ms.append(res.prefill_seconds * 1e3)
-                self.stats.latency_ms.append(res.total_seconds * 1e3)
-                self.stats.visual_tokens.append(kept)
-                self.stats.input_tokens.append(res.prefill_len)
-                self.stats.output_tokens.append(len(res.tokens))
-                print(f"Input visual token number is: {kept}")
-                print(f"Generation prefill time is: {res.prefill_seconds * 1e3}")
-                print(f"Generation total time is: {res.total_seconds * 1e3}")
+                results = self.engine.generate_batch(
+                    [p[0] for p in prepared], max_new_tokens=mnt)
+            for oi, (kw, grid), res in zip(chunk, prepared, results):
+                out_by_pos[oi] = self._postprocess(
+                    requests[oi], res, grid, until)
         return out_by_pos
 
     def generate_until_multi_round(
