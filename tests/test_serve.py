@@ -163,3 +163,75 @@ class TestWarmup:
         assert len(lines) == 3  # two buckets + text-only
         assert lines[0]["patches"] <= 128
         assert lines[-1]["bucket"] == "text_only"
+
+
+class TestMicroBatch:
+    def test_concurrent_requests_batched(self):
+        """--micro-batch coalesces concurrent /generate calls into one
+        batched decode; responses must match the sequential server's."""
+        from visionselector_tpu.api.serve import build_server
+
+        def mk(micro):
+            args = argparse.Namespace(
+                model_path=None, method="selector", budget=0.5,
+                host="127.0.0.1", port=0, micro_batch=micro,
+                batch_window_ms=30.0,
+            )
+            httpd = build_server(args)
+            threading.Thread(target=httpd.serve_forever, daemon=True).start()
+            return httpd, httpd.server_address[1]
+
+        from PIL import Image
+
+        def img_b64(seed):
+            buf = io.BytesIO()
+            Image.fromarray(
+                (np.random.RandomState(seed).rand(56, 56, 3) * 255)
+                .astype(np.uint8)
+            ).save(buf, format="PNG")
+            return base64.b64encode(buf.getvalue()).decode()
+
+        payloads = [
+            {"prompt": "one", "image_b64": img_b64(1), "max_new_tokens": 3},
+            {"prompt": "two", "image_b64": img_b64(2), "max_new_tokens": 3},
+            {"prompt": "three", "max_new_tokens": 3},  # text-only
+        ]
+
+        def post(port, payload):
+            req = urllib.request.Request(
+                f"http://127.0.0.1:{port}/generate",
+                data=json.dumps(payload).encode(),
+                headers={"Content-Type": "application/json"},
+            )
+            with urllib.request.urlopen(req, timeout=600) as r:
+                return json.loads(r.read())
+
+        httpd_seq, port_seq = mk(1)
+        try:
+            want = [post(port_seq, p) for p in payloads]
+        finally:
+            httpd_seq.shutdown()
+
+        httpd_bat, port_bat = mk(4)
+        try:
+            got = [None] * len(payloads)
+            errs = []
+
+            def worker(i):
+                try:
+                    got[i] = post(port_bat, payloads[i])
+                except Exception as e:  # noqa: BLE001
+                    errs.append(e)
+
+            threads = [threading.Thread(target=worker, args=(i,))
+                       for i in range(len(payloads))]
+            for t in threads:
+                t.start()
+            for t in threads:
+                t.join(timeout=600)
+            assert not errs, errs
+            for g, w in zip(got, want):
+                assert g["tokens"] == w["tokens"]
+                assert g["num_vision_tokens"] == w["num_vision_tokens"]
+        finally:
+            httpd_bat.shutdown()

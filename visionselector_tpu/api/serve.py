@@ -23,13 +23,79 @@ from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 import numpy as np
 
 
+class MicroBatcher:
+    """Coalesces concurrent non-streaming requests into one batched decode
+    dispatch (``engine.generate_batch``): handler threads enqueue and wait; a
+    single worker drains up to ``max_batch`` same-``max_new_tokens`` items
+    after a short join window. Decode is weight-bandwidth-bound, so the
+    micro-batch multiplies serving throughput without touching latency much
+    (prefill still runs per-request)."""
+
+    def __init__(self, engine, lock, max_batch: int = 8,
+                 window_ms: float = 4.0):
+        self.engine = engine
+        self.lock = lock
+        self.max_batch = max_batch
+        self.window_s = window_ms / 1e3
+        self.queue: list = []
+        self.cv = threading.Condition()
+        self.worker = threading.Thread(target=self._loop, daemon=True)
+        self.worker.start()
+
+    def submit(self, gen_kwargs: dict, max_new_tokens: int):
+        item = {"kw": gen_kwargs, "mnt": max_new_tokens,
+                "done": threading.Event(), "result": None, "error": None}
+        with self.cv:
+            self.queue.append(item)
+            self.cv.notify()
+        item["done"].wait()
+        if item["error"] is not None:
+            raise item["error"]
+        return item["result"]
+
+    def _loop(self):
+        import time as _time
+
+        while True:
+            with self.cv:
+                while not self.queue:
+                    self.cv.wait()
+            _time.sleep(self.window_s)  # let concurrent requests join
+            with self.cv:
+                mnt = self.queue[0]["mnt"]
+                batch = [b for b in self.queue if b["mnt"] == mnt]
+                batch = batch[: self.max_batch]
+                for b in batch:
+                    self.queue.remove(b)
+            try:
+                with self.lock:
+                    if len(batch) == 1:
+                        results = [self.engine.generate(
+                            **batch[0]["kw"], max_new_tokens=mnt)]
+                    else:
+                        results = self.engine.generate_batch(
+                            [b["kw"] for b in batch], max_new_tokens=mnt)
+                for b, r in zip(batch, results):
+                    b["result"] = r
+            except Exception as e:  # noqa: BLE001 — report to all waiters
+                for b in batch:
+                    b["error"] = e
+            for b in batch:
+                b["done"].set()
+
+
 class Server:
-    def __init__(self, engine, tokenizer, method: str, budget: float):
+    def __init__(self, engine, tokenizer, method: str, budget: float,
+                 micro_batch: int = 1, batch_window_ms: float = 4.0):
         self.engine = engine
         self.tokenizer = tokenizer
         self.method = method
         self.budget = budget
-        self.lock = threading.Lock()  # batch-1 engine
+        self.lock = threading.Lock()  # serializes engine use
+        self.batcher = (
+            MicroBatcher(engine, self.lock, micro_batch, batch_window_ms)
+            if micro_batch > 1 else None
+        )
 
     def generate(self, prompt: str, image_b64: str | None,
                  max_new_tokens: int = 64, on_token_chunk=None) -> dict:
@@ -59,11 +125,17 @@ class Server:
             # text-only request: no vision branch (no silent image injection)
             pixels, grid = None, None
             input_ids = np.concatenate([before, after]).astype(np.int64)
-        with self.lock:
-            res = self.engine.generate(
-                input_ids, pixels, grid, max_new_tokens=max_new_tokens,
-                on_token_chunk=on_token_chunk,
+        if self.batcher is not None and on_token_chunk is None:
+            res = self.batcher.submit(
+                dict(input_ids=input_ids, pixel_values=pixels, grid_thw=grid),
+                max_new_tokens,
             )
+        else:
+            with self.lock:
+                res = self.engine.generate(
+                    input_ids, pixels, grid, max_new_tokens=max_new_tokens,
+                    on_token_chunk=on_token_chunk,
+                )
         return {
             "tokens": res.tokens,
             "text": (
@@ -278,7 +350,9 @@ def build_server(args) -> ThreadingHTTPServer:
         cfg, params, use_selector=(args.method == "selector"),
         budget=args.budget, strategy=strategy,
     )
-    srv = Server(engine, tokenizer, args.method, args.budget)
+    srv = Server(engine, tokenizer, args.method, args.budget,
+                 micro_batch=getattr(args, 'micro_batch', 1),
+                 batch_window_ms=getattr(args, 'batch_window_ms', 4.0))
     return ThreadingHTTPServer((args.host, args.port), make_handler(srv))
 
 
@@ -289,6 +363,10 @@ def main(argv=None) -> int:
     p.add_argument("--budget", type=float, default=0.2)
     p.add_argument("--host", default="127.0.0.1")
     p.add_argument("--port", type=int, default=8000)
+    p.add_argument("--micro-batch", type=int, default=1,
+                   help="coalesce concurrent non-streaming requests into "
+                        "one batched decode dispatch (serving throughput)")
+    p.add_argument("--batch-window-ms", type=float, default=4.0)
     args = p.parse_args(argv)
     httpd = build_server(args)
     print(f"[serve] listening on {args.host}:{args.port} "
