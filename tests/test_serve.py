@@ -235,3 +235,39 @@ class TestMicroBatch:
                 assert g["num_vision_tokens"] == w["num_vision_tokens"]
         finally:
             httpd_bat.shutdown()
+
+
+class TestServeOVFamily:
+    def test_generate_ov(self):
+        from visionselector_tpu.api.serve import build_server
+
+        args = argparse.Namespace(
+            model_path=None, method="selector", budget=0.5,
+            host="127.0.0.1", port=0, family="llava_ov15",
+        )
+        httpd = build_server(args)
+        port = httpd.server_address[1]
+        threading.Thread(target=httpd.serve_forever, daemon=True).start()
+        try:
+            from PIL import Image
+
+            buf = io.BytesIO()
+            Image.fromarray(
+                (np.random.RandomState(0).rand(56, 84, 3) * 255)
+                .astype(np.uint8)
+            ).save(buf, format="PNG")
+            req = urllib.request.Request(
+                f"http://127.0.0.1:{port}/generate",
+                data=json.dumps({
+                    "prompt": "hi",
+                    "image_b64": base64.b64encode(buf.getvalue()).decode(),
+                    "max_new_tokens": 2,
+                }).encode(),
+                headers={"Content-Type": "application/json"},
+            )
+            with urllib.request.urlopen(req, timeout=600) as r:
+                out = json.loads(r.read())
+            assert out["kept_vision_tokens"] <= out["num_vision_tokens"]
+            assert len(out["tokens"]) >= 1
+        finally:
+            httpd.shutdown()

@@ -113,7 +113,12 @@ class Server:
             from PIL import Image
 
             img = Image.open(io.BytesIO(base64.b64decode(image_b64)))
-            pixels, grid = preprocess_image(img)
+            pixels, grid = preprocess_image(
+                img,
+                patch_size=cfg.vision.patch_size,
+                temporal_patch_size=cfg.vision.temporal_patch_size,
+                merge_size=cfg.vision.spatial_merge_size,
+            )
             input_ids = expand_vision_tokens(
                 before, after, grid,
                 spatial_merge_size=cfg.vision.spatial_merge_size,
@@ -323,30 +328,56 @@ def make_handler(server: Server):
 def build_server(args) -> ThreadingHTTPServer:
     import jax
 
-    from visionselector_tpu.core.config import qwen25vl_tiny
-    from visionselector_tpu.models.qwen25vl.model import QwenVLEngine, init_params
-
+    family = getattr(args, "family", "qwen25vl")
     tokenizer = None
-    if args.model_path:
-        from visionselector_tpu.api.predict import load_tokenizer
-        from visionselector_tpu.models.qwen25vl.weights import (
-            config_from_hf,
-            load_hf_checkpoint,
+    if family == "llava_ov15":
+        from visionselector_tpu.models.llava_ov15.model import (
+            OVEngine as EngineCls,
+            init_ov_params as init_fn,
         )
 
-        cfg = config_from_hf(args.model_path)
-        params = load_hf_checkpoint(args.model_path, cfg)
-        tokenizer = load_tokenizer(args.model_path)
+        if args.model_path:
+            from visionselector_tpu.api.predict import load_tokenizer
+            from visionselector_tpu.models.llava_ov15.weights import (
+                load_ov_checkpoint,
+                ov_config_from_hf,
+            )
+
+            cfg = ov_config_from_hf(args.model_path)
+            params = load_ov_checkpoint(args.model_path, cfg)
+            tokenizer = load_tokenizer(args.model_path)
+        else:
+            from visionselector_tpu.core.config import llava_ov_tiny
+
+            cfg = llava_ov_tiny()
+            params = init_fn(jax.random.PRNGKey(0), cfg)
     else:
-        cfg = qwen25vl_tiny()
-        params = init_params(jax.random.PRNGKey(0), cfg)
+        from visionselector_tpu.core.config import qwen25vl_tiny
+        from visionselector_tpu.models.qwen25vl.model import (
+            QwenVLEngine as EngineCls,
+            init_params as init_fn,
+        )
+
+        if args.model_path:
+            from visionselector_tpu.api.predict import load_tokenizer
+            from visionselector_tpu.models.qwen25vl.weights import (
+                config_from_hf,
+                load_hf_checkpoint,
+            )
+
+            cfg = config_from_hf(args.model_path)
+            params = load_hf_checkpoint(args.model_path, cfg)
+            tokenizer = load_tokenizer(args.model_path)
+        else:
+            cfg = qwen25vl_tiny()
+            params = init_fn(jax.random.PRNGKey(0), cfg)
 
     strategy = None
     if args.method not in ("orig", "selector"):
         from visionselector_tpu.selector.baselines import get_baseline
 
         strategy = get_baseline(args.method)
-    engine = QwenVLEngine(
+    engine = EngineCls(
         cfg, params, use_selector=(args.method == "selector"),
         budget=args.budget, strategy=strategy,
     )
@@ -360,6 +391,8 @@ def main(argv=None) -> int:
     p = argparse.ArgumentParser(description=__doc__)
     p.add_argument("--model-path", default=None)
     p.add_argument("--method", default="selector")
+    p.add_argument("--family", default="qwen25vl",
+                   choices=("qwen25vl", "llava_ov15"))
     p.add_argument("--budget", type=float, default=0.2)
     p.add_argument("--host", default="127.0.0.1")
     p.add_argument("--port", type=int, default=8000)

@@ -110,7 +110,11 @@ class EngineAdapter:
                                       min_pixels=PROCESSOR_MIN_PIXELS,
                                       max_pixels=PROCESSOR_MAX_PIXELS)
                 total += (hb // 14) * (wb // 14)
-            return pick_bucket(total, [512, 1024, 2048, 4096, 8192, 16384])
+            from visionselector_tpu.models.qwen25vl.model import (
+                VISION_BUCKETS,
+            )
+
+            return pick_bucket(total, list(VISION_BUCKETS))
         except Exception:  # noqa: BLE001
             return 1 << 30
 

@@ -34,7 +34,9 @@ from visionselector_tpu.selector.select import (
     select_hard,
 )
 
-VISION_BUCKETS = (512, 1024, 2048, 4096, 8192, 16384)
+# 6144 fills the 4096->8192 gap: ChartQA/DocVQA-scale images land at
+# 4100-6100 aligned patches and would otherwise pay the 8192 program.
+VISION_BUCKETS = (512, 1024, 2048, 4096, 6144, 8192, 16384)
 TEXT_BUCKETS = (64, 128, 256, 512, 1024, 2048, 4096)
 
 
