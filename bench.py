@@ -231,12 +231,15 @@ def time_decode_tok_s(params, cfg, batch, t_ctx=384, steps=48):
             params, cfg, cache, firsts, starts, eos, n)
         return int(np.asarray(counts).sum())
 
-    run(2); run(steps)  # compile
+    lo = steps // 2
+    run(lo); run(steps)  # compile both programs
     samples = []
-    for _ in range(3):
-        t0 = time.perf_counter(); run(2); t1 = time.perf_counter() - t0
+    for _ in range(5):
+        t0 = time.perf_counter(); run(lo); t1 = time.perf_counter() - t0
         t0 = time.perf_counter(); run(steps); tk = time.perf_counter() - t0
-        samples.append((tk - t1) / (steps - 2))
+        samples.append((tk - t1) / (steps - lo))
+    # Median over differentials of two LARGE spans: per-dispatch tunnel noise
+    # is large relative to a 2-step span and flips small differentials.
     ok = sorted(s for s in samples if s > 1e-6)
     per_step = ok[len(ok) // 2] if ok else float("nan")
     return batch / per_step
@@ -357,6 +360,9 @@ def main():
                 prefill_ms_selector_3b=round(t_sel3 * 1e3, 2),
                 prefill_ms_uncompressed_3b=round(t_full3 * 1e3, 2),
             )
+            if os.environ.get("VST_BENCH_DECODE", "1") != "0":
+                detail["decode_tok_s_7b_int8_b8"] = round(
+                    time_decode_tok_s(params7, cfg7, 8), 1)
         except Exception as e:  # noqa: BLE001 — fall back to the 3B figure
             detail["bench_7b_error"] = repr(e)
 
