@@ -437,31 +437,36 @@ def attention_diag(
     while h % hpp:
         hpp -= 1
 
-    qt = q.transpose(0, 2, 1, 3)
-    kt = k.transpose(0, 2, 1, 3)
-    vt = v.transpose(0, 2, 1, 3)
     grid = (b, h // hpp, s // block_q)
     kernel = functools.partial(_diag_kernel, scale=scale, num_heads=hpp)
     spec = pl.BlockSpec((1, hpp, block_q, d), lambda ib, ih, iq: (ib, ih, iq, 0))
-    out = pl.pallas_call(
-        kernel,
-        grid=grid,
-        in_specs=[
-            spec,
-            spec,
-            spec,
-            pl.BlockSpec((1, block_q), lambda ib, ih, iq: (ib, iq)),
-        ],
-        out_specs=spec,
-        out_shape=jax.ShapeDtypeStruct((b, h, s, d), q.dtype),
-        interpret=interpret,
-        cost_estimate=pl.CostEstimate(
-            flops=4 * b * h * s * block_q * d,
-            bytes_accessed=2 * (qt.size + kt.size + vt.size) * qt.dtype.itemsize,
-            transcendentals=b * h * s * block_q,
-        ),
-    )(qt, kt, vt, seg.astype(jnp.int32))
-    return out.transpose(0, 2, 1, 3)
+
+    def pallas_fn(q, k, v, seg, _kv_seg, _bounds):
+        qt = q.transpose(0, 2, 1, 3)
+        kt = k.transpose(0, 2, 1, 3)
+        vt = v.transpose(0, 2, 1, 3)
+        out = pl.pallas_call(
+            kernel,
+            grid=grid,
+            in_specs=[
+                spec,
+                spec,
+                spec,
+                pl.BlockSpec((1, block_q), lambda ib, ih, iq: (ib, iq)),
+            ],
+            out_specs=spec,
+            out_shape=jax.ShapeDtypeStruct((b, h, s, d), q.dtype),
+            interpret=interpret,
+            cost_estimate=pl.CostEstimate(
+                flops=4 * b * h * s * block_q * d,
+                bytes_accessed=2 * (qt.size + kt.size + vt.size)
+                * qt.dtype.itemsize,
+                transcendentals=b * h * s * block_q,
+            ),
+        )(qt, kt, vt, seg.astype(jnp.int32))
+        return out.transpose(0, 2, 1, 3)
+
+    return _with_reference_vjp(pallas_fn, q, k, v, seg, seg, False, scale)
 
 
 def default_impl() -> str:
@@ -473,6 +478,56 @@ def default_impl() -> str:
     except RuntimeError:
         platform = "cpu"
     return "pallas" if platform in ("tpu", "axon") else "xla"
+
+
+def _with_reference_vjp(pallas_fn, q, k, v, q_seg, kv_seg, causal, scale,
+                        kv_bounds=None):
+    """Differentiable wrapper: Pallas forward, XLA-reference backward.
+
+    ``pallas_call`` has no autodiff rule, so training through a Pallas
+    attention forward would fail. Both paths compute the same exact masked
+    softmax attention, so the mathematically correct cotangents are those of
+    ``mha_reference`` — the backward re-traces it under XLA autodiff
+    (recompute-based; memory O(S^2 H) per backward, fine at training bucket
+    sizes). Inference-only callers never hit the backward.
+
+    All array inputs are explicit primals (closing over them would leak
+    tracers under vmap, e.g. the batched train loss); integer primals get
+    float0 cotangents. ``pallas_fn(q, k, v, q_seg, kv_seg, kv_bounds)``.
+    """
+    import numpy as _np
+
+    has_bounds = kv_bounds is not None
+    if not has_bounds:
+        kv_bounds = jnp.zeros((1, 2), jnp.int32)
+
+    @jax.custom_vjp
+    def f(q, k, v, q_seg, kv_seg, kv_bounds):
+        return pallas_fn(q, k, v, q_seg, kv_seg,
+                         kv_bounds if has_bounds else None)
+
+    def fwd(q, k, v, q_seg, kv_seg, kv_bounds):
+        out = pallas_fn(q, k, v, q_seg, kv_seg,
+                        kv_bounds if has_bounds else None)
+        return out, (q, k, v, q_seg, kv_seg, kv_bounds)
+
+    def bwd(res, g):
+        qr, kr, vr, q_seg, kv_seg, kv_bounds = res
+        _, vjp = jax.vjp(
+            lambda a, b, c: mha_reference(a, b, c, q_seg, kv_seg, causal,
+                                          scale),
+            qr, kr, vr,
+        )
+        dq, dk, dv = vjp(g.astype(qr.dtype))
+        f0 = jax.dtypes.float0
+        return (dq, dk, dv,
+                _np.zeros(q_seg.shape, f0),
+                _np.zeros(kv_seg.shape, f0),
+                _np.zeros(kv_bounds.shape, f0))
+
+    f.defvjp(fwd, bwd)
+    return f(q, k, v, q_seg.astype(jnp.int32), kv_seg.astype(jnp.int32),
+             kv_bounds.astype(jnp.int32))
 
 
 def attention(
@@ -493,6 +548,8 @@ def attention(
     ``kv_bounds``: optional per-query-block kv ranges (Pallas block skipping);
     the XLA fallback masks instead and ignores them. Block sizes are tuning
     knobs: 512 measured ~2x faster for the ViT full-attention layers on v5e.
+    Differentiable under every impl (Pallas forwards carry an XLA-reference
+    custom VJP).
     """
     if scale is None:
         scale = q.shape[-1] ** -0.5
@@ -505,13 +562,21 @@ def attention(
         # measured SLOWER on v5e (strided per-head kv DMA beats the one-time
         # HBM transposes it avoids) — opt in via VST_PACKED_ATTN=1.
         if q.shape[-1] % 128 == 0 and os.environ.get("VST_PACKED_ATTN") == "1":
-            return _flash_pallas_packed(
-                q, k, v, q_seg, kv_seg, causal, scale, block_q, block_k,
-                kv_bounds=kv_bounds, interpret=interpret,
-            )
-        return _flash_pallas(q, k, v, q_seg, kv_seg, causal, scale,
-                             block_q, block_k, kv_bounds=kv_bounds,
-                             interpret=interpret)
+            def pallas_fn(q, k, v, q_seg, kv_seg, kv_bounds):
+                return _flash_pallas_packed(
+                    q, k, v, q_seg, kv_seg, causal, scale, block_q, block_k,
+                    kv_bounds=kv_bounds, interpret=interpret,
+                )
+        else:
+            def pallas_fn(q, k, v, q_seg, kv_seg, kv_bounds):
+                return _flash_pallas(
+                    q, k, v, q_seg, kv_seg, causal, scale, block_q, block_k,
+                    kv_bounds=kv_bounds, interpret=interpret,
+                )
+        return _with_reference_vjp(
+            pallas_fn, q, k, v, q_seg, kv_seg, causal, scale,
+            kv_bounds=kv_bounds,
+        )
     raise ValueError(f"unknown attention impl {impl!r}")
 
 
