@@ -280,16 +280,20 @@ def vit_forward(
         # Window and full layers get their own attention configurations:
         # small blocks + kv-block skipping for the ~64-patch window segments,
         # large blocks for the per-image full-attention layers. lax.cond
-        # runs exactly one branch per layer at runtime.
+        # runs exactly one branch per layer at runtime. Block sizes are
+        # derived from the bounds arrays' (static) shapes so the kernel can
+        # never read bounds at the wrong granularity, whatever combination of
+        # layout/env the batch was built under.
         from visionselector_tpu.kernels.attention import (
-            VIT_BLOCK,
-            WINDOW_BLOCK,
             attention_diag,
             default_impl,
         )
 
         impl = default_impl()
         use_diag = window_diag and impl in ("pallas", "pallas_interpret")
+        s_pad = pixel_values.shape[0]
+        wblock = s_pad // window_kv_bounds.shape[0]
+        fblock = s_pad // full_kv_bounds.shape[0]
 
         def layer(x, scanned):
             p, full = scanned
@@ -300,14 +304,14 @@ def vit_forward(
                     if use_diag:
                         return attention_diag(
                             q[None], k[None], v[None], window_seg_ids[None],
-                            scale=d**-0.5,
+                            scale=d**-0.5, block_q=wblock,
                             interpret=(impl == "pallas_interpret"),
                         )[0]
                     return attention(
                         q[None], k[None], v[None], window_seg_ids[None],
                         window_seg_ids[None], causal=False, scale=d**-0.5,
                         kv_bounds=window_kv_bounds,
-                        block_q=WINDOW_BLOCK, block_k=WINDOW_BLOCK,
+                        block_q=wblock, block_k=wblock,
                     )[0]
 
                 def full_branch(ops):
@@ -316,7 +320,7 @@ def vit_forward(
                         q[None], k[None], v[None], full_seg_ids[None],
                         full_seg_ids[None], causal=False, scale=d**-0.5,
                         kv_bounds=full_kv_bounds,
-                        block_q=VIT_BLOCK, block_k=VIT_BLOCK,
+                        block_q=fblock, block_k=fblock,
                     )[0]
 
                 return jax.lax.cond(full, full_branch, window_branch, (q, k, v))
