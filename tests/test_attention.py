@@ -392,3 +392,60 @@ class TestPallasGrad:
         np.testing.assert_allclose(
             losses["pallas_interpret"], losses["xla"], rtol=1e-4
         )
+
+
+class TestBlockedBackward:
+    """Streamed flash backward == autodiff of the reference (never builds
+    the T x T probability matrix; required for 16k packed-training buckets)."""
+
+    @pytest.mark.parametrize("causal", [False, True])
+    def test_matches_reference_vjp(self, causal):
+        from visionselector_tpu.kernels.attention import (
+            _mha_backward_blocked,
+            mha_reference,
+        )
+
+        rng = np.random.RandomState(0)
+        b, s, h, d = 2, 32, 3, 8
+        q = jnp.asarray(rng.randn(b, s, h, d), jnp.float32)
+        k = jnp.asarray(rng.randn(b, s, h, d), jnp.float32)
+        v = jnp.asarray(rng.randn(b, s, h, d), jnp.float32)
+        seg = np.zeros(s, np.int32)
+        seg[:10] = 1
+        seg[10:27] = 2  # padding tail
+        segj = jnp.asarray(seg)[None].repeat(b, 0)
+        g = jnp.asarray(rng.randn(b, s, h, d), jnp.float32)
+
+        out, vjp = jax.vjp(
+            lambda a, bb, c: mha_reference(a, bb, c, segj, segj, causal),
+            q, k, v,
+        )
+        want = vjp(g)
+        got = _mha_backward_blocked(
+            q, k, v, segj, segj, causal, d**-0.5, out, g, block=8
+        )
+        for gg, ww in zip(got, want):
+            np.testing.assert_allclose(
+                np.asarray(gg), np.asarray(ww), atol=3e-5
+            )
+
+    def test_fallback_unaligned(self):
+        from visionselector_tpu.kernels.attention import (
+            _mha_backward_blocked,
+            mha_reference,
+        )
+
+        rng = np.random.RandomState(1)
+        q = jnp.asarray(rng.randn(1, 14, 2, 4), jnp.float32)
+        seg = jnp.ones((1, 14), jnp.int32)
+        g = jnp.asarray(rng.randn(1, 14, 2, 4), jnp.float32)
+        out, vjp = jax.vjp(
+            lambda a, b, c: mha_reference(a, b, c, seg, seg, False), q, q, q
+        )
+        want = vjp(g)
+        got = _mha_backward_blocked(
+            q, q, q, seg, seg, False, 0.5, out, g, block=8
+        )
+        for gg, ww in zip(got, want):
+            np.testing.assert_allclose(np.asarray(gg), np.asarray(ww),
+                                       atol=3e-5)

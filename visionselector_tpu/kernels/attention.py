@@ -480,6 +480,106 @@ def default_impl() -> str:
     return "pallas" if platform in ("tpu", "axon") else "xla"
 
 
+def _flash_stats_blocked(q, k, q_seg, kv_seg, causal, scale, block):
+    """Row softmax stats (m [B,H,Sq], l [B,H,Sq]) via a kv-block scan.
+
+    Memory O(Sq * block) instead of O(Sq * Sk): the streaming backward
+    below needs each row's max and normalizer without materializing logits.
+    """
+    b, sq, h, d = q.shape
+    sk = k.shape[1]
+    nb = sk // block
+    qt = q.astype(jnp.float32).transpose(0, 2, 1, 3)  # [B,H,Sq,D]
+    kt = k.astype(jnp.float32).transpose(0, 2, 1, 3)
+    qi = jnp.arange(sq)
+
+    def body(carry, j):
+        m, l = carry  # [B,H,Sq]
+        ks = jax.lax.dynamic_slice_in_dim(kt, j * block, block, axis=2)
+        s = jnp.einsum("bhqd,bhkd->bhqk", qt, ks) * scale
+        kseg = jax.lax.dynamic_slice_in_dim(kv_seg, j * block, block, axis=1)
+        mask = (q_seg[:, :, None] == kseg[:, None, :]) & (kseg[:, None, :] > 0)
+        if causal:
+            ki = j * block + jnp.arange(block)
+            mask = mask & (qi[None, :, None] >= ki[None, None, :])
+        s = jnp.where(mask[:, None], s, NEG_INF)
+        m_cur = s.max(-1)
+        m_new = jnp.maximum(m, m_cur)
+        l = l * jnp.exp(m - m_new) + jnp.where(
+            mask[:, None], jnp.exp(s - m_new[..., None]), 0.0
+        ).sum(-1)
+        return (m_new, l), None
+
+    m0 = jnp.full((b, h, sq), NEG_INF, jnp.float32)
+    l0 = jnp.zeros((b, h, sq), jnp.float32)
+    (m, l), _ = jax.lax.scan(body, (m0, l0), jnp.arange(nb))
+    return m, l
+
+
+def _mha_backward_blocked(q, k, v, q_seg, kv_seg, causal, scale, out, g,
+                          block: int = 512):
+    """Flash-attention backward, streamed over kv blocks (O(S*block) memory).
+
+    Standard formulas: with P = softmax(S), delta = rowsum(dO * O),
+    dV = P^T dO; dS = P * (dO V^T - delta); dQ = dS K * scale;
+    dK = dS^T Q * scale. The T x T probability matrix is never materialized —
+    the reference-trace backward would need ~16 GB at the 16384 packed
+    training bucket; this stays at the block working set.
+    """
+    b, sq, h, d = q.shape
+    sk = k.shape[1]
+    block = min(block, sk)
+    if sk % block:
+        block = next((bb for bb in (384, 256, 128, 64) if sk % bb == 0), 0)
+    if not block or sq != sk:
+        # unaligned/unequal cases fall back to the reference trace (small)
+        _, vjp = jax.vjp(
+            lambda a, bb, c: mha_reference(a, bb, c, q_seg, kv_seg, causal,
+                                           scale), q, k, v)
+        return vjp(g.astype(q.dtype))
+
+    qf = q.astype(jnp.float32).transpose(0, 2, 1, 3)  # [B,H,S,D]
+    kf = k.astype(jnp.float32).transpose(0, 2, 1, 3)
+    vf = v.astype(jnp.float32).transpose(0, 2, 1, 3)
+    gf = g.astype(jnp.float32).transpose(0, 2, 1, 3)
+    of = out.astype(jnp.float32).transpose(0, 2, 1, 3)
+
+    m, l = _flash_stats_blocked(q, k, q_seg, kv_seg, causal, scale, block)
+    l_safe = jnp.where(l == 0.0, 1.0, l)
+    delta = (gf * of).sum(-1)  # [B,H,Sq]
+    qi = jnp.arange(sq)
+
+    def body(carry, j):
+        dq = carry
+        ks = jax.lax.dynamic_slice_in_dim(kf, j * block, block, axis=2)
+        vs = jax.lax.dynamic_slice_in_dim(vf, j * block, block, axis=2)
+        kseg = jax.lax.dynamic_slice_in_dim(kv_seg, j * block, block, axis=1)
+        s = jnp.einsum("bhqd,bhkd->bhqk", qf, ks) * scale
+        mask = (q_seg[:, :, None] == kseg[:, None, :]) & (kseg[:, None, :] > 0)
+        if causal:
+            ki = j * block + jnp.arange(block)
+            mask = mask & (qi[None, :, None] >= ki[None, None, :])
+        p = jnp.where(mask[:, None], jnp.exp(s - m[..., None]), 0.0)
+        p = p / l_safe[..., None]
+        dv_j = jnp.einsum("bhqk,bhqd->bhkd", p, gf)
+        dp = jnp.einsum("bhqd,bhkd->bhqk", gf, vs)
+        ds = p * (dp - delta[..., None])
+        dq = dq + jnp.einsum("bhqk,bhkd->bhqd", ds, ks) * scale
+        dk_j = jnp.einsum("bhqk,bhqd->bhkd", ds, qf) * scale
+        return dq, (dk_j, dv_j)
+
+    nb = sk // block
+    dq0 = jnp.zeros_like(qf)
+    dq, (dk_blocks, dv_blocks) = jax.lax.scan(body, dq0, jnp.arange(nb))
+    dk = dk_blocks.transpose(1, 2, 0, 3, 4).reshape(b, h, sk, d)
+    dv = dv_blocks.transpose(1, 2, 0, 3, 4).reshape(b, h, sk, d)
+    return (
+        dq.transpose(0, 2, 1, 3).astype(q.dtype),
+        dk.transpose(0, 2, 1, 3).astype(k.dtype),
+        dv.transpose(0, 2, 1, 3).astype(v.dtype),
+    )
+
+
 def _with_reference_vjp(pallas_fn, q, k, v, q_seg, kv_seg, causal, scale,
                         kv_bounds=None):
     """Differentiable wrapper: Pallas forward, XLA-reference backward.
@@ -509,16 +609,13 @@ def _with_reference_vjp(pallas_fn, q, k, v, q_seg, kv_seg, causal, scale,
     def fwd(q, k, v, q_seg, kv_seg, kv_bounds):
         out = pallas_fn(q, k, v, q_seg, kv_seg,
                         kv_bounds if has_bounds else None)
-        return out, (q, k, v, q_seg, kv_seg, kv_bounds)
+        return out, (q, k, v, q_seg, kv_seg, kv_bounds, out)
 
     def bwd(res, g):
-        qr, kr, vr, q_seg, kv_seg, kv_bounds = res
-        _, vjp = jax.vjp(
-            lambda a, b, c: mha_reference(a, b, c, q_seg, kv_seg, causal,
-                                          scale),
-            qr, kr, vr,
+        qr, kr, vr, q_seg, kv_seg, kv_bounds, out = res
+        dq, dk, dv = _mha_backward_blocked(
+            qr, kr, vr, q_seg, kv_seg, causal, scale, out, g
         )
-        dq, dk, dv = vjp(g.astype(qr.dtype))
         f0 = jax.dtypes.float0
         return (dq, dk, dv,
                 _np.zeros(q_seg.shape, f0),
