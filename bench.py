@@ -328,7 +328,10 @@ def main():
 
     # Decode-batching throughput (serving): weight-bandwidth-bound decode
     # amortizes the per-step HBM weight stream across the micro-batch.
-    if os.environ.get("VST_BENCH_DECODE", "1") != "0":
+    # OPT-IN: on this tunneled (time-shared) chip the decode differential
+    # is only stable on an otherwise-idle run — quiet-host measurements
+    # (IMPLEMENTATION_NOTES.md): 3B b1 8.99 ms/step (111 tok/s), b8 ~660+.
+    if os.environ.get("VST_BENCH_DECODE", "0") == "1":
         try:
             detail["decode_tok_s_b1"] = round(
                 time_decode_tok_s(params, cfg, 1), 1)
@@ -360,7 +363,7 @@ def main():
                 prefill_ms_selector_3b=round(t_sel3 * 1e3, 2),
                 prefill_ms_uncompressed_3b=round(t_full3 * 1e3, 2),
             )
-            if os.environ.get("VST_BENCH_DECODE", "1") != "0":
+            if os.environ.get("VST_BENCH_DECODE", "0") == "1":
                 detail["decode_tok_s_7b_int8_b8"] = round(
                     time_decode_tok_s(params7, cfg7, 8), 1)
         except Exception as e:  # noqa: BLE001 — fall back to the 3B figure
