@@ -152,18 +152,19 @@ def time_prefill(params, cfg, k_max, use_selector, args, iters=8,
     def fetch(n):
         return int(chained(params, n, *args))
 
-    fetch(1)
+    lo = max(2, iters // 2)
+    fetch(lo)
     fetch(iters)  # compile both
 
     def once():
-        t0 = time.perf_counter(); fetch(1); t1 = time.perf_counter() - t0
+        t0 = time.perf_counter(); fetch(lo); t1 = time.perf_counter() - t0
         t0 = time.perf_counter(); fetch(iters); tk = time.perf_counter() - t0
-        return (tk - t1) / (iters - 1)
+        return (tk - t1) / (iters - lo)
 
-    # The tunnel adds noisy constant overhead per fetch; a slow T(1) can make
-    # one differential non-positive. Sample a few and keep the median of the
-    # plausible ones.
-    samples = [once() for _ in range(3)]
+    # The tunnel adds noisy constant overhead per fetch. Differencing two
+    # LARGE chained spans (lo, iters) keeps both spans big relative to that
+    # noise (a 1-long span can flip a differential negative); median of 5.
+    samples = [once() for _ in range(5)]
     ok = sorted(s for s in samples if s > 1e-4)
     if not ok:
         return 1e-9

@@ -449,3 +449,36 @@ class TestBlockedBackward:
         for gg, ww in zip(got, want):
             np.testing.assert_allclose(np.asarray(gg), np.asarray(ww),
                                        atol=3e-5)
+
+
+class TestAttentionWithReceived:
+    def test_matches_explicit(self):
+        """Streamed stats == explicit [H,S,S] softmax computation."""
+        from visionselector_tpu.kernels.attention import (
+            attention_with_received,
+        )
+
+        rng = np.random.RandomState(0)
+        s, h, d = 48, 3, 8
+        seg = np.zeros(s, np.int32)
+        seg[:20] = 1
+        seg[20:41] = 2  # ragged vs block 16; padding tail
+        q = jnp.asarray(rng.randn(s, h, d), jnp.float32)
+        k = jnp.asarray(rng.randn(s, h, d), jnp.float32)
+        v = jnp.asarray(rng.randn(s, h, d), jnp.float32)
+
+        logits = np.einsum("qhd,khd->hqk", q, k) * (d**-0.5)
+        mask = (seg[:, None] == seg[None, :]) & (seg[None, :] > 0)
+        logits = np.where(mask[None], logits, -1e30)
+        probs = np.exp(logits - logits.max(-1, keepdims=True))
+        probs = probs / probs.sum(-1, keepdims=True)
+        probs = np.where(mask[None], probs, 0.0)
+        want_out = np.einsum("hqk,khd->qhd", probs, v)
+        n_valid = (seg > 0).sum()
+        want_recv = probs.mean(axis=0).sum(axis=0) / n_valid
+
+        got_out, got_recv = attention_with_received(q, k, v, jnp.asarray(seg),
+                                                    block=16)
+        np.testing.assert_allclose(np.asarray(got_out), want_out, atol=3e-5)
+        np.testing.assert_allclose(np.asarray(got_recv), want_recv, atol=3e-6)
+        np.testing.assert_array_equal(np.asarray(got_out)[seg == 0], 0.0)

@@ -580,6 +580,52 @@ def _mha_backward_blocked(q, k, v, q_seg, kv_seg, causal, scale, out, g,
     )
 
 
+def attention_with_received(q, k, v, seg, scale=None, block: int = 512):
+    """Masked attention + per-key received-mass, streamed over kv blocks.
+
+    q, k, v: [S, H, D] (one image batch); seg: [S] (0 = padding).
+    Returns (out [S, H, D] in q.dtype,
+             recv [S] fp32 = sum over valid queries of head-mean prob,
+             normalized by the valid query count) — exactly the statistics
+    the ViT-side training-free baselines consume (VisionZip / PruMerge+ /
+    HoloV capture semantics), without materializing the [H, S, S] map
+    (~17 GB at the 16384 vision bucket).
+    """
+    s, h, d = q.shape
+    if scale is None:
+        scale = d**-0.5
+    block = min(block, s)
+    if s % block:
+        block = next((bb for bb in (384, 256, 128, 64, 32, 16, 8, 4, 2, 1)
+                      if s % bb == 0))
+    m, l = _flash_stats_blocked(
+        q[None], k[None], seg[None], seg[None], False, scale, block
+    )  # [1, H, S]
+    m = m[0].transpose(1, 0)  # [S, H]
+    l_safe = jnp.where(l[0] == 0.0, 1.0, l[0]).transpose(1, 0)  # [S, H]
+    qf = q.astype(jnp.float32)
+    kf = k.astype(jnp.float32)
+    vf = v.astype(jnp.float32)
+    n_valid = jnp.maximum((seg > 0).sum().astype(jnp.float32), 1.0)
+
+    def body(out_acc, j):
+        ks = jax.lax.dynamic_slice_in_dim(kf, j * block, block, axis=0)
+        vs = jax.lax.dynamic_slice_in_dim(vf, j * block, block, axis=0)
+        kseg = jax.lax.dynamic_slice_in_dim(seg, j * block, block, axis=0)
+        s_ = jnp.einsum("qhd,khd->qhk", qf, ks) * scale
+        mask = (seg[:, None] == kseg[None, :]) & (kseg[None, :] > 0)
+        p = jnp.where(mask[:, None, :], jnp.exp(s_ - m[:, :, None]), 0.0)
+        p = p / l_safe[:, :, None]  # [Sq, H, bk]
+        out_acc = out_acc + jnp.einsum("qhk,khd->qhd", p, vs)
+        recv_j = p.mean(axis=1).sum(axis=0) / n_valid  # [bk]
+        return out_acc, recv_j
+
+    out0 = jnp.zeros((s, h, d), jnp.float32)
+    out, recv_blocks = jax.lax.scan(body, out0, jnp.arange(s // block))
+    recv = recv_blocks.reshape(-1)
+    return out.astype(q.dtype), recv
+
+
 def _with_reference_vjp(pallas_fn, q, k, v, q_seg, kv_seg, causal, scale,
                         kv_bounds=None):
     """Differentiable wrapper: Pallas forward, XLA-reference backward.

@@ -255,18 +255,11 @@ def rice_forward_stats(
     q, k, v = jnp.split(qkv.reshape(sp, 3, cfg.num_heads, d), 3, axis=1)
     q, k, v = q[:, 0], k[:, 0], v[:, 0]
     q, k = apply_rotary(q, k, cos, sin)
-    logits = jnp.einsum(
-        "qhd,khd->hqk", q, k, preferred_element_type=jnp.float32
-    ) * (d**-0.5)
-    mask = (seg_ids[:, None] == seg_ids[None, :]) & (seg_ids[None, :] > 0)
-    logits = jnp.where(mask[None], logits, -1e30)
-    probs = jax.nn.softmax(logits, axis=-1)
-    probs = jnp.where(mask[None], probs, 0.0)
-    attn_out = jnp.einsum("hqk,khd->qhd", probs.astype(v.dtype), v)
+    # Streamed masked softmax + per-key received mass (no [H, S, S] map).
+    from visionselector_tpu.kernels.attention import attention_with_received
 
-    valid_q = (seg_ids > 0).astype(jnp.float32)
-    n_valid = jnp.maximum(valid_q.sum(), 1.0)
-    recv = (probs.mean(axis=0) * valid_q[:, None]).sum(axis=0) / n_valid  # [S']
+    attn_out, recv = attention_with_received(q, k, v, seg_ids, scale=d**-0.5)
+    attn_out = attn_out.astype(v.dtype)
 
     x = x + attn_out.reshape(sp, -1) @ p["proj_kernel"] + p["proj_bias"]
     h2 = layer_norm(x, p["norm2_scale"], p["norm2_bias"], cfg.layer_norm_eps)

@@ -228,13 +228,17 @@ def generate_text_only(
     )
 
 
-@functools.partial(jax.jit, static_argnames=("cfg",))
+@functools.partial(jax.jit, static_argnames=("cfg", "window_diag"))
 def _vision_stats(params, cfg: VLConfig, pixel_values, rot_pos_ids,
-                  window_seg_ids, full_seg_ids, reverse_index):
+                  window_seg_ids, full_seg_ids, reverse_index,
+                  window_kv_bounds=None, full_kv_bounds=None,
+                  window_diag: bool = False):
     """ViT forward with last-block attention stats (baseline methods)."""
     return vit_mod.vit_forward_stats(
         params["visual"], pixel_values, rot_pos_ids, window_seg_ids,
         full_seg_ids, reverse_index, cfg.vision,
+        window_kv_bounds=window_kv_bounds, full_kv_bounds=full_kv_bounds,
+        window_diag=window_diag,
     )
 
 
@@ -957,6 +961,9 @@ class QwenVLEngine:
                 jnp.asarray(vb.pixel_values), jnp.asarray(vb.rot_pos_ids),
                 jnp.asarray(vb.window_seg_ids), jnp.asarray(vb.full_seg_ids),
                 jnp.asarray(vb.reverse_index),
+                jnp.asarray(vb.window_kv_bounds),
+                jnp.asarray(vb.full_kv_bounds),
+                window_diag=vb.window_diag,
             )
             merged_np = np.asarray(merged)[:n]
             attn_np = np.asarray(attn_recv)[:n] if self.strategy.needs_stats else None

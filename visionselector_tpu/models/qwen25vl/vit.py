@@ -353,6 +353,9 @@ def vit_forward_stats(
     full_seg_ids: jax.Array,
     reverse_index: jax.Array,
     cfg: VisionConfig,
+    window_kv_bounds: jax.Array | None = None,
+    full_kv_bounds: jax.Array | None = None,
+    window_diag: bool = False,
 ) -> Tuple[jax.Array, jax.Array, jax.Array]:
     """ViT forward that also exposes last-block attention statistics.
 
@@ -374,12 +377,49 @@ def vit_forward_stats(
     x = pixel_values.astype(dtype) @ params["patch_embed_kernel"]
     cos, sin = vision_rotary_cos_sin(rot_pos_ids, cfg.head_dim)
     use_full = [i in cfg.fullatt_block_indexes for i in range(cfg.depth)]
+    d = cfg.head_dim
+
+    attn_fns = [None, None]  # [window, full] overrides when bounds supplied
+    if window_kv_bounds is not None and full_kv_bounds is not None:
+        from visionselector_tpu.kernels.attention import (
+            attention_diag,
+            default_impl,
+        )
+
+        impl = default_impl()
+        use_diag = window_diag and impl in ("pallas", "pallas_interpret")
+        s_pad = pixel_values.shape[0]
+        wblock = s_pad // window_kv_bounds.shape[0]
+        fblock = s_pad // full_kv_bounds.shape[0]
+
+        def window_attn(q, k, v):
+            if use_diag:
+                return attention_diag(
+                    q[None], k[None], v[None], window_seg_ids[None],
+                    scale=d**-0.5, block_q=wblock,
+                    interpret=(impl == "pallas_interpret"),
+                )[0]
+            return attention(
+                q[None], k[None], v[None], window_seg_ids[None],
+                window_seg_ids[None], causal=False, scale=d**-0.5,
+                kv_bounds=window_kv_bounds, block_q=wblock, block_k=wblock,
+            )[0]
+
+        def full_attn(q, k, v):
+            return attention(
+                q[None], k[None], v[None], full_seg_ids[None],
+                full_seg_ids[None], causal=False, scale=d**-0.5,
+                kv_bounds=full_kv_bounds, block_q=fblock, block_k=fblock,
+            )[0]
+
+        attn_fns = [window_attn, full_attn]
 
     blocks = params["blocks"]
     for i in range(cfg.depth - 1):
         p = jax.tree.map(lambda a: a[i], blocks)
         seg = full_seg_ids if use_full[i] else window_seg_ids
-        x = _block(x, p, seg, cos, sin, cfg)
+        x = _block(x, p, seg, cos, sin, cfg,
+                   attn_fn=attn_fns[1] if use_full[i] else attn_fns[0])
 
     # Last block: capture stats.
     i = cfg.depth - 1
@@ -396,20 +436,12 @@ def vit_forward_stats(
     else:  # padded heads (weights.pad_vit_head_dim)
         q, k = apply_rotary_padded(q, k, cos, sin, d)
 
-    # Explicit masked softmax (fp32) for the stats + the block's attention out.
-    logits = jnp.einsum(
-        "qhd,khd->hqk", q, k, preferred_element_type=jnp.float32
-    ) * (d**-0.5)
-    mask = (seg[:, None] == seg[None, :]) & (seg[None, :] > 0)
-    logits = jnp.where(mask[None], logits, -1e30)
-    probs = jax.nn.softmax(logits, axis=-1)
-    probs = jnp.where(mask[None], probs, 0.0)
-    attn_out = jnp.einsum("hqk,khd->qhd", probs.astype(v.dtype), v)
+    # Streamed masked softmax + per-key received mass (kv-block scan): the
+    # explicit [H, S, S] fp32 map would be ~17 GB at the 16384 vision bucket.
+    from visionselector_tpu.kernels.attention import attention_with_received
 
-    # attention received per key: mean over heads, mean over VALID queries.
-    valid_q = (seg > 0).astype(jnp.float32)
-    n_valid = jnp.maximum(valid_q.sum(), 1.0)
-    recv = (probs.mean(axis=0) * valid_q[:, None]).sum(axis=0) / n_valid  # [S]
+    attn_out, recv = attention_with_received(q, k, v, seg, scale=d**-0.5)
+    attn_out = attn_out.astype(v.dtype)
 
     m = cfg.spatial_merge_unit
     recv_pooled = recv.reshape(-1, m).mean(axis=1)  # [L] window order
