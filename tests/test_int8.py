@@ -96,3 +96,40 @@ class TestQuantizedModel:
         h, (k_l, v_l) = lm_mod.lm_prefill(params, embeds, pos, seg, CFG.text)
         logits = lm_mod.lm_head(params, h[0, t - 1], CFG.text)
         assert np.isfinite(np.asarray(logits)).all()
+
+
+class TestInt8ViT:
+    def test_w8a8_forward_close(self):
+        """W8A8 ViT (int8 weights + dynamic per-token activation quant) must
+        track the fp32 tower closely on random inputs (opt-in experiment —
+        hits the MXU's 2x int8 path, unlike the LM's weight-only int8)."""
+        import jax
+
+        from visionselector_tpu.core.config import qwen25vl_tiny
+        from visionselector_tpu.models.qwen25vl import vit as vit_mod
+        from visionselector_tpu.preprocess.indices import build_vision_batch
+
+        cfg = qwen25vl_tiny()
+        rng = np.random.RandomState(0)
+        grid = np.array([[1, 8, 8]])
+        pixels = rng.randn(64, cfg.vision.patch_dim).astype(np.float32)
+        vb = build_vision_batch(
+            pixels, grid, window_size=cfg.vision.window_size,
+            spatial_merge_size=cfg.vision.spatial_merge_size,
+            patch_size=cfg.vision.patch_size, pad_to=64,
+        )
+        params = vit_mod.init_vit_params(
+            jax.random.PRNGKey(0), cfg.vision, jnp.float32
+        )
+        args = (jnp.asarray(vb.pixel_values), jnp.asarray(vb.rot_pos_ids),
+                jnp.asarray(vb.window_seg_ids), jnp.asarray(vb.full_seg_ids),
+                jnp.asarray(vb.reverse_index), cfg.vision)
+        ref = np.asarray(vit_mod.vit_forward(params, *args))[: vb.num_merged]
+        q8 = vit_mod.quantize_vit_params(params)
+        got = np.asarray(vit_mod.vit_forward(q8, *args))[: vb.num_merged]
+        cos = (ref * got).sum() / (
+            np.linalg.norm(ref) * np.linalg.norm(got) + 1e-9
+        )
+        assert cos > 0.98, cos
+        rel = np.linalg.norm(ref - got) / (np.linalg.norm(ref) + 1e-9)
+        assert rel < 0.2, rel

@@ -53,6 +53,12 @@ def main():
         jax.random.PRNGKey(0)
     )
     jax.block_until_ready(params)
+    int8_vit = os.environ.get("VST_INT8_VIT") == "1"
+    if int8_vit:
+        params = dict(params)
+        params["visual"] = jax.jit(vit_mod.quantize_vit_params)(
+            params["visual"])
+        jax.block_until_ready(params)
 
     base_args = dict(
         rot_pos_ids=jnp.asarray(vb.rot_pos_ids),
@@ -94,6 +100,7 @@ def main():
         "s_bucket": s_bucket,
         "window_block": os.environ.get("VST_WINDOW_BLOCK", "128"),
         "aligned": align,
+        "int8_vit": int8_vit,
         "window_diag": bool(vb.window_diag),
         "vit_ms_bounds": round(t_bounds * 1e3, 2),
         "platform": jax.devices()[0].platform,

@@ -101,6 +101,50 @@ def apply_rotary_padded(q, k, cos, sin, real_d: int):
     return rot(q), rot(k)
 
 
+VIT_QUANT_KERNELS = ("qkv_kernel", "proj_kernel", "gate_kernel",
+                     "up_kernel", "down_kernel")
+
+
+def quantize_vit_params(visual: dict) -> dict:
+    """W8A8 ViT (opt-in experiment): per-output-channel symmetric int8
+    weights for the block matmuls; activations are quantized per token at
+    run time (``_vit_dense``), so the matmuls hit the MXU's 2x-rate int8
+    path — unlike the LM's weight-only int8, which only halves weight HBM.
+    patch_embed and the merger stay high precision (raw-pixel dynamic range /
+    tiny cost). Accuracy-affecting: keep out of the default path.
+    """
+    blocks = dict(visual["blocks"])
+    for name in VIT_QUANT_KERNELS:
+        w = blocks[name]  # [n_layers, in, out]
+        amax = jnp.max(jnp.abs(w.astype(jnp.float32)), axis=1)  # [n, out]
+        scale = jnp.maximum(amax / 127.0, 1e-12)
+        blocks[name] = jnp.clip(
+            jnp.round(w.astype(jnp.float32) / scale[:, None, :]), -127, 127
+        ).astype(jnp.int8)
+        blocks[name + "_scale"] = scale
+    out = dict(visual)
+    out["blocks"] = blocks
+    return out
+
+
+def _vit_dense(x, p, name):
+    """x @ kernel (+ W8A8 path when the kernel is int8-quantized)."""
+    w = p[name]
+    if w.dtype != jnp.int8:
+        return x @ w + p[name.replace("_kernel", "_bias")]
+    xf = x.astype(jnp.float32)
+    x_scale = jnp.maximum(
+        jnp.max(jnp.abs(xf), axis=-1, keepdims=True) / 127.0, 1e-12
+    )
+    xq = jnp.clip(jnp.round(xf / x_scale), -127, 127).astype(jnp.int8)
+    acc = jax.lax.dot_general(
+        xq, w, (((1,), (0,)), ((), ())), preferred_element_type=jnp.int32
+    )
+    y = acc.astype(jnp.float32) * x_scale * p[name + "_scale"][None, :]
+    return (y + p[name.replace("_kernel", "_bias")].astype(jnp.float32)
+            ).astype(x.dtype)
+
+
 def _block(
     x: jax.Array,
     p: dict,
@@ -125,7 +169,7 @@ def _block(
     h = rms_norm(x, p["norm1_scale"], cfg.rms_norm_eps)
     s, d = h.shape[0], cfg.head_dim
     dp = p["qkv_kernel"].shape[-1] // (3 * cfg.num_heads)
-    qkv = h @ p["qkv_kernel"] + p["qkv_bias"]  # [S, 3*H*dp]
+    qkv = _vit_dense(h, p, "qkv_kernel")  # [S, 3*H*dp]
     if fused_fn is not None:
         # fused rotary+attention kernel consumes the raw qkv slab — no
         # split / rotary / transpose HBM passes (kernels.fused_vit_attn)
@@ -151,13 +195,12 @@ def _block(
             causal=False, scale=d**-0.5,
             kv_bounds=kv_bounds, block_q=VIT_BLOCK, block_k=VIT_BLOCK,
         )[0]
-    attn = attn.reshape(s, -1) @ p["proj_kernel"] + p["proj_bias"]
-    x = x + attn
+    x = x + _vit_dense(attn.reshape(s, -1), p, "proj_kernel")
 
     h = rms_norm(x, p["norm2_scale"], cfg.rms_norm_eps)
-    gate = h @ p["gate_kernel"] + p["gate_bias"]
-    up = h @ p["up_kernel"] + p["up_bias"]
-    x = x + (jax.nn.silu(gate) * up) @ p["down_kernel"] + p["down_bias"]
+    gate = _vit_dense(h, p, "gate_kernel")
+    up = _vit_dense(h, p, "up_kernel")
+    x = x + _vit_dense(jax.nn.silu(gate) * up, p, "down_kernel")
     return x
 
 
@@ -428,7 +471,7 @@ def vit_forward_stats(
     h = rms_norm(x, p["norm1_scale"], cfg.rms_norm_eps)
     s, d = h.shape[0], cfg.head_dim
     dp = p["qkv_kernel"].shape[-1] // (3 * cfg.num_heads)
-    qkv = h @ p["qkv_kernel"] + p["qkv_bias"]
+    qkv = _vit_dense(h, p, "qkv_kernel")
     q, k, v = jnp.split(qkv.reshape(s, 3, cfg.num_heads, dp), 3, axis=1)
     q, k, v = q[:, 0], k[:, 0], v[:, 0]
     if dp == d:
@@ -449,11 +492,11 @@ def vit_forward_stats(
         k.reshape(s // m, m, cfg.num_heads * dp).astype(jnp.float32).mean(axis=1)
     )  # [L, H*dp] (zero pad channels don't affect norms/similarities)
 
-    x = x + attn_out.reshape(s, -1) @ p["proj_kernel"] + p["proj_bias"]
+    x = x + _vit_dense(attn_out.reshape(s, -1), p, "proj_kernel")
     h2 = rms_norm(x, p["norm2_scale"], cfg.rms_norm_eps)
-    gate = h2 @ p["gate_kernel"] + p["gate_bias"]
-    up = h2 @ p["up_kernel"] + p["up_bias"]
-    x = x + (jax.nn.silu(gate) * up) @ p["down_kernel"] + p["down_bias"]
+    gate = _vit_dense(h2, p, "gate_kernel")
+    up = _vit_dense(h2, p, "up_kernel")
+    x = x + _vit_dense(jax.nn.silu(gate) * up, p, "down_kernel")
 
     # merger + unpermute (shared tail)
     hm = rms_norm(x, params["merger_ln_scale"], cfg.rms_norm_eps)
