@@ -388,6 +388,107 @@ def vit_forward(
     return h[reverse_index]
 
 
+def vit_forward_sp(
+    params: dict,
+    pixel_values: jax.Array,
+    rot_pos_ids: jax.Array,
+    window_seg_ids: jax.Array,
+    full_seg_ids: jax.Array,
+    reverse_index: jax.Array,
+    cfg: VisionConfig,
+    mesh,
+    axis: str = "model",
+) -> jax.Array:
+    """Sequence-parallel vision tower: the patch axis sharded over ``axis``.
+
+    For images/videos whose activations exceed one chip's HBM (SURVEY §5.7's
+    sequence-parallel slot). The window-ALIGNED layout makes this natural on
+    TPU: every window lives in a 64-patch slot, so as long as each shard is a
+    whole number of slots, **28 of 32 layers (window attention) run with ZERO
+    communication** — attention, norms and MLPs are all token-local. Only the
+    4 full-attention layers all-gather k/v (+ their segment ids) over ICI;
+    weights are replicated (they are small next to activations at these
+    sequence lengths). The merger is token-local too; the final un-permute
+    gathers across shards under jit.
+
+    Requires: ``build_vision_batch(align_windows=True)`` arrays, and
+    S_pad % (n_shards * 64-slot) == 0 (asserted).
+    """
+    from jax.experimental.shard_map import shard_map
+    from jax.sharding import PartitionSpec as P
+
+    n_shards = mesh.shape[axis]
+    s_pad = pixel_values.shape[0]
+    win = cfg.window_size // cfg.spatial_merge_size // cfg.patch_size
+    slot = win * win * cfg.spatial_merge_unit
+    assert s_pad % (n_shards * slot) == 0, (s_pad, n_shards, slot)
+    use_full = [i in cfg.fullatt_block_indexes for i in range(cfg.depth)]
+    d = cfg.head_dim
+
+    def local_tower(params, pixels, rot_ids, wseg, fseg):
+        dtype = params["patch_embed_kernel"].dtype
+        x = pixels.astype(dtype) @ params["patch_embed_kernel"]
+        cos, sin = vision_rotary_cos_sin(rot_ids, d)
+
+        local_s = pixels.shape[0]
+        bq = slot
+        while bq * 2 <= min(512, local_s) and local_s % (bq * 2) == 0:
+            bq *= 2
+
+        def window_attn(q, k, v):
+            # windows are shard-local: block-diagonal diag kernel on TPU
+            # (shards are whole slots), masked reference elsewhere
+            from visionselector_tpu.kernels.attention import (
+                attention_diag,
+                default_impl,
+            )
+
+            impl = default_impl()
+            if impl in ("pallas", "pallas_interpret"):
+                return attention_diag(
+                    q[None], k[None], v[None], wseg[None], scale=d**-0.5,
+                    block_q=bq, interpret=(impl == "pallas_interpret"),
+                )[0]
+            return attention(
+                q[None], k[None], v[None], wseg[None], wseg[None],
+                causal=False, scale=d**-0.5,
+            )[0]
+
+        def full_attn(q, k, v):
+            kg = jax.lax.all_gather(k, axis, axis=0, tiled=True)
+            vg = jax.lax.all_gather(v, axis, axis=0, tiled=True)
+            sg = jax.lax.all_gather(fseg, axis, axis=0, tiled=True)
+            return attention(
+                q[None], kg[None], vg[None], fseg[None], sg[None],
+                causal=False, scale=d**-0.5,
+            )[0]
+
+        blocks = params["blocks"]
+        for i in range(cfg.depth):
+            p = jax.tree.map(lambda a: a[i], blocks)
+            x = _block(
+                x, p, None, cos, sin, cfg,
+                attn_fn=full_attn if use_full[i] else window_attn,
+            )
+
+        m = cfg.spatial_merge_unit
+        h = rms_norm(x, params["merger_ln_scale"], cfg.rms_norm_eps)
+        h = h.reshape(x.shape[0] // m, m * cfg.hidden_size)
+        h = h @ params["merger_fc1_kernel"] + params["merger_fc1_bias"]
+        h = jax.nn.gelu(h, approximate=False)
+        h = h @ params["merger_fc2_kernel"] + params["merger_fc2_bias"]
+        return h
+
+    h = shard_map(
+        local_tower,
+        mesh=mesh,
+        in_specs=(P(), P(axis), P(axis), P(axis), P(axis)),
+        out_specs=P(axis),
+        check_rep=False,
+    )(params, pixel_values, rot_pos_ids, window_seg_ids, full_seg_ids)
+    return h[reverse_index]
+
+
 def vit_forward_stats(
     params: dict,
     pixel_values: jax.Array,
