@@ -308,6 +308,60 @@ class TestHFParity:
         )
         assert res.tokens == hf_tokens, (res.tokens, hf_tokens)
 
+    def test_mixed_image_video_generation_matches_hf(self, hf_checkpoint,
+                                                     jax_side):
+        """ONE prompt containing an image run AND a video run: the pixel
+        concat / merged-order map / interleaved M-RoPE must all agree with
+        HF greedy generate."""
+        from visionselector_tpu.models.qwen25vl.model import QwenVLEngine
+        from visionselector_tpu.preprocess.image import preprocess_image
+        from visionselector_tpu.preprocess.video import process_video
+
+        _, hf_model = hf_checkpoint
+        cfg, params = jax_side
+        rng = np.random.RandomState(7)
+        img = (rng.rand(56, 84, 3) * 255).astype(np.uint8)
+        px_img, grid_img = preprocess_image(img, min_pixels=1,
+                                            max_pixels=10**9)
+        frames = (rng.rand(4, 56, 56, 3) * 255).astype(np.uint8)
+        px_vid, grid_vid, spg = process_video(
+            frames, ele={"min_pixels": 1, "max_pixels": 10**9, "nframes": 4},
+        )
+
+        n_img = int(np.prod(grid_img[0]) // 4)
+        n_vid = int(np.prod(grid_vid[0]) // 4)
+        ids = np.asarray(
+            [100, 200]
+            + [cfg.vision_start_token_id] + [cfg.image_token_id] * n_img
+            + [cfg.vision_end_token_id] + [250]
+            + [cfg.vision_start_token_id] + [cfg.video_token_id] * n_vid
+            + [cfg.vision_end_token_id] + [300, 400],
+            np.int64,
+        )
+        t_orig = len(ids)
+
+        with torch.no_grad():
+            out = hf_model.generate(
+                input_ids=torch.tensor(ids[None]),
+                attention_mask=torch.ones(1, t_orig, dtype=torch.long),
+                pixel_values=torch.tensor(px_img, dtype=torch.float32),
+                image_grid_thw=torch.tensor(np.asarray(grid_img)),
+                pixel_values_videos=torch.tensor(px_vid, dtype=torch.float32),
+                video_grid_thw=torch.tensor(np.asarray(grid_vid)),
+                second_per_grid_ts=torch.tensor([spg]),
+                max_new_tokens=5, do_sample=False,
+            )
+        hf_tokens = out[0, t_orig:].tolist()
+
+        eng = QwenVLEngine(cfg, params, use_selector=False)
+        res = eng.generate(
+            ids, pixel_values=px_img, grid_thw=grid_img,
+            pixel_values_videos=px_vid, video_grid_thw=grid_vid,
+            second_per_grid_ts=np.array([spg]), max_new_tokens=5,
+            eos_token_ids=(-1,),
+        )
+        assert res.tokens == hf_tokens, (res.tokens, hf_tokens)
+
     def test_sft_loss_matches_hf(self, hf_checkpoint, jax_side):
         """Plain CE training forward (no selector) equals HF's loss on the
         same image+labels batch — pins the supervised path."""

@@ -548,3 +548,31 @@ class TestOVMultiImage:
         k = max(1, int(n * 0.3))
         assert len(res.selected_indices) == k
         assert res.selected_indices.max() < n
+
+
+class TestOVMixedImageVideo:
+    def test_mixed_request_runs_and_compacts(self, params):
+        """One prompt with an image run AND a video run through OVEngine
+        (1D rope; image grids first in merged order, re-sorted by position)."""
+        p_img, g_img = make_pixels(56, 84, 10)
+        frames, g_vid = make_pixels(56, 56, 11)  # treat as a 1-frame video
+        n_img = int(np.prod(g_img[0]) // 4)
+        n_vid = int(np.prod(g_vid[0]) // 4)
+        ids = np.asarray(
+            [100]
+            + [CFG.vision_start_token_id] + [CFG.video_token_id] * n_vid
+            + [CFG.vision_end_token_id] + [250]
+            + [CFG.vision_start_token_id] + [CFG.image_token_id] * n_img
+            + [CFG.vision_end_token_id] + [300],
+            np.int64,
+        )  # video BEFORE image: exercises the re-sort
+        eng = OVEngine(CFG, params, use_selector=True, budget=0.4)
+        res = eng.generate(
+            ids, pixel_values=p_img, grid_thw=g_img,
+            pixel_values_videos=frames, video_grid_thw=g_vid,
+            max_new_tokens=3, eos_token_ids=(-1,),
+        )
+        assert len(res.tokens) == 3
+        assert res.num_vision_tokens == n_img + n_vid
+        k = max(1, int((n_img + n_vid) * 0.4))
+        assert len(res.selected_indices) == k

@@ -125,12 +125,19 @@ class OVEngine:
 
         cfg = self.cfg
         is_video = pixel_values_videos is not None
+        has_img = pixel_values is not None
         if is_video:
             # video = per-frame grid rows through the same RICE path (the OV
-            # text model uses 1D rope, so no temporal rope scaling applies)
-            assert pixel_values is None, "mixed image+video not wired yet"
-            pixel_values = pixel_values_videos
-            grid_thw = video_grid_thw
+            # text model uses 1D rope, so no temporal rope scaling applies);
+            # mixed requests concatenate image grids first, then video grids
+            # (matching the merged-order -> sequence map below).
+            if has_img:
+                pixel_values = np.concatenate(
+                    [pixel_values, pixel_values_videos])
+                grid_thw = np.concatenate([grid_thw, video_grid_thw])
+            else:
+                pixel_values = pixel_values_videos
+                grid_thw = video_grid_thw
         if eos_token_ids is None:
             eos_token_ids = (cfg.eos_token_id,)
         input_ids = np.asarray(input_ids).reshape(-1)
@@ -170,10 +177,14 @@ class OVEngine:
         else:
             k, k_max = n, l_pad
 
-        vision_token_id = (cfg.video_token_id if is_video
-                           else cfg.image_token_id)
-        is_vision = input_ids == vision_token_id
-        image_pos = np.where(is_vision)[0]
+        is_img = input_ids == cfg.image_token_id
+        is_vid = input_ids == cfg.video_token_id
+        is_vision = (is_img if has_img else False) | (
+            is_vid if is_video else False)
+        image_pos = np.concatenate([
+            np.where(is_img)[0] if has_img else [],
+            np.where(is_vid)[0] if is_video else [],
+        ]).astype(np.int64)
         assert len(image_pos) == n, (len(image_pos), n)
         text_pos = np.where(~is_vision)[0]
         num_text = len(text_pos)

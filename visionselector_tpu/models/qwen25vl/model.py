@@ -782,9 +782,17 @@ class QwenVLEngine:
         t_orig = len(input_ids)
         t_start = time.perf_counter()
 
+        # Image / video / MIXED requests: pixel rows are concatenated
+        # (image grids first, then video grids) through one ViT call; the
+        # merged-order -> sequence-position map below follows the same order,
+        # and get_rope_index handles interleaved vision runs natively.
+        img_grid = grid_thw if pixel_values is not None else None
+        vid_grid = video_grid_thw if pixel_values_videos is not None else None
         is_video = pixel_values_videos is not None
-        if is_video:
-            assert pixel_values is None, "mixed image+video not wired yet"
+        if pixel_values is not None and pixel_values_videos is not None:
+            pixel_values = np.concatenate([pixel_values, pixel_values_videos])
+            grid_thw = np.concatenate([grid_thw, video_grid_thw])
+        elif is_video:
             pixel_values = pixel_values_videos
             grid_thw = video_grid_thw
 
@@ -798,7 +806,6 @@ class QwenVLEngine:
             )
 
         assert grid_thw is not None
-        vision_token_id = cfg.video_token_id if is_video else cfg.image_token_id
 
         merge_unit = cfg.vision.spatial_merge_unit
         s_real = pixel_values.shape[0]
@@ -840,9 +847,19 @@ class QwenVLEngine:
             k = n
             k_max = l_pad
 
-        # Host-side index arrays over the original sequence.
-        is_vision = input_ids == vision_token_id
-        image_pos = np.where(is_vision)[0]
+        # Host-side index arrays over the original sequence. Merged-token
+        # order is [image grids..., video grids...] (the pixel concat above),
+        # so the merged->sequence map lists image-token positions first;
+        # compact_sequence re-sorts by sequence position, so an interleaved
+        # prompt (video before image) stays correct.
+        is_img = input_ids == cfg.image_token_id
+        is_vid = input_ids == cfg.video_token_id
+        is_vision = (is_img if img_grid is not None else False) | (
+            is_vid if vid_grid is not None else False)
+        image_pos = np.concatenate([
+            np.where(is_img)[0] if img_grid is not None else [],
+            np.where(is_vid)[0] if vid_grid is not None else [],
+        ]).astype(np.int64)
         assert len(image_pos) == n, (len(image_pos), n)
         text_pos = np.where(~is_vision)[0]
         num_text = len(text_pos)
@@ -858,8 +875,8 @@ class QwenVLEngine:
 
         position_ids, rope_delta = get_rope_index(
             input_ids,
-            image_grid_thw=None if is_video else grid_thw,
-            video_grid_thw=grid_thw if is_video else None,
+            image_grid_thw=img_grid,
+            video_grid_thw=vid_grid,
             second_per_grid_ts=second_per_grid_ts,
             spatial_merge_size=cfg.vision.spatial_merge_size,
             tokens_per_second=cfg.vision.tokens_per_second,
