@@ -482,3 +482,51 @@ class TestAttentionWithReceived:
         np.testing.assert_allclose(np.asarray(got_out), want_out, atol=3e-5)
         np.testing.assert_allclose(np.asarray(got_recv), want_recv, atol=3e-6)
         np.testing.assert_array_equal(np.asarray(got_out)[seg == 0], 0.0)
+
+
+class TestStreamedFlash:
+    """Large-sequence streamed kernel (scalar-prefetched, bounds-driven kv
+    tiles; whole-kv VMEM overflows beyond ~14k patches)."""
+
+    @pytest.mark.parametrize("causal", [False, True])
+    def test_vs_reference(self, causal):
+        from visionselector_tpu.kernels.attention import (
+            _flash_pallas_streamed,
+            segment_block_bounds,
+        )
+
+        seg = np.concatenate([
+            np.repeat(np.arange(1, 6), 100), np.zeros(12, np.int32),
+        ]).astype(np.int32)
+        q, k, v, qs, ks = make_inputs(1, 512, 512, 4, 32, seg)
+        want = mha_reference(q, k, v, qs, ks, causal=causal)
+        bounds = jnp.asarray(segment_block_bounds(seg, 64, 64))
+        got = _flash_pallas_streamed(
+            q, k, v, qs, ks, causal, 32**-0.5, 64, 64, bounds,
+            interpret=True, heads_per_program=2,
+        )
+        np.testing.assert_allclose(
+            np.asarray(got), np.asarray(want), atol=3e-5, rtol=1e-4
+        )
+
+    def test_kv_iters_limits_fetch(self):
+        """With per-frame segments, kv_iters = max(hi-lo) tiles suffices."""
+        from visionselector_tpu.kernels.attention import (
+            _flash_pallas_streamed,
+            segment_block_bounds,
+        )
+
+        # 4 'frames' of 64 tokens each — per-frame full-attn segments
+        seg = np.repeat(np.arange(1, 5), 64).astype(np.int32)
+        q, k, v, qs, ks = make_inputs(1, 256, 256, 2, 16, seg, seed=9)
+        want = mha_reference(q, k, v, qs, ks)
+        bounds = segment_block_bounds(seg, 64, 64)
+        iters = int((bounds[:, 1] - bounds[:, 0]).max())
+        assert iters == 1  # each q block needs exactly its own tile
+        got = _flash_pallas_streamed(
+            q, k, v, qs, ks, False, 16**-0.5, 64, 64, jnp.asarray(bounds),
+            interpret=True, kv_iters=iters,
+        )
+        np.testing.assert_allclose(
+            np.asarray(got), np.asarray(want), atol=3e-5, rtol=1e-4
+        )

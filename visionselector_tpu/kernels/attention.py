@@ -177,6 +177,7 @@ DIAG_HPP = int(os.environ.get("VST_DIAG_HPP", "16"))
 def _flash_pallas(
     q, k, v, q_seg, kv_seg, causal, scale, block_q=DEFAULT_BLOCK,
     block_k=DEFAULT_BLOCK, kv_bounds=None, interpret=False,
+    kv_iters=None,
 ):
     """q: [B, Sq, H, D] -> [B, Sq, H, D]. Sq/Sk must be multiples of blocks.
 
@@ -217,6 +218,18 @@ def _flash_pallas(
         kv_bounds = jnp.stack(
             [jnp.zeros(num_q_blocks, jnp.int32),
              jnp.full(num_q_blocks, num_kv_blocks, jnp.int32)], axis=1
+        )
+
+    # Whole-kv-in-VMEM overflows scoped VMEM beyond ~14k patches (measured:
+    # 16384 x 80 double-buffered = 16.5 MB > the 16 MB limit) — stream kv
+    # tiles with bounds-driven data-dependent fetching instead.
+    # Measured: 16384 x 80 whole-kv = 10.5 MB double-buffered + ~6 MB of
+    # q/out/scratch overflows the 16 MB scoped limit; stream above ~8 MB.
+    kv_vmem = sk * d * q.dtype.itemsize * 2  # one head's k+v, one buffer
+    if kv_vmem * 2 > 8 * 2**20:
+        return _flash_pallas_streamed(
+            q, k, v, q_seg, kv_seg, causal, scale, block_q, block_k,
+            kv_bounds, interpret=interpret, kv_iters=kv_iters,
         )
 
     # [B, H, S, D] layout: Mosaic requires the last block dim divisible by 128
@@ -267,6 +280,167 @@ def _flash_pallas(
         q_seg.astype(jnp.int32),
         kv_seg.astype(jnp.int32),
         kv_bounds.astype(jnp.int32),
+    )
+    return out.transpose(0, 2, 1, 3)
+
+
+def _flash_kernel_streamed(bounds_ref, q_ref, k_ref, v_ref, qseg_ref,
+                           kseg_ref, o_ref, acc_ref, m_ref, l_ref,
+                           *, scale, causal, block_k, num_heads, nkv_iters,
+                           block_q):
+    """Streamed flash body. Grid: (B, head_groups, num_q_blocks, nkv_iters).
+
+    kv tiles are fetched DATA-DEPENDENTLY: the BlockSpec index map reads this
+    q-block's [lo, hi) range from the scalar-prefetched ``bounds_ref`` and
+    fetches tile ``lo + ikv`` — so only the tiles a q block actually attends
+    to are ever DMA'd (for video, full-attention segments are per-frame:
+    ~2 tiles instead of 32 at the 16384 bucket), and VMEM holds one kv tile
+    instead of the whole sequence (the whole-kv layout overflows scoped VMEM
+    beyond ~14k patches). Accumulators persist in VMEM scratch across the
+    innermost kv grid axis; the output block is (re)written each step and
+    flushed when the q block changes.
+    """
+    iq = pl.program_id(2)
+    ikv = pl.program_id(3)
+    lo = bounds_ref[2 * iq]
+    hi = bounds_ref[2 * iq + 1]
+    j = jnp.minimum(lo + ikv, jnp.maximum(hi - 1, 0))  # fetched tile index
+    q_seg = qseg_ref[0]
+
+    @pl.when(ikv == 0)
+    def _init():
+        acc_ref[...] = jnp.zeros_like(acc_ref)
+        m_ref[...] = jnp.full_like(m_ref, NEG_INF)
+        l_ref[...] = jnp.zeros_like(l_ref)
+
+    active = (lo + ikv) < hi
+    if causal:
+        last_q = (iq + 1) * block_q - 1
+        active = active & (j * block_k <= last_q)
+
+    @pl.when(active)
+    def _compute():
+        k_seg = kseg_ref[0]
+        for hh in range(num_heads):
+            q = q_ref[0, hh]
+            k = k_ref[0, hh]
+            v = v_ref[0, hh]
+            s = jax.lax.dot_general(
+                q, k, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            ) * scale
+            mask = (q_seg[:, None] == k_seg[None, :]) & (k_seg[None, :] > 0)
+            if causal:
+                qi = iq * block_q + jax.lax.broadcasted_iota(
+                    jnp.int32, (block_q, block_k), 0)
+                ki = j * block_k + jax.lax.broadcasted_iota(
+                    jnp.int32, (block_q, block_k), 1)
+                mask = mask & (qi >= ki)
+            s = jnp.where(mask, s, NEG_INF)
+            m_prev = m_ref[hh]
+            l_prev = l_ref[hh]
+            m_cur = jnp.max(s, axis=-1, keepdims=True)
+            m_new = jnp.maximum(m_prev, m_cur)
+            p = jnp.where(mask, jnp.exp(s - m_new), 0.0)
+            alpha = jnp.exp(m_prev - m_new)
+            l_ref[hh] = l_prev * alpha + jnp.sum(p, axis=-1, keepdims=True)
+            pv = jax.lax.dot_general(
+                p.astype(v.dtype), v, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            acc_ref[hh] = acc_ref[hh] * alpha + pv
+            m_ref[hh] = m_new
+
+    @pl.when(ikv == nkv_iters - 1)
+    def _finalize():
+        for hh in range(num_heads):
+            l = l_ref[hh]
+            o_ref[0, hh] = (
+                acc_ref[hh] / jnp.where(l == 0.0, 1.0, l)
+            ).astype(o_ref.dtype)
+
+
+def _flash_pallas_streamed(
+    q, k, v, q_seg, kv_seg, causal, scale, block_q, block_k,
+    kv_bounds, interpret=False, kv_iters: int | None = None,
+    heads_per_program: int | None = None,
+):
+    """Large-sequence flash attention: kv streamed tile-by-tile (see
+    ``_flash_kernel_streamed``). Requires block-aligned shapes and bounds.
+
+    ``kv_iters``: static max tiles any q block needs (host-computed from the
+    bounds; defaults to the full tile count)."""
+    b, sq, h, d = q.shape
+    sk = k.shape[1]
+    assert sq % block_q == 0 and sk % block_k == 0, (sq, sk, block_q, block_k)
+    num_q_blocks = sq // block_q
+    num_kv_blocks = sk // block_k
+    if kv_iters is None:
+        kv_iters = num_kv_blocks
+    kv_iters = max(1, min(kv_iters, num_kv_blocks))
+    if heads_per_program is None:
+        heads_per_program = int(os.environ.get("VST_STREAM_HPP", "4"))
+    hpp = min(heads_per_program, h)
+    while h % hpp:
+        hpp -= 1
+
+    qt = q.transpose(0, 2, 1, 3)
+    kt = k.transpose(0, 2, 1, 3)
+    vt = v.transpose(0, 2, 1, 3)
+    bounds_flat = kv_bounds.astype(jnp.int32).reshape(-1)
+
+    kernel = functools.partial(
+        _flash_kernel_streamed, scale=scale, causal=causal, block_k=block_k,
+        num_heads=hpp, nkv_iters=kv_iters, block_q=block_q,
+    )
+
+    def kv_index(ib, ih, iq, ikv, bounds):
+        lo = bounds[2 * iq]
+        hi = bounds[2 * iq + 1]
+        j = jnp.minimum(lo + ikv, jnp.maximum(hi - 1, 0))
+        return (ib, ih, j, 0)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(b, h // hpp, num_q_blocks, kv_iters),
+        in_specs=[
+            pl.BlockSpec((1, hpp, block_q, d),
+                         lambda ib, ih, iq, ikv, bounds: (ib, ih, iq, 0)),
+            pl.BlockSpec((1, hpp, block_k, d), kv_index),
+            pl.BlockSpec((1, hpp, block_k, d), kv_index),
+            pl.BlockSpec((1, block_q),
+                         lambda ib, ih, iq, ikv, bounds: (ib, iq)),
+            pl.BlockSpec((1, block_k),
+                         lambda ib, ih, iq, ikv, bounds: (
+                             ib, kv_index(ib, ih, iq, ikv, bounds)[2])),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, hpp, block_q, d),
+            lambda ib, ih, iq, ikv, bounds: (ib, ih, iq, 0)),
+        scratch_shapes=[
+            pltpu.VMEM((hpp, block_q, d), jnp.float32),
+            pltpu.VMEM((hpp, block_q, 1), jnp.float32),
+            pltpu.VMEM((hpp, block_q, 1), jnp.float32),
+        ],
+    )
+    out = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((b, h, sq, d), q.dtype),
+        interpret=interpret,
+        cost_estimate=pl.CostEstimate(
+            flops=4 * b * h * sq * min(sk, kv_iters * block_k) * d,
+            bytes_accessed=(qt.size + 2 * kt.size // max(1, num_kv_blocks //
+                                                         kv_iters)) * 2,
+            transcendentals=b * h * sq * kv_iters * block_k,
+        ),
+    )(
+        bounds_flat,
+        qt,
+        kt,
+        vt,
+        q_seg.astype(jnp.int32),
+        kv_seg.astype(jnp.int32),
     )
     return out.transpose(0, 2, 1, 3)
 
@@ -705,6 +879,7 @@ def attention(
     kv_bounds: jax.Array | None = None,
     block_q: int = DEFAULT_BLOCK,
     block_k: int = DEFAULT_BLOCK,
+    kv_iters: int | None = None,
 ) -> jax.Array:
     """Segment-masked multi-head attention. See ``mha_reference`` for shapes.
 
@@ -735,6 +910,7 @@ def attention(
                 return _flash_pallas(
                     q, k, v, q_seg, kv_seg, causal, scale, block_q, block_k,
                     kv_bounds=kv_bounds, interpret=interpret,
+                    kv_iters=kv_iters,
                 )
         return _with_reference_vjp(
             pallas_fn, q, k, v, q_seg, kv_seg, causal, scale,

@@ -76,7 +76,9 @@ def encode_vision(params, cfg: VLConfig, pixel_values, rot_pos_ids,
 
 
 @functools.partial(
-    jax.jit, static_argnames=("cfg", "k_max", "use_selector", "window_diag")
+    jax.jit,
+    static_argnames=("cfg", "k_max", "use_selector", "window_diag",
+                     "window_kv_iters", "full_kv_iters"),
 )
 def _prefill(
     params: dict,
@@ -100,6 +102,8 @@ def _prefill(
     window_kv_bounds: jax.Array | None = None,
     full_kv_bounds: jax.Array | None = None,
     window_diag: bool = False,
+    window_kv_iters: int = 0,
+    full_kv_iters: int = 0,
 ):
     """Returns (next_token, selection indices/valid, compacted valid_len,
     kv cache (k, v) at prefill length, logits row)."""
@@ -108,6 +112,7 @@ def _prefill(
         full_seg_ids, reverse_index, cfg.vision,
         window_kv_bounds=window_kv_bounds, full_kv_bounds=full_kv_bounds,
         window_diag=window_diag,
+        window_kv_iters=window_kv_iters, full_kv_iters=full_kv_iters,
     )  # [L_pad, out]
 
     text_embeds = lm_mod.embed_tokens(params["lm"], input_ids)  # [T_orig, D]
@@ -228,17 +233,22 @@ def generate_text_only(
     )
 
 
-@functools.partial(jax.jit, static_argnames=("cfg", "window_diag"))
+@functools.partial(
+    jax.jit,
+    static_argnames=("cfg", "window_diag", "window_kv_iters", "full_kv_iters"),
+)
 def _vision_stats(params, cfg: VLConfig, pixel_values, rot_pos_ids,
                   window_seg_ids, full_seg_ids, reverse_index,
                   window_kv_bounds=None, full_kv_bounds=None,
-                  window_diag: bool = False):
+                  window_diag: bool = False, window_kv_iters: int = 0,
+                  full_kv_iters: int = 0):
     """ViT forward with last-block attention stats (baseline methods)."""
     return vit_mod.vit_forward_stats(
         params["visual"], pixel_values, rot_pos_ids, window_seg_ids,
         full_seg_ids, reverse_index, cfg.vision,
         window_kv_bounds=window_kv_bounds, full_kv_bounds=full_kv_bounds,
         window_diag=window_diag,
+        window_kv_iters=window_kv_iters, full_kv_iters=full_kv_iters,
     )
 
 
@@ -279,7 +289,9 @@ def _prefill_from_vision(
 
 
 @functools.partial(
-    jax.jit, static_argnames=("cfg", "target", "capture", "window_diag")
+    jax.jit,
+    static_argnames=("cfg", "target", "capture", "window_diag",
+                     "window_kv_iters", "full_kv_iters"),
 )
 def _stage_a(
     params: dict,
@@ -289,7 +301,8 @@ def _stage_a(
     pixel_values, rot_pos_ids, window_seg_ids, full_seg_ids, reverse_index,
     num_merged, input_ids, image_positions, text_positions, num_text,
     position_ids_orig, window_kv_bounds=None, full_kv_bounds=None,
-    window_diag: bool = False,
+    window_diag: bool = False, window_kv_iters: int = 0,
+    full_kv_iters: int = 0,
 ):
     """LLM-side compression, stage A: ViT + full-sequence decoder layers
     [0, target) with attention-statistic capture.
@@ -308,6 +321,7 @@ def _stage_a(
         full_seg_ids, reverse_index, cfg.vision,
         window_kv_bounds=window_kv_bounds, full_kv_bounds=full_kv_bounds,
         window_diag=window_diag,
+        window_kv_iters=window_kv_iters, full_kv_iters=full_kv_iters,
     )
     return _stage_a_core(
         params, cfg, target, capture, vision_embeds, num_merged, input_ids,
@@ -900,6 +914,8 @@ class QwenVLEngine:
                 jnp.asarray(vb.window_kv_bounds),
                 jnp.asarray(vb.full_kv_bounds),
                 window_diag=vb.window_diag,
+                window_kv_iters=vb.window_kv_iters,
+                full_kv_iters=vb.full_kv_iters,
             )
             t_pad_full = hidden_t.shape[1]
             fv = np.asarray(fv_scores)[:t_orig]
@@ -981,6 +997,8 @@ class QwenVLEngine:
                 jnp.asarray(vb.window_kv_bounds),
                 jnp.asarray(vb.full_kv_bounds),
                 window_diag=vb.window_diag,
+                window_kv_iters=vb.window_kv_iters,
+                full_kv_iters=vb.full_kv_iters,
             )
             merged_np = np.asarray(merged)[:n]
             attn_np = np.asarray(attn_recv)[:n] if self.strategy.needs_stats else None
@@ -1019,6 +1037,8 @@ class QwenVLEngine:
                 jnp.asarray(vb.window_kv_bounds),
                 jnp.asarray(vb.full_kv_bounds),
                 window_diag=vb.window_diag,
+                window_kv_iters=vb.window_kv_iters,
+                full_kv_iters=vb.full_kv_iters,
             )
         next_token.block_until_ready()
         t_prefill = time.perf_counter() - t_start

@@ -215,6 +215,8 @@ def vit_forward(
     window_kv_bounds: jax.Array | None = None,
     full_kv_bounds: jax.Array | None = None,
     window_diag: bool = False,
+    window_kv_iters: int = 0,
+    full_kv_iters: int = 0,
 ) -> jax.Array:
     """Vision tower forward.
 
@@ -355,6 +357,7 @@ def vit_forward(
                         window_seg_ids[None], causal=False, scale=d**-0.5,
                         kv_bounds=window_kv_bounds,
                         block_q=wblock, block_k=wblock,
+                        kv_iters=window_kv_iters or None,
                     )[0]
 
                 def full_branch(ops):
@@ -364,6 +367,7 @@ def vit_forward(
                         full_seg_ids[None], causal=False, scale=d**-0.5,
                         kv_bounds=full_kv_bounds,
                         block_q=fblock, block_k=fblock,
+                        kv_iters=full_kv_iters or None,
                     )[0]
 
                 return jax.lax.cond(full, full_branch, window_branch, (q, k, v))
@@ -500,6 +504,8 @@ def vit_forward_stats(
     window_kv_bounds: jax.Array | None = None,
     full_kv_bounds: jax.Array | None = None,
     window_diag: bool = False,
+    window_kv_iters: int = 0,
+    full_kv_iters: int = 0,
 ) -> Tuple[jax.Array, jax.Array, jax.Array]:
     """ViT forward that also exposes last-block attention statistics.
 
@@ -547,6 +553,7 @@ def vit_forward_stats(
                 q[None], k[None], v[None], window_seg_ids[None],
                 window_seg_ids[None], causal=False, scale=d**-0.5,
                 kv_bounds=window_kv_bounds, block_q=wblock, block_k=wblock,
+                kv_iters=window_kv_iters or None,
             )[0]
 
         def full_attn(q, k, v):
@@ -554,6 +561,7 @@ def vit_forward_stats(
                 q[None], k[None], v[None], full_seg_ids[None],
                 full_seg_ids[None], causal=False, scale=d**-0.5,
                 kv_bounds=full_kv_bounds, block_q=fblock, block_k=fblock,
+                kv_iters=full_kv_iters or None,
             )[0]
 
         attn_fns = [window_attn, full_attn]

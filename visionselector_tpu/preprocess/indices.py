@@ -151,6 +151,12 @@ class VisionBatch:
     # any block size that is a multiple of 64, enabling the all-heads
     # diagonal Pallas kernel (kernels.attention.attention_diag).
     window_diag: bool = False
+    # Static max kv tiles any query block needs (host-computed
+    # max(hi - lo) over the bounds): lets the streamed large-sequence kernel
+    # fetch only the tiles actually attended to (per-frame full-attention
+    # segments at video scale -> ~2 of 32 tiles).
+    window_kv_iters: int = 0
+    full_kv_iters: int = 0
 
 
 def aligned_window_len(
@@ -289,9 +295,11 @@ def build_vision_batch(
             grid_thw=np.asarray(grid_thw),
             num_patches=seq_len,
             num_merged=num_merged,
-            window_kv_bounds=segment_block_bounds(wseg_a, wblock, wblock),
-            full_kv_bounds=segment_block_bounds(fseg_a, fblock, fblock),
+            window_kv_bounds=(wb := segment_block_bounds(wseg_a, wblock, wblock)),
+            full_kv_bounds=(fb := segment_block_bounds(fseg_a, fblock, fblock)),
             window_diag=window_diag,
+            window_kv_iters=int((wb[:, 1] - wb[:, 0]).max(initial=0)),
+            full_kv_iters=int((fb[:, 1] - fb[:, 0]).max(initial=0)),
         )
 
     s_pad = pad_to if pad_to is not None else seq_len
@@ -323,8 +331,10 @@ def build_vision_batch(
         grid_thw=np.asarray(grid_thw),
         num_patches=seq_len,
         num_merged=num_merged,
-        window_kv_bounds=segment_block_bounds(window_seg_padded, wblock, wblock),
-        full_kv_bounds=segment_block_bounds(full_seg_padded, fblock, fblock),
+        window_kv_bounds=(wb := segment_block_bounds(window_seg_padded, wblock, wblock)),
+        full_kv_bounds=(fb := segment_block_bounds(full_seg_padded, fblock, fblock)),
+        window_kv_iters=int((wb[:, 1] - wb[:, 0]).max(initial=0)),
+        full_kv_iters=int((fb[:, 1] - fb[:, 0]).max(initial=0)),
     )
 
 
