@@ -16,6 +16,7 @@ port by changing only the module name:
 from __future__ import annotations
 
 import argparse
+import os
 
 # reference adapter names -> our model families
 MODEL_FAMILIES = {
@@ -51,7 +52,9 @@ def main(argv=None) -> int:
     p.add_argument("--model", required=True)
     p.add_argument("--model_args", default="")
     p.add_argument("--tasks", required=True)
-    p.add_argument("--batch_size", default="1")  # accepted; engine is batch-1
+    p.add_argument("--batch_size", default="1",
+                   help="prefill stays batch-1 (reference parity); "
+                        "values > 1 enable decode micro-batching")
     p.add_argument("--limit", type=float, default=None)
     p.add_argument("--output_path", default="eval_results")
     p.add_argument("--log_samples", action="store_true")
@@ -74,6 +77,11 @@ def main(argv=None) -> int:
         raise SystemExit("--data_dir (or model_args data_dir=) is required: "
                          "datasets are local jsonl files in this framework")
 
+    try:
+        if int(args.batch_size) > 1:
+            os.environ["VST_DECODE_BATCH"] = str(int(args.batch_size))
+    except (TypeError, ValueError):
+        pass
     from visionselector_tpu.api.run_eval import main as run_eval_main
 
     argv2 = [

@@ -418,7 +418,12 @@ def vit_forward_sp(
     Requires: ``build_vision_batch(align_windows=True)`` arrays, and
     S_pad % (n_shards * 64-slot) == 0 (asserted).
     """
-    from jax.experimental.shard_map import shard_map
+    try:
+        from jax.experimental.shard_map import shard_map
+        smap_kwargs = {"check_rep": False}
+    except ImportError:  # newer jax: moved + check_rep removed
+        from jax import shard_map
+        smap_kwargs = {}
     from jax.sharding import PartitionSpec as P
 
     n_shards = mesh.shape[axis]
@@ -488,7 +493,7 @@ def vit_forward_sp(
         mesh=mesh,
         in_specs=(P(), P(axis), P(axis), P(axis), P(axis)),
         out_specs=P(axis),
-        check_rep=False,
+        **smap_kwargs,
     )(params, pixel_values, rot_pos_ids, window_seg_ids, full_seg_ids)
     return h[reverse_index]
 
