@@ -180,7 +180,32 @@ def preprocess_image(
         min_pixels=min_pixels,
         max_pixels=max_pixels,
     )
-    resized = resize_image(image, out_h, out_w)
+    # Native fused normalize+patchify (visionselector_tpu.native): one
+    # OpenMP pass over the frame buffer; numpy pipeline is the fallback.
+    if (isinstance(image, np.ndarray) and image.ndim == 3
+            and image.shape[2] == 3 and image.dtype == np.uint8
+            and (out_h, out_w) == (height, width)):
+        frames_in = image[None]  # resize-free uint8 fast path
+    elif not isinstance(image, np.ndarray):
+        # PIL path: bicubic resize emits uint8 — feed it to the fused kernel
+        # without the float64 cast (bit-identical; the cast was pure cost)
+        from PIL import Image
+
+        img = image.convert("RGB").resize((out_w, out_h), Image.BICUBIC)
+        frames_in = np.asarray(img)[None]
+    else:
+        frames_in = resize_image(image, out_h, out_w)[None]
+    from visionselector_tpu.native import fused_normalize_patchify
+
+    flat = fused_normalize_patchify(
+        frames_in, patch_size, temporal_patch_size, merge_size,
+        OPENAI_CLIP_MEAN, OPENAI_CLIP_STD,
+    )
+    grid = (1, out_h // patch_size, out_w // patch_size)
+    if flat is not None:
+        return flat, np.asarray([grid], dtype=np.int64)
+
+    resized = np.asarray(frames_in[0], np.float64)
     normed = normalize_image(resized).transpose(2, 0, 1)  # (C, H, W)
     flat, grid = patchify(
         normed[None],
@@ -200,7 +225,7 @@ def preprocess_video_frames(
     merge_size: int = 2,
 ) -> Tuple[np.ndarray, np.ndarray]:
     """(T, H, W, C) uint8/float frames -> (pixel_values_videos, video_grid_thw)."""
-    frames = np.asarray(frames, dtype=np.float64)
+    frames = np.asarray(frames)
     t, height, width = frames.shape[:3]
     out_h, out_w = smart_resize(
         height,
@@ -209,8 +234,26 @@ def preprocess_video_frames(
         min_pixels=min_pixels,
         max_pixels=max_pixels,
     )
-    resized = np.stack([_bilinear_resize(f, out_h, out_w) for f in frames])
-    normed = normalize_image(resized).transpose(0, 3, 1, 2)  # (T, C, H, W)
+    if (out_h, out_w) == (height, width) and frames.ndim == 4 \
+            and frames.shape[3] == 3 and frames.dtype == np.uint8:
+        resized = frames  # uint8 fast path straight into the native kernel
+    else:
+        frames = frames.astype(np.float64)
+        resized = np.stack([_bilinear_resize(f, out_h, out_w) for f in frames])
+    from visionselector_tpu.native import fused_normalize_patchify
+
+    flat = fused_normalize_patchify(
+        resized, patch_size, temporal_patch_size, merge_size,
+        OPENAI_CLIP_MEAN, OPENAI_CLIP_STD,
+    )
+    if flat is not None:
+        grid = (-(-t // temporal_patch_size), out_h // patch_size,
+                out_w // patch_size)
+        return flat, np.asarray([grid], dtype=np.int64)
+
+    normed = normalize_image(
+        np.asarray(resized, np.float64)
+    ).transpose(0, 3, 1, 2)  # (T, C, H, W)
     flat, grid = patchify(
         normed,
         patch_size=patch_size,
