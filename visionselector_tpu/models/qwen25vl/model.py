@@ -1158,13 +1158,31 @@ def run_generate_batch(
             x, ((0, 0), (0, 0), (0, t_all - x.shape[2]), (0, 0), (0, 0))
         )
 
-    cache = lm_mod.KVCache(
-        k=jnp.concatenate([pad_t(s.cache.k) for s in states], axis=1),
-        v=jnp.concatenate([pad_t(s.cache.v) for s in states], axis=1),
-        length=jnp.concatenate([s.cache.length for s in states], axis=1),
+    # Pad the batch axis to the next power of two: the decode loop compiles
+    # per (B, T) shape, and a server's micro-batches arrive in arbitrary
+    # sizes — padding caps the program count at log2(max_batch). Padding
+    # rows replay the last request (their outputs are dropped).
+    n = len(states)
+    b_pad = 1
+    while b_pad < n:
+        b_pad *= 2
+    pad_states = states + [states[-1]] * (b_pad - n)
+
+    @jax.jit  # one dispatch for the whole pad+concat assembly
+    def _assemble(ks, vs, lens):
+        return lm_mod.KVCache(
+            k=jnp.concatenate([pad_t(x) for x in ks], axis=1),
+            v=jnp.concatenate([pad_t(x) for x in vs], axis=1),
+            length=jnp.concatenate(list(lens), axis=1),
+        )
+
+    cache = _assemble(
+        tuple(s.cache.k for s in pad_states),
+        tuple(s.cache.v for s in pad_states),
+        tuple(s.cache.length for s in pad_states),
     )
-    firsts = jnp.asarray([s.next_token for s in states], jnp.int32)
-    starts = jnp.asarray([s.start_pos for s in states], jnp.int32)
+    firsts = jnp.asarray([s.next_token for s in pad_states], jnp.int32)
+    starts = jnp.asarray([s.start_pos for s in pad_states], jnp.int32)
     eos_arr = jnp.asarray(list(eos), jnp.int32)
 
     results = []
