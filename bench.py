@@ -219,15 +219,16 @@ def time_decode_tok_s(params, cfg, batch, t_ctx=384, steps=48):
     from visionselector_tpu.models.qwen25vl.model import _decode_loop_batch
 
     dtype = cfg.jax_dtype
-    cache = lm_mod.init_kv_cache(cfg.text, batch, t_ctx + steps + 2, dtype)
-    cache = lm_mod.KVCache(
-        k=cache.k, v=cache.v, length=jnp.full_like(cache.length, t_ctx)
-    )
     firsts = jnp.full((batch,), 11, jnp.int32)
     starts = jnp.full((batch,), t_ctx, jnp.int32)
     eos = jnp.asarray([-1], jnp.int32)  # never fires
 
     def run(n):
+        # fresh cache per call: the jitted loop donates its cache argument
+        cache = lm_mod.init_kv_cache(cfg.text, batch, t_ctx + steps + 2, dtype)
+        cache = lm_mod.KVCache(
+            k=cache.k, v=cache.v, length=jnp.full_like(cache.length, t_ctx)
+        )
         toks, counts = _decode_loop_batch(
             params, cfg, cache, firsts, starts, eos, n)
         return int(np.asarray(counts).sum())

@@ -102,18 +102,29 @@ class EngineAdapter:
             )
             from visionselector_tpu.preprocess.indices import pick_bucket
 
-            total = 0
+            grids = []
             for path in req.image_paths:
                 with Image.open(path) as im:
                     w, h = im.size
                 hb, wb = smart_resize(h, w, factor=28,
                                       min_pixels=PROCESSOR_MIN_PIXELS,
                                       max_pixels=PROCESSOR_MAX_PIXELS)
-                total += (hb // 14) * (wb // 14)
+                grids.append((1, hb // 14, wb // 14))
+            import numpy as _np
+
             from visionselector_tpu.models.qwen25vl.model import (
                 VISION_BUCKETS,
             )
 
+            if os.environ.get("VST_ALIGN_WINDOWS", "1") == "1":
+                # mirror the engine's bucket choice (window-aligned length)
+                from visionselector_tpu.preprocess.indices import (
+                    aligned_window_len,
+                )
+
+                total = aligned_window_len(_np.asarray(grids))
+            else:
+                total = sum(t * gh * gw for t, gh, gw in grids)
             return pick_bucket(total, list(VISION_BUCKETS))
         except Exception:  # noqa: BLE001
             return 1 << 30

@@ -220,11 +220,10 @@ def _flash_pallas(
              jnp.full(num_q_blocks, num_kv_blocks, jnp.int32)], axis=1
         )
 
-    # Whole-kv-in-VMEM overflows scoped VMEM beyond ~14k patches (measured:
-    # 16384 x 80 double-buffered = 16.5 MB > the 16 MB limit) — stream kv
-    # tiles with bounds-driven data-dependent fetching instead.
-    # Measured: 16384 x 80 whole-kv = 10.5 MB double-buffered + ~6 MB of
-    # q/out/scratch overflows the 16 MB scoped limit; stream above ~8 MB.
+    # Whole-kv-in-VMEM overflows scoped VMEM at large sequences — measured:
+    # 16384 x 80 whole-kv = 10.5 MB double-buffered + ~6 MB of q/out/scratch
+    # > the 16 MB limit. Stream kv tiles (bounds-driven data-dependent
+    # fetching) once the double-buffered kv alone exceeds ~8 MB.
     kv_vmem = sk * d * q.dtype.itemsize * 2  # one head's k+v, one buffer
     if kv_vmem * 2 > 8 * 2**20:
         return _flash_pallas_streamed(
@@ -827,9 +826,9 @@ def _with_reference_vjp(pallas_fn, q, k, v, q_seg, kv_seg, causal, scale,
     ``pallas_call`` has no autodiff rule, so training through a Pallas
     attention forward would fail. Both paths compute the same exact masked
     softmax attention, so the mathematically correct cotangents are those of
-    ``mha_reference`` — the backward re-traces it under XLA autodiff
-    (recompute-based; memory O(S^2 H) per backward, fine at training bucket
-    sizes). Inference-only callers never hit the backward.
+    the reference math — computed by ``_mha_backward_blocked`` (streamed,
+    O(S*block) memory; unaligned/unequal shapes fall back to XLA autodiff of
+    ``mha_reference``). Inference-only callers never hit the backward.
 
     All array inputs are explicit primals (closing over them would leak
     tracers under vmap, e.g. the batched train loss); integer primals get

@@ -623,6 +623,8 @@ def _run_decode_loop(params, cfg, cache, first_token, start_pos, eos_token_ids,
     return out
 
 
+@functools.partial(jax.jit, static_argnames=("cfg", "max_steps"),
+                   donate_argnums=(2,))
 def _decode_loop_batch(
     params,
     cfg: VLConfig,
@@ -838,6 +840,11 @@ class QwenVLEngine:
                 spatial_merge_size=cfg.vision.spatial_merge_size,
                 patch_size=cfg.vision.patch_size,
             )
+            if s_need > self.vision_buckets[-1] >= s_real:
+                # slot padding would push past the largest validated bucket
+                # while the raw length still fits — keep the classic layout
+                align = False
+                s_need = s_real
         s_bucket = pick_bucket(s_need, [b for b in self.vision_buckets])
         vb = build_vision_batch(
             pixel_values, grid_thw,
@@ -1125,6 +1132,23 @@ class QwenVLEngine:
         )
 
 
+@functools.partial(jax.jit, static_argnames=("t_all",))
+def _assemble_batch_cache(ks, vs, lens, t_all: int):
+    """One dispatch for the whole pad+concat cache assembly (module-level so
+    the jit cache hits across run_generate_batch calls of the same shape)."""
+
+    def pad_t(x):
+        return jnp.pad(
+            x, ((0, 0), (0, 0), (0, t_all - x.shape[2]), (0, 0), (0, 0))
+        )
+
+    return lm_mod.KVCache(
+        k=jnp.concatenate([pad_t(x) for x in ks], axis=1),
+        v=jnp.concatenate([pad_t(x) for x in vs], axis=1),
+        length=jnp.concatenate(list(lens), axis=1),
+    )
+
+
 def run_generate_batch(
     engine,
     requests: List[dict],
@@ -1153,11 +1177,6 @@ def run_generate_batch(
 
     t_all = max(s.cache.k.shape[2] for s in states)
 
-    def pad_t(x):
-        return jnp.pad(
-            x, ((0, 0), (0, 0), (0, t_all - x.shape[2]), (0, 0), (0, 0))
-        )
-
     # Pad the batch axis to the next power of two: the decode loop compiles
     # per (B, T) shape, and a server's micro-batches arrive in arbitrary
     # sizes — padding caps the program count at log2(max_batch). Padding
@@ -1168,24 +1187,18 @@ def run_generate_batch(
         b_pad *= 2
     pad_states = states + [states[-1]] * (b_pad - n)
 
-    @jax.jit  # one dispatch for the whole pad+concat assembly
-    def _assemble(ks, vs, lens):
-        return lm_mod.KVCache(
-            k=jnp.concatenate([pad_t(x) for x in ks], axis=1),
-            v=jnp.concatenate([pad_t(x) for x in vs], axis=1),
-            length=jnp.concatenate(list(lens), axis=1),
-        )
-
-    cache = _assemble(
+    cache = _assemble_batch_cache(
         tuple(s.cache.k for s in pad_states),
         tuple(s.cache.v for s in pad_states),
         tuple(s.cache.length for s in pad_states),
+        t_all=t_all,
     )
     firsts = jnp.asarray([s.next_token for s in pad_states], jnp.int32)
     starts = jnp.asarray([s.start_pos for s in pad_states], jnp.int32)
     eos_arr = jnp.asarray(list(eos), jnp.int32)
 
     results = []
+    t_dec0 = time.perf_counter()
     if max_new_tokens > 1:
         toks, counts = _decode_loop_batch(
             engine.params, engine.cfg, cache, firsts, starts, eos_arr,
@@ -1197,6 +1210,7 @@ def run_generate_batch(
     else:
         toks = np.zeros((0, len(states)), np.int32)
         counts = np.zeros(len(states), np.int64)
+    t_decode = time.perf_counter() - t_dec0
     for i, s in enumerate(states):
         if s.next_token in eos:
             s.result.tokens = []  # mirror _run_decode_loop
@@ -1204,6 +1218,9 @@ def run_generate_batch(
             s.result.tokens = (
                 [s.next_token] + toks[: int(counts[i]), i].tolist()
             )
-        s.result.total_seconds = time.perf_counter() - s.t_start
+        # per-request latency = own prefill + the shared decode dispatch
+        # (comparable to the sequential path; wall time since a request's own
+        # t_start would charge it every LATER request's prefill too)
+        s.result.total_seconds = s.result.prefill_seconds + t_decode
         results.append(s.result)
     return results

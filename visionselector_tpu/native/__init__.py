@@ -26,21 +26,32 @@ _SRC = os.path.join(os.path.dirname(__file__), "fused_preprocess.c")
 
 
 def _so_path() -> str:
+    # The source hash in the name invalidates stale binaries automatically
+    # (mtime comparisons are unreliable after git checkout, which stamps
+    # identical times on source and any leftover artifact).
+    import hashlib
+
+    with open(_SRC, "rb") as f:
+        digest = hashlib.sha256(f.read()).hexdigest()[:12]
     tag = f"cpython{sys.version_info[0]}{sys.version_info[1]}"
     return os.path.join(os.path.dirname(__file__),
-                        f"_fused_preprocess_{tag}.so")
+                        f"_fused_preprocess_{tag}_{digest}.so")
 
 
 def _build() -> str | None:
     so = _so_path()
-    if os.path.exists(so) and os.path.getmtime(so) >= os.path.getmtime(_SRC):
+    if os.path.exists(so):
         return so
     cc = os.environ.get("CC", "cc")
-    cmd = [cc, "-O3", "-shared", "-fPIC", "-o", so, _SRC]
+    tmp = f"{so}.tmp{os.getpid()}"
     for extra in (["-fopenmp"], []):  # openmp if supported, else serial
         try:
-            r = subprocess.run(cmd + extra, capture_output=True, timeout=120)
+            r = subprocess.run(
+                [cc, "-O3", "-shared", "-fPIC", "-o", tmp, _SRC] + extra,
+                capture_output=True, timeout=120,
+            )
             if r.returncode == 0:
+                os.replace(tmp, so)  # atomic: no partially-written dlopen
                 return so
         except (OSError, subprocess.TimeoutExpired):
             return None
