@@ -271,3 +271,15 @@ class TestServeOVFamily:
             assert len(out["tokens"]) >= 1
         finally:
             httpd.shutdown()
+
+
+class TestWarmupMicroBatch:
+    def test_warmup_decode_batches(self, capsys):
+        from visionselector_tpu.api.warmup import main
+
+        rc = main(["--buckets", "256", "--max-new-tokens", "3",
+                   "--micro-batch", "4"])
+        assert rc == 0
+        out = capsys.readouterr().out
+        assert '"decode_batch": 2' in out
+        assert '"decode_batch": 4' in out

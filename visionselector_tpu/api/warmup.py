@@ -42,6 +42,10 @@ def main(argv=None) -> int:
     p.add_argument("--buckets", default="512,1024",
                    help="vision buckets (patch counts) to precompile")
     p.add_argument("--max-new-tokens", type=int, default=4)
+    p.add_argument("--micro-batch", type=int, default=1,
+                   help="also precompile the decode-batch programs "
+                        "(powers of two up to this size) for serve "
+                        "--micro-batch")
     args = p.parse_args(argv)
 
     import jax
@@ -106,6 +110,20 @@ def main(argv=None) -> int:
                     max_new_tokens=args.max_new_tokens)
     print(json.dumps({"bucket": "text_only",
                       "warmup_s": round(time.perf_counter() - t0, 2)}))
+
+    # decode-batch programs (generate_batch pads B to powers of two; the
+    # batched loop compiles per (B, T) — precompile each size the server's
+    # --micro-batch can produce at the default generation length)
+    if args.micro_batch > 1:
+        req = dict(input_ids=ids, pixel_values=pixels, grid_thw=grid)
+        b = 2
+        while b <= args.micro_batch:
+            t0 = time.perf_counter()
+            engine.generate_batch([req] * b,
+                                  max_new_tokens=args.max_new_tokens)
+            print(json.dumps({"decode_batch": b,
+                              "warmup_s": round(time.perf_counter() - t0, 2)}))
+            b *= 2
     return 0
 
 
