@@ -61,17 +61,22 @@ def init_params(key: jax.Array, cfg: VLConfig, with_selector: bool = True) -> di
 # ---------------------------------------------------------------------------
 
 
-@functools.partial(jax.jit, static_argnames=("cfg", "window_diag"))
+@functools.partial(
+    jax.jit,
+    static_argnames=("cfg", "window_diag", "window_kv_iters", "full_kv_iters"),
+)
 def encode_vision(params, cfg: VLConfig, pixel_values, rot_pos_ids,
                   window_seg_ids, full_seg_ids, reverse_index,
                   window_kv_bounds=None, full_kv_bounds=None,
-                  window_diag: bool = False):
+                  window_diag: bool = False, window_kv_iters: int = 0,
+                  full_kv_iters: int = 0):
     """ViT forward -> merged tokens [L_pad, out_hidden] in original order."""
     return vit_mod.vit_forward(
         params["visual"], pixel_values, rot_pos_ids, window_seg_ids,
         full_seg_ids, reverse_index, cfg.vision,
         window_kv_bounds=window_kv_bounds, full_kv_bounds=full_kv_bounds,
         window_diag=window_diag,
+        window_kv_iters=window_kv_iters, full_kv_iters=full_kv_iters,
     )
 
 
