@@ -530,3 +530,22 @@ class TestStreamedFlash:
         np.testing.assert_allclose(
             np.asarray(got), np.asarray(want), atol=3e-5, rtol=1e-4
         )
+
+    def test_public_api_dispatches_streaming_above_vmem_threshold(self):
+        """attention() must route to the streamed kernel once double-buffered
+        kv exceeds ~8 MB (whole-kv overflowed scoped VMEM at video scale)."""
+        from visionselector_tpu.kernels.attention import attention
+
+        rng = np.random.RandomState(2)
+        s, h, d = 2048, 1, 512  # kv 2*s*d*2B = 4.2 MB -> x2 buffers > 8 MB
+        seg = np.repeat(np.arange(1, 5), s // 4).astype(np.int32)
+        q = jnp.asarray(rng.randn(1, s, h, d) * 0.1, jnp.float32)
+        k = jnp.asarray(rng.randn(1, s, h, d) * 0.1, jnp.float32)
+        v = jnp.asarray(rng.randn(1, s, h, d) * 0.1, jnp.float32)
+        segj = jnp.asarray(seg)[None]
+        got = attention(q, k, v, segj, segj, impl="pallas_interpret",
+                        block_q=512, block_k=512)
+        want = mha_reference(q, k, v, segj, segj)
+        np.testing.assert_allclose(
+            np.asarray(got), np.asarray(want), atol=5e-5, rtol=1e-4
+        )
