@@ -120,71 +120,240 @@ def build_inputs(cfg, budget, use_selector, s_bucket, img_hw=(1036, 1456)):
     return args, k_max, n, vb.window_diag
 
 
-def time_prefill(params, cfg, k_max, use_selector, args, iters=8,
-                 window_diag=False):
-    """Differential timing: run the prefill chained K times inside one jit
-    (serialized by a data dependency) and difference T(K) - T(1).
+class PrefillTimer:
+    """Differential timing of one prefill arm: run the prefill chained K
+    times inside one jit (serialized by a data dependency) and difference
+    T(K) - T(1).
 
     Rationale: on the axon-tunneled TPU, ``block_until_ready`` does not block
     and every host fetch carries a ~25ms constant round-trip — differencing
     two chained runs cancels both the fetch overhead and dispatch costs.
+    Exposed as warmup()/once() so the two arms' samples can be INTERLEAVED
+    by the caller (alternating arms within each repeat immunizes the RATIO
+    against slow drift in host load / time-shared-chip interference, the
+    failure mode that corrupted the r2 driver capture).
     """
-    import functools
 
-    from visionselector_tpu.models.qwen25vl.model import _prefill
+    def __init__(self, params, cfg, k_max, use_selector, args, iters=8,
+                 window_diag=False):
+        import functools
 
-    @functools.partial(jax.jit, static_argnames=("n",))
-    def chained(params, n, *args):
-        pixels = args[0]
+        from visionselector_tpu.models.qwen25vl.model import _prefill
 
-        def body(i, carry):
-            px, acc = carry
-            out = _prefill(params, cfg, k_max, use_selector, px, *args[1:],
-                           window_diag=window_diag)
-            tok = out[0]
-            # serialize iterations: make the next input depend on this output
-            px = px.at[0, 0].add(tok.astype(px.dtype) * 1e-12)
-            return px, acc + tok
+        @functools.partial(jax.jit, static_argnames=("n",))
+        def chained(params, n, *args):
+            pixels = args[0]
 
-        _, acc = jax.lax.fori_loop(0, n, body, (pixels, jnp.zeros((), jnp.int32)))
-        return acc
+            def body(i, carry):
+                px, acc = carry
+                out = _prefill(params, cfg, k_max, use_selector, px,
+                               *args[1:], window_diag=window_diag)
+                tok = out[0]
+                # serialize iterations: next input depends on this output
+                px = px.at[0, 0].add(tok.astype(px.dtype) * 1e-12)
+                return px, acc + tok
 
-    def fetch(n):
-        return int(chained(params, n, *args))
+            _, acc = jax.lax.fori_loop(
+                0, n, body, (pixels, jnp.zeros((), jnp.int32)))
+            return acc
 
-    lo = max(2, iters // 2)
-    fetch(lo)
-    fetch(iters)  # compile both
+        self._chained = chained
+        self._params = params
+        self._args = args
+        self.iters = iters
+        self.lo = max(2, iters // 2)
 
-    def once():
-        t0 = time.perf_counter(); fetch(lo); t1 = time.perf_counter() - t0
-        t0 = time.perf_counter(); fetch(iters); tk = time.perf_counter() - t0
-        return (tk - t1) / (iters - lo)
+    def _fetch(self, n):
+        return int(self._chained(self._params, n, *self._args))
 
-    # The tunnel adds noisy constant overhead per fetch. Differencing two
-    # LARGE chained spans (lo, iters) keeps both spans big relative to that
-    # noise (a 1-long span can flip a differential negative); median of 5.
-    samples = [once() for _ in range(5)]
-    ok = sorted(s for s in samples if s > 1e-4)
+    def warmup(self):
+        self._fetch(self.lo)
+        self._fetch(self.iters)  # compile both spans
+
+    def once(self):
+        """One differential sample (seconds per prefill)."""
+        t0 = time.perf_counter(); self._fetch(self.lo)
+        t1 = time.perf_counter() - t0
+        t0 = time.perf_counter(); self._fetch(self.iters)
+        tk = time.perf_counter() - t0
+        return (tk - t1) / (self.iters - self.lo)
+
+
+def _median_positive(samples, floor=1e-4):
+    ok = sorted(s for s in samples if s > floor)
     if not ok:
         return 1e-9
     return ok[len(ok) // 2]
 
 
+# ---------------------------------------------------------------------------
+# Analytic plausibility model (v5e single chip)
+# ---------------------------------------------------------------------------
+# Peak rates; the model is used only for sanity bounds (2x windows), so
+# +-20% rate accuracy is plenty.
+V5E_BF16_FLOPS = 197e12
+V5E_HBM_BYTES_S = 819e9
+
+
+def _param_bytes(params) -> int:
+    return int(sum(
+        x.size * x.dtype.itemsize for x in jax.tree.leaves(params)
+        if hasattr(x, "dtype")
+    ))
+
+
+def prefill_flops_model(cfg, s_bucket: int, t_len: int) -> dict:
+    """Analytic FLOP/bandwidth estimate of one prefill (ViT @ s_bucket
+    patches + LM @ t_len tokens). Returns component FLOPs and the derived
+    lower-bound/expected times. Used to sanity-check each measured arm: a
+    measured time far outside [0.7x, 2x] of the roofline estimate signals a
+    corrupted differential (e.g. another process time-sharing the chip)."""
+    vis, txt = cfg.vision, cfg.text
+    S, D, Iv = s_bucket, vis.hidden_size, vis.intermediate_size
+    # ViT matmuls: patch embed + per-layer qkv/proj/mlp + merger
+    vit = 2 * S * vis.patch_dim * D
+    vit += vis.depth * (2 * S * D * 3 * D + 2 * S * D * D
+                        + 2 * 2 * S * D * Iv)
+    # attention scores+pv: full layers S^2-ish, window layers S*window_len
+    n_full = len(getattr(vis, "fullatt_block_indexes", (7, 15, 23, 31)))
+    win = 64 * vis.spatial_merge_unit  # aligned window slot, patches
+    vit += n_full * 4 * S * S * vis.head_dim * vis.num_heads
+    vit += (vis.depth - n_full) * 4 * S * win * vis.head_dim * vis.num_heads
+    merge_in = D * vis.spatial_merge_unit
+    vit += 2 * (S // vis.spatial_merge_unit) * merge_in * merge_in
+    vit += 2 * (S // vis.spatial_merge_unit) * merge_in * getattr(
+        vis, "out_hidden_size", txt.hidden_size)
+
+    t, d, i = t_len, txt.hidden_size, txt.intermediate_size
+    kv_dim = txt.num_key_value_heads * txt.head_dim
+    q_dim = txt.num_attention_heads * txt.head_dim
+    lm = txt.num_hidden_layers * (
+        2 * t * d * (q_dim + 2 * kv_dim) + 2 * t * q_dim * d  # qkv + o
+        + 3 * 2 * t * d * i                                   # gate/up/down
+        + 2 * 2 * (t * t // 2) * txt.head_dim * txt.num_attention_heads
+    )
+    lm += 2 * d * txt.vocab_size  # lm_head on the last row only
+    return {"vit_flops": vit, "lm_flops": lm}
+
+
+def arm_model_ms(cfg, params, s_bucket: int, t_len: int) -> float:
+    """Roofline time estimate for one prefill arm: max(compute, weight
+    stream). Weight bytes come from the actual param tree (so int8 LMs are
+    modeled correctly); at these sequence lengths prefill is compute-bound
+    and the FLOP term dominates."""
+    f = prefill_flops_model(cfg, s_bucket, t_len)
+    t_compute = (f["vit_flops"] + f["lm_flops"]) / V5E_BF16_FLOPS
+    t_mem = _param_bytes(params) / V5E_HBM_BYTES_S
+    return 1e3 * max(t_compute, t_mem)
+
+
+def hbm_model(cfg, params, s_bucket: int, t_len: int,
+              decode_steps: int = 0) -> dict:
+    """Analytic peak-HBM model of one generate() arm: weights + KV cache +
+    activation high-water of the prefill program.
+
+    The reference measures ``torch.cuda.max_memory_allocated`` around
+    generate with a per-sample peak reset
+    (``qwen2_5_vl_with_token_compression.py:374-394``) — weights + the
+    per-sample activation/KV peak. Activation high-water here = the widest
+    live set in a decoder layer (hidden copies + qkv + the two MLP
+    intermediates) plus the ViT equivalent; XLA fusion can only shrink it.
+    """
+    dt = jnp.dtype(cfg.jax_dtype).itemsize
+    weights = _param_bytes(params)
+    txt = cfg.text
+    t_total = t_len + decode_steps
+    kv = (txt.num_hidden_layers * t_total * txt.num_key_value_heads
+          * txt.head_dim * 2 * dt)
+    vis = cfg.vision
+    act_vit = s_bucket * max(
+        3 * vis.hidden_size + 3 * vis.hidden_size,   # qkv + hidden copies
+        2 * vis.intermediate_size + vis.hidden_size,  # mlp intermediates
+    ) * dt
+    q_dim = txt.num_attention_heads * txt.head_dim
+    kv_dim = txt.num_key_value_heads * txt.head_dim
+    act_lm = t_len * max(
+        q_dim + 2 * kv_dim + 3 * txt.hidden_size,
+        2 * txt.intermediate_size + txt.hidden_size,
+    ) * dt
+    act = max(act_vit, act_lm)
+    return {"weights": weights, "kv": kv, "act": act,
+            "peak": weights + kv + act, "incremental": kv + act}
+
+
 def peak_memory_bytes():
+    """Best-effort device peak-memory probe: memory_stats keys vary by
+    runtime, and through the axon tunnel they can all be absent (then the
+    analytic ``hbm_model`` is the evidence)."""
     try:
-        stats = jax.local_devices()[0].memory_stats()
-        return stats.get("peak_bytes_in_use", 0)
+        stats = jax.local_devices()[0].memory_stats() or {}
+        for key in ("peak_bytes_in_use", "largest_alloc_size",
+                    "bytes_in_use"):
+            v = stats.get(key, 0)
+            if v:
+                return int(v)
+        return 0
     except Exception:
         return 0
 
 
-def measure(cfg, params, budget, s_bucket, img_hw):
-    args_sel, k_max_sel, n, diag = build_inputs(cfg, budget, True, s_bucket, img_hw)
-    t_sel = time_prefill(params, cfg, k_max_sel, True, args_sel, window_diag=diag)
-    args_full, k_max_full, _, diag_f = build_inputs(cfg, budget, False, s_bucket, img_hw)
-    t_full = time_prefill(params, cfg, k_max_full, False, args_full,
-                          window_diag=diag_f)
+def measure(cfg, params, budget, s_bucket, img_hw, repeats=5):
+    """Measure both arms with INTERLEAVED differential samples and sanity-
+    check each against the roofline model.
+
+    Returns (t_sel, t_full, n, check) where check carries the per-arm model
+    estimate and a ``suspect`` flag. Interleaving + the model bound address
+    the r2 failure mode (one arm's 5 samples all landing in a noisy window
+    of the time-shared chip and corrupting the recorded ratio)."""
+    args_sel, k_max_sel, n, diag = build_inputs(
+        cfg, budget, True, s_bucket, img_hw)
+    args_full, k_max_full, _, diag_f = build_inputs(
+        cfg, budget, False, s_bucket, img_hw)
+    timer_sel = PrefillTimer(params, cfg, k_max_sel, True, args_sel,
+                             window_diag=diag)
+    timer_full = PrefillTimer(params, cfg, k_max_full, False, args_full,
+                              window_diag=diag_f)
+    timer_sel.warmup()
+    timer_full.warmup()
+
+    sel_samples, full_samples = [], []
+    for _ in range(repeats):
+        sel_samples.append(timer_sel.once())
+        full_samples.append(timer_full.once())
+    t_sel = _median_positive(sel_samples)
+    t_full = _median_positive(full_samples)
+
+    # Arm plausibility vs the roofline model. t_text for each arm: the
+    # compacted length is k_max + text bucket (selector) / l_pad + text
+    # (uncompressed).
+    n_text = int(os.environ.get("VST_BENCH_TEXT_TOKENS", "40")) + 2
+    t_sel_len = k_max_sel + n_text
+    t_full_len = k_max_full + n_text
+    model_sel = arm_model_ms(cfg, params, s_bucket, t_sel_len)
+    model_full = arm_model_ms(cfg, params, s_bucket, t_full_len)
+
+    def out_of_window(measured_ms, model_ms):
+        # 5 ms constant slack: grid dispatch / jit glue that the roofline
+        # ignores — negligible at 3B/7B scale, dominant on the tiny smoke.
+        return (measured_ms > 2.0 * model_ms + 5.0
+                or measured_ms < 0.7 * model_ms - 5.0)
+
+    # One re-measure pass for an implausible arm before flagging it.
+    if out_of_window(t_sel * 1e3, model_sel):
+        sel_samples += [timer_sel.once() for _ in range(repeats)]
+        t_sel = _median_positive(sel_samples)
+    if out_of_window(t_full * 1e3, model_full):
+        full_samples += [timer_full.once() for _ in range(repeats)]
+        t_full = _median_positive(full_samples)
+
+    check = {
+        "model_ms_selector": round(model_sel, 2),
+        "model_ms_uncompressed": round(model_full, 2),
+        "suspect_selector": out_of_window(t_sel * 1e3, model_sel),
+        "suspect_uncompressed": out_of_window(t_full * 1e3, model_full),
+    }
+    check["suspect"] = (check["suspect_selector"]
+                        or check["suspect_uncompressed"])
 
     # Optional profiler trace of one prefill each (SURVEY §5.1 tracing):
     # VST_PROFILE=<dir> writes a tensorboard-loadable trace.
@@ -197,7 +366,7 @@ def measure(cfg, params, budget, s_bucket, img_hw):
                 _prefill(params, cfg, k_max_sel, True, *args_sel,
                          window_diag=diag)
             )
-    return t_sel, t_full, n
+    return t_sel, t_full, n, check
 
 
 def kv_cache_reduction(cfg, budget, s_bucket, text_len=64) -> float:
@@ -290,7 +459,7 @@ def main():
     params = jax.jit(lambda key: init_params(key, cfg))(jax.random.PRNGKey(0))
     jax.block_until_ready(params)
 
-    t_sel3, t_full3, n = measure(cfg, params, budget, s_bucket, img_hw)
+    t_sel3, t_full3, n, check3 = measure(cfg, params, budget, s_bucket, img_hw)
     speedup3 = t_full3 / t_sel3
 
     # Preliminary result line: the 7B phase below adds several uncached
@@ -305,8 +474,33 @@ def main():
             "vs_baseline": round(speedup3 / BASELINE_SPEEDUP, 4),
             "detail": {"model": model_name, "phase": "3b_preliminary",
                        "prefill_ms_selector": round(t_sel3 * 1e3, 2),
-                       "prefill_ms_uncompressed": round(t_full3 * 1e3, 2)},
+                       "prefill_ms_uncompressed": round(t_full3 * 1e3, 2),
+                       **check3},
         }), flush=True)
+
+    # Peak-HBM story (reference claim: 1.73x prefill "with 86.08% memory
+    # reduction" at 20% retention, README.md:47, measured via
+    # max_memory_allocated with per-sample peak reset). The device probe
+    # returns 0 through the axon tunnel, so the evidence is the analytic
+    # model: weights + KV + activation high-water per arm. Two reductions
+    # are reported: including weights (what max_memory_allocated bounds)
+    # and the per-sample incremental (KV+activations — the quantity that
+    # actually shrinks with compression; the reference's 86.08% is only
+    # reachable on a weights-excluded basis).
+    n_text = int(os.environ.get("VST_BENCH_TEXT_TOKENS", "40")) + 2
+    l_pad = s_bucket // cfg.vision.spatial_merge_unit
+    t_sel_len = max(1, int(l_pad * budget)) + n_text
+    t_full_len = l_pad + n_text
+    mem_sel = hbm_model(cfg, params, s_bucket, t_sel_len)
+    mem_full = hbm_model(cfg, params, s_bucket, t_full_len)
+    hbm = {
+        "hbm_model_selector_mb": round(mem_sel["peak"] / 2**20, 1),
+        "hbm_model_uncompressed_mb": round(mem_full["peak"] / 2**20, 1),
+        "hbm_reduction_with_weights": round(
+            1 - mem_sel["peak"] / mem_full["peak"], 4),
+        "hbm_reduction_incremental": round(
+            1 - mem_sel["incremental"] / mem_full["incremental"], 4),
+    }
 
     detail = {
         "prefill_ms_selector": round(t_sel3 * 1e3, 2),
@@ -316,16 +510,14 @@ def main():
         "budget": budget,
         "model": model_name,
         "speedup_3b": round(speedup3, 4),
+        "check_3b": check3,
         "kv_cache_reduction_at_budget": round(
-            kv_cache_reduction(
-                cfg, budget, s_bucket,
-                text_len=int(os.environ.get("VST_BENCH_TEXT_TOKENS", "40"))
-                + 2,  # + vision_start/end markers (one image)
-            ), 4
+            kv_cache_reduction(cfg, budget, s_bucket, text_len=n_text), 4
         ),
         "peak_bytes_in_use": peak_memory_bytes(),
         "attn_impl": os.environ.get("VST_ATTN_IMPL"),
         "platform": jax.devices()[0].platform,
+        **hbm,
     }
 
     # Decode-batching throughput (serving): weight-bandwidth-bound decode
@@ -354,28 +546,60 @@ def main():
             cfg7 = qwen25vl_7b()
             params7 = init_7b_int8(cfg7)
             jax.block_until_ready(params7)
-            t_sel7, t_full7, _ = measure(cfg7, params7, budget, s_bucket, img_hw)
+            t_sel7, t_full7, _, check7 = measure(
+                cfg7, params7, budget, s_bucket, img_hw)
             speedup = t_full7 / t_sel7
+            mem_sel7 = hbm_model(cfg7, params7, s_bucket, t_sel_len)
+            mem_full7 = hbm_model(cfg7, params7, s_bucket, t_full_len)
             detail.update(
                 model="qwen2.5-vl-7b int8-LM (random weights)",
                 speedup_7b_int8=round(speedup, 4),
                 prefill_ms_selector=round(t_sel7 * 1e3, 2),
                 prefill_ms_uncompressed=round(t_full7 * 1e3, 2),
+                check_7b=check7,
                 model_3b="qwen2.5-vl-3b (random weights)",
                 prefill_ms_selector_3b=round(t_sel3 * 1e3, 2),
                 prefill_ms_uncompressed_3b=round(t_full3 * 1e3, 2),
+                hbm_model_selector_mb=round(mem_sel7["peak"] / 2**20, 1),
+                hbm_model_uncompressed_mb=round(
+                    mem_full7["peak"] / 2**20, 1),
+                hbm_reduction_with_weights=round(
+                    1 - mem_sel7["peak"] / mem_full7["peak"], 4),
+                hbm_reduction_incremental=round(
+                    1 - mem_sel7["incremental"] / mem_full7["incremental"],
+                    4),
             )
+            # Task-shaped second line: the same ratio at a realistic
+            # 256-token text prompt (the synthetic default is ~40 tokens;
+            # longer text dilutes the compressible fraction — this puts the
+            # sensitivity on record, VERDICT r2 item 9).
+            if os.environ.get("VST_BENCH_TASK_SHAPED", "1") == "1":
+                os.environ["VST_BENCH_TEXT_TOKENS"] = "256"
+                t_sel_t, t_full_t, _, check_t = measure(
+                    cfg7, params7, budget, s_bucket, img_hw, repeats=3)
+                detail["task_shaped_256tok"] = {
+                    "speedup": round(t_full_t / t_sel_t, 4),
+                    "prefill_ms_selector": round(t_sel_t * 1e3, 2),
+                    "prefill_ms_uncompressed": round(t_full_t * 1e3, 2),
+                    **check_t,
+                }
             if os.environ.get("VST_BENCH_DECODE", "0") == "1":
                 detail["decode_tok_s_7b_int8_b8"] = round(
                     time_decode_tok_s(params7, cfg7, 8), 1)
         except Exception as e:  # noqa: BLE001 — fall back to the 3B figure
             detail["bench_7b_error"] = repr(e)
 
+    # Top-level honesty flag: true when either arm of the headline
+    # measurement sits outside the roofline plausibility window even after
+    # re-measurement (r2's recorded 4.33x would have carried suspect=true;
+    # quiet-host truth was ~1.84x).
+    headline_check = detail.get("check_7b", detail.get("check_3b", {}))
     result = {
         "metric": "prefill_speedup_at_20pct_retention",
         "value": round(speedup, 4),
         "unit": "x",
         "vs_baseline": round(speedup / BASELINE_SPEEDUP, 4),
+        "suspect": bool(headline_check.get("suspect", False)),
         "detail": detail,
     }
     print(json.dumps(result))

@@ -40,9 +40,9 @@ class TestChatTemplate:
             {"from": "human", "value": "Color?"},
             {"from": "gpt", "value": "Black."},
         ]
-        ids, labels, slot = render_conversation(convs, StubTokenizer())
+        ids, labels, slots = render_conversation(convs, StubTokenizer())
         assert len(ids) == len(labels)
-        assert slot > 0
+        assert len(slots) == 1 and slots[0] > 0
         sup = [l for l in labels if l != IGNORE_INDEX]
         # both assistant replies supervised, questions not
         assert 0 < len(sup) < len(ids)
@@ -53,8 +53,8 @@ class TestChatTemplate:
 
     def test_no_image(self):
         convs = [{"from": "human", "value": "Hi"}, {"from": "gpt", "value": "Yo"}]
-        ids, labels, slot = render_conversation(convs, StubTokenizer())
-        assert slot == -1
+        ids, labels, slots = render_conversation(convs, StubTokenizer())
+        assert slots == []
 
 
 class TestDataset:
@@ -174,6 +174,143 @@ class TestPackedTrainSample:
         assert np.isfinite(float(loss))
         np.testing.assert_allclose(
             float(metrics["soft_mass"]), float(sample.k), rtol=0.05
+        )
+
+
+class TestMultiImageTraining:
+    """Per-record image lists in TRAINING samples (reference data layer
+    processes per-record lists, ``data_qwen.py:233-242``)."""
+
+    def test_render_two_placeholders(self):
+        convs = [
+            {"from": "human",
+             "value": "<image>first and <image>second, compare?"},
+            {"from": "gpt", "value": "Same."},
+        ]
+        ids, labels, slots = render_conversation(convs, StubTokenizer())
+        assert len(slots) == 2 and slots[0] < slots[1]
+
+    def test_two_image_record_loss(self):
+        import jax
+        import jax.numpy as jnp
+        from PIL import Image
+
+        from visionselector_tpu.core.config import qwen25vl_tiny
+        from visionselector_tpu.models.qwen25vl.model import init_params
+        from visionselector_tpu.train.dataset import build_sample_from_record
+        from visionselector_tpu.train.loss import selector_train_forward
+
+        cfg = qwen25vl_tiny()
+        params = init_params(jax.random.PRNGKey(0), cfg)
+        rng = np.random.RandomState(0)
+        imgs = [
+            Image.fromarray((rng.rand(56, 56, 3) * 255).astype(np.uint8))
+            for _ in range(2)
+        ]
+        rec = {
+            "ids": [100, 101, 200, 300], "labels": [IGNORE_INDEX] * 3 + [301],
+            "image_slot": 1, "image_slots": [1, 2],
+            "image": imgs[0], "images": imgs, "video": None,
+        }
+        sample = build_sample_from_record(
+            cfg, rec, budget=0.25, s_bucket=64, t_bucket=64,
+            min_pixels=1, max_pixels=10**9,
+        )
+        assert int(sample.num_merged) == 8  # 2 images x 4 merged tokens
+        # two distinct vision runs in the expanded ids
+        starts = np.where(
+            sample.input_ids == cfg.vision_start_token_id)[0]
+        assert len(starts) == 2
+        loss, metrics = selector_train_forward(
+            params, jax.tree.map(jnp.asarray, sample), cfg,
+            jnp.asarray(1.0), k_max=4,
+        )
+        assert np.isfinite(float(loss))
+
+
+class TestDataFlattenWiring:
+    """--data-flatten CLI path (reference default recipe: ``sft_3b.sh
+    --data_flatten True`` -> ``trainer.py:29-120``): the packed stream
+    groups records and the packed loss equals the padded-batch loss."""
+
+    def _records(self, n=2, tok0=100):
+        from PIL import Image
+
+        rng = np.random.RandomState(0)
+        recs = []
+        for i in range(n):
+            img = Image.fromarray(
+                (rng.rand(56, 56, 3) * 255).astype(np.uint8)
+            )
+            recs.append({
+                "ids": [tok0 + i, 200, 300], "labels": [IGNORE_INDEX, 201 + i, 301],
+                "image_slot": 1, "image": img, "video": None,
+            })
+        return recs
+
+    def test_packed_stream_groups_and_video_passthrough(self):
+        from types import SimpleNamespace
+
+        from visionselector_tpu.api.train import _packed_stream
+        from visionselector_tpu.core.config import qwen25vl_tiny
+
+        cfg = qwen25vl_tiny()
+        recs = self._records(3)
+        # a video record must pass through unpacked via the single builder
+        recs.insert(2, {"ids": [1, 2], "labels": [1, 2], "image_slot": 0,
+                        "image": None, "video": "dummy.npy"})
+        args = SimpleNamespace(text_bucket=128, vision_bucket=128,
+                               budget=0.25)
+        singles = []
+
+        def single_builder(cfg_, rec, budget, s_bucket, t_bucket):
+            singles.append(rec)
+            return "SINGLE"
+
+        stream = _packed_stream(cfg, recs, args, single_builder)
+        first = next(stream)   # recs 0+1 packed (video stops the group)
+        second = next(stream)  # the video record, unpacked
+        assert second == "SINGLE" and singles[0]["video"] == "dummy.npy"
+        assert set(np.unique(first.seg_ids)) == {0, 1, 2}
+
+    def test_packed_loss_equals_padded_batch_loss(self):
+        """Two same-shape records: CE of the packed row == mean of the two
+        padded single-sample CEs (block-diagonal attention + per-sample rope
+        restart + first-token label masking make them the same program)."""
+        import jax
+        import jax.numpy as jnp
+
+        from visionselector_tpu.core.config import qwen25vl_tiny
+        from visionselector_tpu.models.qwen25vl.model import init_params
+        from visionselector_tpu.train.dataset import (
+            build_packed_train_sample,
+            build_sample_from_record,
+        )
+        from visionselector_tpu.train.sft import sft_train_forward
+
+        cfg = qwen25vl_tiny()
+        params = init_params(jax.random.PRNGKey(0), cfg)
+        recs = self._records(2)
+
+        packed = build_packed_train_sample(
+            cfg, recs, budget=0.25, s_bucket=64, t_bucket=64,
+            min_pixels=1, max_pixels=10**9,
+        )
+        jpacked = jax.tree.map(jnp.asarray, packed)
+        ce_packed, _ = sft_train_forward(params, jpacked, cfg)
+
+        ces = []
+        for rec in recs:
+            s = build_sample_from_record(
+                cfg, rec, budget=0.25, s_bucket=64, t_bucket=64,
+                min_pixels=1, max_pixels=10**9,
+            )
+            ce, _ = sft_train_forward(params, jax.tree.map(jnp.asarray, s),
+                                      cfg)
+            ces.append(float(ce))
+        # both records supervise the same token count -> plain mean
+        np.testing.assert_allclose(
+            float(ce_packed), np.mean(ces), rtol=2e-4,
         )
 
 

@@ -495,6 +495,138 @@ class TestMultiRound:
         assert len(out) == 1 and isinstance(out[0], str) and out[0]
 
 
+class TestLoglikelihood:
+    """lmms model-ABC ``loglikelihood`` contract
+    (``lmms-eval/lmms_eval/api/model.py:30-57``): (ll, is_greedy) per
+    (context, continuation), and MC tasks scored by per-choice argmax."""
+
+    class Tok:
+        def encode(self, s):
+            return [abs(hash(w)) % 1000 + 600 for w in s.split()][:8]
+
+        def decode(self, ids, skip_special_tokens=True):
+            return " ".join(str(i) for i in ids)
+
+    def _engine(self, use_selector=True):
+        import jax
+
+        from visionselector_tpu.core.config import qwen25vl_tiny
+        from visionselector_tpu.models.qwen25vl.model import (
+            QwenVLEngine,
+            init_params,
+        )
+
+        cfg = qwen25vl_tiny()
+        return QwenVLEngine(
+            cfg, init_params(jax.random.PRNGKey(0), cfg),
+            use_selector=use_selector, budget=0.5,
+        )
+
+    def test_text_ll_matches_manual_teacher_forcing(self):
+        import jax
+        import jax.numpy as jnp
+
+        from visionselector_tpu.models.qwen25vl import lm as lm_mod
+
+        eng = self._engine()
+        ctx = np.array([5, 6, 7, 8, 9])
+        cont = np.array([11, 12, 13])
+        ll, greedy = eng.loglikelihood(ctx, cont)
+        assert isinstance(ll, float) and isinstance(greedy, bool)
+
+        full = np.concatenate([ctx, cont])
+        emb = lm_mod.embed_tokens(eng.params["lm"], jnp.asarray(full))
+        pos = jnp.tile(jnp.arange(len(full)), (3, 1, 1))
+        seg = jnp.ones((1, len(full)), jnp.int32)
+        hidden, _ = lm_mod.lm_prefill(
+            eng.params["lm"], emb[None], pos, seg, eng.cfg.text)
+        logits = lm_mod.lm_head(eng.params["lm"], hidden[0], eng.cfg.text)
+        logp = jax.nn.log_softmax(logits.astype(jnp.float32), -1)
+        manual = sum(
+            float(logp[len(ctx) - 1 + i, int(cont[i])])
+            for i in range(len(cont))
+        )
+        assert abs(manual - ll) < 1e-3
+        manual_greedy = all(
+            int(jnp.argmax(logits[len(ctx) - 1 + i])) == int(cont[i])
+            for i in range(len(cont))
+        )
+        assert greedy == manual_greedy
+
+    def test_vision_ll_runs_and_prefers_greedy_continuation(self):
+        from PIL import Image
+
+        from visionselector_tpu.preprocess.image import preprocess_image
+        from visionselector_tpu.preprocess.rope import expand_vision_tokens
+
+        eng = self._engine()
+        cfg = eng.cfg
+        img = (np.random.RandomState(0).rand(56, 84, 3) * 255).astype(
+            np.uint8)
+        pixels, grid = preprocess_image(Image.fromarray(img))
+        ids = expand_vision_tokens(
+            [5, 6, 7], [8, 9], grid,
+            image_token_id=cfg.image_token_id,
+            vision_start_token_id=cfg.vision_start_token_id,
+            vision_end_token_id=cfg.vision_end_token_id,
+        )
+        # The greedy continuation must be flagged greedy and must have a
+        # higher ll than a perturbed continuation.
+        res = eng.generate(ids, pixels, grid, max_new_tokens=2)
+        greedy_cont = np.asarray(res.tokens[:2])
+        ll_g, is_g = eng.loglikelihood(
+            ids, greedy_cont, pixel_values=pixels, grid_thw=grid)
+        assert is_g
+        other = greedy_cont.copy()
+        other[-1] = (other[-1] + 1) % cfg.text.vocab_size
+        ll_o, is_o = eng.loglikelihood(
+            ids, other, pixel_values=pixels, grid_thw=grid)
+        assert not is_o
+        assert ll_g > ll_o
+
+    def test_adapter_mc_task_via_loglikelihood(self, tmp_path):
+        """scienceqa_img_ll end-to-end: choices scored by ll, argmax letter
+        becomes the prediction, multiple_choice metric applies."""
+        from PIL import Image
+
+        from visionselector_tpu.eval.evaluator import EngineAdapter, evaluate
+        from visionselector_tpu.eval.tasks import TASKS
+
+        img_path = tmp_path / "img.png"
+        Image.fromarray(
+            (np.random.RandomState(0).rand(56, 56, 3) * 255).astype(np.uint8)
+        ).save(img_path)
+        # dataset_file: the ll variant reads scienceqa_img.jsonl
+        with open(tmp_path / "scienceqa_img.jsonl", "w") as f:
+            for i in range(2):
+                f.write(json.dumps({
+                    "question": f"Which option is right {i}?\nA. x\nB. y",
+                    "answers": ["A"],
+                    "image": "img.png",
+                    "choices": ["A", "B"],
+                }) + "\n")
+        adapter = EngineAdapter(self._engine(), self.Tok())
+        res = evaluate(adapter, ["scienceqa_img_ll"], str(tmp_path))
+        assert "scienceqa_img_ll/multiple_choice" in res
+        assert res["scienceqa_img_ll/n"] == 2.0
+
+    def test_ov_engine_text_ll(self):
+        import jax
+
+        from visionselector_tpu.core.config import llava_ov_tiny
+        from visionselector_tpu.models.llava_ov15.model import (
+            OVEngine,
+            init_ov_params,
+        )
+
+        cfg = llava_ov_tiny()
+        eng = OVEngine(cfg, init_ov_params(jax.random.PRNGKey(0), cfg),
+                       budget=0.5)
+        ll, greedy = eng.loglikelihood(
+            np.array([5, 6, 7]), np.array([11, 12]))
+        assert np.isfinite(ll) and isinstance(greedy, bool)
+
+
 class TestFractionalLimit:
     def test_fraction_and_count_semantics(self, tmp_path):
         data_dir = TestTasks().make_data(tmp_path, n=10)

@@ -56,6 +56,15 @@ def main(argv=None) -> int:
 
     if args.decode_batch:
         os.environ["VST_DECODE_BATCH"] = str(args.decode_batch)
+        if args.decode_batch > 1:
+            print(
+                "[run_eval] WARNING: --decode-batch > 1 batches the greedy "
+                "decode; on TPU bf16, batched matmul tiling can flip argmax "
+                "on near-tied logits, so greedy outputs (and thus scores) "
+                "may differ slightly from --decode-batch 1. Use 1 for "
+                "bit-reproducible reference scores.",
+                flush=True,
+            )
 
     if args.task_config_dir:
         from visionselector_tpu.eval.tasks import load_task_configs

@@ -61,9 +61,18 @@ class MicroBatcher:
                 while not self.queue:
                     self.cv.wait()
             _time.sleep(self.window_s)  # let concurrent requests join
+
+            # Batchmates must share max_new_tokens AND eos ids: the batched
+            # decode loop runs one shared stopping program, so mixing eos
+            # sets would either assert or stop the wrong rows.
+            def _key(b):
+                eos = b["kw"].get("eos_token_ids")
+                return (b["mnt"], tuple(eos) if eos is not None else None)
+
             with self.cv:
+                key = _key(self.queue[0])
                 mnt = self.queue[0]["mnt"]
-                batch = [b for b in self.queue if b["mnt"] == mnt]
+                batch = [b for b in self.queue if _key(b) == key]
                 batch = batch[: self.max_batch]
                 for b in batch:
                     self.queue.remove(b)

@@ -66,7 +66,71 @@ def build_parser():
     # LoRA (reference params.py lora_rank=64 / lora_alpha=16; 0 = off)
     p.add_argument("--lora-rank", type=int, default=0)
     p.add_argument("--lora-alpha", type=int, default=16)
+    # Packed/flattened training: greedy-pack consecutive records into one
+    # sequence row with block-diagonal attention (segment ids) — the
+    # reference's default recipe (``sft_3b.sh --data_flatten True`` ->
+    # ``qwen-vl-finetune/qwenvl/train/trainer.py:29-120`` varlen patch +
+    # ``data_qwen.py:566-637`` flattened collator).
+    p.add_argument("--data-flatten", action=argparse.BooleanOptionalAction,
+                   default=False)
     return p
+
+
+def _packed_stream(cfg, ds, args, single_builder):
+    """Greedy first-fit packing of consecutive image records into one
+    TrainBatchSample row (reference flattened recipe: ``sft_3b.sh
+    --data_flatten True`` -> ``trainer.py:29-120`` + ``data_qwen.py:566-637``).
+    Video/text-only records pass through unpacked."""
+    from visionselector_tpu.preprocess.image import smart_resize
+    from visionselector_tpu.train.dataset import build_packed_train_sample
+
+    factor = cfg.vision.patch_size * cfg.vision.spatial_merge_size
+
+    def est_cost(rec):
+        """(vision-expanded token count, patch count) without patchifying."""
+        w, h = rec["image"].size
+        hb, wb = smart_resize(h, w, factor=factor,
+                              min_pixels=56 * 56, max_pixels=28 * 28 * 1280)
+        patches = (hb // cfg.vision.patch_size) * (wb // cfg.vision.patch_size)
+        t = len(rec["ids"]) + patches // cfg.vision.spatial_merge_unit + 2
+        return t, patches
+
+    def record_iter():
+        j = 0
+        while True:
+            yield ds[j % len(ds)]
+            j += 1
+
+    rit = record_iter()
+    pending = None
+    while True:
+        group, tlen, patches = [], 0, 0
+        while len(group) < 16:
+            rec = pending if pending is not None else next(rit)
+            pending = None
+            if rec.get("video") is not None or rec["image"] is None:
+                pending = rec
+                break
+            et, ep = est_cost(rec)
+            if group and (tlen + et > args.text_bucket
+                          or patches + ep > args.vision_bucket):
+                pending = rec
+                break
+            group.append(rec)
+            tlen += et
+            patches += ep
+        if group:
+            yield build_packed_train_sample(
+                cfg, group, args.budget, args.vision_bucket, args.text_bucket
+            )
+        if pending is not None and (pending.get("video") is not None
+                                    or pending["image"] is None):
+            # not packable: run it as a classic single-sample row
+            yield single_builder(
+                cfg, pending, args.budget, args.vision_bucket,
+                args.text_bucket,
+            )
+            pending = None
 
 
 def main(argv=None) -> int:
@@ -152,6 +216,9 @@ def main(argv=None) -> int:
                 builder = build_ov_sample_from_record
             else:
                 builder = build_sample_from_record
+            if args.data_flatten and not is_ov:
+                yield from _packed_stream(cfg, ds, args, builder)
+                return
             i = 0
             while True:
                 rec = ds[i % len(ds)]

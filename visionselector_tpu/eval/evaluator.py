@@ -85,11 +85,12 @@ class EngineAdapter:
         after = tok.encode(f"{question}<|im_end|>\n<|im_start|>assistant\n")
         return before, after
 
-    @staticmethod
-    def _bucket_key(req: Request) -> int:
+    def _bucket_key(self, req: Request) -> int:
         """Estimated vision-bucket size (reads image dims without decoding) —
         grouping same-bucket requests avoids shape recompiles (the role of
-        lmms-eval's sort-by-length Collator, ``utils.py:863-927``)."""
+        lmms-eval's sort-by-length Collator, ``utils.py:863-927``). Uses the
+        engine's actual vision config so the sort key agrees with the bucket
+        the engine will pick even under non-default window/patch settings."""
         if req.image_path is None:
             return 0
         try:
@@ -102,27 +103,34 @@ class EngineAdapter:
             )
             from visionselector_tpu.preprocess.indices import pick_bucket
 
+            vis = self.engine.cfg.vision
+            factor = vis.patch_size * vis.spatial_merge_size
             grids = []
             for path in req.image_paths:
                 with Image.open(path) as im:
                     w, h = im.size
-                hb, wb = smart_resize(h, w, factor=28,
+                hb, wb = smart_resize(h, w, factor=factor,
                                       min_pixels=PROCESSOR_MIN_PIXELS,
                                       max_pixels=PROCESSOR_MAX_PIXELS)
-                grids.append((1, hb // 14, wb // 14))
+                grids.append((1, hb // vis.patch_size, wb // vis.patch_size))
             import numpy as _np
 
             from visionselector_tpu.models.qwen25vl.model import (
                 VISION_BUCKETS,
             )
 
-            if os.environ.get("VST_ALIGN_WINDOWS", "1") == "1":
+            window_size = getattr(vis, "window_size", None)
+            if (window_size is not None
+                    and os.environ.get("VST_ALIGN_WINDOWS", "1") == "1"):
                 # mirror the engine's bucket choice (window-aligned length)
                 from visionselector_tpu.preprocess.indices import (
                     aligned_window_len,
                 )
 
-                total = aligned_window_len(_np.asarray(grids))
+                total = aligned_window_len(
+                    _np.asarray(grids), window_size=window_size,
+                    spatial_merge_size=vis.spatial_merge_size,
+                    patch_size=vis.patch_size)
             else:
                 total = sum(t * gh * gw for t, gh, gw in grids)
             return pick_bucket(total, list(VISION_BUCKETS))
@@ -266,6 +274,43 @@ class EngineAdapter:
                     requests[oi], res, grid, until)
         return out_by_pos
 
+    def loglikelihood(
+        self, requests: Sequence[tuple],
+    ) -> List[tuple]:
+        """Score (Request, continuation_text) pairs: returns
+        [(sum log P(continuation | context+visual), is_greedy), ...] — the
+        lmms model-ABC ``loglikelihood`` method
+        (``lmms-eval/lmms_eval/api/model.py:30-57``). The context is the
+        request's full chat-templated prompt (including the image); the
+        continuation is tokenized and scored from one compressed prefill."""
+        out = []
+        for req, continuation in requests:
+            kw, _grid = self._prepare_request(req)
+            cont_ids = np.asarray(
+                self.tokenizer.encode(continuation), np.int64
+            )
+            ll, greedy = self.engine.loglikelihood(
+                continuation_ids=cont_ids, **kw
+            )
+            out.append((ll, greedy))
+        return out
+
+    def predict_multiple_choice(
+        self, requests: Sequence[Request],
+    ) -> List[str]:
+        """Answer MC requests by per-choice loglikelihood (argmax over the
+        choices' continuation log-probs) — how lmms-eval scores
+        loglikelihood-typed MC tasks. Falls back to A-D letters when the doc
+        carries no explicit choices."""
+        preds = []
+        for req in requests:
+            choices = list(req.choices) or ["A", "B", "C", "D"]
+            pairs = [(req, " " + c.strip()) for c in choices]
+            lls = self.loglikelihood(pairs)
+            best = max(range(len(choices)), key=lambda i: lls[i][0])
+            preds.append(choices[best].strip())
+        return preds
+
     def generate_until_multi_round(
         self, requests: Sequence[Request],
         until: Sequence[str] = ("<|im_end|>",),
@@ -319,25 +364,31 @@ def evaluate(
         requests = load_task_docs(task, data_dir, limit=limit)
         requests = shard_requests(requests, rank, world_size)
         t0 = time.perf_counter()
+        # dispatch by the task's request type (lmms-eval:
+        # ``resps = getattr(lm, reqtype)(cloned_reqs)``, evaluator.py:476)
+        run = (adapter.predict_multiple_choice
+               if task.request_type == "loglikelihood"
+               else adapter.generate_until)
         if cache.enabled():
             # LM_HARNESS_CACHE_PATH contract: serve hits from the response
             # cache, generate only the misses (lmms-eval caching/cache.py).
             keys = [
                 cache.key(
                     name, r.doc_id, r.question,
-                    f"{adapter.model_tag}:{method}", budget,
+                    f"{adapter.model_tag}:{method}:{task.request_type}",
+                    budget,
                 )
                 for r in requests
             ]
             preds = [cache.get(k) for k in keys]
             miss = [i for i, p in enumerate(preds) if p is None]
             if miss:
-                fresh = adapter.generate_until([requests[i] for i in miss])
+                fresh = run([requests[i] for i in miss])
                 for i, p in zip(miss, fresh):
                     preds[i] = p
                     cache.put(keys[i], p)
         else:
-            preds = adapter.generate_until(requests)
+            preds = run(requests)
         results.update(aggregate_scores(task, preds, requests))
         results[f"{name}/wall_s"] = time.perf_counter() - t0
         if log_samples_path:

@@ -33,6 +33,14 @@ class TaskConfig:
     # response filter pipeline (eval.filters.PIPELINES key) applied to raw
     # generations before scoring — lmms-eval filter_list equivalent
     filter: str = "none"
+    # Which lmms model-ABC method answers this task's requests
+    # (``lmms-eval/lmms_eval/api/model.py:30-90``): "generate_until"
+    # (default) or "loglikelihood" (MC scored by per-choice continuation
+    # log-prob instead of free generation).
+    request_type: str = "generate_until"
+    # jsonl basename when it differs from the task name (lets a
+    # loglikelihood variant share the generative task's dataset)
+    dataset_file: Optional[str] = None
 
 
 # The paper image suite (run_selector.sh:36) + shapes of their prompting.
@@ -63,6 +71,13 @@ TASKS: Dict[str, TaskConfig] = {
                                  filter="mc_letter"),
     "mvbench": TaskConfig("mvbench", "multiple_choice", _MC, 8,
                           filter="mc_letter"),
+    # Loglikelihood-scored MC variant (lmms ABC ``loglikelihood``,
+    # ``api/model.py:30-57``): each doc's choices are scored by continuation
+    # log-prob and the argmax letter is the prediction. Shares the
+    # scienceqa_img jsonl.
+    "scienceqa_img_ll": TaskConfig(
+        "scienceqa_img_ll", "multiple_choice", _MC, 8,
+        request_type="loglikelihood", dataset_file="scienceqa_img"),
 }
 
 
@@ -127,6 +142,9 @@ class Request:
     # same count (SPMD) are generated but NEVER scored — lmms-eval tracks its
     # padding_requests the same way (``evaluator.py:442-473``).
     is_padding: bool = False
+    # MC choice strings for loglikelihood-scored tasks (doc "choices" field);
+    # empty -> the standard A-D letters.
+    choices: List[str] = dataclasses.field(default_factory=list)
 
     @property
     def image_paths(self) -> List[str]:
@@ -140,7 +158,7 @@ def load_task_docs(task: TaskConfig, data_dir: str,
 
     ``limit``: lmms-eval semantics — >= 1 is a document count, a fraction in
     (0, 1) evaluates that share of the docs (``evaluator.py:63,109``)."""
-    path = os.path.join(data_dir, f"{task.name}.jsonl")
+    path = os.path.join(data_dir, f"{task.dataset_file or task.name}.jsonl")
     requests = []
     count_limit = None
     if limit is not None and limit >= 1:
@@ -168,6 +186,7 @@ def load_task_docs(task: TaskConfig, data_dir: str,
                     extra_image_paths=imgs[1:],
                     video_path=os.path.join(data_dir, vid) if vid else None,
                     task=task,
+                    choices=[str(c) for c in doc.get("choices", [])],
                 )
             )
     if limit is not None and 0 < limit < 1:

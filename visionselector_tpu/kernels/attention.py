@@ -368,7 +368,11 @@ def _flash_pallas_streamed(
     ``_flash_kernel_streamed``). Requires block-aligned shapes and bounds.
 
     ``kv_iters``: static max tiles any q block needs (host-computed from the
-    bounds; defaults to the full tile count)."""
+    bounds; defaults to the full tile count). Contract: a q block attends to
+    kv tiles ``[lo, min(hi, lo + kv_iters))`` — the bounds are explicitly
+    clamped below, so an undersized ``kv_iters`` truncates attention by
+    construction rather than silently (callers compute it as max(hi-lo) or
+    round up; see ``preprocess.indices._stable_kv_iters``)."""
     b, sq, h, d = q.shape
     sk = k.shape[1]
     assert sq % block_q == 0 and sk % block_k == 0, (sq, sk, block_q, block_k)
@@ -377,6 +381,10 @@ def _flash_pallas_streamed(
     if kv_iters is None:
         kv_iters = num_kv_blocks
     kv_iters = max(1, min(kv_iters, num_kv_blocks))
+    kv_bounds = jnp.stack(
+        [kv_bounds[:, 0],
+         jnp.minimum(kv_bounds[:, 1], kv_bounds[:, 0] + kv_iters)], axis=1
+    )
     if heads_per_program is None:
         heads_per_program = int(os.environ.get("VST_STREAM_HPP", "4"))
     hpp = min(heads_per_program, h)

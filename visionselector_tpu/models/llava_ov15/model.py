@@ -104,6 +104,146 @@ class OVEngine:
         )
         self.budget = budget
 
+    def _prep_vision(self, input_ids, pixel_values, grid_thw, has_img,
+                     is_video):
+        """Host-side prep shared by ``generate`` and ``loglikelihood``:
+        RICE batch assembly, k/k_max, padded position maps, 1D rope ids."""
+        from types import SimpleNamespace
+
+        cfg = self.cfg
+        input_ids = np.asarray(input_ids).reshape(-1)
+        t_orig = len(input_ids)
+        s_real = pixel_values.shape[0]
+        s_bucket = pick_bucket(s_real, [256, 512, 1024, 2048, 4096, 8192])
+        merge_unit = cfg.vision.spatial_merge_unit
+        rb = rice_mod.build_rice_batch(
+            pixel_values, grid_thw,
+            spatial_merge_size=cfg.vision.spatial_merge_size,
+            pad_to=s_bucket,
+            cls_slots=max(len(grid_thw), 8),
+        )
+        n = rb.num_merged
+        l_pad = s_bucket // merge_unit
+
+        if self.use_selector:
+            k = min(max(1, int(n * self.budget)),
+                    max(1, int(l_pad * self.budget)))
+            k_max = max(1, int(l_pad * self.budget))
+        elif self.strategy is not None:
+            k = None
+            k_max = min(l_pad, int(l_pad * self.budget) + 2)
+        else:
+            k, k_max = n, l_pad
+
+        is_img = input_ids == cfg.image_token_id
+        is_vid = input_ids == cfg.video_token_id
+        is_vision = (is_img if has_img else False) | (
+            is_vid if is_video else False)
+        image_pos = np.concatenate([
+            np.where(is_img)[0] if has_img else [],
+            np.where(is_vid)[0] if is_video else [],
+        ]).astype(np.int64)
+        assert len(image_pos) == n, (len(image_pos), n)
+        text_pos = np.where(~is_vision)[0]
+        num_text = len(text_pos)
+        image_pos_padded = np.full(l_pad, t_orig, np.int64)
+        image_pos_padded[:n] = image_pos
+        t_text_bucket = pick_bucket(num_text, [64, 128, 256, 512, 1024])
+        # round the compacted length (k_max + text bucket) to a 128 multiple
+        # so the causal prefill runs block-aligned (Qwen engine parity)
+        t_text_bucket += (-(k_max + t_text_bucket)) % 128
+        text_pos_padded = np.full(t_text_bucket, t_orig, np.int64)
+        text_pos_padded[:num_text] = text_pos
+
+        # OV text model: plain 1D rope — all three axes share arange(T)
+        # (``modeling_llavaonevision1_5.py:1167-1168``).
+        position_ids = np.tile(np.arange(t_orig), (3, 1))
+        return SimpleNamespace(
+            rb=rb, n=n, k=k, k_max=k_max, l_pad=l_pad, s_bucket=s_bucket,
+            image_pos=image_pos, text_pos=text_pos, num_text=num_text,
+            image_pos_padded=image_pos_padded,
+            text_pos_padded=text_pos_padded, t_text_bucket=t_text_bucket,
+            position_ids=position_ids, t_orig=t_orig,
+        )
+
+    def loglikelihood(
+        self,
+        input_ids: np.ndarray,
+        continuation_ids: np.ndarray,
+        pixel_values: Optional[np.ndarray] = None,
+        grid_thw: Optional[np.ndarray] = None,
+        pixel_values_videos: Optional[np.ndarray] = None,
+        video_grid_thw: Optional[np.ndarray] = None,
+        second_per_grid_ts=None,
+    ) -> Tuple[float, bool]:
+        """(sum log P(continuation | context), is_greedy) — lmms model-ABC
+        ``loglikelihood`` (``lmms-eval/lmms_eval/api/model.py:30-57``) for
+        the OV family: RICE encode + selection in one program, compacted
+        prefill + continuation scoring in a second (Qwen engine parity)."""
+        if self.strategy is not None:
+            raise NotImplementedError(
+                "loglikelihood supports selector/orig paths only"
+            )
+        from visionselector_tpu.models.qwen25vl.model import (
+            _prefill_from_vision_ll,
+            _prefill_text_ll,
+        )
+
+        cfg = self.cfg
+        input_ids = np.asarray(input_ids).reshape(-1)
+        continuation_ids = np.asarray(continuation_ids).reshape(-1)
+        c = len(continuation_ids)
+        assert c > 0, "empty continuation"
+        full_ids = np.concatenate([input_ids, continuation_ids])
+        c_max = max(16, -(-c // 16) * 16)
+        cont_padded = np.zeros(c_max, np.int64)
+        cont_padded[:c] = continuation_ids
+
+        is_video = pixel_values_videos is not None
+        has_img = pixel_values is not None
+        if is_video:
+            if has_img:
+                pixel_values = np.concatenate(
+                    [pixel_values, pixel_values_videos])
+                grid_thw = np.concatenate([grid_thw, video_grid_thw])
+            else:
+                pixel_values = pixel_values_videos
+                grid_thw = video_grid_thw
+
+        if pixel_values is None:
+            t_orig = len(full_ids)
+            t_bucket = pick_bucket(t_orig, [64, 128, 256, 512, 1024])
+            t_bucket += (-t_bucket) % 128
+            ids_padded = np.zeros(t_bucket, np.int64)
+            ids_padded[:t_orig] = full_ids
+            pos = np.zeros((3, t_bucket), np.int64)
+            pos[:, :t_orig] = np.tile(np.arange(t_orig), (3, 1))
+            seg = (np.arange(t_bucket) < t_orig).astype(np.int32)
+            ll, greedy = _prefill_text_ll(
+                self.params, cfg, c_max, jnp.asarray(ids_padded),
+                jnp.asarray(pos), jnp.asarray(seg), jnp.asarray(t_orig),
+                jnp.asarray(cont_padded), jnp.asarray(c),
+            )
+            return float(ll), bool(greedy)
+
+        p = self._prep_vision(full_ids, pixel_values, grid_thw,
+                              has_img, is_video)
+        rb = p.rb
+        merged, sel_idx, sel_valid = _rice_encode_select(
+            self.params, cfg, p.k_max, self.use_selector,
+            jnp.asarray(rb.pixel_values), jnp.asarray(rb.rot_pos_ids),
+            jnp.asarray(rb.insert_map), jnp.asarray(rb.strip_map),
+            jnp.asarray(rb.seg_ids), jnp.asarray(p.n), jnp.asarray(p.k),
+        )
+        ll, greedy = _prefill_from_vision_ll(
+            self.params, cfg, c_max, merged, sel_idx, sel_valid,
+            jnp.asarray(p.k), jnp.asarray(full_ids),
+            jnp.asarray(p.image_pos_padded), jnp.asarray(p.text_pos_padded),
+            jnp.asarray(p.num_text), jnp.asarray(p.position_ids),
+            jnp.asarray(cont_padded), jnp.asarray(c),
+        )
+        return float(ll), bool(greedy)
+
     def generate(
         self,
         input_ids: np.ndarray,
@@ -114,7 +254,6 @@ class OVEngine:
         temperature: float = 0.0,
         top_p: float = 1.0,
         seed: int = 0,
-        timer=None,
         on_token_chunk=None,
         pixel_values_videos: Optional[np.ndarray] = None,
         video_grid_thw: Optional[np.ndarray] = None,
@@ -156,50 +295,14 @@ class OVEngine:
                 _defer_decode=_defer_decode,
             )
 
-        s_real = pixel_values.shape[0]
-        s_bucket = pick_bucket(s_real, [256, 512, 1024, 2048, 4096, 8192])
-        merge_unit = cfg.vision.spatial_merge_unit
-        rb = rice_mod.build_rice_batch(
-            pixel_values, grid_thw,
-            spatial_merge_size=cfg.vision.spatial_merge_size,
-            pad_to=s_bucket,
-            cls_slots=max(len(grid_thw), 8),
-        )
-        n = rb.num_merged
-        l_pad = s_bucket // merge_unit
-
-        if self.use_selector:
-            k = min(max(1, int(n * self.budget)), max(1, int(l_pad * self.budget)))
-            k_max = max(1, int(l_pad * self.budget))
-        elif self.strategy is not None:
-            k = None
-            k_max = min(l_pad, int(l_pad * self.budget) + 2)
-        else:
-            k, k_max = n, l_pad
-
-        is_img = input_ids == cfg.image_token_id
-        is_vid = input_ids == cfg.video_token_id
-        is_vision = (is_img if has_img else False) | (
-            is_vid if is_video else False)
-        image_pos = np.concatenate([
-            np.where(is_img)[0] if has_img else [],
-            np.where(is_vid)[0] if is_video else [],
-        ]).astype(np.int64)
-        assert len(image_pos) == n, (len(image_pos), n)
-        text_pos = np.where(~is_vision)[0]
-        num_text = len(text_pos)
-        image_pos_padded = np.full(l_pad, t_orig, np.int64)
-        image_pos_padded[:n] = image_pos
-        t_text_bucket = pick_bucket(num_text, [64, 128, 256, 512, 1024])
-        # round the compacted length (k_max + text bucket) to a 128 multiple
-        # so the causal prefill runs block-aligned (Qwen engine parity)
-        t_text_bucket += (-(k_max + t_text_bucket)) % 128
-        text_pos_padded = np.full(t_text_bucket, t_orig, np.int64)
-        text_pos_padded[:num_text] = text_pos
-
-        # OV text model: plain 1D rope — all three axes share arange(T)
-        # (``modeling_llavaonevision1_5.py:1167-1168``).
-        position_ids = np.tile(np.arange(t_orig), (3, 1))
+        p = self._prep_vision(input_ids, pixel_values, grid_thw,
+                              has_img, is_video)
+        rb, n, k, k_max, l_pad = p.rb, p.n, p.k, p.k_max, p.l_pad
+        image_pos, text_pos, num_text = p.image_pos, p.text_pos, p.num_text
+        image_pos_padded = p.image_pos_padded
+        text_pos_padded = p.text_pos_padded
+        t_text_bucket = p.t_text_bucket
+        position_ids = p.position_ids
         rope_delta = 0
         from visionselector_tpu.models.qwen25vl.model import _run_decode_loop
 

@@ -67,9 +67,6 @@ def build_rice_batch(
     """Assemble gather maps for CLS insertion/stripping + segments."""
     s_real = int(pixel_values.shape[0])
     g = np.asarray(grid_thw)
-    n_seg = int(np.repeat(g[:, 0], 1).sum()) if False else int(
-        sum(int(t) for t in g[:, 0])
-    )
     cu = full_attn_cu_seqlens(g)  # per-image(-frame) patch boundaries
     n_seg = len(cu) - 1
 

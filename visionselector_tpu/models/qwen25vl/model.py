@@ -17,7 +17,7 @@ from __future__ import annotations
 
 import dataclasses
 import functools
-from typing import Any, List, Optional, Tuple
+from typing import List, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -112,6 +112,31 @@ def _prefill(
 ):
     """Returns (next_token, selection indices/valid, compacted valid_len,
     kv cache (k, v) at prefill length, logits row)."""
+    hidden, comp, selection, (k_layers, v_layers) = _prefill_core(
+        params, cfg, k_max, use_selector, pixel_values, rot_pos_ids,
+        window_seg_ids, full_seg_ids, reverse_index, num_merged, k,
+        input_ids, image_positions, text_positions, num_text,
+        position_ids_orig, window_kv_bounds, full_kv_bounds,
+        window_diag, window_kv_iters, full_kv_iters,
+    )
+    last = hidden[0, comp.valid_len - 1]  # [D]
+    logits = lm_mod.lm_head(params["lm"], last, cfg.text)  # [V]
+    next_token = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+    return (next_token, selection.indices, selection.valid, selection.scores,
+            comp.valid_len, (k_layers, v_layers), logits)
+
+
+def _prefill_core(
+    params, cfg, k_max, use_selector, pixel_values, rot_pos_ids,
+    window_seg_ids, full_seg_ids, reverse_index, num_merged, k,
+    input_ids, image_positions, text_positions, num_text,
+    position_ids_orig, window_kv_bounds, full_kv_bounds,
+    window_diag, window_kv_iters, full_kv_iters,
+):
+    """Shared traced prefill body: ViT -> selection -> compaction -> LM.
+
+    Called under jit by ``_prefill`` (generation) and ``_prefill_ll``
+    (loglikelihood scoring). Returns (hidden, comp, selection, kv)."""
     vision_embeds = vit_mod.vit_forward(
         params["visual"], pixel_values, rot_pos_ids, window_seg_ids,
         full_seg_ids, reverse_index, cfg.vision,
@@ -142,15 +167,105 @@ def _prefill(
         text_positions, num_text, position_ids_orig,
     )
 
-    hidden, (k_layers, v_layers) = lm_mod.lm_prefill(
+    hidden, kv = lm_mod.lm_prefill(
         params["lm"], comp.embeds[None], comp.position_ids[:, None, :],
         comp.seg_ids[None], cfg.text,
     )
-    last = hidden[0, comp.valid_len - 1]  # [D]
-    logits = lm_mod.lm_head(params["lm"], last, cfg.text)  # [V]
-    next_token = jnp.argmax(logits, axis=-1).astype(jnp.int32)
-    return (next_token, selection.indices, selection.valid, selection.scores,
-            comp.valid_len, (k_layers, v_layers), logits)
+    return hidden, comp, selection, kv
+
+
+def _score_continuation(params, cfg, hidden, valid_len, cont_ids, cont_len,
+                        c_max: int):
+    """Sum log-probs of the last ``cont_len`` tokens of the (compacted)
+    sequence, whose ids are ``cont_ids[:cont_len]``, plus a greedy flag.
+
+    The compacted layout sorts real tokens by original position with padding
+    after, so the continuation (a pure-text suffix that compression never
+    drops) occupies positions [valid_len - cont_len, valid_len). Token i is
+    predicted by the hidden state one position earlier. Mirrors the lmms ABC
+    ``loglikelihood`` contract (lmms-eval/lmms_eval/api/model.py:30-57)."""
+    c_idx = jnp.arange(c_max)
+    pos = valid_len - cont_len + c_idx  # continuation token positions
+    valid = c_idx < cont_len
+    h = hidden[0, jnp.maximum(pos - 1, 0)]  # [c_max, D]
+    logits = lm_mod.lm_head(params["lm"], h, cfg.text)  # [c_max, V]
+    logp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
+    ids = cont_ids.astype(jnp.int32)
+    tok_lp = jnp.take_along_axis(logp, ids[:, None], axis=-1)[:, 0]
+    ll = jnp.sum(jnp.where(valid, tok_lp, 0.0))
+    greedy = jnp.all(
+        jnp.where(valid, jnp.argmax(logits, axis=-1) == ids, True)
+    )
+    return ll, greedy
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("cfg", "k_max", "use_selector", "c_max", "window_diag",
+                     "window_kv_iters", "full_kv_iters"),
+)
+def _prefill_ll(
+    params: dict,
+    cfg: VLConfig,
+    k_max: int,
+    use_selector: bool,
+    c_max: int,
+    pixel_values: jax.Array,
+    rot_pos_ids: jax.Array,
+    window_seg_ids: jax.Array,
+    full_seg_ids: jax.Array,
+    reverse_index: jax.Array,
+    num_merged: jax.Array,
+    k: jax.Array,
+    input_ids: jax.Array,
+    image_positions: jax.Array,
+    text_positions: jax.Array,
+    num_text: jax.Array,
+    position_ids_orig: jax.Array,
+    cont_ids: jax.Array,  # [c_max] continuation token ids (padded)
+    cont_len: jax.Array,  # scalar: real continuation length
+    window_kv_bounds: jax.Array | None = None,
+    full_kv_bounds: jax.Array | None = None,
+    window_diag: bool = False,
+    window_kv_iters: int = 0,
+    full_kv_iters: int = 0,
+):
+    """Loglikelihood prefill: returns (sum log-prob of continuation,
+    is_greedy). The full prompt (context + continuation) is prefilled once;
+    compression applies to the vision tokens exactly as in generation."""
+    hidden, comp, _selection, _kv = _prefill_core(
+        params, cfg, k_max, use_selector, pixel_values, rot_pos_ids,
+        window_seg_ids, full_seg_ids, reverse_index, num_merged, k,
+        input_ids, image_positions, text_positions, num_text,
+        position_ids_orig, window_kv_bounds, full_kv_bounds,
+        window_diag, window_kv_iters, full_kv_iters,
+    )
+    return _score_continuation(
+        params, cfg, hidden, comp.valid_len, cont_ids, cont_len, c_max
+    )
+
+
+@functools.partial(jax.jit, static_argnames=("cfg", "c_max"))
+def _prefill_text_ll(
+    params: dict,
+    cfg: VLConfig,
+    c_max: int,
+    input_ids: jax.Array,  # [T_pad]
+    position_ids: jax.Array,  # [3, T_pad]
+    seg_ids: jax.Array,  # [T_pad]
+    valid_len: jax.Array,  # scalar
+    cont_ids: jax.Array,  # [c_max]
+    cont_len: jax.Array,  # scalar
+):
+    """Text-only loglikelihood prefill (no vision branch)."""
+    embeds = lm_mod.embed_tokens(params["lm"], input_ids)
+    hidden, _ = lm_mod.lm_prefill(
+        params["lm"], embeds[None], position_ids[:, None, :],
+        seg_ids[None], cfg.text,
+    )
+    return _score_continuation(
+        params, cfg, hidden, valid_len, cont_ids, cont_len, c_max
+    )
 
 
 @functools.partial(jax.jit, static_argnames=("cfg",))
@@ -273,6 +388,20 @@ def _prefill_from_vision(
 ):
     """Compaction + causal prefill given externally-selected vision tokens
     (training-free baseline path; ViT ran separately via _vision_stats)."""
+    hidden, comp, (k_layers, v_layers) = _from_vision_core(
+        params, cfg, vision_embeds, indices, valid, k, input_ids,
+        image_positions, text_positions, num_text, position_ids_orig,
+    )
+    last = hidden[0, comp.valid_len - 1]
+    logits = lm_mod.lm_head(params["lm"], last, cfg.text)
+    next_token = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+    return next_token, comp.valid_len, (k_layers, v_layers), logits
+
+
+def _from_vision_core(params, cfg, vision_embeds, indices, valid, k,
+                      input_ids, image_positions, text_positions, num_text,
+                      position_ids_orig):
+    """Shared traced body of the from-vision prefill (generation + ll)."""
     text_embeds = lm_mod.embed_tokens(params["lm"], input_ids)
     selection = Selection(
         indices=indices.astype(jnp.int32), valid=valid,
@@ -283,14 +412,39 @@ def _prefill_from_vision(
         text_embeds, vision_embeds, selection, image_positions,
         text_positions, num_text, position_ids_orig,
     )
-    hidden, (k_layers, v_layers) = lm_mod.lm_prefill(
+    hidden, kv = lm_mod.lm_prefill(
         params["lm"], comp.embeds[None], comp.position_ids[:, None, :],
         comp.seg_ids[None], cfg.text,
     )
-    last = hidden[0, comp.valid_len - 1]
-    logits = lm_mod.lm_head(params["lm"], last, cfg.text)
-    next_token = jnp.argmax(logits, axis=-1).astype(jnp.int32)
-    return next_token, comp.valid_len, (k_layers, v_layers), logits
+    return hidden, comp, kv
+
+
+@functools.partial(jax.jit, static_argnames=("cfg", "c_max"))
+def _prefill_from_vision_ll(
+    params: dict,
+    cfg: VLConfig,
+    c_max: int,
+    vision_embeds: jax.Array,
+    indices: jax.Array,
+    valid: jax.Array,
+    k: jax.Array,
+    input_ids: jax.Array,
+    image_positions: jax.Array,
+    text_positions: jax.Array,
+    num_text: jax.Array,
+    position_ids_orig: jax.Array,
+    cont_ids: jax.Array,
+    cont_len: jax.Array,
+):
+    """Loglikelihood scoring over the from-vision prefill (used by the OV
+    engine, whose RICE tower runs in a separate program)."""
+    hidden, comp, _kv = _from_vision_core(
+        params, cfg, vision_embeds, indices, valid, k, input_ids,
+        image_positions, text_positions, num_text, position_ids_orig,
+    )
+    return _score_continuation(
+        params, cfg, hidden, comp.valid_len, cont_ids, cont_len, c_max
+    )
 
 
 @functools.partial(
@@ -768,6 +922,194 @@ class QwenVLEngine:
             params["visual"] = pad_vit_head_dim(params["visual"], cfg.vision)
         self.params = params
 
+    def _prep_vision(self, input_ids, pixel_values, grid_thw, img_grid,
+                     vid_grid, second_per_grid_ts):
+        """Host-side prep shared by ``generate`` and ``loglikelihood``:
+        bucket choice, vision-batch index arrays, k/k_max, padded position
+        maps and M-RoPE ids. ``pixel_values``/``grid_thw`` are the already
+        image+video-concatenated arrays; ``img_grid``/``vid_grid`` the
+        originals (None when that modality is absent)."""
+        import os as _os
+        from types import SimpleNamespace
+
+        cfg = self.cfg
+        input_ids = np.asarray(input_ids).reshape(-1)
+        t_orig = len(input_ids)
+        merge_unit = cfg.vision.spatial_merge_unit
+        s_real = pixel_values.shape[0]
+        # Window-aligned layout (default): every window in a 64-patch slot ->
+        # block-diagonal window attention via the all-heads diagonal kernel.
+        # The slot padding usually fits the same bucket the raw length needs.
+        align = _os.environ.get("VST_ALIGN_WINDOWS", "1") == "1"
+        s_need = s_real
+        if align:
+            from visionselector_tpu.preprocess.indices import (
+                aligned_window_len,
+            )
+
+            s_need = aligned_window_len(
+                grid_thw, window_size=cfg.vision.window_size,
+                spatial_merge_size=cfg.vision.spatial_merge_size,
+                patch_size=cfg.vision.patch_size,
+            )
+            if s_need > self.vision_buckets[-1] >= s_real:
+                # slot padding would push past the largest validated bucket
+                # while the raw length still fits — keep the classic layout
+                align = False
+                s_need = s_real
+        s_bucket = pick_bucket(s_need, [b for b in self.vision_buckets])
+        vb = build_vision_batch(
+            pixel_values, grid_thw,
+            window_size=cfg.vision.window_size,
+            spatial_merge_size=cfg.vision.spatial_merge_size,
+            patch_size=cfg.vision.patch_size,
+            pad_to=s_bucket,
+            align_windows=align,
+        )
+        l_pad = s_bucket // merge_unit
+        n = vb.num_merged
+
+        if self.use_selector:
+            k = max(1, int(n * self.budget))
+            k_max = max(1, int(l_pad * self.budget))
+            k = min(k, k_max)
+        elif self.strategy is not None:
+            k = None  # determined by the strategy downstream
+            k_max = min(l_pad, int(l_pad * self.budget) + 2)
+        else:
+            k = n
+            k_max = l_pad
+
+        # Host-side index arrays over the original sequence. Merged-token
+        # order is [image grids..., video grids...] (pixel concat order), so
+        # the merged->sequence map lists image-token positions first;
+        # compact_sequence re-sorts by sequence position, so an interleaved
+        # prompt (video before image) stays correct.
+        is_img = input_ids == cfg.image_token_id
+        is_vid = input_ids == cfg.video_token_id
+        is_vision = (is_img if img_grid is not None else False) | (
+            is_vid if vid_grid is not None else False)
+        image_pos = np.concatenate([
+            np.where(is_img)[0] if img_grid is not None else [],
+            np.where(is_vid)[0] if vid_grid is not None else [],
+        ]).astype(np.int64)
+        assert len(image_pos) == n, (len(image_pos), n)
+        text_pos = np.where(~is_vision)[0]
+        num_text = len(text_pos)
+
+        image_pos_padded = np.full(l_pad, t_orig, np.int64)
+        image_pos_padded[:n] = image_pos
+        t_text_bucket = pick_bucket(num_text, list(self.text_buckets))
+        # Round the compacted length (k_max + text bucket) to a 128 multiple
+        # so the causal prefill kernel runs block-aligned without internal
+        # padding.
+        t_text_bucket += (-(k_max + t_text_bucket)) % 128
+        text_pos_padded = np.full(t_text_bucket, t_orig, np.int64)
+        text_pos_padded[:num_text] = text_pos
+
+        position_ids, rope_delta = get_rope_index(
+            input_ids,
+            image_grid_thw=img_grid,
+            video_grid_thw=vid_grid,
+            second_per_grid_ts=second_per_grid_ts,
+            spatial_merge_size=cfg.vision.spatial_merge_size,
+            tokens_per_second=cfg.vision.tokens_per_second,
+            image_token_id=cfg.image_token_id,
+            video_token_id=cfg.video_token_id,
+            vision_start_token_id=cfg.vision_start_token_id,
+        )
+        return SimpleNamespace(
+            vb=vb, n=n, k=k, k_max=k_max, l_pad=l_pad, s_bucket=s_bucket,
+            image_pos=image_pos, text_pos=text_pos, num_text=num_text,
+            image_pos_padded=image_pos_padded,
+            text_pos_padded=text_pos_padded, t_text_bucket=t_text_bucket,
+            position_ids=position_ids, rope_delta=rope_delta, t_orig=t_orig,
+        )
+
+    def loglikelihood(
+        self,
+        input_ids: np.ndarray,
+        continuation_ids: np.ndarray,
+        pixel_values: Optional[np.ndarray] = None,
+        grid_thw: Optional[np.ndarray] = None,
+        pixel_values_videos: Optional[np.ndarray] = None,
+        video_grid_thw: Optional[np.ndarray] = None,
+        second_per_grid_ts: Optional[np.ndarray] = None,
+    ) -> Tuple[float, bool]:
+        """Score a continuation given a (possibly visual) context: returns
+        (sum log P(continuation | context), is_greedy) — the third method of
+        the lmms model ABC (``lmms-eval/lmms_eval/api/model.py:30-57``).
+
+        The full prompt context+continuation is prefilled once; the selector
+        (or no compression, for ``orig``) applies to vision tokens exactly as
+        in generation, and the continuation — a pure-text suffix that
+        compaction always keeps — is scored from the prefill hidden states.
+        Training-free baseline strategies are not supported here (the
+        reference's compression adapters expose only ``generate_until``)."""
+        if self.strategy is not None:
+            raise NotImplementedError(
+                "loglikelihood supports selector/orig paths only"
+            )
+        cfg = self.cfg
+        input_ids = np.asarray(input_ids).reshape(-1)
+        continuation_ids = np.asarray(continuation_ids).reshape(-1)
+        c = len(continuation_ids)
+        assert c > 0, "empty continuation"
+        full_ids = np.concatenate([input_ids, continuation_ids])
+        # pad the continuation slot to a small static bucket
+        c_max = max(16, -(-c // 16) * 16)
+        cont_padded = np.zeros(c_max, np.int64)
+        cont_padded[:c] = continuation_ids
+
+        img_grid = grid_thw if pixel_values is not None else None
+        vid_grid = video_grid_thw if pixel_values_videos is not None else None
+        if pixel_values is not None and pixel_values_videos is not None:
+            pixel_values = np.concatenate([pixel_values, pixel_values_videos])
+            grid_thw = np.concatenate([grid_thw, video_grid_thw])
+        elif pixel_values_videos is not None:
+            pixel_values = pixel_values_videos
+            grid_thw = video_grid_thw
+
+        if pixel_values is None:
+            # Text-only: plain causal prefill over the padded sequence.
+            t_orig = len(full_ids)
+            t_bucket = pick_bucket(t_orig, list(self.text_buckets))
+            t_bucket += (-t_bucket) % 128
+            ids_padded = np.zeros(t_bucket, np.int64)
+            ids_padded[:t_orig] = full_ids
+            pos = np.zeros((3, t_bucket), np.int64)
+            pos[:, :t_orig] = np.tile(np.arange(t_orig), (3, 1))
+            seg = (np.arange(t_bucket) < t_orig).astype(np.int32)
+            ll, greedy = _prefill_text_ll(
+                self.params, cfg, c_max, jnp.asarray(ids_padded),
+                jnp.asarray(pos), jnp.asarray(seg), jnp.asarray(t_orig),
+                jnp.asarray(cont_padded), jnp.asarray(c),
+            )
+            return float(ll), bool(greedy)
+
+        assert grid_thw is not None
+        p = self._prep_vision(
+            full_ids, pixel_values, grid_thw, img_grid, vid_grid,
+            second_per_grid_ts,
+        )
+        vb = p.vb
+        ll, greedy = _prefill_ll(
+            self.params, cfg, p.k_max, self.use_selector, c_max,
+            jnp.asarray(vb.pixel_values), jnp.asarray(vb.rot_pos_ids),
+            jnp.asarray(vb.window_seg_ids), jnp.asarray(vb.full_seg_ids),
+            jnp.asarray(vb.reverse_index), jnp.asarray(p.n),
+            jnp.asarray(p.k), jnp.asarray(full_ids),
+            jnp.asarray(p.image_pos_padded), jnp.asarray(p.text_pos_padded),
+            jnp.asarray(p.num_text), jnp.asarray(p.position_ids),
+            jnp.asarray(cont_padded), jnp.asarray(c),
+            window_kv_bounds=jnp.asarray(vb.window_kv_bounds),
+            full_kv_bounds=jnp.asarray(vb.full_kv_bounds),
+            window_diag=vb.window_diag,
+            window_kv_iters=vb.window_kv_iters,
+            full_kv_iters=vb.full_kv_iters,
+        )
+        return float(ll), bool(greedy)
+
     def generate(
         self,
         input_ids: np.ndarray,
@@ -781,7 +1123,6 @@ class QwenVLEngine:
         temperature: float = 0.0,
         top_p: float = 1.0,
         seed: int = 0,
-        timer: Optional[Any] = None,
         on_token_chunk=None,
         _defer_decode: bool = False,
     ) -> GenerationResult:
@@ -828,88 +1169,16 @@ class QwenVLEngine:
 
         assert grid_thw is not None
 
-        merge_unit = cfg.vision.spatial_merge_unit
-        s_real = pixel_values.shape[0]
-        # Window-aligned layout (default): every window in a 64-patch slot ->
-        # block-diagonal window attention via the all-heads diagonal kernel.
-        # The slot padding usually fits the same bucket the raw length needs.
-        import os as _os
-
-        align = _os.environ.get("VST_ALIGN_WINDOWS", "1") == "1"
-        s_need = s_real
-        if align:
-            from visionselector_tpu.preprocess.indices import aligned_window_len
-
-            s_need = aligned_window_len(
-                grid_thw, window_size=cfg.vision.window_size,
-                spatial_merge_size=cfg.vision.spatial_merge_size,
-                patch_size=cfg.vision.patch_size,
-            )
-            if s_need > self.vision_buckets[-1] >= s_real:
-                # slot padding would push past the largest validated bucket
-                # while the raw length still fits — keep the classic layout
-                align = False
-                s_need = s_real
-        s_bucket = pick_bucket(s_need, [b for b in self.vision_buckets])
-        vb = build_vision_batch(
-            pixel_values, grid_thw,
-            window_size=cfg.vision.window_size,
-            spatial_merge_size=cfg.vision.spatial_merge_size,
-            patch_size=cfg.vision.patch_size,
-            pad_to=s_bucket,
-            align_windows=align,
+        p = self._prep_vision(
+            input_ids, pixel_values, grid_thw, img_grid, vid_grid,
+            second_per_grid_ts,
         )
-        l_pad = s_bucket // merge_unit
-        n = vb.num_merged
-
-        if self.use_selector:
-            k = max(1, int(n * self.budget))
-            k_max = max(1, int(l_pad * self.budget))
-            k = min(k, k_max)
-        elif self.strategy is not None:
-            k = None  # determined by the strategy below
-            k_max = min(l_pad, int(l_pad * self.budget) + 2)
-        else:
-            k = n
-            k_max = l_pad
-
-        # Host-side index arrays over the original sequence. Merged-token
-        # order is [image grids..., video grids...] (the pixel concat above),
-        # so the merged->sequence map lists image-token positions first;
-        # compact_sequence re-sorts by sequence position, so an interleaved
-        # prompt (video before image) stays correct.
-        is_img = input_ids == cfg.image_token_id
-        is_vid = input_ids == cfg.video_token_id
-        is_vision = (is_img if img_grid is not None else False) | (
-            is_vid if vid_grid is not None else False)
-        image_pos = np.concatenate([
-            np.where(is_img)[0] if img_grid is not None else [],
-            np.where(is_vid)[0] if vid_grid is not None else [],
-        ]).astype(np.int64)
-        assert len(image_pos) == n, (len(image_pos), n)
-        text_pos = np.where(~is_vision)[0]
-        num_text = len(text_pos)
-
-        image_pos_padded = np.full(l_pad, t_orig, np.int64)
-        image_pos_padded[:n] = image_pos
-        t_text_bucket = pick_bucket(num_text, list(self.text_buckets))
-        # Round the compacted length (k_max + text bucket) to a 128 multiple so
-        # the causal prefill kernel runs block-aligned without internal padding.
-        t_text_bucket += (-(k_max + t_text_bucket)) % 128
-        text_pos_padded = np.full(t_text_bucket, t_orig, np.int64)
-        text_pos_padded[:num_text] = text_pos
-
-        position_ids, rope_delta = get_rope_index(
-            input_ids,
-            image_grid_thw=img_grid,
-            video_grid_thw=vid_grid,
-            second_per_grid_ts=second_per_grid_ts,
-            spatial_merge_size=cfg.vision.spatial_merge_size,
-            tokens_per_second=cfg.vision.tokens_per_second,
-            image_token_id=cfg.image_token_id,
-            video_token_id=cfg.video_token_id,
-            vision_start_token_id=cfg.vision_start_token_id,
-        )
+        vb, n, k, k_max, l_pad = p.vb, p.n, p.k, p.k_max, p.l_pad
+        image_pos, text_pos, num_text = p.image_pos, p.text_pos, p.num_text
+        image_pos_padded = p.image_pos_padded
+        text_pos_padded = p.text_pos_padded
+        t_text_bucket = p.t_text_bucket
+        position_ids, rope_delta = p.position_ids, p.rope_delta
 
         if self.strategy is not None and getattr(self.strategy, "llm_side", False):
             # FastV/DART: two-stage prefill with mid-decoder compression.

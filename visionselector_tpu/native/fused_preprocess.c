@@ -39,11 +39,10 @@ static void fused_one(
 
     const long y0 = (ghb * M + mh) * PS;
     const long x0 = (gwb * M + mw) * PS;
-    float inv_std[3], meanf[3];
-    for (int c = 0; c < 3; c++) {
-        inv_std[c] = (float)(1.0 / std_[c]);
-        meanf[c] = (float)mean[c];
-    }
+    /* Accumulate in double with the numpy fallback's exact expression
+       ((x/255 - mean) / std, see preprocess/image.py:116) so eval outputs
+       do not depend on whether a C compiler was present (the division costs
+       nothing next to the memory traffic). */
     float *dst = out + row * (3 * TP * PS * PS);
     for (int c = 0; c < 3; c++) {
         for (long tp = 0; tp < TP; tp++) {
@@ -53,12 +52,12 @@ static void fused_one(
                 const long y = y0 + ph;
                 const long base = ((t * H + y) * W + x0) * 3 + c;
                 for (long pw = 0; pw < PS; pw++) {
-                    float v;
+                    double v;
                     if (frames_u8)
-                        v = (float)frames_u8[base + pw * 3] * (1.0f / 255.0f);
+                        v = (double)frames_u8[base + pw * 3] / 255.0;
                     else
-                        v = (float)(frames_f64[base + pw * 3] / 255.0);
-                    *dst++ = (v - meanf[c]) * inv_std[c];
+                        v = frames_f64[base + pw * 3] / 255.0;
+                    *dst++ = (float)((v - mean[c]) / std_[c]);
                 }
             }
         }

@@ -298,8 +298,12 @@ def build_vision_batch(
             window_kv_bounds=(wb := segment_block_bounds(wseg_a, wblock, wblock)),
             full_kv_bounds=(fb := segment_block_bounds(fseg_a, fblock, fblock)),
             window_diag=window_diag,
-            window_kv_iters=int((wb[:, 1] - wb[:, 0]).max(initial=0)),
-            full_kv_iters=int((fb[:, 1] - fb[:, 0]).max(initial=0)),
+            window_kv_iters=_stable_kv_iters(
+                int((wb[:, 1] - wb[:, 0]).max(initial=0)),
+                s_pad // wblock, s_pad),
+            full_kv_iters=_stable_kv_iters(
+                int((fb[:, 1] - fb[:, 0]).max(initial=0)),
+                s_pad // fblock, s_pad),
         )
 
     s_pad = pad_to if pad_to is not None else seq_len
@@ -333,9 +337,34 @@ def build_vision_batch(
         num_merged=num_merged,
         window_kv_bounds=(wb := segment_block_bounds(window_seg_padded, wblock, wblock)),
         full_kv_bounds=(fb := segment_block_bounds(full_seg_padded, fblock, fblock)),
-        window_kv_iters=int((wb[:, 1] - wb[:, 0]).max(initial=0)),
-        full_kv_iters=int((fb[:, 1] - fb[:, 0]).max(initial=0)),
+        window_kv_iters=_stable_kv_iters(
+            int((wb[:, 1] - wb[:, 0]).max(initial=0)), s_pad // wblock, s_pad),
+        full_kv_iters=_stable_kv_iters(
+            int((fb[:, 1] - fb[:, 0]).max(initial=0)), s_pad // fblock, s_pad),
     )
+
+
+def _stable_kv_iters(raw: int, num_blocks: int, s_pad: int,
+                     head_dim: int = 80, itemsize: int = 2) -> int:
+    """Stabilize the streamed-kernel tile count used as a static jit arg.
+
+    ``raw`` (max(hi-lo) over the kv bounds) is content-dependent: it varies
+    with image aspect ratio even within one bucket, and since it is threaded
+    as a static argnum into the jitted prefill programs, each distinct value
+    retriggers a full-program compile. Below the streaming VMEM threshold
+    (mirrors kernels/attention.py: whole-kv fits when
+    ``s_pad*head_dim*itemsize*4 <= 8 MiB``) the kernel never streams and the
+    value is unused — return 0 (-> kernel default) so there is exactly one
+    program per bucket. Above it, round up to the next power of two (capped
+    at the full tile count) to bound the number of program variants.
+    Rounding up is always safe: extra tiles are masked inactive in-kernel.
+    """
+    if s_pad * head_dim * itemsize * 4 <= 8 * 2**20:
+        return 0
+    p = 1
+    while p < raw:
+        p *= 2
+    return min(p, num_blocks)
 
 
 def pick_bucket(n: int, buckets: Sequence[int]) -> int:

@@ -61,21 +61,24 @@ def parse_dataset_names(spec: str, registry: Dict[str, Dict[str, str]]) -> List[
 def render_conversation(
     conversations: Sequence[dict],
     tokenizer,
-) -> Tuple[List[int], List[int], int]:
-    """Chat-template a conversations list into (input_ids, labels, image_slot).
+) -> Tuple[List[int], List[int], List[int]]:
+    """Chat-template a conversations list into (input_ids, labels, slots).
 
     Follows the Qwen chat layout used by the reference
     (``data_qwen.py:47-140``): system turn, then user/assistant turns; only
-    assistant responses are supervised. The ``<image>`` placeholder position is
-    returned as a token offset where vision tokens are to be spliced (single
-    image per sample, batch=1 parity with the reference's selector recipe).
+    assistant responses are supervised. Every ``<image>``/``<video>``
+    placeholder position is returned as a token offset where that image's
+    (video's) vision tokens are to be spliced — per-record image LISTS are
+    first-class, matching the reference data layer's multi-image records
+    (``data_qwen.py:233-242``).
 
-    Returns: (ids WITHOUT vision expansion, labels aligned to ids, offset into
-    ids where the vision block should be inserted, or -1).
+    Returns: (ids WITHOUT vision expansion, labels aligned to ids, ascending
+    offsets into ids where vision blocks should be inserted; empty for
+    text-only records).
     """
     ids: List[int] = []
     labels: List[int] = []
-    image_slot = -1
+    slots: List[int] = []
 
     def add(text: str, supervised: bool):
         toks = tokenizer.encode(text)
@@ -87,20 +90,23 @@ def render_conversation(
         role = turn.get("from", turn.get("role", "human"))
         value = turn.get("value", turn.get("content", ""))
         if role in ("human", "user"):
-            if "<image>" in value or "<video>" in value:
-                # one vision placeholder per sample (<image> or <video>,
-                # data_qwen.py:47-140 semantics)
-                tag = "<image>" if "<image>" in value else "<video>"
-                before, after = value.split(tag, 1)
-                add(f"{IM_START}user\n{before}", False)
-                image_slot = len(ids)
-                add(f"{after}{IM_END}\n", False)
-            else:
-                add(f"{IM_START}user\n{value}{IM_END}\n", False)
+            add(f"{IM_START}user\n", False)
+            rest = value
+            while "<image>" in rest or "<video>" in rest:
+                ii = rest.find("<image>")
+                vi = rest.find("<video>")
+                if ii < 0 or (0 <= vi < ii):
+                    idx, tag = vi, "<video>"
+                else:
+                    idx, tag = ii, "<image>"
+                add(rest[:idx], False)
+                slots.append(len(ids))
+                rest = rest[idx + len(tag):]
+            add(f"{rest}{IM_END}\n", False)
         else:
             add(f"{IM_START}assistant\n", False)
             add(f"{value}{IM_END}\n", True)
-    return ids, labels, image_slot
+    return ids, labels, slots
 
 
 class ConversationDataset:
@@ -127,19 +133,28 @@ class ConversationDataset:
 
     def _load(self, idx: int):
         rec = self.records[idx]
-        ids, labels, image_slot = render_conversation(
+        ids, labels, slots = render_conversation(
             rec["conversations"], self.tokenizer
         )
-        image = None
-        img_name = rec.get("image")
-        if img_name:
+        # "image": str | [str, ...] — per-record image lists are processed
+        # image-by-image like the reference data layer (data_qwen.py:233-242)
+        images = []
+        img_names = rec.get("image")
+        if img_names:
             from PIL import Image
 
-            image = Image.open(os.path.join(self.data_path, img_name))
-            image.load()
+            names = (img_names if isinstance(img_names, list)
+                     else [img_names])
+            for nm in names:
+                im = Image.open(os.path.join(self.data_path, nm))
+                im.load()
+                images.append(im)
         video = rec.get("video")
-        return {"ids": ids, "labels": labels, "image_slot": image_slot,
-                "image": image, "id": rec.get("id", idx),
+        return {"ids": ids, "labels": labels,
+                "image_slot": slots[0] if slots else -1,
+                "image_slots": slots,
+                "image": images[0] if images else None,
+                "images": images, "id": rec.get("id", idx),
                 "video": (os.path.join(self.data_path, video)
                           if video else None)}
 
@@ -182,6 +197,9 @@ def build_sample_from_record(
     is_video = record.get("video") is not None
     assert (record["image"] is not None or is_video) and slot >= 0, \
         "text-only packing TBD"
+    images = record.get("images") or (
+        [record["image"]] if record["image"] is not None else [])
+    slots = record.get("image_slots") or [slot]
 
     spg = None
     if is_video:
@@ -196,12 +214,22 @@ def build_sample_from_record(
             merge_size=cfg.vision.spatial_merge_size,
         )
     else:
-        pixels, grid = preprocess_image(
-            record["image"], min_pixels=min_pixels, max_pixels=max_pixels,
-            patch_size=cfg.vision.patch_size,
-            temporal_patch_size=cfg.vision.temporal_patch_size,
-            merge_size=cfg.vision.spatial_merge_size,
-        )
+        # One or several images: per-image preprocessing, pixel rows
+        # concatenated, one grid row each (data_qwen.py:233-242 parity);
+        # vision blocks spliced at each placeholder slot below.
+        assert len(images) == len(slots), (len(images), len(slots))
+        px_list, g_list = [], []
+        for im in images:
+            px_i, g_i = preprocess_image(
+                im, min_pixels=min_pixels, max_pixels=max_pixels,
+                patch_size=cfg.vision.patch_size,
+                temporal_patch_size=cfg.vision.temporal_patch_size,
+                merge_size=cfg.vision.spatial_merge_size,
+            )
+            px_list.append(px_i)
+            g_list.append(g_i)
+        pixels = np.concatenate(px_list, axis=0)
+        grid = np.concatenate(g_list, axis=0)
     vb = build_vision_batch(
         pixels, grid,
         window_size=cfg.vision.window_size,
@@ -213,15 +241,23 @@ def build_sample_from_record(
     l_pad = s_bucket // cfg.vision.spatial_merge_unit
 
     vision_token = cfg.video_token_id if is_video else cfg.image_token_id
-    vision_ids = (
-        [cfg.vision_start_token_id] + [vision_token] * n
-        + [cfg.vision_end_token_id]
-    )
-    full_ids = np.asarray(ids[:slot] + vision_ids + ids[slot:], np.int64)
-    full_labels = np.asarray(
-        labels[:slot] + [IGNORE_INDEX] * len(vision_ids) + labels[slot:],
-        np.int64,
-    )
+    if is_video:
+        run_lens, run_slots = [n], [slot]
+    else:
+        mu = cfg.vision.spatial_merge_unit
+        run_lens = [px.shape[0] // mu for px in px_list]
+        run_slots = list(slots)
+        assert run_slots == sorted(run_slots), run_slots
+    id_parts, label_parts = [], []
+    prev = 0
+    for sl, n_i in zip(run_slots, run_lens):
+        run = ([cfg.vision_start_token_id] + [vision_token] * n_i
+               + [cfg.vision_end_token_id])
+        id_parts += ids[prev:sl] + run
+        label_parts += labels[prev:sl] + [IGNORE_INDEX] * len(run)
+        prev = sl
+    full_ids = np.asarray(id_parts + ids[prev:], np.int64)
+    full_labels = np.asarray(label_parts + labels[prev:], np.int64)
     t_real = len(full_ids)
     assert t_real <= t_bucket, (t_real, t_bucket)
 
