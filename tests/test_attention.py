@@ -295,6 +295,62 @@ class TestDiagKernel:
         np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=2e-5)
 
 
+class TestWindowSlots:
+    """Window-batched dense XLA path (VST_WINDOW_IMPL=slots)."""
+
+    def test_vs_reference_and_padding(self):
+        from visionselector_tpu.kernels.attention import (
+            window_attention_slots,
+        )
+
+        rng = np.random.RandomState(0)
+        s, h, d, slot = 256, 4, 16, 32
+        seg = np.zeros(s, np.int32)
+        sid = 1
+        for base in range(0, s, slot):
+            ln = int(rng.choice([0, 4, slot // 2, slot]))
+            if ln:
+                seg[base : base + ln] = sid
+                sid += 1
+        q = jnp.asarray(rng.randn(1, s, h, d), jnp.float32)
+        k = jnp.asarray(rng.randn(1, s, h, d), jnp.float32)
+        v = jnp.asarray(rng.randn(1, s, h, d), jnp.float32)
+        segj = jnp.asarray(seg)[None]
+        got = window_attention_slots(q, k, v, segj, slot=slot)
+        want = mha_reference(q, k, v, segj, segj, causal=False)
+        np.testing.assert_allclose(
+            np.asarray(got), np.asarray(want), atol=2e-5
+        )
+        np.testing.assert_array_equal(np.asarray(got)[0, seg == 0], 0.0)
+
+
+class TestExpBF16:
+    """VST_EXP_BF16=1: reduced-precision softmax exponent in the flash
+    kernel (perf experiment for the transcendental-bound full-attn ViT
+    layers) — must stay within bf16-grade tolerance of the reference."""
+
+    def test_close_to_reference(self, monkeypatch):
+        import visionselector_tpu.kernels.attention as A
+
+        monkeypatch.setattr(A, "EXP_BF16", True)
+        rng = np.random.RandomState(0)
+        s, h, d = 128, 2, 16
+        seg = np.ones(s, np.int32)
+        seg[100:] = 0
+        q = jnp.asarray(rng.randn(1, s, h, d), jnp.float32)
+        k = jnp.asarray(rng.randn(1, s, h, d), jnp.float32)
+        v = jnp.asarray(rng.randn(1, s, h, d), jnp.float32)
+        segj = jnp.asarray(seg)[None]
+        got = A._flash_pallas(q, k, v, segj, segj, False, d**-0.5,
+                              block_q=64, block_k=64, interpret=True)
+        want = mha_reference(q, k, v, segj, segj)
+        np.testing.assert_allclose(
+            np.asarray(got), np.asarray(want), atol=2e-2, rtol=2e-2
+        )
+        # padding rows still exactly zero
+        np.testing.assert_array_equal(np.asarray(got)[0, seg == 0], 0.0)
+
+
 class TestPallasGrad:
     """Pallas forwards must be differentiable (training on TPU runs the
     flash kernel inside grad): custom VJP = XLA-reference cotangents."""

@@ -29,6 +29,14 @@ class TestServe:
                 health = json.loads(r.read())
             assert health["ok"] and health["budget"] == 0.5
 
+            # browser chat page (gradio-app parity surface)
+            with urllib.request.urlopen(
+                f"http://127.0.0.1:{port}/", timeout=30
+            ) as r:
+                page = r.read().decode()
+            assert "text/html" in r.headers["Content-Type"]
+            assert "/generate" in page
+
             from PIL import Image
 
             buf = io.BytesIO()

@@ -167,6 +167,60 @@ class Server:
         }
 
 
+# Minimal browser chat client over POST /generate (ndjson streaming).
+# Parity surface for the reference's gradio chat UI
+# (``llava-ov-15/src/serve/app.py:17-142``) without the gradio dependency.
+CHAT_HTML = """<!doctype html>
+<html><head><meta charset="utf-8"><title>visionselector chat</title>
+<style>
+ body{font-family:system-ui,sans-serif;max-width:720px;margin:2rem auto;
+      padding:0 1rem}
+ #log{border:1px solid #ccc;border-radius:8px;padding:1rem;min-height:16rem;
+      white-space:pre-wrap}
+ .u{color:#036} .a{color:#063} .meta{color:#888;font-size:.8em}
+ textarea{width:100%;height:4rem} button{padding:.4rem 1rem}
+</style></head><body>
+<h3>visionselector chat</h3>
+<div id="log"></div>
+<p><input type="file" id="img" accept="image/*"></p>
+<textarea id="q" placeholder="Ask about the image..."></textarea>
+<p><button id="send">Send</button> <span class="meta" id="stat"></span></p>
+<script>
+const log = document.getElementById('log');
+function add(cls, text){
+  const d = document.createElement('div'); d.className = cls;
+  d.textContent = text; log.appendChild(d); return d; }
+async function b64(file){
+  if(!file) return null;
+  const buf = await file.arrayBuffer();
+  let s=''; new Uint8Array(buf).forEach(b=>s+=String.fromCharCode(b));
+  return btoa(s); }
+document.getElementById('send').onclick = async () => {
+  const q = document.getElementById('q').value.trim();
+  if(!q) return;
+  add('u', 'you: ' + q);
+  const image_b64 = await b64(document.getElementById('img').files[0]);
+  const out = add('a', 'model: ');
+  const t0 = performance.now();
+  const resp = await fetch('/generate', {method:'POST',
+    headers:{'Content-Type':'application/json'},
+    body: JSON.stringify({prompt:q, image_b64, stream:true,
+                          max_new_tokens:128})});
+  const rd = resp.body.getReader(); const dec = new TextDecoder();
+  let buf='';
+  for(;;){ const {done, value} = await rd.read(); if(done) break;
+    buf += dec.decode(value, {stream:true});
+    const lines = buf.split('\\n'); buf = lines.pop();
+    for(const ln of lines){ if(!ln.trim()) continue;
+      const rec = JSON.parse(ln);
+      if(rec.text) out.textContent += rec.text; } }
+  document.getElementById('stat').textContent =
+    ((performance.now()-t0)/1000).toFixed(1)+'s';
+};
+</script></body></html>
+"""
+
+
 def make_handler(server: Server):
     class Handler(BaseHTTPRequestHandler):
         # chunked Transfer-Encoding (streaming) requires HTTP/1.1 — the
@@ -189,6 +243,16 @@ def make_handler(server: Server):
             if self.path == "/health":
                 self._send(200, {"ok": True, "method": server.method,
                                  "budget": server.budget})
+            elif self.path in ("/", "/chat"):
+                # Browser chat page (the reference ships a gradio chat app,
+                # ``llava-ov-15/src/serve/app.py``; this is the dependency-
+                # free equivalent over the same /generate API).
+                body = CHAT_HTML.encode()
+                self.send_response(200)
+                self.send_header("Content-Type", "text/html; charset=utf-8")
+                self.send_header("Content-Length", str(len(body)))
+                self.end_headers()
+                self.wfile.write(body)
             else:
                 self._send(404, {"error": "not found"})
 

@@ -133,9 +133,21 @@ def _flash_kernel(q_ref, k_ref, v_ref, qseg_ref, kseg_ref, bounds_ref, o_ref,
             m_new = jnp.maximum(m_prev, m_cur)
             # Explicit mask on p: for fully-masked rows m_new == NEG_INF and
             # exp(s - m_new) would be exp(0) == 1 instead of 0.
-            p = jnp.where(mask, jnp.exp(s - m_new), 0.0)
+            if EXP_BF16:
+                # bf16 exponent (see EXP_BF16): p stays bf16 into the pv
+                # matmul; the l sum accumulates in fp32.
+                p = jnp.where(
+                    mask,
+                    jnp.exp((s - m_new).astype(jnp.bfloat16)),
+                    jnp.bfloat16(0.0),
+                )
+                l_sum = jnp.sum(p.astype(jnp.float32), axis=-1,
+                                keepdims=True)
+            else:
+                p = jnp.where(mask, jnp.exp(s - m_new), 0.0)
+                l_sum = jnp.sum(p, axis=-1, keepdims=True)
             alpha = jnp.exp(m_prev - m_new)
-            l_new = l_prev * alpha + jnp.sum(p, axis=-1, keepdims=True)
+            l_new = l_prev * alpha + l_sum
             pv = jax.lax.dot_general(
                 p.astype(v.dtype), v, (((1,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32,
@@ -172,6 +184,15 @@ WINDOW_BLOCK = int(os.environ.get("VST_WINDOW_BLOCK", "512"))
 # per-head flash path; 16x512 overflows scoped VMEM).
 DIAG_BLOCK = int(os.environ.get("VST_DIAG_BLOCK", "256"))
 DIAG_HPP = int(os.environ.get("VST_DIAG_HPP", "16"))
+# Reduced-precision softmax exponent in the flash kernel: the 4 full-attn
+# ViT layers are transcendental-bound (S^2*H fp32 exps, measured 3.4 ms/layer
+# vs 0.82 ideal); a bf16 exp halves VPU lanes per element at ~0.4% relative
+# error on attention weights. Opt-in (perf experiment knob).
+EXP_BF16 = os.environ.get("VST_EXP_BF16", "0") == "1"
+# Window attention implementation under the aligned layout:
+#   "diag"  — block-diagonal Pallas kernel (r2 default)
+#   "slots" — window-batched dense XLA einsums (no Pallas grid/transposes)
+WINDOW_IMPL = os.environ.get("VST_WINDOW_IMPL", "diag")
 
 
 def _flash_pallas(
@@ -605,6 +626,50 @@ def _diag_kernel(q_ref, k_ref, v_ref, seg_ref, o_ref, *, scale, num_heads):
             preferred_element_type=jnp.float32,
         )
         o_ref[0, h] = out.astype(o_ref.dtype)
+
+
+def window_attention_slots(
+    q: jax.Array,
+    k: jax.Array,
+    v: jax.Array,
+    seg: jax.Array,
+    slot: int,
+    scale: float | None = None,
+) -> jax.Array:
+    """Window attention as a window-batched dense XLA computation.
+
+    Requires the window-aligned layout (``VisionBatch.window_diag``): every
+    window lives inside its own ``slot``-patch group, so attention factors
+    into ``S/slot`` independent [slot, slot] problems. Expressed as batched
+    einsums + a fused softmax, XLA maps them straight onto MXU tiles with no
+    Pallas program grid and no [B,H,S,D] HBM transposes — attacking the
+    per-program overhead that dominates the 28 window layers (measured
+    ~0.87 ms/layer under the diag Pallas kernel vs ~0.1 ms of roofline).
+
+    q, k, v: [B, S, H, D]; seg: [B, S] (0 = padding). Matches
+    ``attention(..., causal=False)`` on aligned layouts.
+    """
+    b, s, h, d = q.shape
+    if scale is None:
+        scale = d**-0.5
+    assert s % slot == 0, (s, slot)
+    nw = s // slot
+    qw = q.reshape(b, nw, slot, h, d)
+    kw = k.reshape(b, nw, slot, h, d)
+    vw = v.reshape(b, nw, slot, h, d)
+    segw = seg.reshape(b, nw, slot)
+    logits = jnp.einsum(
+        "bwqhd,bwkhd->bwhqk", qw, kw, preferred_element_type=jnp.float32
+    ) * scale
+    mask = (segw[:, :, None, :, None] == segw[:, :, None, None, :]) & (
+        segw[:, :, None, None, :] > 0
+    )  # [b, nw, 1, slot, slot]
+    logits = jnp.where(mask, logits, NEG_INF)
+    p = jax.nn.softmax(logits, axis=-1)
+    # padding-query rows (all keys masked) softmax to uniform; zero them
+    p = jnp.where(mask.any(axis=-1, keepdims=True), p, 0.0)
+    out = jnp.einsum("bwhqk,bwkhd->bwqhd", p.astype(v.dtype), vw)
+    return out.reshape(b, s, h, d)
 
 
 def attention_diag(

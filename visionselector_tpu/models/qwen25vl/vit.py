@@ -330,12 +330,19 @@ def vit_forward(
         # never read bounds at the wrong granularity, whatever combination of
         # layout/env the batch was built under.
         from visionselector_tpu.kernels.attention import (
+            WINDOW_IMPL,
             attention_diag,
             default_impl,
+            window_attention_slots,
         )
 
         impl = default_impl()
         use_diag = window_diag and impl in ("pallas", "pallas_interpret")
+        # Window-batched XLA path (VST_WINDOW_IMPL=slots): needs only the
+        # aligned layout, not Pallas.
+        use_slots = window_diag and WINDOW_IMPL == "slots"
+        win = cfg.window_size // cfg.spatial_merge_size // cfg.patch_size
+        slot = win * win * cfg.spatial_merge_unit
         s_pad = pixel_values.shape[0]
         wblock = s_pad // window_kv_bounds.shape[0]
         fblock = s_pad // full_kv_bounds.shape[0]
@@ -346,6 +353,11 @@ def vit_forward(
             def attn_fn(q, k, v):
                 def window_branch(ops):
                     q, k, v = ops
+                    if use_slots:
+                        return window_attention_slots(
+                            q[None], k[None], v[None], window_seg_ids[None],
+                            slot=slot, scale=d**-0.5,
+                        )[0]
                     if use_diag:
                         return attention_diag(
                             q[None], k[None], v[None], window_seg_ids[None],
