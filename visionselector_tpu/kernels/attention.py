@@ -90,52 +90,50 @@ def _flash_kernel(q_ref, k_ref, v_ref, qseg_ref, kseg_ref, bounds_ref, o_ref,
     O(S^2) into O(S * window). This block-skip + online softmax is the
     TPU-native replacement for ``flash_attn_varlen_func``.
     """
+    # NOTE (r3): a kv-outer/heads-inner inversion (one mask per (iq, j)
+    # shared by the head group) was measured perf-NEUTRAL — Mosaic already
+    # CSEs the loop-invariant mask — and its per-head fori_loop carries
+    # blew scoped VMEM at the 16-heads-per-program LM shapes. Heads stay
+    # OUTER (one head's accumulators live at a time).
     iq = pl.program_id(2)
     q_seg = qseg_ref[0]  # [bq]
 
     lo_block = bounds_ref[iq, 0]
     hi_block = bounds_ref[iq, 1]
-    bq = q_ref.shape[-2]
-    d = q_ref.shape[-1]
-    num_kv_blocks = hi_block
-    if causal:
-        # Only blocks whose start can be <= last query row.
-        last_q = (iq + 1) * bq - 1
-        num_kv_blocks = jnp.minimum(num_kv_blocks, (last_q // block_k) + 1)
 
-    # kv-loop OUTER, heads inner: the segment/causal mask depends only on
-    # (iq, j), so one construction serves every head in the group — measured
-    # 0.57 ms/layer of per-head-redundant mask VPU work at the 5632 full-attn
-    # shape (tools/bench_fullattn_ablate.py) before the inversion.
-    def body(j, carry):
-        accs, ms, ls = carry
-        k_seg = kseg_ref[0, pl.ds(j * block_k, block_k)]
-        mask = (q_seg[:, None] == k_seg[None, :]) & (k_seg[None, :] > 0)
+    for hh in range(num_heads):
+        q = q_ref[0] if packed else q_ref[0, hh]  # [bq, d]
+        bq = q.shape[0]
+        num_kv_blocks = hi_block
         if causal:
-            qi = iq * bq + jax.lax.broadcasted_iota(
-                jnp.int32, (bq, block_k), 0)
-            ki = j * block_k + jax.lax.broadcasted_iota(
-                jnp.int32, (bq, block_k), 1)
-            mask = mask & (qi >= ki)
+            # Only blocks whose start can be <= last query row.
+            last_q = (iq + 1) * bq - 1
+            num_kv_blocks = jnp.minimum(num_kv_blocks, (last_q // block_k) + 1)
 
-        new_accs, new_ms, new_ls = [], [], []
-        for hh in range(num_heads):
+        def body(j, carry, hh=hh):
+            acc, m_prev, l_prev = carry
             if packed:
-                q = q_ref[0]
                 k = k_ref[0, pl.ds(j * block_k, block_k)]  # [bk, d]
                 v = v_ref[0, pl.ds(j * block_k, block_k)]
             else:
-                q = q_ref[0, hh]
                 k = k_ref[0, hh, pl.ds(j * block_k, block_k)]  # [bk, d]
                 v = v_ref[0, hh, pl.ds(j * block_k, block_k)]
+            k_seg = kseg_ref[0, pl.ds(j * block_k, block_k)]
 
             s = jax.lax.dot_general(
                 q, k, (((1,), (1,)), ((), ())),
                 preferred_element_type=jnp.float32,
             ) * scale  # [bq, bk]
+
+            mask = (q_seg[:, None] == k_seg[None, :]) & (k_seg[None, :] > 0)
+            if causal:
+                qi = iq * bq + jax.lax.broadcasted_iota(
+                    jnp.int32, (bq, block_k), 0)
+                ki = j * block_k + jax.lax.broadcasted_iota(
+                    jnp.int32, (bq, block_k), 1)
+                mask = mask & (qi >= ki)
             s = jnp.where(mask, s, NEG_INF)
 
-            m_prev, l_prev, acc = ms[hh], ls[hh], accs[hh]
             m_cur = jnp.max(s, axis=-1, keepdims=True)  # [bq, 1]
             m_new = jnp.maximum(m_prev, m_cur)
             # Explicit mask on p: for fully-masked rows m_new == NEG_INF and
@@ -154,24 +152,22 @@ def _flash_kernel(q_ref, k_ref, v_ref, qseg_ref, kseg_ref, bounds_ref, o_ref,
                 p = jnp.where(mask, jnp.exp(s - m_new), 0.0)
                 l_sum = jnp.sum(p, axis=-1, keepdims=True)
             alpha = jnp.exp(m_prev - m_new)
+            l_new = l_prev * alpha + l_sum
             pv = jax.lax.dot_general(
                 p.astype(v.dtype), v, (((1,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32,
             )
-            new_accs.append(acc * alpha + pv)
-            new_ms.append(m_new)
-            new_ls.append(l_prev * alpha + l_sum)
-        return tuple(new_accs), tuple(new_ms), tuple(new_ls)
+            acc = acc * alpha + pv
+            return acc, m_new, l_new
 
-    acc0 = tuple(jnp.zeros((bq, d), jnp.float32) for _ in range(num_heads))
-    m0 = tuple(jnp.full((bq, 1), NEG_INF, jnp.float32)
-               for _ in range(num_heads))
-    l0 = tuple(jnp.zeros((bq, 1), jnp.float32) for _ in range(num_heads))
-    accs, ms, ls = jax.lax.fori_loop(
-        lo_block, num_kv_blocks, body, (acc0, m0, l0))
+        d = q.shape[-1]
+        acc = jnp.zeros((bq, d), jnp.float32)
+        m0 = jnp.full((bq, 1), NEG_INF, jnp.float32)
+        l0 = jnp.zeros((bq, 1), jnp.float32)
+        acc, m, l = jax.lax.fori_loop(
+            lo_block, num_kv_blocks, body, (acc, m0, l0))
 
-    for hh in range(num_heads):
-        out = accs[hh] / jnp.where(ls[hh] == 0.0, 1.0, ls[hh])
+        out = acc / jnp.where(l == 0.0, 1.0, l)
         if packed:
             o_ref[0] = out.astype(o_ref.dtype)
         else:
