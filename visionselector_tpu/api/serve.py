@@ -95,11 +95,15 @@ class MicroBatcher:
 
 class Server:
     def __init__(self, engine, tokenizer, method: str, budget: float,
-                 micro_batch: int = 1, batch_window_ms: float = 4.0):
+                 micro_batch: int = 1, batch_window_ms: float = 4.0,
+                 speculative: int = 0):
         self.engine = engine
         self.tokenizer = tokenizer
         self.method = method
         self.budget = budget
+        # prompt-lookup speculative decoding: propose N tokens per decode
+        # dispatch (greedy-identical outputs; see generate_speculative)
+        self.speculative = speculative
         self.lock = threading.Lock()  # serializes engine use
         self.batcher = (
             MicroBatcher(engine, self.lock, micro_batch, batch_window_ms)
@@ -144,6 +148,17 @@ class Server:
                 dict(input_ids=input_ids, pixel_values=pixels, grid_thw=grid),
                 max_new_tokens,
             )
+        elif self.speculative > 0 and on_token_chunk is None:
+            from visionselector_tpu.models.qwen25vl.model import (
+                generate_speculative,
+            )
+
+            with self.lock:
+                res = generate_speculative(
+                    self.engine, input_ids, pixels, grid,
+                    max_new_tokens=max_new_tokens,
+                    propose_len=self.speculative,
+                )
         else:
             with self.lock:
                 res = self.engine.generate(
@@ -456,7 +471,8 @@ def build_server(args) -> ThreadingHTTPServer:
     )
     srv = Server(engine, tokenizer, args.method, args.budget,
                  micro_batch=getattr(args, 'micro_batch', 1),
-                 batch_window_ms=getattr(args, 'batch_window_ms', 4.0))
+                 batch_window_ms=getattr(args, 'batch_window_ms', 4.0),
+                 speculative=getattr(args, 'speculative', 0))
     return ThreadingHTTPServer((args.host, args.port), make_handler(srv))
 
 
@@ -473,6 +489,10 @@ def main(argv=None) -> int:
                    help="coalesce concurrent non-streaming requests into "
                         "one batched decode dispatch (serving throughput)")
     p.add_argument("--batch-window-ms", type=float, default=4.0)
+    p.add_argument("--speculative", type=int, default=0,
+                   help="prompt-lookup speculative decoding: propose N "
+                        "tokens per decode dispatch (greedy-identical "
+                        "outputs, fewer weight-stream passes); 0 = off")
     args = p.parse_args(argv)
     httpd = build_server(args)
     print(f"[serve] listening on {args.host}:{args.port} "

@@ -997,6 +997,36 @@ def attention(
     raise ValueError(f"unknown attention impl {impl!r}")
 
 
+def chunk_decode_attention(
+    q: jax.Array,
+    k_cache: jax.Array,
+    v_cache: jax.Array,
+    base_len: jax.Array,
+    scale: float | None = None,
+) -> jax.Array:
+    """Multi-token decode attention (speculative verification chunk).
+
+    q: [B, T_c, H, D]; k_cache/v_cache: [B, T_max, H, D]; base_len: [B]
+    pre-chunk cache lengths. Chunk row i's kv was just written at position
+    base_len + i, so row i attends to cache positions < base_len + i + 1
+    (causal within the chunk, full view of the committed cache). Like
+    ``decode_attention``, XLA handles this well — decode is weight-stream
+    bound, which is exactly why verifying T_c tokens costs about one step.
+    """
+    if scale is None:
+        scale = q.shape[-1] ** -0.5
+    t_c = q.shape[1]
+    logits = jnp.einsum(
+        "bqhd,bkhd->bhqk", q, k_cache, preferred_element_type=jnp.float32
+    ) * scale
+    limit = base_len[:, None, None] + jnp.arange(t_c)[None, :, None] + 1
+    valid = jnp.arange(k_cache.shape[1])[None, None, :] < limit  # [B, Tc, T]
+    logits = jnp.where(valid[:, None, :, :], logits, NEG_INF)
+    probs = jax.nn.softmax(logits, axis=-1)
+    out = jnp.einsum("bhqk,bkhd->bqhd", probs.astype(v_cache.dtype), v_cache)
+    return out.astype(q.dtype)
+
+
 def decode_attention(
     q: jax.Array,
     k_cache: jax.Array,

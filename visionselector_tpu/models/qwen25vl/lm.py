@@ -20,7 +20,11 @@ import jax
 import jax.numpy as jnp
 
 from visionselector_tpu.core.config import TextConfig
-from visionselector_tpu.kernels.attention import attention, decode_attention
+from visionselector_tpu.kernels.attention import (
+    attention,
+    chunk_decode_attention,
+    decode_attention,
+)
 from visionselector_tpu.models.qwen25vl.vit import rms_norm, rotate_half
 
 
@@ -326,6 +330,61 @@ def lm_decode_step(
     )
     x = rms_norm(x, params["final_ln_scale"], cfg.rms_norm_eps)
     return x, KVCache(k=k_new, v=v_new, length=cache.length + 1)
+
+
+def lm_decode_chunk(
+    params: dict,
+    cache: KVCache,
+    inputs_embeds: jax.Array,
+    position_ids: jax.Array,
+    cfg: TextConfig,
+) -> Tuple[jax.Array, KVCache]:
+    """Multi-token decode step (speculative-decoding verification).
+
+    Processes T_c proposed tokens in ONE forward against the cache: each
+    row's kv is appended at base_len + i and row i attends causally within
+    the chunk plus the committed cache. Decode is weight-bandwidth-bound, so
+    this costs roughly one single-token step — the accepted prefix comes for
+    free (prompt-lookup speculative decoding).
+
+    Args:
+        inputs_embeds: [B, T_c, D].
+        position_ids: [3, B, T_c].
+    Returns: (hidden [B, T_c, D] post-final-norm, cache with length += T_c —
+    callers roll length back by the rejected suffix).
+    """
+    cos, sin = mrope_cos_sin(position_ids, cfg)
+    n_rep = cfg.num_attention_heads // cfg.num_key_value_heads
+    b, t_c, _ = inputs_embeds.shape
+
+    def layer(x, scanned):
+        p, k_cache, v_cache, pos = scanned  # pos: [B] this layer's length
+        h = rms_norm(x, p["input_ln_scale"], cfg.rms_norm_eps)
+        q, k, v = _qkv(h, p, cfg)
+        q, k = _apply_mrope(q, k, cos, sin)
+        k_cache = jax.vmap(
+            lambda c, upd, i: jax.lax.dynamic_update_slice(c, upd, (i, 0, 0))
+        )(k_cache, k, pos)
+        v_cache = jax.vmap(
+            lambda c, upd, i: jax.lax.dynamic_update_slice(c, upd, (i, 0, 0))
+        )(v_cache, v, pos)
+        attn = chunk_decode_attention(
+            q,
+            _repeat_kv(k_cache, n_rep),
+            _repeat_kv(v_cache, n_rep),
+            pos,
+        )
+        x = x + _dense(attn.reshape(b, t_c, -1), p, "o_kernel")
+        h = rms_norm(x, p["post_ln_scale"], cfg.rms_norm_eps)
+        x = x + _mlp(h, p, cfg)
+        return x, (k_cache, v_cache)
+
+    x, (k_new, v_new) = jax.lax.scan(
+        layer, inputs_embeds,
+        (params["layers"], cache.k, cache.v, cache.length),
+    )
+    x = rms_norm(x, params["final_ln_scale"], cfg.rms_norm_eps)
+    return x, KVCache(k=k_new, v=v_new, length=cache.length + t_c)
 
 
 def embed_tokens(params: dict, input_ids: jax.Array) -> jax.Array:

@@ -882,6 +882,9 @@ class GenerationResult:
     prefill_seconds: float = 0.0
     total_seconds: float = 0.0
     scores: Optional[np.ndarray] = None  # raw LIS scores (visualization)
+    # device dispatches the decode took (speculative decoding emits several
+    # tokens per dispatch; None for the plain per-token loop)
+    decode_dispatches: Optional[int] = None
 
 
 class QwenVLEngine:
@@ -1404,6 +1407,135 @@ class QwenVLEngine:
             eos_token_ids=eos_token_ids, temperature=temperature,
             top_p=top_p, seed=seed,
         )
+
+
+def _prompt_lookup(ctx: list, n: int, m: int) -> list:
+    """Prompt-lookup proposal: find the most recent EARLIER occurrence of
+    the context's final n-gram and return the m tokens that followed it
+    (padded to exactly m). VQA/summarization answers echo prompt spans, so
+    the greedy verifier accepts multi-token runs for the price of ~one
+    decode step. Returns [0]*m when no match (step then emits 1 token)."""
+    pad = [0] * m
+    if len(ctx) <= n:
+        return pad
+    tail = ctx[-n:]
+    for i in range(len(ctx) - n - 1, -1, -1):
+        if ctx[i:i + n] == tail:
+            cont = ctx[i + n:i + n + m]
+            if cont:
+                return cont + [0] * (m - len(cont))
+    return pad
+
+
+@functools.partial(jax.jit, static_argnames=("cfg", "m"), donate_argnums=(1,))
+def _spec_verify(params, cache, cur, props, pos_start, cfg: VLConfig,
+                 m: int):
+    """One speculative step: consume [cur, props...] in one chunked forward,
+    return (greedy [m+1], accepted-proposal count a, cache rolled back over
+    the rejected suffix). Emits greedy[:a+1] — decode is weight-bound, so
+    the extra rows are nearly free (lm_mod.lm_decode_chunk)."""
+    ids = jnp.concatenate([cur[None], props]).astype(jnp.int32)  # [m+1]
+    embeds = lm_mod.embed_tokens(params["lm"], ids)[None]
+    pos = pos_start + jnp.arange(m + 1)
+    pos3 = jnp.broadcast_to(pos[None, None, :], (3, 1, m + 1))
+    hidden, cache = lm_mod.lm_decode_chunk(
+        params["lm"], cache, embeds, pos3, cfg.text
+    )
+    logits = lm_mod.lm_head(params["lm"], hidden[0], cfg.text)  # [m+1, V]
+    greedy = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+    eq = props.astype(jnp.int32) == greedy[:m]
+    a = jnp.where(jnp.all(eq), m, jnp.argmin(eq)).astype(jnp.int32)
+    # keep kv only for [cur] + the a accepted proposals
+    cache = lm_mod.KVCache(k=cache.k, v=cache.v,
+                           length=cache.length - (m - a))
+    return greedy, a, cache
+
+
+def generate_speculative(
+    engine,
+    input_ids: np.ndarray,
+    pixel_values: Optional[np.ndarray] = None,
+    grid_thw: Optional[np.ndarray] = None,
+    max_new_tokens: int = 64,
+    eos_token_ids: Optional[Tuple[int, ...]] = None,
+    propose_len: int = 7,
+    ngram: int = 3,
+    **gen_kwargs,
+) -> "GenerationResult":
+    """Greedy generation with prompt-lookup speculative decoding.
+
+    Prefill runs exactly as ``engine.generate`` (any engine supporting
+    ``_defer_decode``: Qwen + OV, selector/orig/baselines); the decode loop
+    then verifies ``propose_len`` prompt-lookup proposals per chunked
+    forward, emitting 1..propose_len+1 tokens per weight-stream pass.
+    Greedy outputs are IDENTICAL to ``engine.generate`` by construction
+    (accepted tokens are exactly the greedy continuations)."""
+    import time
+
+    state = engine.generate(
+        input_ids, pixel_values, grid_thw,
+        max_new_tokens=max_new_tokens, eos_token_ids=eos_token_ids,
+        _defer_decode=True, **gen_kwargs,
+    )
+    cfg = engine.cfg
+    m = propose_len
+    eos = set(state.eos_token_ids)
+    first = state.next_token
+    base = state.result
+    if first in eos:
+        return GenerationResult(
+            tokens=[], scores=base.scores,
+            selected_indices=base.selected_indices,
+            num_vision_tokens=base.num_vision_tokens,
+            prefill_len=base.prefill_len,
+            prefill_seconds=base.prefill_seconds,
+            total_seconds=time.perf_counter() - state.t_start,
+        )
+
+    # headroom: one chunk may overshoot the per-token budget by up to m rows
+    cache = state.cache
+    cache = lm_mod.KVCache(
+        k=jnp.pad(cache.k, ((0, 0), (0, 0), (0, m + 1), (0, 0), (0, 0))),
+        v=jnp.pad(cache.v, ((0, 0), (0, 0), (0, m + 1), (0, 0), (0, 0))),
+        length=cache.length,
+    )
+    out = [first]
+    ctx = list(map(int, np.asarray(input_ids).reshape(-1))) + [first]
+    pos = state.start_pos
+    cur = jnp.asarray(first, jnp.int32)
+    steps = 0
+    while len(out) < max_new_tokens:
+        props = _prompt_lookup(ctx, ngram, m)
+        greedy, a, cache = _spec_verify(
+            engine.params, cache, cur, jnp.asarray(props, jnp.int32),
+            jnp.asarray(pos, jnp.int32), cfg, m,
+        )
+        a_i = int(a)
+        new = np.asarray(greedy)[: a_i + 1].tolist()
+        steps += 1
+        stop = False
+        kept = 0
+        for t in new:
+            if t in eos or len(out) >= max_new_tokens:
+                stop = True
+                break
+            out.append(t)
+            ctx.append(t)
+            kept += 1
+        if stop:
+            break
+        cur = jnp.asarray(new[-1], jnp.int32)
+        pos += a_i + 1
+    return GenerationResult(
+        tokens=out,
+        scores=base.scores,
+        selected_indices=base.selected_indices,
+        num_vision_tokens=base.num_vision_tokens,
+        prefill_len=base.prefill_len,
+        prefill_seconds=base.prefill_seconds,
+        total_seconds=time.perf_counter() - state.t_start,
+        decode_dispatches=steps,
+    )
 
 
 @functools.partial(jax.jit, static_argnames=("t_all",))
