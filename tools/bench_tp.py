@@ -99,15 +99,17 @@ def main(argv=None) -> int:
     params = init_sharded(cfg, mesh)
     jax.block_until_ready(params)
 
-    t_sel, t_full, n = bench.measure(cfg, params, args.budget, s_bucket,
-                                     img_hw)
+    t_sel, t_full, n, check = bench.measure(cfg, params, args.budget,
+                                            s_bucket, img_hw)
     speedup = t_full / t_sel
     print(json.dumps({
         "metric": "tp_prefill_speedup_at_20pct_retention",
         "value": round(speedup, 4),
         "unit": "x",
         "vs_baseline": round(speedup / bench.BASELINE_SPEEDUP, 4),
+        "suspect": bool(check.get("suspect", False)),
         "detail": {
+            **check,
             "model": f"qwen2.5-vl-{args.preset} bf16, TP={args.n_model}",
             "prefill_ms_selector": round(t_sel * 1e3, 2),
             "prefill_ms_uncompressed": round(t_full * 1e3, 2),

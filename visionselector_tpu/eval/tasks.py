@@ -71,6 +71,16 @@ TASKS: Dict[str, TaskConfig] = {
                                  filter="mc_letter"),
     "mvbench": TaskConfig("mvbench", "multiple_choice", _MC, 8,
                           filter="mc_letter"),
+    # Further standard MC image suites (same yaml shapes in
+    # lmms-eval/lmms_eval/tasks/<name>/; datasets are user-supplied jsonl)
+    "mmbench": TaskConfig("mmbench", "multiple_choice", _MC, 8,
+                          filter="mc_letter"),
+    "seedbench": TaskConfig("seedbench", "multiple_choice", _MC, 8,
+                            filter="mc_letter"),
+    "mmstar": TaskConfig("mmstar", "multiple_choice", _MC, 8,
+                         filter="mc_letter"),
+    "realworldqa": TaskConfig("realworldqa", "multiple_choice", _MC, 8,
+                              filter="mc_letter"),
     # Loglikelihood-scored MC variant (lmms ABC ``loglikelihood``,
     # ``api/model.py:30-57``): each doc's choices are scored by continuation
     # log-prob and the argmax letter is the prediction. Shares the
