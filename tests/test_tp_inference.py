@@ -38,6 +38,31 @@ class TestTPInference:
 
 
 class TestExpertParallel:
+    def test_ep_shard_map_matches_dense(self):
+        """True expert parallelism: expert axis sharded over 'model' via
+        shard_map (each device scans only its local experts, one psum) must
+        equal the dense single-device _moe_mlp."""
+        import jax.numpy as jnp
+
+        from visionselector_tpu.core.config import llava_ov_moe_tiny
+        from visionselector_tpu.core.mesh import make_mesh
+        from visionselector_tpu.models.llava_ov15.model import init_ov_params
+        from visionselector_tpu.models.qwen25vl import lm as lm_mod
+
+        cfg = llava_ov_moe_tiny()
+        params = init_ov_params(jax.random.PRNGKey(0), cfg)
+        layer0 = jax.tree.map(lambda a: a[0], params["lm"]["layers"])
+        x = jnp.asarray(
+            np.random.RandomState(0).randn(1, 8, cfg.text.hidden_size),
+            jnp.float32,
+        )
+        dense = lm_mod._moe_mlp(x, layer0, cfg.text)
+        mesh = make_mesh(n_data=4, n_model=2, devices=jax.devices()[:8])
+        ep = lm_mod.moe_mlp_ep(x, layer0, cfg.text, mesh)
+        np.testing.assert_allclose(
+            np.asarray(ep), np.asarray(dense), atol=2e-5, rtol=1e-4
+        )
+
     def test_moe_forward_matches_single_device(self):
         """Expert kernels shard their intermediate dim over the model axis
         (TP inside each expert — the scanned expert axis must stay unsharded

@@ -191,6 +191,64 @@ def _moe_mlp(x, p, cfg: TextConfig):
     return out
 
 
+def moe_mlp_ep(x, p, cfg: TextConfig, mesh, axis: str = "model"):
+    """Expert-parallel MoE forward: the EXPERT axis is sharded over the mesh
+    axis — each device runs the dense expert scan only over its local
+    experts and the partial outputs all-reduce with one ``psum``.
+
+    This is the production-scale sharding the dense ``_moe_mlp`` docstring
+    points at (SURVEY §2.9 notes the reference has no EP at all): expert
+    weights never replicate, and because every device sees all tokens there
+    is no ragged all_to_all dispatch — the collective is a single psum over
+    ICI. Identical math to ``_moe_mlp`` (tested on the virtual mesh).
+
+    x: [B, T, D] (replicated). ``p`` holds ONE layer's MoE params with the
+    expert axis leading ([E, ...]); num_experts must divide the axis size.
+    """
+    from jax.sharding import PartitionSpec as P
+
+    try:
+        from jax import shard_map
+    except ImportError:  # jax < 0.8 layout
+        from jax.experimental.shard_map import shard_map
+
+    n_exp = cfg.num_experts
+    n_dev = mesh.shape[axis]
+    assert n_exp % n_dev == 0, (n_exp, n_dev)
+    e_local = n_exp // n_dev
+
+    logits = x @ p["router_kernel"]  # [B, T, E] (router replicated)
+    probs = jax.nn.softmax(logits.astype(jnp.float32), axis=-1)
+    topv, topi = jax.lax.top_k(probs, cfg.num_experts_per_tok)
+    if cfg.norm_topk_prob:
+        topv = topv / topv.sum(-1, keepdims=True)
+
+    def local(gate_k, up_k, down_k, x, topv, topi):
+        e0 = jax.lax.axis_index(axis) * e_local
+
+        def expert(carry, packed):
+            gk, uk, dk, j = packed
+            w = (topv * (topi == e0 + j)).sum(-1).astype(x.dtype)  # [B, T]
+            y = (jax.nn.silu(x @ gk) * (x @ uk)) @ dk
+            return carry + y * w[..., None], None
+
+        # the loop output varies over the mesh axis (it uses axis_index);
+        # the initial carry must carry the same varying-axes type
+        init = jax.lax.pvary(jnp.zeros_like(x), axis)
+        out, _ = jax.lax.scan(
+            expert, init,
+            (gate_k, up_k, down_k, jnp.arange(e_local)),
+        )
+        return jax.lax.psum(out, axis)
+
+    return shard_map(
+        local, mesh=mesh,
+        in_specs=(P(axis), P(axis), P(axis), P(), P(), P()),
+        out_specs=P(),
+    )(p["expert_gate_kernel"], p["expert_up_kernel"],
+      p["expert_down_kernel"], x, topv, topi)
+
+
 def _mlp(x, p, cfg: TextConfig | None = None):
     if "router_kernel" in p:
         return _moe_mlp(x, p, cfg)
