@@ -446,3 +446,71 @@ class TestHFParity:
         )
         loss, _ = sft_train_forward(params, sample, cfg)
         assert abs(float(loss) - hf_loss) < 2e-3, (float(loss), hf_loss)
+
+
+class TestLoglikelihoodParity:
+    """engine.loglikelihood vs HF teacher forcing: the summed continuation
+    log-prob and the is_greedy flag must match transformers' own logits on
+    the identical (image context, continuation) input."""
+
+    def _hf_ll(self, hf_model, input_ids, cont, pixels=None, grid=None):
+        import torch.nn.functional as F
+
+        full = np.concatenate([np.asarray(input_ids), np.asarray(cont)])
+        kwargs = dict(
+            input_ids=torch.tensor(full[None]),
+            attention_mask=torch.ones(1, len(full), dtype=torch.long),
+        )
+        if pixels is not None:
+            kwargs.update(
+                pixel_values=torch.tensor(pixels, dtype=torch.float32),
+                image_grid_thw=torch.tensor(np.asarray(grid)),
+            )
+        with torch.no_grad():
+            logits = hf_model(**kwargs).logits[0]
+        logp = F.log_softmax(logits.float(), dim=-1)
+        t0 = len(input_ids)
+        ll = sum(
+            float(logp[t0 - 1 + i, int(cont[i])]) for i in range(len(cont))
+        )
+        greedy = all(
+            int(logits[t0 - 1 + i].argmax()) == int(cont[i])
+            for i in range(len(cont))
+        )
+        return ll, greedy
+
+    def test_image_ll_matches_hf(self, hf_checkpoint, jax_side):
+        from visionselector_tpu.models.qwen25vl.model import QwenVLEngine
+        from visionselector_tpu.preprocess.image import preprocess_image
+        from visionselector_tpu.preprocess.rope import expand_vision_tokens
+
+        _, hf_model = hf_checkpoint
+        cfg, params = jax_side
+        rng = np.random.RandomState(7)
+        img = (rng.rand(56, 84, 3) * 255).astype(np.uint8)
+        pixels, grid = preprocess_image(img, min_pixels=1, max_pixels=10**9)
+        input_ids = expand_vision_tokens([100, 200, 300], [400, 500], grid)
+        cont = np.asarray(rng.randint(10, 5000, 4))
+
+        # uncompressed path: identical visible context as HF
+        eng = QwenVLEngine(cfg, params, use_selector=False)
+        ll, greedy = eng.loglikelihood(
+            input_ids, cont, pixel_values=pixels, grid_thw=grid)
+        hf_ll, hf_greedy = self._hf_ll(hf_model, input_ids, cont, pixels,
+                                       grid)
+        assert abs(ll - hf_ll) < 5e-3, (ll, hf_ll)
+        assert greedy == hf_greedy
+
+    def test_text_ll_matches_hf(self, hf_checkpoint, jax_side):
+        from visionselector_tpu.models.qwen25vl.model import QwenVLEngine
+
+        _, hf_model = hf_checkpoint
+        cfg, params = jax_side
+        rng = np.random.RandomState(8)
+        ctx = rng.randint(10, 5000, 9)
+        cont = rng.randint(10, 5000, 3)
+        eng = QwenVLEngine(cfg, params, use_selector=False)
+        ll, greedy = eng.loglikelihood(ctx, cont)
+        hf_ll, hf_greedy = self._hf_ll(hf_model, ctx, cont)
+        assert abs(ll - hf_ll) < 2e-3, (ll, hf_ll)
+        assert greedy == hf_greedy
