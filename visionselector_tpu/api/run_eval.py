@@ -48,12 +48,18 @@ def build_parser():
     p.add_argument("--decode-batch", type=int, default=None,
                    help="micro-batch size for the shared decode dispatch "
                         "(engine.generate_batch); default 1")
+    p.add_argument("--speculative", type=int, default=None,
+                   help="prompt-lookup speculative decoding: propose N "
+                        "tokens per decode dispatch (greedy-identical "
+                        "outputs); applies to unbatched decode")
     return p
 
 
 def main(argv=None) -> int:
     args = build_parser().parse_args(argv)
 
+    if args.speculative:
+        os.environ["VST_SPECULATIVE"] = str(args.speculative)
     if args.decode_batch:
         os.environ["VST_DECODE_BATCH"] = str(args.decode_batch)
         if args.decode_batch > 1:

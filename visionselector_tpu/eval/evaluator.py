@@ -263,7 +263,18 @@ class EngineAdapter:
                 chunk.append(order[i + len(chunk)])
             i += len(chunk)
             prepared = [self._prepare_request(requests[oi]) for oi in chunk]
-            if len(chunk) == 1:
+            spec = int(os.environ.get("VST_SPECULATIVE", "0"))
+            if len(chunk) == 1 and spec > 0:
+                # prompt-lookup speculative decoding (greedy-identical
+                # outputs; fewer weight-stream passes per answer)
+                from visionselector_tpu.models.qwen25vl.model import (
+                    generate_speculative,
+                )
+
+                results = [generate_speculative(
+                    self.engine, **prepared[0][0], max_new_tokens=mnt,
+                    propose_len=spec)]
+            elif len(chunk) == 1:
                 results = [self.engine.generate(
                     **prepared[0][0], max_new_tokens=mnt)]
             else:
