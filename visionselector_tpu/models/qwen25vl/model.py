@@ -1538,6 +1538,159 @@ def generate_speculative(
     )
 
 
+@functools.partial(jax.jit, static_argnames=("cfg", "c"), donate_argnums=(1,))
+def _append_chunk(params, cache, ids_padded, n_valid, pos_start,
+                  cfg: VLConfig, c: int):
+    """Consume ``n_valid`` new text tokens (padded to static length ``c``)
+    against the cache in one chunked forward; returns (next_token, cache).
+
+    Padding rows write garbage kv ABOVE the rolled-back length, which the
+    next append overwrites — within the chunk they sit after the real rows,
+    so no real row ever attends one (chunk_decode_attention's causal
+    bound)."""
+    embeds = lm_mod.embed_tokens(params["lm"], ids_padded.astype(jnp.int32))
+    pos = pos_start + jnp.arange(c)
+    pos3 = jnp.broadcast_to(pos[None, None, :], (3, 1, c))
+    hidden, cache = lm_mod.lm_decode_chunk(
+        params["lm"], cache, embeds[None], pos3, cfg.text
+    )
+    last = jax.lax.dynamic_index_in_dim(hidden[0], n_valid - 1, axis=0,
+                                        keepdims=False)
+    logits = lm_mod.lm_head(params["lm"], last, cfg.text)
+    next_token = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+    cache = lm_mod.KVCache(k=cache.k, v=cache.v,
+                           length=cache.length - (c - n_valid))
+    return next_token, cache
+
+
+@dataclasses.dataclass
+class ChatSession:
+    """Multi-turn decoding state: the KV cache survives across turns, so a
+    follow-up question costs one chunked append + decode instead of a full
+    re-prefill of the (vision-heavy) conversation — a serving capability the
+    reference's stateless per-request pipeline lacks."""
+
+    cache: "lm_mod.KVCache"
+    pos: int  # next rope position
+    pending: int  # last emitted, not-yet-consumed token (eos of the turn)
+    eos_token_ids: Tuple[int, ...]
+
+
+def _ensure_capacity(cache, need: int):
+    t_now = cache.k.shape[2]
+    if t_now >= need:
+        return cache
+    pad = ((0, 0), (0, 0), (0, need - t_now), (0, 0), (0, 0))
+    return lm_mod.KVCache(
+        k=jnp.pad(cache.k, pad), v=jnp.pad(cache.v, pad),
+        length=cache.length,
+    )
+
+
+def start_chat_session(
+    engine,
+    input_ids: np.ndarray,
+    pixel_values: Optional[np.ndarray] = None,
+    grid_thw: Optional[np.ndarray] = None,
+    max_new_tokens: int = 64,
+    eos_token_ids: Optional[Tuple[int, ...]] = None,
+    **gen_kwargs,
+) -> Tuple["GenerationResult", ChatSession]:
+    """First turn: normal (compressed) prefill + greedy decode, but the KV
+    cache is kept and returned as a ChatSession for follow-up turns."""
+    import time
+
+    state = engine.generate(
+        input_ids, pixel_values, grid_thw, max_new_tokens=max_new_tokens,
+        eos_token_ids=eos_token_ids, _defer_decode=True, **gen_kwargs,
+    )
+    cfg = engine.cfg
+    eos = tuple(state.eos_token_ids)
+    first = state.next_token
+    base = state.result
+    if first in eos:
+        sess = ChatSession(cache=state.cache, pos=state.start_pos,
+                           pending=first, eos_token_ids=eos)
+        return dataclasses.replace(
+            base, tokens=[], total_seconds=time.perf_counter() - state.t_start
+        ), sess
+    eos_arr = jnp.asarray(list(eos), jnp.int32)
+    toks, count, cache, last = _decode_loop(
+        engine.params, cfg, state.cache, jnp.asarray(first, jnp.int32),
+        jnp.asarray(state.start_pos, jnp.int32), eos_arr,
+        max_new_tokens - 1,
+    )
+    n = int(count)
+    tokens = [first] + np.asarray(toks)[:n].tolist()
+    last_i = int(last)
+    consumed = n + (1 if last_i in eos else 0)
+    sess = ChatSession(
+        cache=cache, pos=state.start_pos + consumed, pending=last_i,
+        eos_token_ids=eos,
+    )
+    return dataclasses.replace(
+        base, tokens=tokens,
+        total_seconds=time.perf_counter() - state.t_start,
+    ), sess
+
+
+def continue_chat_session(
+    engine,
+    sess: ChatSession,
+    new_ids: np.ndarray,
+    max_new_tokens: int = 64,
+) -> Tuple["GenerationResult", ChatSession]:
+    """Follow-up turn: append [pending eos + new turn tokens] through ONE
+    chunked forward (static 32-multiple chunk; kv of padding rows rolled
+    back), then decode. No vision re-encode, no prompt re-prefill."""
+    import time
+
+    t_start = time.perf_counter()
+    cfg = engine.cfg
+    new_ids = np.asarray(new_ids).reshape(-1)
+    chunk = np.concatenate([[sess.pending], new_ids]).astype(np.int64)
+    n = len(chunk)
+    c = max(32, -(-n // 32) * 32)
+    ids_padded = np.zeros(c, np.int64)
+    ids_padded[:n] = chunk
+    need = int(np.asarray(sess.cache.length).max()) + c + max_new_tokens + 1
+    cache = _ensure_capacity(sess.cache, need)
+    t0 = time.perf_counter()
+    next_token, cache = _append_chunk(
+        engine.params, cache, jnp.asarray(ids_padded), jnp.asarray(n),
+        jnp.asarray(sess.pos, jnp.int32), cfg, c,
+    )
+    next_token.block_until_ready()
+    t_prefill = time.perf_counter() - t0
+    pos = sess.pos + n
+    first = int(next_token)
+    eos = sess.eos_token_ids
+    if first in eos:
+        new_sess = ChatSession(cache=cache, pos=pos, pending=first,
+                               eos_token_ids=eos)
+        return GenerationResult(
+            tokens=[], selected_indices=None, num_vision_tokens=0,
+            prefill_len=n, prefill_seconds=t_prefill,
+            total_seconds=time.perf_counter() - t_start,
+        ), new_sess
+    eos_arr = jnp.asarray(list(eos), jnp.int32)
+    toks, count, cache, last = _decode_loop(
+        engine.params, cfg, cache, next_token,
+        jnp.asarray(pos, jnp.int32), eos_arr, max_new_tokens - 1,
+    )
+    k = int(count)
+    tokens = [first] + np.asarray(toks)[:k].tolist()
+    last_i = int(last)
+    consumed = k + (1 if last_i in eos else 0)
+    new_sess = ChatSession(cache=cache, pos=pos + consumed, pending=last_i,
+                           eos_token_ids=eos)
+    return GenerationResult(
+        tokens=tokens, selected_indices=None, num_vision_tokens=0,
+        prefill_len=n, prefill_seconds=t_prefill,
+        total_seconds=time.perf_counter() - t_start,
+    ), new_sess
+
+
 @functools.partial(jax.jit, static_argnames=("t_all",))
 def _assemble_batch_cache(ks, vs, lens, t_all: int):
     """One dispatch for the whole pad+concat cache assembly (module-level so
