@@ -610,6 +610,29 @@ class TestLoglikelihood:
         assert "scienceqa_img_ll/multiple_choice" in res
         assert res["scienceqa_img_ll/n"] == 2.0
 
+    def test_full_text_choices_predict_letters(self, tmp_path):
+        """Docs whose choices are full texts (not letters) must still yield
+        a LETTER prediction (the metric extracts a standalone letter; the
+        choice text would decouple the score from the ll argmax)."""
+        from PIL import Image
+
+        from visionselector_tpu.eval.evaluator import EngineAdapter
+
+        img_path = tmp_path / "img.png"
+        Image.fromarray(
+            (np.random.RandomState(0).rand(56, 56, 3) * 255).astype(np.uint8)
+        ).save(img_path)
+        from visionselector_tpu.eval.tasks import TASKS, Request
+
+        req = Request(
+            doc_id=0, question="Which?", answers=["A"],
+            image_path=str(img_path), task=TASKS["scienceqa_img_ll"],
+            choices=["a magnet", "a rock"],
+        )
+        adapter = EngineAdapter(self._engine(), self.Tok())
+        preds = adapter.predict_multiple_choice([req])
+        assert preds[0] in ("A", "B")
+
     def test_ov_engine_text_ll(self):
         import jax
 

@@ -121,28 +121,44 @@ class Server:
         from visionselector_tpu.preprocess.rope import expand_vision_tokens
 
         cfg = self.engine.cfg
-        if session is not None and session in self.sessions:
-            # follow-up turn: chunk-append the templated user turn
-            from visionselector_tpu.models.qwen25vl.model import (
-                continue_chat_session,
-            )
-
-            if self.tokenizer is not None:
-                turn = self.tokenizer.encode(
-                    f"<|im_start|>user\n{prompt}<|im_end|>\n"
-                    "<|im_start|>assistant\n"
-                )
-            else:
-                turn = [500] + [abs(hash(w)) % 1000 + 600
-                                for w in prompt.split()][:16] + [501]
+        if session is not None:
+            # membership must be decided under the lock: another thread's
+            # first-turn request may evict this session between an unlocked
+            # check and the locked read (ThreadingHTTPServer)
             with self.lock:
-                res, sess = continue_chat_session(
-                    self.engine, self.sessions[session],
-                    np.asarray(turn, np.int64),
-                    max_new_tokens=max_new_tokens,
+                existing = self.sessions.get(session)
+                if existing is not None:
+                    # mark as most-recently-used (eviction pops the oldest)
+                    self.sessions.pop(session)
+                    self.sessions[session] = existing
+            if existing is not None:
+                if image_b64:
+                    raise ValueError(
+                        "chat sessions accept an image only on the first "
+                        "turn (the cached KV already encodes it); start a "
+                        "new session to switch images"
+                    )
+                # follow-up turn: chunk-append the templated user turn
+                from visionselector_tpu.models.qwen25vl.model import (
+                    continue_chat_session,
                 )
-                self.sessions[session] = sess
-            return self._result_dict(res, session=session)
+
+                if self.tokenizer is not None:
+                    turn = self.tokenizer.encode(
+                        f"<|im_start|>user\n{prompt}<|im_end|>\n"
+                        "<|im_start|>assistant\n"
+                    )
+                else:
+                    turn = [500] + [abs(hash(w)) % 1000 + 600
+                                    for w in prompt.split()][:16] + [501]
+                with self.lock:
+                    res, sess = continue_chat_session(
+                        self.engine, existing,
+                        np.asarray(turn, np.int64),
+                        max_new_tokens=max_new_tokens,
+                    )
+                    self.sessions[session] = sess
+                return self._result_dict(res, session=session)
         if self.tokenizer is not None:
             from visionselector_tpu.api.predict import chat_prompt_ids
 
@@ -257,25 +273,26 @@ async function b64(file){
   const buf = await file.arrayBuffer();
   let s=''; new Uint8Array(buf).forEach(b=>s+=String.fromCharCode(b));
   return btoa(s); }
+// One KV-reuse session per page load: follow-up turns append to the cached
+// conversation instead of re-prefilling (images go with the first turn).
+const sid = 'web-' + Math.random().toString(36).slice(2);
+let firstTurn = true;
 document.getElementById('send').onclick = async () => {
   const q = document.getElementById('q').value.trim();
   if(!q) return;
   add('u', 'you: ' + q);
-  const image_b64 = await b64(document.getElementById('img').files[0]);
-  const out = add('a', 'model: ');
+  const image_b64 = firstTurn
+    ? await b64(document.getElementById('img').files[0]) : null;
+  firstTurn = false;
+  const out = add('a', 'model: ...');
   const t0 = performance.now();
   const resp = await fetch('/generate', {method:'POST',
     headers:{'Content-Type':'application/json'},
-    body: JSON.stringify({prompt:q, image_b64, stream:true,
+    body: JSON.stringify({prompt:q, image_b64, session:sid,
                           max_new_tokens:128})});
-  const rd = resp.body.getReader(); const dec = new TextDecoder();
-  let buf='';
-  for(;;){ const {done, value} = await rd.read(); if(done) break;
-    buf += dec.decode(value, {stream:true});
-    const lines = buf.split('\\n'); buf = lines.pop();
-    for(const ln of lines){ if(!ln.trim()) continue;
-      const rec = JSON.parse(ln);
-      if(rec.text) out.textContent += rec.text; } }
+  const rec = await resp.json();
+  out.textContent = 'model: ' + (rec.text ?? rec.error ??
+                                 (rec.tokens||[]).join(' '));
   document.getElementById('stat').textContent =
     ((performance.now()-t0)/1000).toFixed(1)+'s';
 };
@@ -329,6 +346,13 @@ def make_handler(server: Server):
                 n = int(self.headers.get("Content-Length", 0))
                 req = json.loads(self.rfile.read(n) or b"{}")
                 if req.get("stream"):
+                    if req.get("session"):
+                        # explicit: the chunked-decode session path has no
+                        # streaming variant yet — fail loudly instead of
+                        # silently dropping the session
+                        self._send(400, {"error": "sessions require "
+                                                  "stream: false"})
+                        return
                     self._stream(req)
                     return
                 out = server.generate(
@@ -338,6 +362,8 @@ def make_handler(server: Server):
                     session=req.get("session"),
                 )
                 self._send(200, out)
+            except ValueError as e:  # client-fixable (e.g. image mid-session)
+                self._send(400, {"error": str(e)})
             except Exception as e:  # noqa: BLE001
                 self._send(500, {"error": str(e)})
 

@@ -101,6 +101,13 @@ def _packed_stream(cfg, ds, args, single_builder):
             yield ds[j % len(ds)]
             j += 1
 
+    def _not_packable(rec):
+        # videos, text-only and MULTI-IMAGE records go through the
+        # single-sample builder (which handles image lists); the packed
+        # builder splices exactly one image per record
+        return (rec.get("video") is not None or rec["image"] is None
+                or len(rec.get("images") or []) > 1)
+
     rit = record_iter()
     pending = None
     while True:
@@ -108,7 +115,7 @@ def _packed_stream(cfg, ds, args, single_builder):
         while len(group) < 16:
             rec = pending if pending is not None else next(rit)
             pending = None
-            if rec.get("video") is not None or rec["image"] is None:
+            if _not_packable(rec):
                 pending = rec
                 break
             et, ep = est_cost(rec)
@@ -123,8 +130,7 @@ def _packed_stream(cfg, ds, args, single_builder):
             yield build_packed_train_sample(
                 cfg, group, args.budget, args.vision_bucket, args.text_bucket
             )
-        if pending is not None and (pending.get("video") is not None
-                                    or pending["image"] is None):
+        if pending is not None and _not_packable(pending):
             # not packable: run it as a classic single-sample row
             yield single_builder(
                 cfg, pending, args.budget, args.vision_bucket,

@@ -312,14 +312,25 @@ class EngineAdapter:
         """Answer MC requests by per-choice loglikelihood (argmax over the
         choices' continuation log-probs) — how lmms-eval scores
         loglikelihood-typed MC tasks. Falls back to A-D letters when the doc
-        carries no explicit choices."""
+        carries no explicit choices.
+
+        The prediction is the winning OPTION LETTER (A/B/...), never the
+        choice text: the multiple_choice metric extracts a standalone letter
+        and compares it to the gold letter, so returning full-text choices
+        would decouple the score from the ll argmax. The (identical) context
+        is prepared once per request, not once per choice."""
         preds = []
         for req in requests:
             choices = list(req.choices) or ["A", "B", "C", "D"]
-            pairs = [(req, " " + c.strip()) for c in choices]
-            lls = self.loglikelihood(pairs)
-            best = max(range(len(choices)), key=lambda i: lls[i][0])
-            preds.append(choices[best].strip())
+            kw, _grid = self._prepare_request(req)
+            lls = []
+            for c in choices:
+                cont_ids = np.asarray(
+                    self.tokenizer.encode(" " + c.strip()), np.int64)
+                lls.append(self.engine.loglikelihood(
+                    continuation_ids=cont_ids, **kw)[0])
+            best = max(range(len(choices)), key=lambda i: lls[i])
+            preds.append(chr(ord("A") + best))
         return preds
 
     def generate_until_multi_round(

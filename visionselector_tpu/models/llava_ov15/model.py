@@ -186,18 +186,15 @@ class OVEngine:
             )
         from visionselector_tpu.models.qwen25vl.model import (
             _prefill_from_vision_ll,
-            _prefill_text_ll,
+            ll_continuation_arrays,
+            text_only_loglikelihood,
         )
 
         cfg = self.cfg
         input_ids = np.asarray(input_ids).reshape(-1)
-        continuation_ids = np.asarray(continuation_ids).reshape(-1)
-        c = len(continuation_ids)
-        assert c > 0, "empty continuation"
-        full_ids = np.concatenate([input_ids, continuation_ids])
-        c_max = max(16, -(-c // 16) * 16)
-        cont_padded = np.zeros(c_max, np.int64)
-        cont_padded[:c] = continuation_ids
+        assert len(input_ids) > 0, "loglikelihood needs a non-empty context"
+        cont_padded, c, c_max = ll_continuation_arrays(continuation_ids)
+        full_ids = np.concatenate([input_ids, cont_padded[:c]])
 
         is_video = pixel_values_videos is not None
         has_img = pixel_values is not None
@@ -211,20 +208,10 @@ class OVEngine:
                 grid_thw = video_grid_thw
 
         if pixel_values is None:
-            t_orig = len(full_ids)
-            t_bucket = pick_bucket(t_orig, [64, 128, 256, 512, 1024])
-            t_bucket += (-t_bucket) % 128
-            ids_padded = np.zeros(t_bucket, np.int64)
-            ids_padded[:t_orig] = full_ids
-            pos = np.zeros((3, t_bucket), np.int64)
-            pos[:, :t_orig] = np.tile(np.arange(t_orig), (3, 1))
-            seg = (np.arange(t_bucket) < t_orig).astype(np.int32)
-            ll, greedy = _prefill_text_ll(
-                self.params, cfg, c_max, jnp.asarray(ids_padded),
-                jnp.asarray(pos), jnp.asarray(seg), jnp.asarray(t_orig),
-                jnp.asarray(cont_padded), jnp.asarray(c),
+            return text_only_loglikelihood(
+                self.params, cfg, full_ids, cont_padded, c, c_max,
+                [64, 128, 256, 512, 1024],
             )
-            return float(ll), bool(greedy)
 
         p = self._prep_vision(full_ids, pixel_values, grid_thw,
                               has_img, is_video)

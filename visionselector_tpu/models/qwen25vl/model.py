@@ -245,6 +245,38 @@ def _prefill_ll(
     )
 
 
+def ll_continuation_arrays(continuation_ids: np.ndarray):
+    """(cont_padded [c_max], c, c_max) for loglikelihood scoring — shared by
+    both family engines so the bucketing stays in one place."""
+    continuation_ids = np.asarray(continuation_ids).reshape(-1)
+    c = len(continuation_ids)
+    assert c > 0, "empty continuation"
+    c_max = max(16, -(-c // 16) * 16)
+    cont_padded = np.zeros(c_max, np.int64)
+    cont_padded[:c] = continuation_ids
+    return cont_padded, c, c_max
+
+
+def text_only_loglikelihood(params, cfg, full_ids, cont_padded, c, c_max,
+                            text_buckets):
+    """Text-only (ll, is_greedy) over the padded causal prefill — the
+    family-agnostic branch of engine.loglikelihood."""
+    t_orig = len(full_ids)
+    t_bucket = pick_bucket(t_orig, list(text_buckets))
+    t_bucket += (-t_bucket) % 128
+    ids_padded = np.zeros(t_bucket, np.int64)
+    ids_padded[:t_orig] = full_ids
+    pos = np.zeros((3, t_bucket), np.int64)
+    pos[:, :t_orig] = np.tile(np.arange(t_orig), (3, 1))
+    seg = (np.arange(t_bucket) < t_orig).astype(np.int32)
+    ll, greedy = _prefill_text_ll(
+        params, cfg, c_max, jnp.asarray(ids_padded), jnp.asarray(pos),
+        jnp.asarray(seg), jnp.asarray(t_orig), jnp.asarray(cont_padded),
+        jnp.asarray(c),
+    )
+    return float(ll), bool(greedy)
+
+
 @functools.partial(jax.jit, static_argnames=("cfg", "c_max"))
 def _prefill_text_ll(
     params: dict,
@@ -1055,14 +1087,12 @@ class QwenVLEngine:
             )
         cfg = self.cfg
         input_ids = np.asarray(input_ids).reshape(-1)
-        continuation_ids = np.asarray(continuation_ids).reshape(-1)
-        c = len(continuation_ids)
-        assert c > 0, "empty continuation"
-        full_ids = np.concatenate([input_ids, continuation_ids])
-        # pad the continuation slot to a small static bucket
-        c_max = max(16, -(-c // 16) * 16)
-        cont_padded = np.zeros(c_max, np.int64)
-        cont_padded[:c] = continuation_ids
+        assert len(input_ids) > 0, (
+            "loglikelihood needs a non-empty context: token 0's score would "
+            "otherwise silently read position 0's clamped hidden state"
+        )
+        cont_padded, c, c_max = ll_continuation_arrays(continuation_ids)
+        full_ids = np.concatenate([input_ids, cont_padded[:c]])
 
         img_grid = grid_thw if pixel_values is not None else None
         vid_grid = video_grid_thw if pixel_values_videos is not None else None
@@ -1074,21 +1104,10 @@ class QwenVLEngine:
             grid_thw = video_grid_thw
 
         if pixel_values is None:
-            # Text-only: plain causal prefill over the padded sequence.
-            t_orig = len(full_ids)
-            t_bucket = pick_bucket(t_orig, list(self.text_buckets))
-            t_bucket += (-t_bucket) % 128
-            ids_padded = np.zeros(t_bucket, np.int64)
-            ids_padded[:t_orig] = full_ids
-            pos = np.zeros((3, t_bucket), np.int64)
-            pos[:, :t_orig] = np.tile(np.arange(t_orig), (3, 1))
-            seg = (np.arange(t_bucket) < t_orig).astype(np.int32)
-            ll, greedy = _prefill_text_ll(
-                self.params, cfg, c_max, jnp.asarray(ids_padded),
-                jnp.asarray(pos), jnp.asarray(seg), jnp.asarray(t_orig),
-                jnp.asarray(cont_padded), jnp.asarray(c),
+            return text_only_loglikelihood(
+                self.params, cfg, full_ids, cont_padded, c, c_max,
+                self.text_buckets,
             )
-            return float(ll), bool(greedy)
 
         assert grid_thw is not None
         p = self._prep_vision(
@@ -1538,7 +1557,7 @@ def generate_speculative(
     )
 
 
-@functools.partial(jax.jit, static_argnames=("cfg", "c"), donate_argnums=(1,))
+@functools.partial(jax.jit, static_argnames=("cfg", "c"))
 def _append_chunk(params, cache, ids_padded, n_valid, pos_start,
                   cfg: VLConfig, c: int):
     """Consume ``n_valid`` new text tokens (padded to static length ``c``)
@@ -1547,7 +1566,9 @@ def _append_chunk(params, cache, ids_padded, n_valid, pos_start,
     Padding rows write garbage kv ABOVE the rolled-back length, which the
     next append overwrites — within the chunk they sit after the real rows,
     so no real row ever attends one (chunk_decode_attention's causal
-    bound)."""
+    bound). NOT donated: the caller's ChatSession keeps referencing its old
+    cache (error recovery / conversation branching), so donating the input
+    buffers would invalidate a still-live session."""
     embeds = lm_mod.embed_tokens(params["lm"], ids_padded.astype(jnp.int32))
     pos = pos_start + jnp.arange(c)
     pos3 = jnp.broadcast_to(pos[None, None, :], (3, 1, c))

@@ -334,6 +334,10 @@ def build_packed_train_sample(
     ids_parts, label_parts, pos_parts, seg_parts = [], [], [], []
     for si, rec in enumerate(records):
         assert rec["image"] is not None and rec["image_slot"] >= 0
+        assert len(rec.get("images") or [rec["image"]]) == 1, (
+            "packed rows splice one image per record; route multi-image "
+            "records through build_sample_from_record"
+        )
         pixels, grid = preprocess_image(
             rec["image"], min_pixels=min_pixels, max_pixels=max_pixels,
             patch_size=cfg.vision.patch_size,
