@@ -633,6 +633,48 @@ class TestLoglikelihood:
         preds = adapter.predict_multiple_choice([req])
         assert preds[0] in ("A", "B")
 
+    def test_choices_shared_prefill_matches_per_pair(self):
+        """run_loglikelihood_choices (one prefill + chunk per choice) must
+        equal per-pair engine.loglikelihood exactly on the uncompressed
+        path (same positions; CPU fp32)."""
+        from PIL import Image
+
+        from visionselector_tpu.models.qwen25vl.model import (
+            run_loglikelihood_choices,
+        )
+        from visionselector_tpu.preprocess.image import preprocess_image
+        from visionselector_tpu.preprocess.rope import expand_vision_tokens
+
+        eng = self._engine(use_selector=False)
+        cfg = eng.cfg
+        img = (np.random.RandomState(3).rand(56, 84, 3) * 255).astype(
+            np.uint8)
+        pixels, grid = preprocess_image(Image.fromarray(img))
+        ids = expand_vision_tokens(
+            [5, 6, 7], [8, 9], grid,
+            image_token_id=cfg.image_token_id,
+            vision_start_token_id=cfg.vision_start_token_id,
+            vision_end_token_id=cfg.vision_end_token_id,
+        )
+        choices = [np.array([11, 12]), np.array([13]), np.array([14, 15, 16])]
+        shared = run_loglikelihood_choices(
+            eng, ids, choices, pixel_values=pixels, grid_thw=grid)
+        for cont, (ll_s, gr_s) in zip(choices, shared):
+            ll_p, gr_p = eng.loglikelihood(
+                ids, cont, pixel_values=pixels, grid_thw=grid)
+            assert abs(ll_s - ll_p) < 2e-3, (ll_s, ll_p)
+            assert gr_s == gr_p
+
+    def test_choices_selector_path_runs(self):
+        from visionselector_tpu.models.qwen25vl.model import (
+            run_loglikelihood_choices,
+        )
+
+        eng = self._engine(use_selector=True)
+        shared = run_loglikelihood_choices(
+            eng, np.array([5, 6, 7, 8]), [np.array([11]), np.array([12])])
+        assert all(np.isfinite(ll) for ll, _ in shared)
+
     def test_ov_engine_text_ll(self):
         import jax
 

@@ -317,19 +317,25 @@ class EngineAdapter:
         The prediction is the winning OPTION LETTER (A/B/...), never the
         choice text: the multiple_choice metric extracts a standalone letter
         and compares it to the gold letter, so returning full-text choices
-        would decouple the score from the ll argmax. The (identical) context
-        is prepared once per request, not once per choice."""
+        would decouple the score from the ll argmax. The context prefills
+        ONCE per request; each choice then costs one tiny chunked forward
+        (``run_loglikelihood_choices``) instead of a full vision prefill."""
+        from visionselector_tpu.models.qwen25vl.model import (
+            run_loglikelihood_choices,
+        )
+
         preds = []
         for req in requests:
             choices = list(req.choices) or ["A", "B", "C", "D"]
             kw, _grid = self._prepare_request(req)
-            lls = []
-            for c in choices:
-                cont_ids = np.asarray(
-                    self.tokenizer.encode(" " + c.strip()), np.int64)
-                lls.append(self.engine.loglikelihood(
-                    continuation_ids=cont_ids, **kw)[0])
-            best = max(range(len(choices)), key=lambda i: lls[i])
+            cont_list = [
+                np.asarray(self.tokenizer.encode(" " + c.strip()), np.int64)
+                for c in choices
+            ]
+            lls = run_loglikelihood_choices(
+                self.engine, kw.pop("input_ids"), cont_list, **kw
+            )
+            best = max(range(len(choices)), key=lambda i: lls[i][0])
             preds.append(chr(ord("A") + best))
         return preds
 

@@ -428,7 +428,7 @@ class OVEngine:
                 jnp.asarray(rb.seg_ids), jnp.asarray(n), jnp.asarray(k),
             )
 
-        next_token, valid_len, (k_l, v_l), _ = _prefill_from_vision(
+        next_token, valid_len, (k_l, v_l), last_logits = _prefill_from_vision(
             self.params, cfg, merged, sel_idx, sel_valid,
             jnp.asarray(k), jnp.asarray(input_ids),
             jnp.asarray(image_pos_padded), jnp.asarray(text_pos_padded),
@@ -466,6 +466,7 @@ class OVEngine:
                     prefill_seconds=t_prefill,
                 ),
                 t_start=t_start,
+                logits=last_logits,
             )
         tokens = _run_decode_loop(
             self.params, cfg, cache, next_token,

@@ -349,7 +349,7 @@ def generate_text_only(
     pos = np.zeros((3, t_bucket), np.int64)
     pos[:, :t_orig] = np.tile(np.arange(t_orig), (3, 1))
     seg = (np.arange(t_bucket) < t_orig).astype(np.int32)
-    next_token, (k_l, v_l), _ = _prefill_text(
+    next_token, (k_l, v_l), last_logits = _prefill_text(
         params, cfg, jnp.asarray(ids_padded), jnp.asarray(pos),
         jnp.asarray(seg), jnp.asarray(t_orig),
     )
@@ -373,6 +373,7 @@ def generate_text_only(
                 prefill_len=t_orig, prefill_seconds=t_prefill,
             ),
             t_start=t_start,
+            logits=last_logits,
         )
     tokens = _run_decode_loop(
         params, cfg, cache, next_token, t_orig, eos_token_ids,
@@ -903,6 +904,10 @@ class PrefillState:
     max_new_tokens: int
     result: "GenerationResult"  # tokens empty; filled after batched decode
     t_start: float = 0.0
+    # full logits row of the prefill's last position (selector/orig/text
+    # paths; None on strategy paths) — lets loglikelihood_choices score the
+    # first continuation token without re-running the prefill
+    logits: Optional[jax.Array] = None
 
 
 @dataclasses.dataclass
@@ -1319,17 +1324,19 @@ class QwenVLEngine:
             idx_padded[:k] = idx_np
             valid_mask = np.arange(k_max) < k
 
-            next_token, valid_len, (k_l, v_l), _ = _prefill_from_vision(
-                self.params, cfg, jnp.asarray(vision_embeds),
-                jnp.asarray(idx_padded), jnp.asarray(valid_mask),
-                jnp.asarray(k), jnp.asarray(input_ids),
-                jnp.asarray(image_pos_padded), jnp.asarray(text_pos_padded),
-                jnp.asarray(num_text), jnp.asarray(position_ids),
-            )
+            next_token, valid_len, (k_l, v_l), last_logits = \
+                _prefill_from_vision(
+                    self.params, cfg, jnp.asarray(vision_embeds),
+                    jnp.asarray(idx_padded), jnp.asarray(valid_mask),
+                    jnp.asarray(k), jnp.asarray(input_ids),
+                    jnp.asarray(image_pos_padded),
+                    jnp.asarray(text_pos_padded),
+                    jnp.asarray(num_text), jnp.asarray(position_ids),
+                )
             sel_idx, sel_valid = jnp.asarray(idx_padded), jnp.asarray(valid_mask)
         else:
             (next_token, sel_idx, sel_valid, sel_scores, valid_len,
-             (k_l, v_l), _) = _prefill(
+             (k_l, v_l), last_logits) = _prefill(
                 self.params, cfg, k_max, self.use_selector,
                 jnp.asarray(vb.pixel_values), jnp.asarray(vb.rot_pos_ids),
                 jnp.asarray(vb.window_seg_ids), jnp.asarray(vb.full_seg_ids),
@@ -1379,6 +1386,7 @@ class QwenVLEngine:
                     prefill_seconds=t_prefill,
                 ),
                 t_start=t_start,
+                logits=last_logits,
             )
         tokens = _run_decode_loop(
             self.params, cfg, cache, next_token,
@@ -1426,6 +1434,81 @@ class QwenVLEngine:
             eos_token_ids=eos_token_ids, temperature=temperature,
             top_p=top_p, seed=seed,
         )
+
+
+@functools.partial(jax.jit, static_argnames=("cfg", "c_max"))
+def _score_chunk(params, cache, cont_padded, cont_len, pos_start,
+                 ctx_logits, cfg: VLConfig, c_max: int):
+    """ll/is_greedy of one continuation given a PREFILLED cache plus the
+    context's last-row logits: one chunked decode forward instead of a full
+    re-prefill per choice. The returned (mutated-copy) cache is discarded by
+    the caller — not donated, so the shared context cache stays valid across
+    choices. Continuation positions follow the decode convention (exactly
+    what generated tokens would receive)."""
+    ids = cont_padded.astype(jnp.int32)
+    embeds = lm_mod.embed_tokens(params["lm"], ids)[None]
+    pos = pos_start + jnp.arange(c_max)
+    pos3 = jnp.broadcast_to(pos[None, None, :], (3, 1, c_max))
+    hidden, _cache = lm_mod.lm_decode_chunk(
+        params["lm"], cache, embeds, pos3, cfg.text
+    )
+    rows = lm_mod.lm_head(params["lm"], hidden[0], cfg.text)  # [c_max, V]
+
+    lp_ctx = jax.nn.log_softmax(ctx_logits.astype(jnp.float32))
+    ll = lp_ctx[ids[0]]
+    greedy = jnp.argmax(ctx_logits) == ids[0]
+    # token j >= 1 is predicted by chunk row j-1
+    lp_rows = jax.nn.log_softmax(rows.astype(jnp.float32), axis=-1)
+    tok_lp = jnp.take_along_axis(lp_rows[:-1], ids[1:, None], axis=-1)[:, 0]
+    tail_valid = jnp.arange(1, c_max) < cont_len
+    ll = ll + jnp.sum(jnp.where(tail_valid, tok_lp, 0.0))
+    greedy = greedy & jnp.all(jnp.where(
+        tail_valid, jnp.argmax(rows[:-1], axis=-1) == ids[1:], True))
+    return ll, greedy
+
+
+def run_loglikelihood_choices(
+    engine,
+    input_ids: np.ndarray,
+    choices_ids: List[np.ndarray],
+    **gen_kwargs,
+) -> List[Tuple[float, bool]]:
+    """Score several continuations of ONE context with a single prefill:
+    the (vision-heavy) context prefills once, then each choice costs one
+    tiny chunked forward — an N-choice MC doc is ~N x cheaper than the
+    per-pair ``engine.loglikelihood``. Works for any engine supporting
+    ``_defer_decode`` (selector/orig/text paths).
+
+    On uncompressed paths this equals per-pair loglikelihood exactly; under
+    compression, continuation positions follow the decode convention (the
+    positions generated tokens would receive), whereas the full-prefill path
+    numbers positions on the original sequence — rankings are consistent
+    either way."""
+    assert getattr(engine, "strategy", None) is None, (
+        "loglikelihood supports selector/orig paths only"
+    )
+    from visionselector_tpu.models.qwen25vl.model import (
+        ll_continuation_arrays,
+    )
+
+    prepped = [ll_continuation_arrays(c) for c in choices_ids]
+    c_max = max(p[2] for p in prepped)
+    state = engine.generate(
+        np.asarray(input_ids), max_new_tokens=c_max + 1,
+        eos_token_ids=(-1,), _defer_decode=True, **gen_kwargs,
+    )
+    assert state.logits is not None
+    out = []
+    for padded, c, _cm in prepped:
+        padded_u = np.zeros(c_max, np.int64)
+        padded_u[: len(padded)] = padded
+        ll, greedy = _score_chunk(
+            engine.params, state.cache, jnp.asarray(padded_u),
+            jnp.asarray(c), jnp.asarray(state.start_pos, jnp.int32),
+            state.logits, engine.cfg, c_max,
+        )
+        out.append((float(ll), bool(greedy)))
+    return out
 
 
 def _prompt_lookup(ctx: list, n: int, m: int) -> list:
