@@ -114,3 +114,96 @@ class TestSpeculativeGeneration:
         spec = generate_speculative(eng, ids, pixels, grid,
                                     max_new_tokens=8, eos_token_ids=(-1,))
         assert spec.tokens == ref.tokens
+
+
+class TestSpecAccept:
+    """The speculative-sampling acceptance rule (point-mass draft) must
+    reproduce the target distribution EXACTLY — checked empirically on
+    fixed synthetic target rows (Leviathan et al. 2023 guarantee)."""
+
+    def _probs(self, m=3, V=13, seed=0):
+        rng = np.random.RandomState(seed)
+        p = rng.rand(m + 1, V).astype(np.float32) + 0.05
+        return jnp.asarray(p / p.sum(-1, keepdims=True))
+
+    def test_first_token_marginal_matches_target(self):
+        from visionselector_tpu.models.qwen25vl.model import _spec_accept
+
+        probs = self._probs()
+        props = jnp.asarray([4, 7, 2], jnp.int32)
+        keys = jax.random.split(jax.random.PRNGKey(42), 8000)
+        emitted, _ = jax.vmap(lambda k: _spec_accept(probs, props, k))(keys)
+        counts = np.bincount(np.asarray(emitted[:, 0]),
+                             minlength=probs.shape[1])
+        emp = counts / counts.sum()
+        # 8000 draws, V=13: ~3 sigma on each cell is about 0.017
+        np.testing.assert_allclose(emp, np.asarray(probs[0]), atol=0.02)
+
+    def test_second_token_conditional_matches_target(self):
+        from visionselector_tpu.models.qwen25vl.model import _spec_accept
+
+        probs = self._probs(seed=3)
+        props = jnp.asarray([1, 9, 5], jnp.int32)
+        keys = jax.random.split(jax.random.PRNGKey(7), 12000)
+        emitted, a = jax.vmap(lambda k: _spec_accept(probs, props, k))(keys)
+        emitted, a = np.asarray(emitted), np.asarray(a)
+        sel = emitted[a >= 1, 1]  # token 1 is meaningful only when a >= 1
+        counts = np.bincount(sel, minlength=probs.shape[1])
+        emp = counts / counts.sum()
+        np.testing.assert_allclose(emp, np.asarray(probs[1]), atol=0.025)
+
+    def test_accepted_positions_emit_the_draft(self):
+        from visionselector_tpu.models.qwen25vl.model import _spec_accept
+
+        probs = self._probs(seed=5)
+        props = np.asarray([2, 2, 8])
+        keys = jax.random.split(jax.random.PRNGKey(0), 64)
+        emitted, a = jax.vmap(
+            lambda k: _spec_accept(probs, jnp.asarray(props), k))(keys)
+        emitted, a = np.asarray(emitted), np.asarray(a)
+        for e, ai in zip(emitted, a):
+            assert (e[:ai] == props[:ai]).all()
+
+    def test_point_mass_target_always_accepts(self):
+        from visionselector_tpu.models.qwen25vl.model import _spec_accept
+
+        V, m = 11, 3
+        probs = np.zeros((m + 1, V), np.float32)
+        probs[:, 6] = 1.0
+        props = jnp.asarray([6, 6, 6], jnp.int32)
+        for s in range(8):
+            emitted, a = _spec_accept(jnp.asarray(probs), props,
+                                      jax.random.PRNGKey(s))
+            assert int(a) == m
+            assert np.asarray(emitted).tolist() == [6, 6, 6, 6]
+
+
+class TestSampledSpeculative:
+    _setup = TestSpeculativeGeneration._setup
+
+    def test_tiny_temperature_equals_greedy(self):
+        """temperature -> 0 collapses the nucleus target to one-hot at the
+        greedy token, so sampled speculative must reproduce the greedy
+        rollout exactly."""
+        eng, ids, pixels, grid = self._setup()
+        ref = eng.generate(ids, pixels, grid, max_new_tokens=10,
+                           eos_token_ids=(-1,))
+        spec = generate_speculative(
+            eng, ids, pixels, grid, max_new_tokens=10, eos_token_ids=(-1,),
+            temperature=1e-6, seed=11,
+        )
+        assert spec.tokens == ref.tokens
+
+    def test_sampled_runs_and_is_seed_deterministic(self):
+        eng, ids, pixels, grid = self._setup()
+        a = generate_speculative(
+            eng, ids, pixels, grid, max_new_tokens=10, eos_token_ids=(-1,),
+            temperature=0.8, top_p=0.9, seed=3,
+        )
+        b = generate_speculative(
+            eng, ids, pixels, grid, max_new_tokens=10, eos_token_ids=(-1,),
+            temperature=0.8, top_p=0.9, seed=3,
+        )
+        assert a.tokens == b.tokens
+        assert len(a.tokens) <= 10
+        assert a.decode_dispatches is not None

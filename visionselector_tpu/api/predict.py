@@ -44,6 +44,11 @@ def build_parser() -> argparse.ArgumentParser:
                    help="0 = greedy; >0 enables top-p sampling")
     p.add_argument("--top-p", type=float, default=1.0)
     p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--speculative", type=int, default=0,
+                   help="prompt-lookup speculative decoding: propose N "
+                        "tokens per decode dispatch (greedy-identical at "
+                        "temperature 0; exact-distribution speculative "
+                        "sampling at temperature > 0)")
     p.add_argument("--eval-time", action="store_true",
                    help="print timing/memory probes (EVAL_TIME parity)")
     p.add_argument("--visualize-dir", default=None,
@@ -176,10 +181,22 @@ def main(argv=None) -> int:
             strategy=strategy,
         )
 
-    res = engine.generate(
-        input_ids, pixels, grid, max_new_tokens=args.max_new_tokens,
-        temperature=args.temperature, top_p=args.top_p, seed=args.seed,
-    )
+    if args.speculative > 0:
+        from visionselector_tpu.models.qwen25vl.model import (
+            generate_speculative,
+        )
+
+        res = generate_speculative(
+            engine, input_ids, pixels, grid,
+            max_new_tokens=args.max_new_tokens,
+            propose_len=args.speculative,
+            temperature=args.temperature, top_p=args.top_p, seed=args.seed,
+        )
+    else:
+        res = engine.generate(
+            input_ids, pixels, grid, max_new_tokens=args.max_new_tokens,
+            temperature=args.temperature, top_p=args.top_p, seed=args.seed,
+        )
 
     text = (
         tokenizer.decode(res.tokens, skip_special_tokens=True)

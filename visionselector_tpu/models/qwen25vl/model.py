@@ -1553,6 +1553,81 @@ def _spec_verify(params, cache, cur, props, pos_start, cfg: VLConfig,
     return greedy, a, cache
 
 
+def _nucleus_probs(logits: jax.Array, temperature: jax.Array,
+                   top_p: jax.Array) -> jax.Array:
+    """Row-wise nucleus-truncated sampling distribution over the vocab.
+
+    Identical semantics to ``_sample_token``'s sampling branch (keep the
+    smallest sorted prefix whose mass reaches top_p, renormalize), expressed
+    as an explicit distribution so speculative acceptance can evaluate
+    per-token probabilities. [R, V] -> [R, V] float32, rows sum to 1."""
+    temp = jnp.maximum(temperature, 1e-6)
+    probs = jax.nn.softmax(logits.astype(jnp.float32) / temp, axis=-1)
+    sort_idx = jnp.argsort(-probs, axis=-1)
+    sorted_probs = jnp.take_along_axis(probs, sort_idx, axis=-1)
+    cum = jnp.cumsum(sorted_probs, axis=-1)
+    keep = (cum - sorted_probs) < top_p  # always keeps the top token
+    kept = jnp.where(keep, sorted_probs, 0.0)
+    kept = kept / jnp.sum(kept, axis=-1, keepdims=True)
+    rows = jnp.arange(probs.shape[0])[:, None]
+    return jnp.zeros_like(kept).at[rows, sort_idx].set(kept)
+
+
+def _spec_accept(probs: jax.Array, props: jax.Array, key: jax.Array):
+    """Speculative-sampling acceptance for a DETERMINISTIC (point-mass)
+    draft (Leviathan et al. 2023, specialized to q = delta_{props[i]}).
+
+    probs: [m+1, V] target distributions (row i conditions on the first i
+    proposals all having been accepted); props: [m] drafted tokens.
+    Accept draft i with prob p_i(props[i]); at the first rejection a,
+    resample from the residual norm(max(p_a - q_a, 0)) — which for a point
+    mass is p_a with the draft token's entry zeroed. If all m accepted, the
+    bonus token samples from p_m directly. Returns (emitted [m+1] — only
+    [:a+1] is meaningful — and a). The marginal law of each emitted token
+    is exactly the target distribution, so outputs are distributed
+    identically to the plain autoregressive sampler."""
+    m = props.shape[0]
+    ku, kr = jax.random.split(key)
+    u = jax.random.uniform(ku, (m,))
+    p_draft = probs[jnp.arange(m), props]
+    rej = u >= p_draft
+    a = jnp.where(jnp.any(rej), jnp.argmax(rej), m).astype(jnp.int32)
+    row = probs[a]
+    # residual when a < m (all-accepted bonus row keeps p_m untouched);
+    # p(draft)=1 rows always accept, so the residual can't be all-zero
+    zeroed = row.at[props[jnp.minimum(a, m - 1)]].set(0.0)
+    row = jnp.where(a < m, zeroed, row)
+    t_a = jax.random.categorical(kr, jnp.log(row + 1e-20)).astype(jnp.int32)
+    emitted = jnp.concatenate(
+        [props.astype(jnp.int32), jnp.zeros((1,), jnp.int32)])
+    emitted = emitted.at[a].set(t_a)
+    return emitted, a
+
+
+@functools.partial(jax.jit, static_argnames=("cfg", "m"), donate_argnums=(1,))
+def _spec_verify_sampled(params, cache, cur, props, pos_start, key,
+                         temperature, top_p, cfg: VLConfig, m: int):
+    """Sampled-output speculative step: same chunked verify forward as
+    ``_spec_verify``, but acceptance follows the speculative-sampling rule
+    (``_spec_accept``) so emitted tokens are distributed EXACTLY as the
+    plain nucleus sampler's — not merely greedy-identical. Returns
+    (emitted [m+1], accepted count a, rolled-back cache, next rng key)."""
+    ids = jnp.concatenate([cur[None], props]).astype(jnp.int32)  # [m+1]
+    embeds = lm_mod.embed_tokens(params["lm"], ids)[None]
+    pos = pos_start + jnp.arange(m + 1)
+    pos3 = jnp.broadcast_to(pos[None, None, :], (3, 1, m + 1))
+    hidden, cache = lm_mod.lm_decode_chunk(
+        params["lm"], cache, embeds, pos3, cfg.text
+    )
+    logits = lm_mod.lm_head(params["lm"], hidden[0], cfg.text)  # [m+1, V]
+    probs = _nucleus_probs(logits, temperature, top_p)
+    key, k_acc = jax.random.split(key)
+    emitted, a = _spec_accept(probs, props, k_acc)
+    cache = lm_mod.KVCache(k=cache.k, v=cache.v,
+                           length=cache.length - (m - a))
+    return emitted, a, cache, key
+
+
 def generate_speculative(
     engine,
     input_ids: np.ndarray,
@@ -1562,18 +1637,27 @@ def generate_speculative(
     eos_token_ids: Optional[Tuple[int, ...]] = None,
     propose_len: int = 7,
     ngram: int = 3,
+    temperature: float = 0.0,
+    top_p: float = 1.0,
+    seed: int = 0,
     **gen_kwargs,
 ) -> "GenerationResult":
-    """Greedy generation with prompt-lookup speculative decoding.
+    """Generation with prompt-lookup speculative decoding.
 
     Prefill runs exactly as ``engine.generate`` (any engine supporting
     ``_defer_decode``: Qwen + OV, selector/orig/baselines); the decode loop
     then verifies ``propose_len`` prompt-lookup proposals per chunked
     forward, emitting 1..propose_len+1 tokens per weight-stream pass.
-    Greedy outputs are IDENTICAL to ``engine.generate`` by construction
-    (accepted tokens are exactly the greedy continuations)."""
+
+    temperature == 0 (default): greedy outputs are IDENTICAL to
+    ``engine.generate`` by construction (accepted tokens are exactly the
+    greedy continuations). temperature > 0: the speculative-sampling
+    acceptance rule (``_spec_accept``) makes every emitted token's marginal
+    law EXACTLY the nucleus sampler's — same distribution as
+    ``engine.generate(temperature=..., top_p=...)``, different draws."""
     import time
 
+    sampling = temperature is not None and temperature > 0.0
     state = engine.generate(
         input_ids, pixel_values, grid_thw,
         max_new_tokens=max_new_tokens, eos_token_ids=eos_token_ids,
@@ -1582,7 +1666,23 @@ def generate_speculative(
     cfg = engine.cfg
     m = propose_len
     eos = set(state.eos_token_ids)
-    first = state.next_token
+    key = jax.random.PRNGKey(seed)
+    if sampling:
+        if state.logits is None:
+            # strategy paths defer without the last logits row: the first
+            # token can't be resampled, so run the plain sampled decode loop
+            return engine.generate(
+                input_ids, pixel_values, grid_thw,
+                max_new_tokens=max_new_tokens, eos_token_ids=eos_token_ids,
+                temperature=temperature, top_p=top_p, seed=seed,
+                **gen_kwargs,
+            )
+        key, k0 = jax.random.split(key)
+        first = int(_sample_token(
+            state.logits, k0, jnp.asarray(temperature, jnp.float32),
+            jnp.asarray(top_p, jnp.float32)))
+    else:
+        first = state.next_token
     base = state.result
     if first in eos:
         return GenerationResult(
@@ -1606,14 +1706,22 @@ def generate_speculative(
     pos = state.start_pos
     cur = jnp.asarray(first, jnp.int32)
     steps = 0
+    temp_j = jnp.asarray(temperature or 0.0, jnp.float32)
+    top_p_j = jnp.asarray(top_p, jnp.float32)
     while len(out) < max_new_tokens:
         props = _prompt_lookup(ctx, ngram, m)
-        greedy, a, cache = _spec_verify(
-            engine.params, cache, cur, jnp.asarray(props, jnp.int32),
-            jnp.asarray(pos, jnp.int32), cfg, m,
-        )
+        if sampling:
+            emitted, a, cache, key = _spec_verify_sampled(
+                engine.params, cache, cur, jnp.asarray(props, jnp.int32),
+                jnp.asarray(pos, jnp.int32), key, temp_j, top_p_j, cfg, m,
+            )
+        else:
+            emitted, a, cache = _spec_verify(
+                engine.params, cache, cur, jnp.asarray(props, jnp.int32),
+                jnp.asarray(pos, jnp.int32), cfg, m,
+            )
         a_i = int(a)
-        new = np.asarray(greedy)[: a_i + 1].tolist()
+        new = np.asarray(emitted)[: a_i + 1].tolist()
         steps += 1
         stop = False
         kept = 0
