@@ -115,6 +115,41 @@ class TestServeSpeculative:
             h2.shutdown()
 
 
+class TestServePrefixCache:
+    def test_prefix_cache_hit_serves_identical_tokens(self):
+        from visionselector_tpu.api.serve import build_server
+
+        args = argparse.Namespace(
+            model_path=None, method="selector", budget=0.5,
+            host="127.0.0.1", port=0, prefix_cache=4, prefix_cache_min=1,
+        )
+        httpd = build_server(args)
+        port = httpd.server_address[1]
+        threading.Thread(target=httpd.serve_forever, daemon=True).start()
+
+        def ask(prompt):
+            req = urllib.request.Request(
+                f"http://127.0.0.1:{port}/generate",
+                data=json.dumps({"prompt": prompt, "max_new_tokens": 8}
+                                ).encode(),
+                headers={"Content-Type": "application/json"},
+            )
+            with urllib.request.urlopen(req, timeout=300) as r:
+                return json.loads(r.read())
+
+        try:
+            a = ask("hi")
+            b = ask("hi")  # exact repeat -> prefix-cache hit
+            assert a["tokens"] == b["tokens"]
+            with urllib.request.urlopen(
+                    f"http://127.0.0.1:{port}/health", timeout=60) as r:
+                health = json.loads(r.read())
+            assert health["prefix_cache"]["hits"] >= 1
+            assert health["prefix_cache"]["entries"] >= 1
+        finally:
+            httpd.shutdown()
+
+
 class TestServeChatSession:
     def test_multi_turn_session_reuses_kv(self):
         from visionselector_tpu.api.serve import build_server

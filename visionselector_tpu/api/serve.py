@@ -96,7 +96,8 @@ class MicroBatcher:
 class Server:
     def __init__(self, engine, tokenizer, method: str, budget: float,
                  micro_batch: int = 1, batch_window_ms: float = 4.0,
-                 speculative: int = 0):
+                 speculative: int = 0, prefix_cache: int = 0,
+                 prefix_cache_min: int = 32):
         self.engine = engine
         self.tokenizer = tokenizer
         self.method = method
@@ -104,6 +105,17 @@ class Server:
         # prompt-lookup speculative decoding: propose N tokens per decode
         # dispatch (greedy-identical outputs; see generate_speculative)
         self.speculative = speculative
+        # cross-request KV prefix cache: requests sharing (image, prompt
+        # prefix) reuse the stored post-prefill cache and append only the
+        # suffix (see PrefixCacheStore; exact-output for selector/orig)
+        self.prefix_store = None
+        if prefix_cache > 0:
+            from visionselector_tpu.models.qwen25vl.model import (
+                PrefixCacheStore,
+            )
+
+            self.prefix_store = PrefixCacheStore(
+                max_entries=prefix_cache, min_prefix=prefix_cache_min)
         self.lock = threading.Lock()  # serializes engine use
         self.batcher = (
             MicroBatcher(engine, self.lock, micro_batch, batch_window_ms)
@@ -216,6 +228,16 @@ class Server:
                     max_new_tokens=max_new_tokens,
                     propose_len=self.speculative,
                 )
+        elif self.prefix_store is not None and on_token_chunk is None:
+            from visionselector_tpu.models.qwen25vl.model import (
+                generate_prefix_cached,
+            )
+
+            with self.lock:
+                res = generate_prefix_cached(
+                    self.engine, self.prefix_store, input_ids, pixels,
+                    grid, max_new_tokens=max_new_tokens,
+                )
         else:
             with self.lock:
                 res = self.engine.generate(
@@ -320,8 +342,15 @@ def make_handler(server: Server):
 
         def do_GET(self):
             if self.path == "/health":
-                self._send(200, {"ok": True, "method": server.method,
-                                 "budget": server.budget})
+                out = {"ok": True, "method": server.method,
+                       "budget": server.budget}
+                if server.prefix_store is not None:
+                    out["prefix_cache"] = {
+                        "hits": server.prefix_store.hits,
+                        "misses": server.prefix_store.misses,
+                        "entries": len(server.prefix_store.entries),
+                    }
+                self._send(200, out)
             elif self.path in ("/", "/chat"):
                 # Browser chat page (the reference ships a gradio chat app,
                 # ``llava-ov-15/src/serve/app.py``; this is the dependency-
@@ -546,7 +575,9 @@ def build_server(args) -> ThreadingHTTPServer:
     srv = Server(engine, tokenizer, args.method, args.budget,
                  micro_batch=getattr(args, 'micro_batch', 1),
                  batch_window_ms=getattr(args, 'batch_window_ms', 4.0),
-                 speculative=getattr(args, 'speculative', 0))
+                 speculative=getattr(args, 'speculative', 0),
+                 prefix_cache=getattr(args, 'prefix_cache', 0),
+                 prefix_cache_min=getattr(args, 'prefix_cache_min', 32))
     return ThreadingHTTPServer((args.host, args.port), make_handler(srv))
 
 
@@ -567,6 +598,14 @@ def main(argv=None) -> int:
                    help="prompt-lookup speculative decoding: propose N "
                         "tokens per decode dispatch (greedy-identical "
                         "outputs, fewer weight-stream passes); 0 = off")
+    p.add_argument("--prefix-cache", type=int, default=0,
+                   help="cross-request KV prefix cache: keep N post-prefill "
+                        "snapshots; requests sharing (image, prompt prefix) "
+                        "append only their suffix (exact outputs for "
+                        "selector/orig; exact-repeat-only for FastV/DART); "
+                        "0 = off")
+    p.add_argument("--prefix-cache-min", type=int, default=32,
+                   help="minimum shared-prefix tokens for a cache hit")
     args = p.parse_args(argv)
     httpd = build_server(args)
     print(f"[serve] listening on {args.host}:{args.port} "

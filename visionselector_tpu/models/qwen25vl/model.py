@@ -1903,6 +1903,215 @@ def continue_chat_session(
     ), new_sess
 
 
+@dataclasses.dataclass
+class PrefixEntry:
+    """One stored post-prefill snapshot for cross-request KV reuse."""
+
+    sig: Optional[str]  # image signature (None = text-only prompt)
+    ids: np.ndarray  # full stored prompt tokens
+    vis_end: int  # ids index after the last vision span (0 = none)
+    cache: "lm_mod.KVCache"  # per-layer lengths at end of prompt
+    pos: int  # next rope position at end of prompt
+    result: "GenerationResult"  # prefill metadata (indices, counts, time)
+
+
+class PrefixCacheStore:
+    """Cross-request KV prefix cache (LRU, host-orchestrated).
+
+    Requests that share an (image, prompt-prefix) pair — the serving
+    pattern of a fixed system prompt + image asked several questions, or
+    repeated identical requests — skip re-prefilling the shared prefix:
+    the stored cache is rolled back to the common prefix and only the
+    suffix runs, through the same chunked-append program chat sessions use.
+
+    Correctness under token compression: vision tokens are compacted, so
+    ids positions map 1:1 to kv rows only AFTER the last vision span
+    (``vis_end``). A hit therefore requires the common prefix to cover
+    every vision token; the rolled-back trailing tokens are all text, so
+    per-layer cache lengths and the rope position both shift by exactly
+    the rollback count (this also holds for per-layer-length baselines
+    like FastV: a text row lands in every layer). The stored snapshot is
+    never donated — ``_append_chunk`` is non-donating and returns a fresh
+    buffer, which is what the donating decode loop then consumes.
+
+    Distinct from ``ChatSession``: sessions extend ONE conversation's
+    cache across turns; this store serves MANY independent requests that
+    happen to share a prefix (the reference's pipeline re-prefills every
+    request from scratch: ``token_compression/selector_model.py:270``).
+    Not thread-safe on its own — call under the server's engine lock."""
+
+    def __init__(self, max_entries: int = 4, min_prefix: int = 32):
+        import collections
+
+        self.entries: "collections.OrderedDict[int, PrefixEntry]" = (
+            collections.OrderedDict())
+        self.max_entries = max_entries
+        self.min_prefix = min_prefix
+        self.hits = 0
+        self.misses = 0
+        self._next_id = 0
+
+    @staticmethod
+    def signature(pixel_values, grid_thw) -> Optional[str]:
+        import hashlib
+
+        if pixel_values is None:
+            return None
+        h = hashlib.sha1()
+        h.update(np.ascontiguousarray(pixel_values).tobytes())
+        if grid_thw is not None:
+            h.update(np.ascontiguousarray(grid_thw).tobytes())
+        return h.hexdigest()
+
+    def lookup(self, sig, ids: np.ndarray, exact_only: bool = False):
+        """Longest usable (entry, consumed) for a new prompt, or None.
+
+        ``consumed`` is capped at len(ids)-1 so at least one token always
+        goes through the append chunk — that recomputes the next-token
+        logits, so an exact full-prompt hit needs no stored logits row.
+        ``exact_only`` restricts to whole-prompt repeats (used for
+        text-dependent pruning strategies like FastV/DART, whose selection
+        would differ under a different question — the LIS selector and the
+        uncompressed path score vision tokens only, so divergent-suffix
+        reuse is exact for them)."""
+        best, best_consumed = None, 0
+        for key, e in self.entries.items():
+            if e.sig != sig:
+                continue
+            if exact_only and (len(e.ids) != len(ids)
+                               or not (e.ids == ids).all()):
+                continue
+            n = min(len(e.ids), len(ids))
+            neq = np.nonzero(e.ids[:n] != ids[:n])[0]
+            j = int(neq[0]) if len(neq) else n
+            consumed = min(j, len(ids) - 1)
+            if consumed < max(e.vis_end, 1, self.min_prefix):
+                continue
+            if consumed > best_consumed:
+                best, best_consumed = (key, e), consumed
+        if best is None:
+            return None
+        key, e = best
+        self.entries.move_to_end(key)
+        return e, best_consumed
+
+    def insert(self, entry: PrefixEntry):
+        # skip duplicates of an already-stored prompt (repeat requests)
+        for e in self.entries.values():
+            if (e.sig == entry.sig and len(e.ids) == len(entry.ids)
+                    and (e.ids == entry.ids).all()):
+                return
+        self.entries[self._next_id] = entry
+        self._next_id += 1
+        while len(self.entries) > self.max_entries:
+            self.entries.popitem(last=False)
+
+
+def _vision_span_end(ids: np.ndarray, cfg) -> int:
+    ends = np.nonzero(ids == cfg.vision_end_token_id)[0]
+    return int(ends[-1]) + 1 if len(ends) else 0
+
+
+def generate_prefix_cached(
+    engine,
+    store: PrefixCacheStore,
+    input_ids: np.ndarray,
+    pixel_values: Optional[np.ndarray] = None,
+    grid_thw: Optional[np.ndarray] = None,
+    max_new_tokens: int = 64,
+    eos_token_ids: Optional[Tuple[int, ...]] = None,
+    **gen_kwargs,
+) -> "GenerationResult":
+    """Greedy generation through a cross-request KV prefix cache.
+
+    Miss: normal (compressed) prefill; the post-prefill cache is snapshotted
+    into ``store`` before the donating decode loop runs on a copy. Hit: the
+    stored cache rolls back to the common prefix and ONLY the suffix tokens
+    run one chunked append — outputs are identical to a fresh full prefill
+    (pinned by tests), the vision encode and shared-text prefill are skipped
+    entirely."""
+    import time
+
+    input_ids = np.asarray(input_ids).reshape(-1)
+    sig = PrefixCacheStore.signature(pixel_values, grid_thw)
+    hit = store.lookup(
+        sig, input_ids,
+        exact_only=getattr(engine, "strategy", None) is not None)
+
+    if hit is None:
+        store.misses += 1
+        state = engine.generate(
+            input_ids, pixel_values, grid_thw,
+            max_new_tokens=max_new_tokens, eos_token_ids=eos_token_ids,
+            _defer_decode=True, **gen_kwargs,
+        )
+        store.insert(PrefixEntry(
+            sig=sig, ids=input_ids.copy(),
+            vis_end=_vision_span_end(input_ids, engine.cfg),
+            cache=state.cache, pos=state.start_pos, result=state.result,
+        ))
+        eos = tuple(state.eos_token_ids)
+        base = state.result
+        first = state.next_token
+        if first in eos:
+            return dataclasses.replace(
+                base, tokens=[],
+                total_seconds=time.perf_counter() - state.t_start)
+        # decode must not consume the stored snapshot: copy the buffers
+        cache = lm_mod.KVCache(k=jnp.copy(state.cache.k),
+                               v=jnp.copy(state.cache.v),
+                               length=jnp.copy(state.cache.length))
+        toks, count, _, last = _decode_loop(
+            engine.params, engine.cfg, cache, jnp.asarray(first, jnp.int32),
+            jnp.asarray(state.start_pos, jnp.int32),
+            jnp.asarray(list(eos), jnp.int32), max_new_tokens - 1,
+        )
+        tokens = [first] + np.asarray(toks)[: int(count)].tolist()
+        return dataclasses.replace(
+            base, tokens=tokens,
+            total_seconds=time.perf_counter() - state.t_start)
+
+    store.hits += 1
+    t_start = time.perf_counter()
+    entry, consumed = hit
+    cfg = engine.cfg
+    d = len(entry.ids) - consumed  # trailing text tokens to roll back
+    suffix = input_ids[consumed:]
+    n = len(suffix)
+    c = max(32, -(-n // 32) * 32)
+    ids_padded = np.zeros(c, np.int64)
+    ids_padded[:n] = suffix
+    rolled = lm_mod.KVCache(k=entry.cache.k, v=entry.cache.v,
+                            length=entry.cache.length - d)
+    need = int(np.asarray(rolled.length).max()) + c + max_new_tokens + 1
+    cache = _ensure_capacity(rolled, need)
+    pos = entry.pos - d
+    t0 = time.perf_counter()
+    next_token, cache = _append_chunk(
+        engine.params, cache, jnp.asarray(ids_padded), jnp.asarray(n),
+        jnp.asarray(pos, jnp.int32), cfg, c,
+    )
+    next_token.block_until_ready()
+    t_prefill = time.perf_counter() - t0
+    first = int(next_token)
+    eos = tuple(eos_token_ids) if eos_token_ids is not None else (
+        cfg.eos_token_id,)
+    base = dataclasses.replace(
+        entry.result, prefill_len=entry.result.prefill_len - d + n,
+        prefill_seconds=t_prefill)
+    if first in eos:
+        return dataclasses.replace(
+            base, tokens=[], total_seconds=time.perf_counter() - t_start)
+    toks, count, _, last = _decode_loop(
+        engine.params, cfg, cache, next_token,
+        jnp.asarray(pos + n, jnp.int32),
+        jnp.asarray(list(eos), jnp.int32), max_new_tokens - 1,
+    )
+    tokens = [first] + np.asarray(toks)[: int(count)].tolist()
+    return dataclasses.replace(
+        base, tokens=tokens, total_seconds=time.perf_counter() - t_start)
+
+
 @functools.partial(jax.jit, static_argnames=("t_all",))
 def _assemble_batch_cache(ks, vs, lens, t_all: int):
     """One dispatch for the whole pad+concat cache assembly (module-level so
