@@ -37,6 +37,12 @@ def build_parser():
     p.add_argument("--total-steps", type=int, default=1000)
     p.add_argument("--batch-size", type=int, default=8,
                    help="global batch (sharded over the data mesh axis)")
+    p.add_argument("--grad-accum-steps", type=int, default=1,
+                   help="micro-steps accumulated per optimizer update "
+                        "(effective batch = batch-size * this; one jitted "
+                        "lax.scan program, one micro-batch of activations "
+                        "live at a time — reference "
+                        "--gradient_accumulation_steps)")
     p.add_argument("--vision-bucket", type=int, default=4096)
     p.add_argument("--text-bucket", type=int, default=2048)
     p.add_argument("--save-steps", type=int, default=200)
@@ -329,22 +335,60 @@ def main(argv=None) -> int:
 
     l_pad = args.vision_bucket // cfg.vision.spatial_merge_unit
     k_max = max(1, int(l_pad * args.budget))
-    spec = batch_sharding(mesh)
+    accum = max(1, args.grad_accum_steps)
+    if accum == 1:
+        spec = batch_sharding(mesh)
+    else:
+        from visionselector_tpu.core.mesh import accum_batch_sharding
+
+        spec = accum_batch_sharding(mesh)
     stream = sample_stream()
     os.makedirs(args.output_dir, exist_ok=True)
     log_path = os.path.join(args.output_dir, "train_log.jsonl")
 
     t0 = time.time()
     while int(state.step) < args.total_steps:
-        samples = [next(stream) for _ in range(args.batch_size)]
-        batch = jax.tree.map(jnp.asarray, stack_samples(samples))
+        if accum == 1:
+            samples = [next(stream) for _ in range(args.batch_size)]
+            batch = jax.tree.map(jnp.asarray, stack_samples(samples))
+        else:
+            micro = [
+                stack_samples(
+                    [next(stream) for _ in range(args.batch_size)])
+                for _ in range(accum)
+            ]
+            batch = jax.tree.map(lambda *xs: jnp.stack(xs), *micro)
         batch = jax.tree.map(lambda x: jax.device_put(x, spec(x)), batch)
         if is_sft:
-            state, metrics = sft_train_step(state, batch, cfg, sched)
+            if accum > 1:
+                from visionselector_tpu.train.sft import sft_train_step_accum
+
+                state, metrics = sft_train_step_accum(state, batch, cfg,
+                                                      sched)
+            else:
+                state, metrics = sft_train_step(state, batch, cfg, sched)
         elif is_dynamic:
-            state, metrics = dynamic_train_step(state, frozen, batch, cfg, sched)
+            if accum > 1:
+                from visionselector_tpu.train.dynamic_train import (
+                    dynamic_train_step_accum,
+                )
+
+                state, metrics = dynamic_train_step_accum(
+                    state, frozen, batch, cfg, sched)
+            else:
+                state, metrics = dynamic_train_step(state, frozen, batch,
+                                                    cfg, sched)
         else:
-            state, metrics = train_step(state, frozen, batch, cfg, k_max, sched)
+            if accum > 1:
+                from visionselector_tpu.train.train_step import (
+                    train_step_accum,
+                )
+
+                state, metrics = train_step_accum(state, frozen, batch,
+                                                  cfg, k_max, sched)
+            else:
+                state, metrics = train_step(state, frozen, batch, cfg,
+                                            k_max, sched)
         step = int(state.step)
         if step % args.log_steps == 0 or step == args.total_steps:
             m = {k: float(v) for k, v in metrics.items()}

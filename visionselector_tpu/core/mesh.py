@@ -99,3 +99,16 @@ def batch_sharding(mesh: Mesh):
         return NamedSharding(mesh, P(*parts))
 
     return spec_for
+
+
+def accum_batch_sharding(mesh: Mesh):
+    """Data sharding for gradient-accumulation batches [A, B, ...]: the
+    micro-step axis A is scanned (unsharded), the batch axis B shards
+    over 'data'."""
+    def spec_for(leaf):
+        parts = [None] * leaf.ndim
+        if leaf.ndim >= 2:
+            parts[1] = "data"
+        return NamedSharding(mesh, P(*parts))
+
+    return spec_for

@@ -204,3 +204,64 @@ def dynamic_train_step(
                           opt_state=opt_state, step=state.step + 1, rng=rng),
         metrics,
     )
+
+
+@functools.partial(jax.jit, static_argnames=("cfg", "sched"))
+def dynamic_train_step_accum(
+    state: DynamicTrainState,
+    frozen_params: dict,
+    batches: TrainBatchSample,
+    cfg: VLConfig,
+    sched: DynamicScheduleConfig,
+) -> Tuple[DynamicTrainState, dict]:
+    """Gradient-accumulated predictor step over a leading [A] micro-step
+    axis (see ``train_step_accum``): lax.scan over micro-batches, fp32
+    grad sum, one optimizer update. Per-sample Gumbel keys fold in the
+    micro-step index so samples across micro-batches draw independently."""
+    tau = tau_schedule(state.step, sched.total_steps, sched.tau_start,
+                       sched.tau_end)
+    rng, sub = jax.random.split(state.rng)
+
+    def micro(carry, inp):
+        gsum = carry
+        mb, mkey = inp
+
+        def batch_loss(pp):
+            n = jax.tree.leaves(mb)[0].shape[0]
+            keys = jax.random.split(mkey, n)
+
+            def per_sample(sample, key):
+                return dynamic_train_forward(
+                    pp, frozen_params, sample, cfg, tau, key, sched
+                )
+
+            losses, metrics = jax.vmap(per_sample)(mb, keys)
+            return losses.mean(), jax.tree.map(jnp.mean, metrics)
+
+        (loss, metrics), g = jax.value_and_grad(batch_loss, has_aux=True)(
+            state.predictor_params
+        )
+        gsum = jax.tree.map(lambda a, b: a + b.astype(jnp.float32),
+                            gsum, g)
+        return gsum, (loss, metrics)
+
+    a = jax.tree.leaves(batches)[0].shape[0]
+    mkeys = jax.random.split(sub, a)
+    zeros = jax.tree.map(lambda p: jnp.zeros(p.shape, jnp.float32),
+                         state.predictor_params)
+    gsum, (losses, metrics) = jax.lax.scan(micro, zeros, (batches, mkeys))
+    grads = jax.tree.map(lambda g, p: (g / a).astype(p.dtype),
+                         gsum, state.predictor_params)
+    opt = make_optimizer(sched)
+    updates, opt_state = opt.update(
+        grads, state.opt_state, state.predictor_params
+    )
+    predictor_params = optax.apply_updates(state.predictor_params, updates)
+    metrics = {k: jnp.mean(v) for k, v in dict(metrics).items()}
+    metrics.update(loss=losses.mean(), tau=tau,
+                   grad_norm=optax.global_norm(grads))
+    return (
+        DynamicTrainState(predictor_params=predictor_params,
+                          opt_state=opt_state, step=state.step + 1, rng=rng),
+        metrics,
+    )

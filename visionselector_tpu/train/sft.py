@@ -139,3 +139,46 @@ def sft_train_step(
     metrics.update(loss=loss, grad_norm=optax.global_norm(grads))
     return SFTState(params=params, opt_state=opt_state,
                     step=state.step + 1), metrics
+
+
+@functools.partial(jax.jit, static_argnames=("cfg", "sched"),
+                   donate_argnums=(0,))
+def sft_train_step_accum(
+    state: SFTState,
+    batches: TrainBatchSample,
+    cfg: VLConfig,
+    sched: SFTScheduleConfig,
+) -> Tuple[SFTState, dict]:
+    """Gradient-accumulated SFT step over a leading [A] micro-step axis —
+    equivalent to ``sft_train_step`` on the concatenated A*B batch, with
+    only one micro-batch of activations live at a time (``lax.scan``).
+    Matches the reference's ``--gradient_accumulation_steps`` recipe knob
+    (``qwen-vl-finetune/scripts/sft_3b.sh:48``). Grads sum in fp32."""
+
+    def micro_loss(params, mb):
+        def per_sample(sample):
+            return sft_train_forward(params, sample, cfg)
+
+        losses, metrics = jax.vmap(per_sample)(mb)
+        return losses.mean(), jax.tree.map(jnp.mean, metrics)
+
+    def micro(gsum, mb):
+        (loss, metrics), g = jax.value_and_grad(
+            micro_loss, has_aux=True)(state.params, mb)
+        gsum = jax.tree.map(lambda a, b: a + b.astype(jnp.float32),
+                            gsum, g)
+        return gsum, (loss, metrics)
+
+    zeros = jax.tree.map(lambda p: jnp.zeros(p.shape, jnp.float32),
+                         state.params)
+    gsum, (losses, metrics) = jax.lax.scan(micro, zeros, batches)
+    a = losses.shape[0]
+    grads = jax.tree.map(lambda g, p: (g / a).astype(p.dtype),
+                         gsum, state.params)
+    opt = make_optimizer(state.params, sched)
+    updates, opt_state = opt.update(grads, state.opt_state, state.params)
+    params = optax.apply_updates(state.params, updates)
+    metrics = {k: jnp.mean(v) for k, v in dict(metrics).items()}
+    metrics.update(loss=losses.mean(), grad_norm=optax.global_norm(grads))
+    return SFTState(params=params, opt_state=opt_state,
+                    step=state.step + 1), metrics

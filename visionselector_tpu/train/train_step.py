@@ -128,3 +128,57 @@ def train_step(
                    step=state.step + 1),
         metrics,
     )
+
+
+@functools.partial(jax.jit, static_argnames=("cfg", "k_max", "sched"))
+def train_step_accum(
+    state: TrainState,
+    frozen_params: dict,
+    batches: TrainBatchSample,
+    cfg: VLConfig,
+    k_max: int,
+    sched: ScheduleConfig,
+) -> Tuple[TrainState, dict]:
+    """Gradient-accumulated step: ``batches`` carries a leading [A]
+    micro-step axis; equivalent to ``train_step`` on the concatenated
+    A*B batch (equal-sized micro-batches, so the mean of micro-means is
+    the global mean), but ``lax.scan`` keeps only ONE micro-batch of
+    activations live at a time — the memory knob the reference reaches
+    for with ``--gradient_accumulation_steps``
+    (``qwen-vl-finetune/scripts/sft_3b.sh:48``). One jitted program: no
+    host round trip between micro-steps, grads accumulate in fp32."""
+    reg_weight = reg_weight_schedule(
+        state.step, sched.total_steps, sched.reg_weight_start,
+        sched.reg_weight_end,
+    )
+
+    def micro(gsum, mb):
+        (loss, metrics), g = jax.value_and_grad(batch_loss, has_aux=True)(
+            state.scorer_params, frozen_params, mb, cfg, reg_weight, k_max
+        )
+        gsum = jax.tree.map(lambda a, b: a + b.astype(jnp.float32),
+                            gsum, g)
+        return gsum, (loss, metrics)
+
+    zeros = jax.tree.map(lambda p: jnp.zeros(p.shape, jnp.float32),
+                         state.scorer_params)
+    gsum, (losses, metrics) = jax.lax.scan(micro, zeros, batches)
+    a = losses.shape[0]
+    grads = jax.tree.map(
+        lambda g, p: (g / a).astype(p.dtype), gsum, state.scorer_params)
+    opt = make_optimizer(sched)
+    updates, opt_state = opt.update(
+        grads, state.opt_state, state.scorer_params
+    )
+    scorer_params = optax.apply_updates(state.scorer_params, updates)
+    metrics = {k: jnp.mean(v) for k, v in dict(metrics).items()}
+    metrics.update(
+        loss=losses.mean(),
+        reg_weight=reg_weight,
+        grad_norm=optax.global_norm(grads),
+    )
+    return (
+        TrainState(scorer_params=scorer_params, opt_state=opt_state,
+                   step=state.step + 1),
+        metrics,
+    )
