@@ -1,0 +1,135 @@
+"""Continuous batching: slots join/leave the shared decode loop mid-flight;
+every request's greedy tokens must equal a plain per-request generate
+(CPU fp32 — batched lane math is exact there; test_batch_decode.py pins the
+same property for the one-shot batched path)."""
+
+import concurrent.futures as cf
+
+import jax
+import numpy as np
+import pytest
+
+from visionselector_tpu.core.config import qwen25vl_tiny
+from visionselector_tpu.models.qwen25vl.continuous import ContinuousBatcher
+from visionselector_tpu.models.qwen25vl.model import (
+    QwenVLEngine,
+    init_params,
+)
+
+
+@pytest.fixture(scope="module")
+def setup():
+    from visionselector_tpu.preprocess.image import preprocess_image
+    from visionselector_tpu.preprocess.rope import expand_vision_tokens
+
+    cfg = qwen25vl_tiny()
+    params = init_params(jax.random.PRNGKey(0), cfg)
+    eng = QwenVLEngine(cfg, params, use_selector=True, budget=0.5)
+    img = (np.random.RandomState(0).rand(56, 84, 3) * 255).astype(np.uint8)
+    pixels, grid = preprocess_image(img)
+
+    def ids_for(q):
+        return expand_vision_tokens(
+            [5, 6, 7], list(q), grid,
+            image_token_id=cfg.image_token_id,
+            vision_start_token_id=cfg.vision_start_token_id,
+            vision_end_token_id=cfg.vision_end_token_id,
+        )
+
+    return eng, ids_for, pixels, grid
+
+
+class TestContinuousBatcher:
+    def test_mixed_requests_match_sequential(self, setup):
+        """More requests than slots, different question lengths and decode
+        budgets: every result equals the per-request oracle, slots get
+        reused, and at least one request joins while others are
+        mid-decode."""
+        eng, ids_for, pixels, grid = setup
+        reqs = [
+            (dict(input_ids=ids_for([8, 9]), pixel_values=pixels,
+                  grid_thw=grid), 12),
+            (dict(input_ids=ids_for([8, 40, 41]), pixel_values=pixels,
+                  grid_thw=grid), 5),
+            (dict(input_ids=np.asarray([7, 8, 9, 10], np.int64)), 9),
+            (dict(input_ids=ids_for([50]), pixel_values=pixels,
+                  grid_thw=grid), 16),
+            (dict(input_ids=np.asarray([30, 31], np.int64)), 3),
+        ]
+        oracle = [
+            eng.generate(**r, max_new_tokens=m, eos_token_ids=(-1,)).tokens
+            for r, m in reqs
+        ]
+        bat = ContinuousBatcher(eng, n_slots=2, t_max=256, chunk=4)
+        try:
+            with cf.ThreadPoolExecutor(max_workers=len(reqs)) as ex:
+                futs = [
+                    ex.submit(bat.submit, r, m, (-1,)) for r, m in reqs
+                ]
+                results = [f.result(timeout=600) for f in futs]
+        finally:
+            bat.shutdown()
+        for i, (res, want) in enumerate(zip(results, oracle)):
+            assert res.tokens == want, (i, res.tokens, want)
+        assert bat.stats["admitted"] == len(reqs)
+        assert bat.stats["max_concurrent"] == 2
+        assert bat.stats["mid_flight_joins"] >= 1
+        assert bat.stats["chunks"] >= 3
+
+    def test_per_request_eos_sets(self, setup):
+        """Different requests may stop on different tokens (host-side eos:
+        slots are independent)."""
+        eng, ids_for, pixels, grid = setup
+        req = dict(input_ids=ids_for([8, 9]), pixel_values=pixels,
+                   grid_thw=grid)
+        free = eng.generate(**req, max_new_tokens=10,
+                            eos_token_ids=(-1,)).tokens
+        assert len(free) == 10
+        stop_a = (free[3],)  # stops request A early
+        want_a = eng.generate(**req, max_new_tokens=10,
+                              eos_token_ids=stop_a).tokens
+        bat = ContinuousBatcher(eng, n_slots=2, t_max=256, chunk=4)
+        try:
+            with cf.ThreadPoolExecutor(max_workers=2) as ex:
+                fa = ex.submit(bat.submit, req, 10, stop_a)
+                fb = ex.submit(bat.submit, req, 10, (-1,))
+                ra, rb = fa.result(timeout=600), fb.result(timeout=600)
+        finally:
+            bat.shutdown()
+        assert ra.tokens == want_a, (ra.tokens, want_a)
+        assert rb.tokens == free
+
+    def test_too_long_request_falls_back(self, setup):
+        eng, ids_for, pixels, grid = setup
+        req = dict(input_ids=ids_for([8, 9]), pixel_values=pixels,
+                   grid_thw=grid)
+        want = eng.generate(**req, max_new_tokens=6,
+                            eos_token_ids=(-1,)).tokens
+        bat = ContinuousBatcher(eng, n_slots=2, t_max=8, chunk=4)
+        try:
+            res = bat.submit(req, 6, (-1,))
+        finally:
+            bat.shutdown()
+        assert res.tokens == want
+        assert bat.stats["rejected_too_long"] == 1
+
+    def test_max_new_one(self, setup):
+        eng, ids_for, pixels, grid = setup
+        req = dict(input_ids=ids_for([8, 9]), pixel_values=pixels,
+                   grid_thw=grid)
+        want = eng.generate(**req, max_new_tokens=1,
+                            eos_token_ids=(-1,)).tokens
+        bat = ContinuousBatcher(eng, n_slots=2, t_max=256, chunk=4)
+        try:
+            res = bat.submit(req, 1, (-1,))
+        finally:
+            bat.shutdown()
+        assert res.tokens == want
+
+    def test_shutdown_rejects_queued(self, setup):
+        eng, ids_for, pixels, grid = setup
+        bat = ContinuousBatcher(eng, n_slots=1, t_max=256, chunk=4)
+        bat.shutdown()
+        with pytest.raises(RuntimeError):
+            bat.submit(dict(input_ids=np.asarray([1, 2], np.int64)), 4,
+                       (-1,))

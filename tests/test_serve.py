@@ -115,6 +115,53 @@ class TestServeSpeculative:
             h2.shutdown()
 
 
+class TestServeContinuous:
+    def test_continuous_batching_serves_identical_tokens(self):
+        from visionselector_tpu.api.serve import build_server
+
+        def mk(slots):
+            args = argparse.Namespace(
+                model_path=None, method="selector", budget=0.5,
+                host="127.0.0.1", port=0, continuous=slots,
+                continuous_t_max=512, continuous_chunk=4,
+            )
+            httpd = build_server(args)
+            port = httpd.server_address[1]
+            threading.Thread(target=httpd.serve_forever,
+                             daemon=True).start()
+            return httpd, port
+
+        def ask(port, prompt, mnt):
+            req = urllib.request.Request(
+                f"http://127.0.0.1:{port}/generate",
+                data=json.dumps({"prompt": prompt,
+                                 "max_new_tokens": mnt}).encode(),
+                headers={"Content-Type": "application/json"},
+            )
+            with urllib.request.urlopen(req, timeout=300) as r:
+                return json.loads(r.read())
+
+        h1, p1 = mk(0)
+        h2, p2 = mk(2)
+        try:
+            work = [("hi", 8), ("what is this?", 5), ("describe", 11)]
+            plain = [ask(p1, q, m) for q, m in work]
+            import concurrent.futures as cf
+
+            with cf.ThreadPoolExecutor(max_workers=3) as ex:
+                futs = [ex.submit(ask, p2, q, m) for q, m in work]
+                cont = [f.result(timeout=300) for f in futs]
+            for a, b in zip(plain, cont):
+                assert a["tokens"] == b["tokens"], (a, b)
+            with urllib.request.urlopen(
+                    f"http://127.0.0.1:{p2}/health", timeout=60) as r:
+                health = json.loads(r.read())
+            assert health["continuous"]["admitted"] == 3
+        finally:
+            h1.shutdown()
+            h2.shutdown()
+
+
 class TestServePrefixCache:
     def test_prefix_cache_hit_serves_identical_tokens(self):
         from visionselector_tpu.api.serve import build_server

@@ -97,7 +97,8 @@ class Server:
     def __init__(self, engine, tokenizer, method: str, budget: float,
                  micro_batch: int = 1, batch_window_ms: float = 4.0,
                  speculative: int = 0, prefix_cache: int = 0,
-                 prefix_cache_min: int = 32):
+                 prefix_cache_min: int = 32, continuous: int = 0,
+                 continuous_t_max: int = 4096, continuous_chunk: int = 8):
         self.engine = engine
         self.tokenizer = tokenizer
         self.method = method
@@ -117,10 +118,23 @@ class Server:
             self.prefix_store = PrefixCacheStore(
                 max_entries=prefix_cache, min_prefix=prefix_cache_min)
         self.lock = threading.Lock()  # serializes engine use
-        self.batcher = (
-            MicroBatcher(engine, self.lock, micro_batch, batch_window_ms)
-            if micro_batch > 1 else None
-        )
+        # continuous batching takes precedence over window micro-batching:
+        # slots join/leave the persistent decode loop mid-flight instead of
+        # waiting for an aligned batch window
+        if continuous > 0:
+            from visionselector_tpu.models.qwen25vl.continuous import (
+                ContinuousBatcher,
+            )
+
+            self.batcher = ContinuousBatcher(
+                engine, n_slots=continuous, t_max=continuous_t_max,
+                chunk=continuous_chunk, lock=self.lock)
+        else:
+            self.batcher = (
+                MicroBatcher(engine, self.lock, micro_batch,
+                             batch_window_ms)
+                if micro_batch > 1 else None
+            )
         # multi-turn chat sessions: KV cache kept across turns (follow-ups
         # append through one chunked forward — no vision/prompt re-prefill)
         self.sessions: dict = {}
@@ -350,6 +364,8 @@ def make_handler(server: Server):
                         "misses": server.prefix_store.misses,
                         "entries": len(server.prefix_store.entries),
                     }
+                if getattr(server.batcher, "stats", None) is not None:
+                    out["continuous"] = dict(server.batcher.stats)
                 self._send(200, out)
             elif self.path in ("/", "/chat"):
                 # Browser chat page (the reference ships a gradio chat app,
@@ -577,7 +593,10 @@ def build_server(args) -> ThreadingHTTPServer:
                  batch_window_ms=getattr(args, 'batch_window_ms', 4.0),
                  speculative=getattr(args, 'speculative', 0),
                  prefix_cache=getattr(args, 'prefix_cache', 0),
-                 prefix_cache_min=getattr(args, 'prefix_cache_min', 32))
+                 prefix_cache_min=getattr(args, 'prefix_cache_min', 32),
+                 continuous=getattr(args, 'continuous', 0),
+                 continuous_t_max=getattr(args, 'continuous_t_max', 4096),
+                 continuous_chunk=getattr(args, 'continuous_chunk', 8))
     return ThreadingHTTPServer((args.host, args.port), make_handler(srv))
 
 
@@ -606,6 +625,15 @@ def main(argv=None) -> int:
                         "0 = off")
     p.add_argument("--prefix-cache-min", type=int, default=32,
                    help="minimum shared-prefix tokens for a cache hit")
+    p.add_argument("--continuous", type=int, default=0,
+                   help="continuous batching: N persistent decode slots; "
+                        "requests join/leave the shared decode loop at "
+                        "chunk boundaries (short requests never wait for "
+                        "long ones); 0 = off")
+    p.add_argument("--continuous-t-max", type=int, default=4096,
+                   help="per-slot KV capacity (tokens) of the pool")
+    p.add_argument("--continuous-chunk", type=int, default=8,
+                   help="decode steps per continuous-batching dispatch")
     args = p.parse_args(argv)
     httpd = build_server(args)
     print(f"[serve] listening on {args.host}:{args.port} "

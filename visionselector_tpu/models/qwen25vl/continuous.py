@@ -1,0 +1,290 @@
+"""Continuous batching: requests join and leave the decode loop mid-flight.
+
+The MicroBatcher (``api/serve.py``) coalesces requests that arrive within a
+window into ONE batched decode dispatch — latecomers wait for the whole
+batch to finish. This engine instead keeps a persistent pool of S decode
+slots on device and advances ALL live slots ``chunk`` steps per jitted
+dispatch; at every chunk boundary finished slots are freed and queued
+requests are admitted into free slots. Short requests never wait for long
+ones, and a request admitted mid-decode starts after at most one chunk
+(~chunk × step-time). The reference serves strictly batch=1 per process
+(``token_compression/selector_model.py:270``).
+
+TPU-native design notes:
+- ONE decode program for the whole lifetime: the pool is a fixed
+  [L, S, T_max] KV buffer (donated through every call, so it never copies),
+  and the chunk is a ``lax.scan`` of fixed length — no per-batch-size or
+  per-length recompiles, unlike the power-of-two program family the
+  one-shot batched path needs.
+- eos detection is HOST-side on each slot's own eos set (the device never
+  sees eos): slots stay fully independent — different requests may use
+  different stop tokens, the cost is at most chunk-1 wasted steps for a
+  row that stopped mid-chunk.
+- empty slots still step (their lanes compute garbage) but their per-layer
+  cache lengths are restored after the chunk, so the garbage rows sit
+  above the valid length and are never attended nor accumulated.
+- per-layer, per-slot cache lengths ride through unchanged, so selector,
+  uncompressed, FastV-style and text-only prefills share the pool.
+
+Greedy-only (the serving path's default); family-agnostic over any engine
+supporting ``_defer_decode`` (Qwen + OV).
+"""
+
+from __future__ import annotations
+
+import collections
+import dataclasses
+import functools
+import threading
+import time
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from visionselector_tpu.models.qwen25vl import lm as lm_mod
+
+
+@functools.partial(jax.jit, static_argnames=("cfg", "k"),
+                   donate_argnums=(1,))
+def _decode_chunk_slots(params, cache, cur, pos, live, cfg, k: int):
+    """Advance every slot ``k`` greedy decode steps in one dispatch.
+
+    cur/pos/live: [S] current token, rope position, live mask. Dead slots
+    keep their token frozen and get their cache lengths restored, so a
+    freed slot's state is untouched until a new request overwrites it.
+    Returns (toks [k, S], cache)."""
+    len0 = cache.length
+    s = cur.shape[0]
+
+    def body(carry, _):
+        tok, pos_c, cache = carry
+        embed = lm_mod.embed_tokens(params["lm"], tok)[:, None]  # [S,1,D]
+        pos3 = jnp.broadcast_to(pos_c[None, :, None], (3, s, 1))
+        hidden, cache = lm_mod.lm_decode_step(
+            params["lm"], cache, embed, pos3, cfg.text
+        )
+        logits = lm_mod.lm_head(params["lm"], hidden[:, 0], cfg.text)
+        tok2 = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+        tok2 = jnp.where(live, tok2, tok)
+        pos_c = jnp.where(live, pos_c + 1, pos_c)
+        return (tok2, pos_c, cache), tok2
+
+    (_, _, cache), toks = jax.lax.scan(
+        body, (cur, pos, cache), None, length=k)
+    cache = lm_mod.KVCache(
+        k=cache.k, v=cache.v,
+        length=jnp.where(live[None, :], cache.length, len0))
+    return toks, cache
+
+
+@functools.partial(jax.jit, donate_argnums=(0, 1, 2))
+def _insert_slot(pool_k, pool_v, pool_len, new_k, new_v, new_len, slot):
+    """Scatter one request's prefill KV into pool slot ``slot`` (pool
+    buffers donated — the pool lives in one device allocation)."""
+    t_max = pool_k.shape[2]
+    if new_k.shape[2] > t_max:
+        new_k = new_k[:, :, :t_max]
+        new_v = new_v[:, :, :t_max]
+    pad = ((0, 0), (0, 0), (0, t_max - new_k.shape[2]), (0, 0), (0, 0))
+    nk = jnp.pad(new_k, pad)
+    nv = jnp.pad(new_v, pad)
+    k2 = jax.lax.dynamic_update_slice_in_dim(pool_k, nk, slot, axis=1)
+    v2 = jax.lax.dynamic_update_slice_in_dim(pool_v, nv, slot, axis=1)
+    ln = jax.lax.dynamic_update_slice_in_dim(pool_len, new_len, slot,
+                                             axis=1)
+    return k2, v2, ln
+
+
+@dataclasses.dataclass
+class _Slot:
+    tokens: list
+    max_new: int
+    eos: Tuple[int, ...]
+    result: object  # GenerationResult skeleton from the prefill
+    done_event: threading.Event
+    t_submit: float
+    item: dict = None
+    chunks: int = 0
+
+
+class ContinuousBatcher:
+    """Slot-based continuous-batching decode engine over one model engine.
+
+    ``submit()`` blocks until the request's GenerationResult is ready;
+    internally a single worker thread owns the engine: it prefills queued
+    requests into free slots and advances all live slots one chunk per
+    device dispatch. Stats (``admitted``, ``mid_flight_joins``,
+    ``max_concurrent``) expose the continuous behavior for tests and
+    /health."""
+
+    def __init__(self, engine, n_slots: int = 8, t_max: int = 2048,
+                 chunk: int = 8, lock: Optional[threading.Lock] = None):
+        self.engine = engine
+        self.n_slots = n_slots
+        self.t_max = t_max
+        self.chunk = chunk
+        # optional external engine lock (the server's): held around device
+        # work so session/streaming paths can interleave between chunks
+        self.engine_lock = lock if lock is not None else threading.Lock()
+        self.cv = threading.Condition()
+        self.queue: collections.deque = collections.deque()
+        self.slots: list[Optional[_Slot]] = [None] * n_slots
+        self.cur = np.zeros(n_slots, np.int32)
+        self.pos = np.zeros(n_slots, np.int32)
+        self.live = np.zeros(n_slots, bool)
+        self.pool = None  # (k, v, length) device buffers, lazy-initialized
+        self.stats = dict(admitted=0, mid_flight_joins=0, max_concurrent=0,
+                          chunks=0, rejected_too_long=0)
+        self._running = True
+        self._thread = threading.Thread(target=self._run, daemon=True)
+        self._thread.start()
+
+    # -- public API ------------------------------------------------------
+
+    def submit(self, request: dict, max_new_tokens: int = 64,
+               eos_token_ids: Optional[Tuple[int, ...]] = None):
+        """request: generate() kwargs (input_ids, pixel_values, grid_thw).
+        Blocks until decode finishes; returns the GenerationResult."""
+        item = dict(request=request, max_new=max_new_tokens,
+                    eos=eos_token_ids, done=threading.Event(),
+                    result=None, error=None, t_submit=time.perf_counter())
+        with self.cv:
+            if not self._running:
+                raise RuntimeError("batcher shut down")
+            self.queue.append(item)
+            self.cv.notify_all()
+        item["done"].wait()
+        if item["error"] is not None:
+            raise item["error"]
+        return item["result"]
+
+    def shutdown(self):
+        with self.cv:
+            self._running = False
+            self.cv.notify_all()
+        self._thread.join(timeout=30)
+
+    # -- worker ----------------------------------------------------------
+
+    def _free_slots(self):
+        return [i for i, s in enumerate(self.slots) if s is None]
+
+    def _init_pool(self, proto_cache):
+        shp = proto_cache.k.shape  # [L, 1, T, H, D]
+        zeros = functools.partial(
+            jnp.zeros, (shp[0], self.n_slots, self.t_max, shp[3], shp[4]),
+            proto_cache.k.dtype)
+        self.pool = (zeros(), zeros(),
+                     jnp.zeros((shp[0], self.n_slots), jnp.int32))
+
+    def _admit(self, item, slot_idx):
+        eng = self.engine
+        state = eng.generate(
+            **item["request"], max_new_tokens=item["max_new"],
+            eos_token_ids=item["eos"], _defer_decode=True,
+        )
+        eos = tuple(state.eos_token_ids)
+        if state.next_token in eos or item["max_new"] <= 1:
+            state.result.tokens = (
+                [] if state.next_token in eos or item["max_new"] < 1
+                else [state.next_token])
+            state.result.total_seconds = (
+                time.perf_counter() - item["t_submit"])
+            item["result"] = state.result
+            item["done"].set()
+            return
+        t_valid = int(np.asarray(state.cache.length).max())
+        if t_valid + item["max_new"] + self.chunk > self.t_max:
+            # request too long for the slot pool: serve it one-shot
+            self.stats["rejected_too_long"] += 1
+            item["result"] = eng.generate(
+                **item["request"], max_new_tokens=item["max_new"],
+                eos_token_ids=item["eos"])
+            item["done"].set()
+            return
+        if self.pool is None:
+            self._init_pool(state.cache)
+        pk, pv, pl = self.pool
+        self.pool = _insert_slot(
+            pk, pv, pl, state.cache.k, state.cache.v,
+            state.cache.length.astype(jnp.int32),
+            jnp.asarray(slot_idx, jnp.int32))
+        self.cur[slot_idx] = state.next_token
+        self.pos[slot_idx] = state.start_pos
+        self.live[slot_idx] = True
+        self.slots[slot_idx] = _Slot(
+            tokens=[state.next_token], max_new=item["max_new"], eos=eos,
+            result=state.result, done_event=item["done"],
+            t_submit=item["t_submit"], item=item)
+        self.stats["admitted"] += 1
+        if sum(s is not None for i, s in enumerate(self.slots)
+               if i != slot_idx):
+            self.stats["mid_flight_joins"] += 1
+        self.stats["max_concurrent"] = max(
+            self.stats["max_concurrent"],
+            sum(s is not None for s in self.slots))
+
+    def _finalize(self, idx, slot):
+        slot.result.tokens = slot.tokens[: slot.max_new]
+        slot.result.total_seconds = time.perf_counter() - slot.t_submit
+        slot.result.decode_dispatches = slot.chunks
+        slot.item["result"] = slot.result
+        slot.done_event.set()
+        self.slots[idx] = None
+        self.live[idx] = False
+
+    def _run(self):
+        while True:
+            with self.cv:
+                while (self._running and not self.queue
+                       and not any(self.live)):
+                    self.cv.wait()
+                if not self._running:
+                    for item in self.queue:
+                        item["error"] = RuntimeError("batcher shut down")
+                        item["done"].set()
+                    return
+                pending = []
+                free = self._free_slots()
+                while self.queue and free:
+                    pending.append((self.queue.popleft(), free.pop(0)))
+            for item, idx in pending:
+                try:
+                    with self.engine_lock:
+                        self._admit(item, idx)
+                except Exception as e:  # noqa: BLE001 — report to waiter
+                    item["error"] = e
+                    item["done"].set()
+            if not any(self.live):
+                continue
+            pk, pv, pl = self.pool
+            with self.engine_lock:
+                toks, cache = _decode_chunk_slots(
+                    self.engine.params,
+                    lm_mod.KVCache(k=pk, v=pv, length=pl),
+                    jnp.asarray(self.cur), jnp.asarray(self.pos),
+                    jnp.asarray(self.live), self.engine.cfg, self.chunk,
+                )
+            self.pool = (cache.k, cache.v, cache.length)
+            self.stats["chunks"] += 1
+            toks = np.asarray(toks)  # [k, S]
+            for i, slot in enumerate(self.slots):
+                if slot is None:
+                    continue
+                slot.chunks += 1
+                finished = False
+                for t in toks[:, i].tolist():
+                    if t in slot.eos:
+                        finished = True
+                        break
+                    slot.tokens.append(t)
+                    if len(slot.tokens) >= slot.max_new:
+                        finished = True
+                        break
+                if finished:
+                    self._finalize(i, slot)
+                else:
+                    self.cur[i] = slot.tokens[-1]
+                    self.pos[i] += self.chunk
