@@ -126,6 +126,76 @@ class TestContinuousBatcher:
             bat.shutdown()
         assert res.tokens == want
 
+    def test_ov_family(self):
+        """Family-agnostic: the OV engine's deferred prefill slots into the
+        same pool machinery."""
+        from visionselector_tpu.core.config import llava_ov_tiny
+        from visionselector_tpu.models.llava_ov15.model import (
+            OVEngine,
+            init_ov_params,
+        )
+        from visionselector_tpu.preprocess.image import preprocess_image
+        from visionselector_tpu.preprocess.rope import expand_vision_tokens
+
+        cfg = llava_ov_tiny()
+        eng = OVEngine(cfg, init_ov_params(jax.random.PRNGKey(0), cfg),
+                       budget=0.5)
+        img = (np.random.RandomState(1).rand(56, 56, 3) * 255).astype(
+            np.uint8)
+        pixels, grid = preprocess_image(
+            img, patch_size=cfg.vision.patch_size,
+            temporal_patch_size=cfg.vision.temporal_patch_size,
+            merge_size=cfg.vision.spatial_merge_size,
+        )
+        ids = expand_vision_tokens(
+            [5, 6], [7], grid,
+            image_token_id=cfg.image_token_id,
+            vision_start_token_id=151652, vision_end_token_id=151653,
+        )
+        req = dict(input_ids=ids, pixel_values=pixels, grid_thw=grid)
+        want = eng.generate(**req, max_new_tokens=7,
+                            eos_token_ids=(-1,)).tokens
+        bat = ContinuousBatcher(eng, n_slots=2, t_max=256, chunk=4)
+        try:
+            with cf.ThreadPoolExecutor(max_workers=2) as ex:
+                fa = ex.submit(bat.submit, req, 7, (-1,))
+                fb = ex.submit(bat.submit, req, 7, (-1,))
+                ra, rb = fa.result(timeout=600), fb.result(timeout=600)
+        finally:
+            bat.shutdown()
+        assert ra.tokens == want and rb.tokens == want
+
+    def test_prefix_cached_admission(self, setup):
+        """With a PrefixCacheStore attached, admission prefills through the
+        prefix cache: same-image different-question requests hit, and
+        outputs still equal the per-request oracle."""
+        from visionselector_tpu.models.qwen25vl.model import (
+            PrefixCacheStore,
+        )
+
+        eng, ids_for, pixels, grid = setup
+        store = PrefixCacheStore(min_prefix=1)
+        qs = [[8, 9], [8, 40, 41], [8, 50]]
+        oracle = [
+            eng.generate(input_ids=ids_for(q), pixel_values=pixels,
+                         grid_thw=grid, max_new_tokens=6,
+                         eos_token_ids=(-1,)).tokens
+            for q in qs
+        ]
+        bat = ContinuousBatcher(eng, n_slots=2, t_max=256, chunk=4,
+                                prefix_store=store)
+        try:
+            results = [
+                bat.submit(dict(input_ids=ids_for(q), pixel_values=pixels,
+                                grid_thw=grid), 6, (-1,))
+                for q in qs
+            ]
+        finally:
+            bat.shutdown()
+        for res, want in zip(results, oracle):
+            assert res.tokens == want, (res.tokens, want)
+        assert store.misses == 1 and store.hits == 2
+
     def test_shutdown_rejects_queued(self, setup):
         eng, ids_for, pixels, grid = setup
         bat = ContinuousBatcher(eng, n_slots=1, t_max=256, chunk=4)

@@ -1,0 +1,139 @@
+"""Continuous batching vs FIFO-sequential serving under staggered arrivals.
+
+Requests with MIXED decode budgets arrive over time; FIFO serves each
+one-shot in arrival order (short requests queue behind long decodes), the
+continuous batcher admits each into a free slot at the next chunk boundary.
+Reports per-request latency (arrival -> completion) and makespan. Runs on
+whatever backend jax picks (the real TPU under axon). Prints one JSON line.
+
+Usage: python tools/bench_continuous.py [n_requests] [arrival_ms]
+"""
+
+import json
+import os
+import statistics
+import sys
+import threading
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+import numpy as np
+
+
+def main():
+    from visionselector_tpu.core.config import qwen25vl_3b
+    from visionselector_tpu.models.qwen25vl.continuous import (
+        ContinuousBatcher,
+    )
+    from visionselector_tpu.models.qwen25vl.model import (
+        QwenVLEngine,
+        init_params,
+    )
+    from visionselector_tpu.preprocess.image import preprocess_image
+    from visionselector_tpu.preprocess.rope import expand_vision_tokens
+
+    n_req = int(sys.argv[1]) if len(sys.argv) > 1 else 10
+    arrival_ms = float(sys.argv[2]) if len(sys.argv) > 2 else 150.0
+
+    cfg = qwen25vl_3b()
+    params = jax.jit(lambda k: init_params(k, cfg))(jax.random.PRNGKey(0))
+    jax.block_until_ready(params)
+    engine = QwenVLEngine(cfg, params, use_selector=True, budget=0.2)
+
+    rng = np.random.RandomState(0)
+    img = (rng.rand(1036, 1456, 3) * 255).astype(np.uint8)
+    pixels, grid = preprocess_image(img)
+
+    def ids_for(i):
+        return expand_vision_tokens(
+            list(range(100, 120)), list(1000 + np.arange(20) + 31 * i),
+            grid,
+            image_token_id=cfg.image_token_id,
+            vision_start_token_id=cfg.vision_start_token_id,
+            vision_end_token_id=cfg.vision_end_token_id,
+        )
+
+    # mixed budgets: a few long decodes interleaved with short ones — the
+    # FIFO worst case (short requests stuck behind long decodes)
+    budgets = [(96 if i % 3 == 0 else 12) for i in range(n_req)]
+    reqs = [dict(input_ids=ids_for(i), pixel_values=pixels, grid_thw=grid)
+            for i in range(n_req)]
+
+    # warm both paths' programs
+    engine.generate(**reqs[0], max_new_tokens=8, eos_token_ids=(-1,))
+    warm = ContinuousBatcher(engine, n_slots=8, t_max=2048, chunk=8)
+    warm.submit(reqs[0], 8, (-1,))
+    warm.shutdown()
+
+    def run_fifo():
+        lock = threading.Lock()
+        lat = [None] * n_req
+
+        def worker(i):
+            t_arr = time.perf_counter()
+            with lock:  # FIFO one-at-a-time engine
+                engine.generate(**reqs[i], max_new_tokens=budgets[i],
+                                eos_token_ids=(-1,))
+            lat[i] = time.perf_counter() - t_arr
+
+        threads = []
+        t0 = time.perf_counter()
+        for i in range(n_req):
+            th = threading.Thread(target=worker, args=(i,))
+            th.start()
+            threads.append(th)
+            time.sleep(arrival_ms / 1e3)
+        for th in threads:
+            th.join()
+        return lat, time.perf_counter() - t0
+
+    def run_continuous():
+        bat = ContinuousBatcher(engine, n_slots=8, t_max=2048, chunk=8)
+        lat = [None] * n_req
+
+        def worker(i):
+            t_arr = time.perf_counter()
+            bat.submit(reqs[i], budgets[i], (-1,))
+            lat[i] = time.perf_counter() - t_arr
+
+        threads = []
+        t0 = time.perf_counter()
+        for i in range(n_req):
+            th = threading.Thread(target=worker, args=(i,))
+            th.start()
+            threads.append(th)
+            time.sleep(arrival_ms / 1e3)
+        for th in threads:
+            th.join()
+        makespan = time.perf_counter() - t0
+        stats = dict(bat.stats)
+        bat.shutdown()
+        return lat, makespan, stats
+
+    fifo_lat, fifo_span = run_fifo()
+    cont_lat, cont_span, stats = run_continuous()
+
+    med = statistics.median
+    print(json.dumps({
+        "n_requests": n_req,
+        "arrival_ms": arrival_ms,
+        "budgets": f"{min(budgets)}..{max(budgets)}",
+        "fifo_p50_ms": round(med(fifo_lat) * 1e3, 1),
+        "fifo_p95_ms": round(sorted(fifo_lat)[int(0.95 * n_req) - 1] * 1e3,
+                             1),
+        "fifo_makespan_s": round(fifo_span, 2),
+        "cont_p50_ms": round(med(cont_lat) * 1e3, 1),
+        "cont_p95_ms": round(sorted(cont_lat)[int(0.95 * n_req) - 1] * 1e3,
+                             1),
+        "cont_makespan_s": round(cont_span, 2),
+        "p50_speedup": round(med(fifo_lat) / med(cont_lat), 2),
+        "makespan_speedup": round(fifo_span / cont_span, 2),
+        "continuous_stats": stats,
+        "platform": jax.devices()[0].platform,
+    }))
+
+
+if __name__ == "__main__":
+    main()

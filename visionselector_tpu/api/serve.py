@@ -128,7 +128,8 @@ class Server:
 
             self.batcher = ContinuousBatcher(
                 engine, n_slots=continuous, t_max=continuous_t_max,
-                chunk=continuous_chunk, lock=self.lock)
+                chunk=continuous_chunk, lock=self.lock,
+                prefix_store=self.prefix_store)
         else:
             self.batcher = (
                 MicroBatcher(engine, self.lock, micro_batch,

@@ -120,7 +120,8 @@ class ContinuousBatcher:
     /health."""
 
     def __init__(self, engine, n_slots: int = 8, t_max: int = 2048,
-                 chunk: int = 8, lock: Optional[threading.Lock] = None):
+                 chunk: int = 8, lock: Optional[threading.Lock] = None,
+                 prefix_store=None):
         self.engine = engine
         self.n_slots = n_slots
         self.t_max = t_max
@@ -128,6 +129,9 @@ class ContinuousBatcher:
         # optional external engine lock (the server's): held around device
         # work so session/streaming paths can interleave between chunks
         self.engine_lock = lock if lock is not None else threading.Lock()
+        # optional cross-request KV prefix cache: admission prefills
+        # through it, so slot fills skip shared (image, prompt) prefixes
+        self.prefix_store = prefix_store
         self.cv = threading.Condition()
         self.queue: collections.deque = collections.deque()
         self.slots: list[Optional[_Slot]] = [None] * n_slots
@@ -181,10 +185,21 @@ class ContinuousBatcher:
 
     def _admit(self, item, slot_idx):
         eng = self.engine
-        state = eng.generate(
-            **item["request"], max_new_tokens=item["max_new"],
-            eos_token_ids=item["eos"], _defer_decode=True,
-        )
+        if self.prefix_store is not None:
+            from visionselector_tpu.models.qwen25vl.model import (
+                prefix_cached_prefill,
+            )
+
+            state = prefix_cached_prefill(
+                eng, self.prefix_store, **item["request"],
+                max_new_tokens=item["max_new"],
+                eos_token_ids=item["eos"],
+            )
+        else:
+            state = eng.generate(
+                **item["request"], max_new_tokens=item["max_new"],
+                eos_token_ids=item["eos"], _defer_decode=True,
+            )
         eos = tuple(state.eos_token_ids)
         if state.next_token in eos or item["max_new"] <= 1:
             state.result.tokens = (

@@ -2012,7 +2012,7 @@ def _vision_span_end(ids: np.ndarray, cfg) -> int:
     return int(ends[-1]) + 1 if len(ends) else 0
 
 
-def generate_prefix_cached(
+def prefix_cached_prefill(
     engine,
     store: PrefixCacheStore,
     input_ids: np.ndarray,
@@ -2021,15 +2021,16 @@ def generate_prefix_cached(
     max_new_tokens: int = 64,
     eos_token_ids: Optional[Tuple[int, ...]] = None,
     **gen_kwargs,
-) -> "GenerationResult":
-    """Greedy generation through a cross-request KV prefix cache.
+) -> "PrefillState":
+    """Prefill through the cross-request KV prefix cache; returns a
+    PrefillState whose cache is safe to donate downstream (the stored
+    snapshot is never aliased into it).
 
-    Miss: normal (compressed) prefill; the post-prefill cache is snapshotted
-    into ``store`` before the donating decode loop runs on a copy. Hit: the
-    stored cache rolls back to the common prefix and ONLY the suffix tokens
-    run one chunked append — outputs are identical to a fresh full prefill
-    (pinned by tests), the vision encode and shared-text prefill are skipped
-    entirely."""
+    Miss: normal (compressed) prefill; the post-prefill cache is
+    snapshotted into ``store`` and a copy returned. Hit: the stored cache
+    rolls back to the common prefix and ONLY the suffix tokens run one
+    chunked append — the vision encode and shared-text prefill are
+    skipped; the append's output is already a fresh buffer."""
     import time
 
     input_ids = np.asarray(input_ids).reshape(-1)
@@ -2050,26 +2051,12 @@ def generate_prefix_cached(
             vis_end=_vision_span_end(input_ids, engine.cfg),
             cache=state.cache, pos=state.start_pos, result=state.result,
         ))
-        eos = tuple(state.eos_token_ids)
-        base = state.result
-        first = state.next_token
-        if first in eos:
-            return dataclasses.replace(
-                base, tokens=[],
-                total_seconds=time.perf_counter() - state.t_start)
-        # decode must not consume the stored snapshot: copy the buffers
+        # downstream decode donates its cache: hand out a copy so the
+        # stored snapshot survives
         cache = lm_mod.KVCache(k=jnp.copy(state.cache.k),
                                v=jnp.copy(state.cache.v),
                                length=jnp.copy(state.cache.length))
-        toks, count, _, last = _decode_loop(
-            engine.params, engine.cfg, cache, jnp.asarray(first, jnp.int32),
-            jnp.asarray(state.start_pos, jnp.int32),
-            jnp.asarray(list(eos), jnp.int32), max_new_tokens - 1,
-        )
-        tokens = [first] + np.asarray(toks)[: int(count)].tolist()
-        return dataclasses.replace(
-            base, tokens=tokens,
-            total_seconds=time.perf_counter() - state.t_start)
+        return dataclasses.replace(state, cache=cache)
 
     store.hits += 1
     t_start = time.perf_counter()
@@ -2093,23 +2080,56 @@ def generate_prefix_cached(
     )
     next_token.block_until_ready()
     t_prefill = time.perf_counter() - t0
-    first = int(next_token)
     eos = tuple(eos_token_ids) if eos_token_ids is not None else (
         cfg.eos_token_id,)
     base = dataclasses.replace(
-        entry.result, prefill_len=entry.result.prefill_len - d + n,
+        entry.result, tokens=[],
+        prefill_len=entry.result.prefill_len - d + n,
         prefill_seconds=t_prefill)
+    return PrefillState(
+        cache=cache, next_token=int(next_token), start_pos=pos + n,
+        eos_token_ids=eos, max_new_tokens=max_new_tokens, result=base,
+        t_start=t_start,
+    )
+
+
+def generate_prefix_cached(
+    engine,
+    store: PrefixCacheStore,
+    input_ids: np.ndarray,
+    pixel_values: Optional[np.ndarray] = None,
+    grid_thw: Optional[np.ndarray] = None,
+    max_new_tokens: int = 64,
+    eos_token_ids: Optional[Tuple[int, ...]] = None,
+    **gen_kwargs,
+) -> "GenerationResult":
+    """Greedy generation through a cross-request KV prefix cache — outputs
+    are identical to a fresh full prefill (pinned by tests); see
+    ``prefix_cached_prefill`` for the hit/miss mechanics."""
+    import time
+
+    state = prefix_cached_prefill(
+        engine, store, input_ids, pixel_values, grid_thw,
+        max_new_tokens=max_new_tokens, eos_token_ids=eos_token_ids,
+        **gen_kwargs,
+    )
+    eos = tuple(state.eos_token_ids)
+    base = state.result
+    first = state.next_token
     if first in eos:
         return dataclasses.replace(
-            base, tokens=[], total_seconds=time.perf_counter() - t_start)
+            base, tokens=[],
+            total_seconds=time.perf_counter() - state.t_start)
     toks, count, _, last = _decode_loop(
-        engine.params, cfg, cache, next_token,
-        jnp.asarray(pos + n, jnp.int32),
+        engine.params, engine.cfg, state.cache,
+        jnp.asarray(first, jnp.int32),
+        jnp.asarray(state.start_pos, jnp.int32),
         jnp.asarray(list(eos), jnp.int32), max_new_tokens - 1,
     )
     tokens = [first] + np.asarray(toks)[: int(count)].tolist()
     return dataclasses.replace(
-        base, tokens=tokens, total_seconds=time.perf_counter() - t_start)
+        base, tokens=tokens,
+        total_seconds=time.perf_counter() - state.t_start)
 
 
 @functools.partial(jax.jit, static_argnames=("t_all",))
