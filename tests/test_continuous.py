@@ -196,6 +196,58 @@ class TestContinuousBatcher:
             assert res.tokens == want, (res.tokens, want)
         assert store.misses == 1 and store.hits == 2
 
+    def test_sampled_slots_match_one_shot(self, setup):
+        """Per-slot sampling: a sampled request decoding alongside a greedy
+        one reproduces its one-shot ``generate(temperature, seed)`` rollout
+        exactly (same per-step key-split stream), and the greedy neighbor
+        is untouched.
+
+        temperature is kept LOW (0.3): batched (S-slot) and single decode
+        logits differ by ~1 ulp (fp32 reduction order), and with random
+        near-uniform weights a high-temperature nucleus draw flips on such
+        noise; sharpening the distribution makes the draw robust while
+        still diverging from greedy (asserted below)."""
+        eng, ids_for, pixels, grid = setup
+        req_s = dict(input_ids=ids_for([8, 9]), pixel_values=pixels,
+                     grid_thw=grid)
+        req_g = dict(input_ids=ids_for([40, 41]), pixel_values=pixels,
+                     grid_thw=grid)
+        want_s = eng.generate(**req_s, max_new_tokens=10,
+                              eos_token_ids=(-1,), temperature=0.3,
+                              top_p=0.9, seed=7).tokens
+        want_g = eng.generate(**req_g, max_new_tokens=10,
+                              eos_token_ids=(-1,)).tokens
+        # sanity: sampling actually diverges from greedy for this prompt
+        greedy_s = eng.generate(**req_s, max_new_tokens=10,
+                                eos_token_ids=(-1,)).tokens
+        assert want_s != greedy_s
+        bat = ContinuousBatcher(eng, n_slots=2, t_max=256, chunk=4)
+        try:
+            with cf.ThreadPoolExecutor(max_workers=2) as ex:
+                fs = ex.submit(bat.submit, req_s, 10, (-1,), 0.3, 0.9, 7)
+                fg = ex.submit(bat.submit, req_g, 10, (-1,))
+                rs, rg = fs.result(timeout=600), fg.result(timeout=600)
+        finally:
+            bat.shutdown()
+        assert rs.tokens == want_s, (rs.tokens, want_s)
+        assert rg.tokens == want_g, (rg.tokens, want_g)
+
+    def test_sampling_knobs_ride_in_request_dict(self, setup):
+        """serve's MicroBatcher-compatible call shape: sampling params in
+        the request dict are honored (and popped before engine kwargs)."""
+        eng, ids_for, pixels, grid = setup
+        req = dict(input_ids=ids_for([8, 9]), pixel_values=pixels,
+                   grid_thw=grid)
+        want = eng.generate(**req, max_new_tokens=8, eos_token_ids=(-1,),
+                            temperature=0.3, top_p=0.9, seed=3).tokens
+        bat = ContinuousBatcher(eng, n_slots=2, t_max=256, chunk=4)
+        try:
+            res = bat.submit({**req, "temperature": 0.3, "top_p": 0.9,
+                              "seed": 3}, 8, (-1,))
+        finally:
+            bat.shutdown()
+        assert res.tokens == want, (res.tokens, want)
+
     def test_shutdown_rejects_queued(self, setup):
         eng, ids_for, pixels, grid = setup
         bat = ContinuousBatcher(eng, n_slots=1, t_max=256, chunk=4)

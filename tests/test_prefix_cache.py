@@ -144,6 +144,27 @@ class TestPrefixCacheSelector:
         assert store.hits == 1
         assert r.tokens == ref.tokens
 
+    def test_sampled_hit_matches_fresh_sampled(self):
+        """A sampled request through a cache hit reproduces the fresh
+        sampled rollout: the decode consumes the same per-step key-split
+        stream as ``engine.generate(temperature, seed)``."""
+        eng, ids_for, pixels, grid = _setup()
+        store = PrefixCacheStore(min_prefix=1)
+        generate_prefix_cached(eng, store, ids_for([8, 9]), pixels, grid,
+                               max_new_tokens=3, eos_token_ids=(-1,))
+        ids_b = ids_for([8, 60])
+        ref = eng.generate(ids_b, pixels, grid, max_new_tokens=10,
+                           eos_token_ids=(-1,), temperature=0.3, top_p=0.9,
+                           seed=5)
+        greedy = eng.generate(ids_b, pixels, grid, max_new_tokens=10,
+                              eos_token_ids=(-1,))
+        assert ref.tokens != greedy.tokens  # sampling actually diverges
+        r = generate_prefix_cached(eng, store, ids_b, pixels, grid,
+                                   max_new_tokens=10, eos_token_ids=(-1,),
+                                   temperature=0.3, top_p=0.9, seed=5)
+        assert store.hits == 1
+        assert r.tokens == ref.tokens, (r.tokens, ref.tokens)
+
 
 class TestPrefixCacheTextOnly:
     def test_text_prefix_reuse(self):

@@ -42,8 +42,10 @@ class MicroBatcher:
         self.worker = threading.Thread(target=self._loop, daemon=True)
         self.worker.start()
 
-    def submit(self, gen_kwargs: dict, max_new_tokens: int):
+    def submit(self, gen_kwargs: dict, max_new_tokens: int,
+               temperature: float = 0.0, top_p: float = 1.0, seed: int = 0):
         item = {"kw": gen_kwargs, "mnt": max_new_tokens,
+                "samp": (float(temperature), float(top_p), int(seed)),
                 "done": threading.Event(), "result": None, "error": None}
         with self.cv:
             self.queue.append(item)
@@ -62,12 +64,14 @@ class MicroBatcher:
                     self.cv.wait()
             _time.sleep(self.window_s)  # let concurrent requests join
 
-            # Batchmates must share max_new_tokens AND eos ids: the batched
-            # decode loop runs one shared stopping program, so mixing eos
-            # sets would either assert or stop the wrong rows.
+            # Batchmates must share max_new_tokens, eos ids AND sampling
+            # params: the batched decode loop runs one shared stopping +
+            # sampling program, so mixing eos sets would stop the wrong
+            # rows and mixing temperatures would sample the wrong rows.
             def _key(b):
                 eos = b["kw"].get("eos_token_ids")
-                return (b["mnt"], tuple(eos) if eos is not None else None)
+                return (b["mnt"], tuple(eos) if eos is not None else None,
+                        b["samp"])
 
             with self.cv:
                 key = _key(self.queue[0])
@@ -77,13 +81,16 @@ class MicroBatcher:
                 for b in batch:
                     self.queue.remove(b)
             try:
+                temp, tp, seed = batch[0]["samp"]
                 with self.lock:
                     if len(batch) == 1:
                         results = [self.engine.generate(
-                            **batch[0]["kw"], max_new_tokens=mnt)]
+                            **batch[0]["kw"], max_new_tokens=mnt,
+                            temperature=temp, top_p=tp, seed=seed)]
                     else:
                         results = self.engine.generate_batch(
-                            [b["kw"] for b in batch], max_new_tokens=mnt)
+                            [b["kw"] for b in batch], max_new_tokens=mnt,
+                            temperature=temp, top_p=tp, seed=seed)
                 for b, r in zip(batch, results):
                     b["result"] = r
             except Exception as e:  # noqa: BLE001 — report to all waiters
@@ -143,11 +150,18 @@ class Server:
 
     def generate(self, prompt: str, image_b64: str | None,
                  max_new_tokens: int = 64, on_token_chunk=None,
-                 session: str | None = None) -> dict:
+                 session: str | None = None, temperature: float = 0.0,
+                 top_p: float = 1.0, seed: int = 0) -> dict:
         from visionselector_tpu.preprocess.image import preprocess_image
         from visionselector_tpu.preprocess.rope import expand_vision_tokens
 
         cfg = self.engine.cfg
+        if session is not None and temperature > 0.0:
+            # chat sessions decode through the chunk-append path, which has
+            # no sampling variant yet — fail loudly rather than silently
+            # returning greedy text for a sampled request
+            raise ValueError("chat sessions are greedy-only; omit "
+                             "temperature or drop the session id")
         if session is not None:
             # membership must be decided under the lock: another thread's
             # first-turn request may evict this session between an unlocked
@@ -227,10 +241,11 @@ class Server:
                     self.sessions.pop(next(iter(self.sessions)))
                 self.sessions[session] = sess
             return self._result_dict(res, session=session)
+        sampling = dict(temperature=temperature, top_p=top_p, seed=seed)
         if self.batcher is not None and on_token_chunk is None:
             res = self.batcher.submit(
                 dict(input_ids=input_ids, pixel_values=pixels, grid_thw=grid),
-                max_new_tokens,
+                max_new_tokens, **sampling,
             )
         elif self.speculative > 0 and on_token_chunk is None:
             from visionselector_tpu.models.qwen25vl.model import (
@@ -241,7 +256,7 @@ class Server:
                 res = generate_speculative(
                     self.engine, input_ids, pixels, grid,
                     max_new_tokens=max_new_tokens,
-                    propose_len=self.speculative,
+                    propose_len=self.speculative, **sampling,
                 )
         elif self.prefix_store is not None and on_token_chunk is None:
             from visionselector_tpu.models.qwen25vl.model import (
@@ -251,13 +266,13 @@ class Server:
             with self.lock:
                 res = generate_prefix_cached(
                     self.engine, self.prefix_store, input_ids, pixels,
-                    grid, max_new_tokens=max_new_tokens,
+                    grid, max_new_tokens=max_new_tokens, **sampling,
                 )
         else:
             with self.lock:
                 res = self.engine.generate(
                     input_ids, pixels, grid, max_new_tokens=max_new_tokens,
-                    on_token_chunk=on_token_chunk,
+                    on_token_chunk=on_token_chunk, **sampling,
                 )
         return self._result_dict(res)
 
@@ -406,6 +421,9 @@ def make_handler(server: Server):
                     req.get("image_b64"),
                     int(req.get("max_new_tokens", 64)),
                     session=req.get("session"),
+                    temperature=float(req.get("temperature", 0.0)),
+                    top_p=float(req.get("top_p", 1.0)),
+                    seed=int(req.get("seed", 0)),
                 )
                 self._send(200, out)
             except ValueError as e:  # client-fixable (e.g. image mid-session)
@@ -438,6 +456,13 @@ def make_handler(server: Server):
                 prompt = "\n".join(p for p in prompt_parts if p)
                 max_tokens = int(req.get("max_tokens",
                                          req.get("max_completion_tokens", 64)))
+                # OpenAI-compatible sampling knobs (greedy by default, so a
+                # compression benchmark sweep stays reproducible)
+                sampling = dict(
+                    temperature=float(req.get("temperature", 0.0)),
+                    top_p=float(req.get("top_p", 1.0)),
+                    seed=int(req.get("seed", 0)),
+                )
                 created = int(_time.time())
                 base = {"id": f"chatcmpl-{created}", "object":
                         "chat.completion", "created": created,
@@ -467,7 +492,7 @@ def make_handler(server: Server):
                                           "finish_reason": None}]})
 
                     server.generate(prompt, image_b64, max_tokens,
-                                    on_token_chunk=on_chunk)
+                                    on_token_chunk=on_chunk, **sampling)
                     sse({**base, "object": "chat.completion.chunk",
                          "choices": [{"index": 0, "delta": {},
                                       "finish_reason": "stop"}]})
@@ -477,7 +502,8 @@ def make_handler(server: Server):
                     self.wfile.write(b"0\r\n\r\n")
                     return
 
-                out = server.generate(prompt, image_b64, max_tokens)
+                out = server.generate(prompt, image_b64, max_tokens,
+                                      **sampling)
                 self._send(200, {
                     **base,
                     "choices": [{

@@ -377,6 +377,7 @@ class OVEngine:
                         prefill_seconds=t_prefill,
                     ),
                     t_start=t_start,
+                    rope_delta=int(rope_delta),
                 )
             tokens = _run_decode_loop(
                 self.params, cfg, cache, next_token, t_orig + rope_delta,
@@ -467,6 +468,7 @@ class OVEngine:
                 ),
                 t_start=t_start,
                 logits=last_logits,
+                rope_delta=int(rope_delta),
             )
         tokens = _run_decode_loop(
             self.params, cfg, cache, next_token,

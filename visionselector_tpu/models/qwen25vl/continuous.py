@@ -26,8 +26,13 @@ TPU-native design notes:
 - per-layer, per-slot cache lengths ride through unchanged, so selector,
   uncompressed, FastV-style and text-only prefills share the pool.
 
-Greedy-only (the serving path's default); family-agnostic over any engine
-supporting ``_defer_decode`` (Qwen + OV).
+Per-slot sampling: each request may carry its own ``temperature``/``top_p``/
+``seed``; the chunk program vmaps the one-shot nucleus sampler over slots
+(greedy slots select the argmax lane), and each slot's PRNG key is split
+once per step exactly like the one-shot ``_decode_loop`` — so a sampled
+request's tokens equal its one-shot ``generate(..., temperature, seed)``
+rollout (pinned on CPU fp32). Family-agnostic over any engine supporting
+``_defer_decode`` (Qwen + OV).
 """
 
 from __future__ import annotations
@@ -46,37 +51,53 @@ import numpy as np
 from visionselector_tpu.models.qwen25vl import lm as lm_mod
 
 
-@functools.partial(jax.jit, static_argnames=("cfg", "k"),
+@functools.partial(jax.jit, static_argnames=("cfg", "k", "sampled"),
                    donate_argnums=(1,))
-def _decode_chunk_slots(params, cache, cur, pos, live, cfg, k: int):
-    """Advance every slot ``k`` greedy decode steps in one dispatch.
+def _decode_chunk_slots(params, cache, cur, pos, live, temps, tps, keys,
+                        cfg, k: int, sampled: bool = False):
+    """Advance every slot ``k`` decode steps in one dispatch.
 
     cur/pos/live: [S] current token, rope position, live mask. Dead slots
     keep their token frozen and get their cache lengths restored, so a
     freed slot's state is untouched until a new request overwrites it.
-    Returns (toks [k, S], cache)."""
+    temps/tps [S] f32 and keys [S, 2] u32 carry per-slot sampling state;
+    with ``sampled=False`` (all-greedy chunk) they are dead inputs and the
+    program is pure argmax. Each step splits every slot's key once —
+    matching the one-shot ``_decode_loop`` RNG stream — so a slot's sampled
+    rollout equals its one-shot rollout for the same seed.
+    Returns (toks [k, S], cache, keys)."""
     len0 = cache.length
     s = cur.shape[0]
 
     def body(carry, _):
-        tok, pos_c, cache = carry
+        tok, pos_c, keys_c, cache = carry
         embed = lm_mod.embed_tokens(params["lm"], tok)[:, None]  # [S,1,D]
         pos3 = jnp.broadcast_to(pos_c[None, :, None], (3, s, 1))
         hidden, cache = lm_mod.lm_decode_step(
             params["lm"], cache, embed, pos3, cfg.text
         )
         logits = lm_mod.lm_head(params["lm"], hidden[:, 0], cfg.text)
-        tok2 = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+        if sampled:
+            from visionselector_tpu.models.qwen25vl.model import (
+                _sample_token,
+            )
+
+            ks = jax.vmap(jax.random.split)(keys_c)  # [S, 2, 2]
+            keys_c = ks[:, 0]
+            tok2 = jax.vmap(_sample_token)(logits, ks[:, 1], temps, tps)
+            tok2 = tok2.astype(jnp.int32)
+        else:
+            tok2 = jnp.argmax(logits, axis=-1).astype(jnp.int32)
         tok2 = jnp.where(live, tok2, tok)
         pos_c = jnp.where(live, pos_c + 1, pos_c)
-        return (tok2, pos_c, cache), tok2
+        return (tok2, pos_c, keys_c, cache), tok2
 
-    (_, _, cache), toks = jax.lax.scan(
-        body, (cur, pos, cache), None, length=k)
+    (_, _, keys, cache), toks = jax.lax.scan(
+        body, (cur, pos, keys, cache), None, length=k)
     cache = lm_mod.KVCache(
         k=cache.k, v=cache.v,
         length=jnp.where(live[None, :], cache.length, len0))
-    return toks, cache
+    return toks, cache, keys
 
 
 @functools.partial(jax.jit, donate_argnums=(0, 1, 2))
@@ -138,6 +159,10 @@ class ContinuousBatcher:
         self.cur = np.zeros(n_slots, np.int32)
         self.pos = np.zeros(n_slots, np.int32)
         self.live = np.zeros(n_slots, bool)
+        # per-slot sampling state (temperature 0 = greedy slot)
+        self.temps = np.zeros(n_slots, np.float32)
+        self.tps = np.ones(n_slots, np.float32)
+        self.keys = np.zeros((n_slots, 2), np.uint32)
         self.pool = None  # (k, v, length) device buffers, lazy-initialized
         self.stats = dict(admitted=0, mid_flight_joins=0, max_concurrent=0,
                           chunks=0, rejected_too_long=0)
@@ -148,11 +173,19 @@ class ContinuousBatcher:
     # -- public API ------------------------------------------------------
 
     def submit(self, request: dict, max_new_tokens: int = 64,
-               eos_token_ids: Optional[Tuple[int, ...]] = None):
-        """request: generate() kwargs (input_ids, pixel_values, grid_thw).
+               eos_token_ids: Optional[Tuple[int, ...]] = None,
+               temperature: float = 0.0, top_p: float = 1.0,
+               seed: int = 0):
+        """request: generate() kwargs (input_ids, pixel_values, grid_thw);
+        sampling knobs may ride in the dict or as explicit kwargs.
         Blocks until decode finishes; returns the GenerationResult."""
+        request = dict(request)
+        temperature = float(request.pop("temperature", temperature))
+        top_p = float(request.pop("top_p", top_p))
+        seed = int(request.pop("seed", seed))
         item = dict(request=request, max_new=max_new_tokens,
                     eos=eos_token_ids, done=threading.Event(),
+                    temperature=temperature, top_p=top_p, seed=seed,
                     result=None, error=None, t_submit=time.perf_counter())
         with self.cv:
             if not self._running:
@@ -216,7 +249,9 @@ class ContinuousBatcher:
             self.stats["rejected_too_long"] += 1
             item["result"] = eng.generate(
                 **item["request"], max_new_tokens=item["max_new"],
-                eos_token_ids=item["eos"])
+                eos_token_ids=item["eos"],
+                temperature=item["temperature"], top_p=item["top_p"],
+                seed=item["seed"])
             item["done"].set()
             return
         if self.pool is None:
@@ -229,6 +264,10 @@ class ContinuousBatcher:
         self.cur[slot_idx] = state.next_token
         self.pos[slot_idx] = state.start_pos
         self.live[slot_idx] = True
+        self.temps[slot_idx] = item["temperature"]
+        self.tps[slot_idx] = item["top_p"]
+        self.keys[slot_idx] = np.asarray(
+            jax.random.PRNGKey(item["seed"]), np.uint32)
         self.slots[slot_idx] = _Slot(
             tokens=[state.next_token], max_new=item["max_new"], eos=eos,
             result=state.result, done_event=item["done"],
@@ -275,14 +314,21 @@ class ContinuousBatcher:
             if not any(self.live):
                 continue
             pk, pv, pl = self.pool
+            sampled = bool(np.any(self.temps[self.live] > 0.0))
             with self.engine_lock:
-                toks, cache = _decode_chunk_slots(
+                toks, cache, keys = _decode_chunk_slots(
                     self.engine.params,
                     lm_mod.KVCache(k=pk, v=pv, length=pl),
                     jnp.asarray(self.cur), jnp.asarray(self.pos),
-                    jnp.asarray(self.live), self.engine.cfg, self.chunk,
+                    jnp.asarray(self.live), jnp.asarray(self.temps),
+                    jnp.asarray(self.tps), jnp.asarray(self.keys),
+                    self.engine.cfg, self.chunk, sampled,
                 )
             self.pool = (cache.k, cache.v, cache.length)
+            if sampled:
+                # np.array (copy): np.asarray of a device array is
+                # read-only, which would break the next _admit's write
+                self.keys = np.array(keys)
             self.stats["chunks"] += 1
             toks = np.asarray(toks)  # [k, S]
             for i, slot in enumerate(self.slots):

@@ -908,6 +908,12 @@ class PrefillState:
     # paths; None on strategy paths) — lets loglikelihood_choices score the
     # first continuation token without re-running the prefill
     logits: Optional[jax.Array] = None
+    # rope delta of the ORIGINAL (uncompacted) prompt: trailing text token
+    # at original ids index i sits at rope position i + rope_delta. Needed
+    # by the prefix cache's suffix append — under compression start_pos is
+    # valid_len + delta (compacted), so start_pos alone cannot recover
+    # trailing-token positions (kept rows keep their original positions)
+    rope_delta: int = 0
 
 
 @dataclasses.dataclass
@@ -1280,6 +1286,7 @@ class QwenVLEngine:
                         prefill_seconds=t_prefill,
                     ),
                     t_start=t_start,
+                    rope_delta=int(rope_delta),
                 )
             tokens = _run_decode_loop(
                 self.params, cfg, cache, next_token,
@@ -1387,6 +1394,7 @@ class QwenVLEngine:
                 ),
                 t_start=t_start,
                 logits=last_logits,
+                rope_delta=int(rope_delta),
             )
         tokens = _run_decode_loop(
             self.params, cfg, cache, next_token,
@@ -1913,6 +1921,10 @@ class PrefixEntry:
     cache: "lm_mod.KVCache"  # per-layer lengths at end of prompt
     pos: int  # next rope position at end of prompt
     result: "GenerationResult"  # prefill metadata (indices, counts, time)
+    # original-prompt rope delta: trailing text at ids index i has rope
+    # position i + delta (NOT pos-relative — under compression ``pos`` is
+    # compacted-length based while kept rows keep original positions)
+    delta: int = 0
 
 
 class PrefixCacheStore:
@@ -1928,9 +1940,13 @@ class PrefixCacheStore:
     ids positions map 1:1 to kv rows only AFTER the last vision span
     (``vis_end``). A hit therefore requires the common prefix to cover
     every vision token; the rolled-back trailing tokens are all text, so
-    per-layer cache lengths and the rope position both shift by exactly
-    the rollback count (this also holds for per-layer-length baselines
-    like FastV: a text row lands in every layer). The stored snapshot is
+    per-layer cache lengths shift by exactly the rollback count (this
+    also holds for per-layer-length baselines like FastV: a text row
+    lands in every layer). Rope positions do NOT track compacted lengths:
+    kept rows keep their ORIGINAL positions, so re-appended suffix tokens
+    take original-index positions (``consumed + delta``) while decode
+    continues at compacted_len + delta — both exactly as a fresh
+    compressed prefill assigns them. The stored snapshot is
     never donated — ``_append_chunk`` is non-donating and returns a fresh
     buffer, which is what the donating decode loop then consumes.
 
@@ -2050,6 +2066,7 @@ def prefix_cached_prefill(
             sig=sig, ids=input_ids.copy(),
             vis_end=_vision_span_end(input_ids, engine.cfg),
             cache=state.cache, pos=state.start_pos, result=state.result,
+            delta=state.rope_delta,
         ))
         # downstream decode donates its cache: hand out a copy so the
         # stored snapshot survives
@@ -2072,11 +2089,17 @@ def prefix_cached_prefill(
                             length=entry.cache.length - d)
     need = int(np.asarray(rolled.length).max()) + c + max_new_tokens + 1
     cache = _ensure_capacity(rolled, need)
-    pos = entry.pos - d
+    # the appended suffix tokens are trailing text of the ORIGINAL prompt:
+    # their rope positions are consumed+delta .. (original-index based, same
+    # as the fresh prefill gives them) — NOT entry.pos - d, which under
+    # compression is compacted-length based and would rotate the appended
+    # keys to the wrong angles (greedy usually survives the small logit
+    # shift; sampled rollouts diverge)
+    append_pos = consumed + entry.delta
     t0 = time.perf_counter()
     next_token, cache = _append_chunk(
         engine.params, cache, jnp.asarray(ids_padded), jnp.asarray(n),
-        jnp.asarray(pos, jnp.int32), cfg, c,
+        jnp.asarray(append_pos, jnp.int32), cfg, c,
     )
     next_token.block_until_ready()
     t_prefill = time.perf_counter() - t0
@@ -2086,10 +2109,13 @@ def prefix_cached_prefill(
         entry.result, tokens=[],
         prefill_len=entry.result.prefill_len - d + n,
         prefill_seconds=t_prefill)
+    # decode continues at compacted_len + delta (reference semantics):
+    # the compacted length of the new prompt is the stored one - d + n
     return PrefillState(
-        cache=cache, next_token=int(next_token), start_pos=pos + n,
+        cache=cache, next_token=int(next_token),
+        start_pos=entry.pos - d + n,
         eos_token_ids=eos, max_new_tokens=max_new_tokens, result=base,
-        t_start=t_start,
+        t_start=t_start, rope_delta=entry.delta,
     )
 
 
@@ -2101,10 +2127,16 @@ def generate_prefix_cached(
     grid_thw: Optional[np.ndarray] = None,
     max_new_tokens: int = 64,
     eos_token_ids: Optional[Tuple[int, ...]] = None,
+    temperature: float = 0.0,
+    top_p: float = 1.0,
+    seed: int = 0,
     **gen_kwargs,
 ) -> "GenerationResult":
-    """Greedy generation through a cross-request KV prefix cache — outputs
-    are identical to a fresh full prefill (pinned by tests); see
+    """Generation through a cross-request KV prefix cache — greedy outputs
+    are identical to a fresh full prefill (pinned by tests), and the
+    sampled path consumes the same per-step key splits as
+    ``engine.generate(temperature=..., seed=...)``, so a cache hit's
+    sampled rollout equals the fresh rollout for the same seed. See
     ``prefix_cached_prefill`` for the hit/miss mechanics."""
     import time
 
@@ -2114,21 +2146,13 @@ def generate_prefix_cached(
         **gen_kwargs,
     )
     eos = tuple(state.eos_token_ids)
-    base = state.result
-    first = state.next_token
-    if first in eos:
-        return dataclasses.replace(
-            base, tokens=[],
-            total_seconds=time.perf_counter() - state.t_start)
-    toks, count, _, last = _decode_loop(
+    tokens = _run_decode_loop(
         engine.params, engine.cfg, state.cache,
-        jnp.asarray(first, jnp.int32),
-        jnp.asarray(state.start_pos, jnp.int32),
-        jnp.asarray(list(eos), jnp.int32), max_new_tokens - 1,
+        jnp.asarray(state.next_token, jnp.int32), state.start_pos, eos,
+        max_new_tokens, temperature, top_p, seed,
     )
-    tokens = [first] + np.asarray(toks)[: int(count)].tolist()
     return dataclasses.replace(
-        base, tokens=tokens,
+        state.result, tokens=tokens,
         total_seconds=time.perf_counter() - state.t_start)
 
 
