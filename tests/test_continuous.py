@@ -248,6 +248,114 @@ class TestContinuousBatcher:
             bat.shutdown()
         assert res.tokens == want, (res.tokens, want)
 
+    def test_speculative_slots_match_oracle(self, setup):
+        """Speculative mode (per-slot prompt-lookup + batched verify):
+        greedy outputs are IDENTICAL to the per-request oracle — accepted
+        tokens are exactly the greedy continuations — and the speculative
+        chunk program actually ran."""
+        eng, ids_for, pixels, grid = setup
+        reqs = [
+            (dict(input_ids=ids_for([8, 9]), pixel_values=pixels,
+                  grid_thw=grid), 10),
+            (dict(input_ids=np.asarray([7, 8, 9, 7, 8, 9, 7, 8], np.int64)),
+             8),
+            (dict(input_ids=ids_for([50]), pixel_values=pixels,
+                  grid_thw=grid), 12),
+        ]
+        oracle = [
+            eng.generate(**r, max_new_tokens=m, eos_token_ids=(-1,)).tokens
+            for r, m in reqs
+        ]
+        bat = ContinuousBatcher(eng, n_slots=2, t_max=256, chunk=4,
+                                speculative=3)
+        try:
+            with cf.ThreadPoolExecutor(max_workers=len(reqs)) as ex:
+                futs = [ex.submit(bat.submit, r, m, (-1,)) for r, m in reqs]
+                results = [f.result(timeout=600) for f in futs]
+        finally:
+            bat.shutdown()
+        for i, (res, want) in enumerate(zip(results, oracle)):
+            assert res.tokens == want, (i, res.tokens, want)
+        assert bat.stats["spec_steps"] >= 1
+        # every spec chunk emits >= 1 token per live slot
+        assert bat.stats["spec_accepted"] >= 0
+
+    def test_spec_chunk_accepts_true_continuation(self, setup):
+        """Feed the verify program proposals that ARE the model's greedy
+        continuation: it must accept all m and advance the slot m+1
+        tokens in one dispatch (the speedup mechanism, pinned
+        deterministically — no reliance on the model echoing prompts)."""
+        import jax.numpy as jnp
+
+        from visionselector_tpu.models.qwen25vl import lm as lm_mod
+        from visionselector_tpu.models.qwen25vl.continuous import (
+            _decode_chunk_slots,
+            _spec_chunk_slots,
+        )
+
+        eng, ids_for, pixels, grid = setup
+        state = eng.generate(
+            input_ids=ids_for([8, 9]), pixel_values=pixels, grid_thw=grid,
+            max_new_tokens=8, eos_token_ids=(-1,), _defer_decode=True)
+        want = eng.generate(
+            input_ids=ids_for([8, 9]), pixel_values=pixels, grid_thw=grid,
+            max_new_tokens=8, eos_token_ids=(-1,)).tokens
+
+        def two_slot_pool(cache):
+            k2 = jnp.concatenate([cache.k, jnp.zeros_like(cache.k)], axis=1)
+            v2 = jnp.concatenate([cache.v, jnp.zeros_like(cache.v)], axis=1)
+            l2 = jnp.concatenate(
+                [cache.length, jnp.zeros_like(cache.length)], axis=1)
+            return lm_mod.KVCache(
+                k=jnp.pad(k2, ((0, 0), (0, 0), (0, 16), (0, 0), (0, 0))),
+                v=jnp.pad(v2, ((0, 0), (0, 0), (0, 16), (0, 0), (0, 0))),
+                length=l2)
+
+        cur = jnp.asarray([state.next_token, 0], jnp.int32)
+        pos = jnp.asarray([state.start_pos, 0], jnp.int32)
+        live = jnp.asarray([True, False])
+        m = 4
+        # true greedy continuation after next_token = want[1:1+m]
+        props = jnp.asarray(
+            [want[1:1 + m], [0] * m], jnp.int32)
+        greedy, acc, cache = _spec_chunk_slots(
+            eng.params, two_slot_pool(state.cache), cur, props, pos, live,
+            eng.cfg, m)
+        assert int(acc[0]) == m  # all proposals accepted
+        assert int(acc[1]) == 0  # dead slot untouched
+        emitted = np.asarray(greedy)[0, : m + 1].tolist()
+        assert emitted == want[1: 2 + m], (emitted, want)
+        # slot cache advanced by the accepted run, dead slot restored
+        assert int(np.asarray(cache.length)[0, 0]) == int(
+            np.asarray(state.cache.length)[0, 0]) + m + 1
+        assert int(np.asarray(cache.length)[0, 1]) == 0
+
+    def test_speculative_with_sampled_slot_falls_back(self, setup):
+        """A sampled request in the pool routes chunks through the plain
+        per-step program (speculative acceptance is greedy-only); both
+        requests still match their one-shot oracles."""
+        eng, ids_for, pixels, grid = setup
+        req_s = dict(input_ids=ids_for([8, 9]), pixel_values=pixels,
+                     grid_thw=grid)
+        req_g = dict(input_ids=ids_for([40, 41]), pixel_values=pixels,
+                     grid_thw=grid)
+        want_s = eng.generate(**req_s, max_new_tokens=8,
+                              eos_token_ids=(-1,), temperature=0.3,
+                              top_p=0.9, seed=7).tokens
+        want_g = eng.generate(**req_g, max_new_tokens=8,
+                              eos_token_ids=(-1,)).tokens
+        bat = ContinuousBatcher(eng, n_slots=2, t_max=256, chunk=4,
+                                speculative=3)
+        try:
+            with cf.ThreadPoolExecutor(max_workers=2) as ex:
+                fs = ex.submit(bat.submit, req_s, 8, (-1,), 0.3, 0.9, 7)
+                fg = ex.submit(bat.submit, req_g, 8, (-1,))
+                rs, rg = fs.result(timeout=600), fg.result(timeout=600)
+        finally:
+            bat.shutdown()
+        assert rs.tokens == want_s, (rs.tokens, want_s)
+        assert rg.tokens == want_g, (rg.tokens, want_g)
+
     def test_shutdown_rejects_queued(self, setup):
         eng, ids_for, pixels, grid = setup
         bat = ContinuousBatcher(eng, n_slots=1, t_max=256, chunk=4)

@@ -164,11 +164,11 @@ class TestServeContinuous:
     def test_continuous_batching_serves_identical_tokens(self):
         from visionselector_tpu.api.serve import build_server
 
-        def mk(slots):
+        def mk(slots, spec=0):
             args = argparse.Namespace(
                 model_path=None, method="selector", budget=0.5,
                 host="127.0.0.1", port=0, continuous=slots,
-                continuous_t_max=512, continuous_chunk=4,
+                continuous_t_max=512, continuous_chunk=4, speculative=spec,
             )
             httpd = build_server(args)
             port = httpd.server_address[1]
@@ -188,6 +188,7 @@ class TestServeContinuous:
 
         h1, p1 = mk(0)
         h2, p2 = mk(2)
+        h3, p3 = mk(2, spec=3)  # continuous + speculative slots
         try:
             work = [("hi", 8), ("what is this?", 5), ("describe", 11)]
             plain = [ask(p1, q, m) for q, m in work]
@@ -198,13 +199,23 @@ class TestServeContinuous:
                 cont = [f.result(timeout=300) for f in futs]
             for a, b in zip(plain, cont):
                 assert a["tokens"] == b["tokens"], (a, b)
+            with cf.ThreadPoolExecutor(max_workers=3) as ex:
+                futs = [ex.submit(ask, p3, q, m) for q, m in work]
+                spec = [f.result(timeout=300) for f in futs]
+            for a, b in zip(plain, spec):
+                assert a["tokens"] == b["tokens"], (a, b)
             with urllib.request.urlopen(
                     f"http://127.0.0.1:{p2}/health", timeout=60) as r:
                 health = json.loads(r.read())
             assert health["continuous"]["admitted"] == 3
+            with urllib.request.urlopen(
+                    f"http://127.0.0.1:{p3}/health", timeout=60) as r:
+                health3 = json.loads(r.read())
+            assert health3["continuous"]["spec_steps"] >= 1
         finally:
             h1.shutdown()
             h2.shutdown()
+            h3.shutdown()
 
 
 class TestServePrefixCache:

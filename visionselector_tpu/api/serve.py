@@ -136,7 +136,8 @@ class Server:
             self.batcher = ContinuousBatcher(
                 engine, n_slots=continuous, t_max=continuous_t_max,
                 chunk=continuous_chunk, lock=self.lock,
-                prefix_store=self.prefix_store)
+                prefix_store=self.prefix_store,
+                speculative=speculative)
         else:
             self.batcher = (
                 MicroBatcher(engine, self.lock, micro_batch,

@@ -100,6 +100,43 @@ def _decode_chunk_slots(params, cache, cur, pos, live, temps, tps, keys,
     return toks, cache, keys
 
 
+@functools.partial(jax.jit, static_argnames=("cfg", "m"),
+                   donate_argnums=(1,))
+def _spec_chunk_slots(params, cache, cur, props, pos, live, cfg, m: int):
+    """Speculative chunk: verify ``m`` prompt-lookup proposals per slot in
+    ONE multi-token forward (``lm_decode_chunk`` over [S, m+1] rows).
+
+    Decode is weight-bandwidth-bound, so the m+1-row verify costs about one
+    single-token step (measured 0.991x at m=9); each slot emits its
+    accepted greedy prefix — 1..m+1 tokens per dispatch instead of exactly
+    one per step. Greedy-only (the worker falls back to the plain sampled
+    chunk when any live slot samples); accepted tokens are exactly the
+    greedy continuations, so outputs equal the plain chunk's.
+
+    cur/pos/live [S]; props [S, m]. Dead slots' cache lengths are restored
+    (their verify rows land past the restored length, so their state is
+    untouched). Returns (greedy [S, m+1], accepted counts a [S], cache
+    with per-slot lengths len0 + a + 1)."""
+    len0 = cache.length
+    ids = jnp.concatenate([cur[:, None], props], axis=1)  # [S, m+1]
+    embeds = lm_mod.embed_tokens(params["lm"], ids)  # [S, m+1, D]
+    pos_rows = pos[:, None] + jnp.arange(m + 1)[None, :]
+    pos3 = jnp.broadcast_to(pos_rows[None], (3,) + pos_rows.shape)
+    hidden, cache = lm_mod.lm_decode_chunk(
+        params["lm"], cache, embeds, pos3, cfg.text
+    )
+    logits = lm_mod.lm_head(params["lm"], hidden, cfg.text)  # [S, m+1, V]
+    greedy = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+    eq = props.astype(jnp.int32) == greedy[:, :m]
+    a = jnp.where(jnp.all(eq, axis=1), m,
+                  jnp.argmin(eq, axis=1)).astype(jnp.int32)
+    a = jnp.where(live, a, 0)
+    cache = lm_mod.KVCache(
+        k=cache.k, v=cache.v,
+        length=jnp.where(live[None, :], len0 + a[None, :] + 1, len0))
+    return greedy, a, cache
+
+
 @functools.partial(jax.jit, donate_argnums=(0, 1, 2))
 def _insert_slot(pool_k, pool_v, pool_len, new_k, new_v, new_len, slot):
     """Scatter one request's prefill KV into pool slot ``slot`` (pool
@@ -128,6 +165,9 @@ class _Slot:
     t_submit: float
     item: dict = None
     chunks: int = 0
+    # prompt ids + emitted tokens, for prompt-lookup proposals
+    # (speculative mode only; None otherwise)
+    ctx: list = None
 
 
 class ContinuousBatcher:
@@ -142,11 +182,16 @@ class ContinuousBatcher:
 
     def __init__(self, engine, n_slots: int = 8, t_max: int = 2048,
                  chunk: int = 8, lock: Optional[threading.Lock] = None,
-                 prefix_store=None):
+                 prefix_store=None, speculative: int = 0, ngram: int = 3):
         self.engine = engine
         self.n_slots = n_slots
         self.t_max = t_max
         self.chunk = chunk
+        # speculative > 0: all-greedy chunks verify that many prompt-lookup
+        # proposals per slot per dispatch (see _spec_chunk_slots); chunks
+        # with a sampled slot fall back to the plain per-step program
+        self.speculative = speculative
+        self.ngram = ngram
         # optional external engine lock (the server's): held around device
         # work so session/streaming paths can interleave between chunks
         self.engine_lock = lock if lock is not None else threading.Lock()
@@ -165,7 +210,8 @@ class ContinuousBatcher:
         self.keys = np.zeros((n_slots, 2), np.uint32)
         self.pool = None  # (k, v, length) device buffers, lazy-initialized
         self.stats = dict(admitted=0, mid_flight_joins=0, max_concurrent=0,
-                          chunks=0, rejected_too_long=0)
+                          chunks=0, rejected_too_long=0,
+                          spec_steps=0, spec_accepted=0)
         self._running = True
         self._thread = threading.Thread(target=self._run, daemon=True)
         self._thread.start()
@@ -244,7 +290,8 @@ class ContinuousBatcher:
             item["done"].set()
             return
         t_valid = int(np.asarray(state.cache.length).max())
-        if t_valid + item["max_new"] + self.chunk > self.t_max:
+        headroom = max(self.chunk, self.speculative + 1)
+        if t_valid + item["max_new"] + headroom > self.t_max:
             # request too long for the slot pool: serve it one-shot
             self.stats["rejected_too_long"] += 1
             item["result"] = eng.generate(
@@ -268,10 +315,14 @@ class ContinuousBatcher:
         self.tps[slot_idx] = item["top_p"]
         self.keys[slot_idx] = np.asarray(
             jax.random.PRNGKey(item["seed"]), np.uint32)
+        ctx = None
+        if self.speculative > 0:
+            ids = np.asarray(item["request"]["input_ids"]).reshape(-1)
+            ctx = list(map(int, ids)) + [state.next_token]
         self.slots[slot_idx] = _Slot(
             tokens=[state.next_token], max_new=item["max_new"], eos=eos,
             result=state.result, done_event=item["done"],
-            t_submit=item["t_submit"], item=item)
+            t_submit=item["t_submit"], item=item, ctx=ctx)
         self.stats["admitted"] += 1
         if sum(s is not None for i, s in enumerate(self.slots)
                if i != slot_idx):
@@ -315,6 +366,9 @@ class ContinuousBatcher:
                 continue
             pk, pv, pl = self.pool
             sampled = bool(np.any(self.temps[self.live] > 0.0))
+            if self.speculative > 0 and not sampled:
+                self._spec_round(pk, pv, pl)
+                continue
             with self.engine_lock:
                 toks, cache, keys = _decode_chunk_slots(
                     self.engine.params,
@@ -341,6 +395,8 @@ class ContinuousBatcher:
                         finished = True
                         break
                     slot.tokens.append(t)
+                    if slot.ctx is not None:
+                        slot.ctx.append(t)
                     if len(slot.tokens) >= slot.max_new:
                         finished = True
                         break
@@ -349,3 +405,48 @@ class ContinuousBatcher:
                 else:
                     self.cur[i] = slot.tokens[-1]
                     self.pos[i] += self.chunk
+
+    def _spec_round(self, pk, pv, pl):
+        """One speculative dispatch: per-slot prompt-lookup proposals,
+        batched verify, per-slot accepted-prefix harvest."""
+        from visionselector_tpu.models.qwen25vl.model import _prompt_lookup
+
+        m = self.speculative
+        props = np.zeros((self.n_slots, m), np.int32)
+        for i, slot in enumerate(self.slots):
+            if slot is not None:
+                props[i] = _prompt_lookup(slot.ctx, self.ngram, m)
+        with self.engine_lock:
+            greedy, acc, cache = _spec_chunk_slots(
+                self.engine.params,
+                lm_mod.KVCache(k=pk, v=pv, length=pl),
+                jnp.asarray(self.cur), jnp.asarray(props),
+                jnp.asarray(self.pos), jnp.asarray(self.live),
+                self.engine.cfg, m,
+            )
+        self.pool = (cache.k, cache.v, cache.length)
+        self.stats["chunks"] += 1
+        self.stats["spec_steps"] += 1
+        greedy = np.asarray(greedy)  # [S, m+1]
+        acc = np.asarray(acc)  # [S]
+        for i, slot in enumerate(self.slots):
+            if slot is None:
+                continue
+            slot.chunks += 1
+            a_i = int(acc[i])
+            self.stats["spec_accepted"] += a_i
+            finished = False
+            for t in greedy[i, : a_i + 1].tolist():
+                if t in slot.eos:
+                    finished = True
+                    break
+                slot.tokens.append(t)
+                slot.ctx.append(t)
+                if len(slot.tokens) >= slot.max_new:
+                    finished = True
+                    break
+            if finished:
+                self._finalize(i, slot)
+            else:
+                self.cur[i] = slot.tokens[-1]
+                self.pos[i] += a_i + 1
