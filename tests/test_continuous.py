@@ -330,6 +330,29 @@ class TestContinuousBatcher:
             np.asarray(state.cache.length)[0, 0]) + m + 1
         assert int(np.asarray(cache.length)[0, 1]) == 0
 
+    def test_device_lookup_matches_host(self):
+        """The on-device prompt-lookup (fused spec rounds) proposes the
+        same continuations as the host ``_prompt_lookup`` whenever the
+        match lies inside the window."""
+        import jax.numpy as jnp
+
+        from visionselector_tpu.models.qwen25vl.continuous import (
+            _lookup_props,
+        )
+        from visionselector_tpu.models.qwen25vl.model import _prompt_lookup
+
+        rng = np.random.RandomState(0)
+        c, n, m = 32, 3, 4
+        for trial in range(20):
+            # small alphabet -> frequent repeated n-grams
+            ctx = rng.randint(0, 6, size=rng.randint(n + 1, c)).tolist()
+            want = _prompt_lookup(ctx, n, m)
+            buf = np.full((1, c), -1, np.int32)
+            buf[0, c - len(ctx):] = ctx
+            got = np.asarray(
+                _lookup_props(jnp.asarray(buf), n, m))[0].tolist()
+            assert got == want, (trial, ctx, got, want)
+
     def test_speculative_with_sampled_slot_falls_back(self, setup):
         """A sampled request in the pool routes chunks through the plain
         per-step program (speculative acceptance is greedy-only); both

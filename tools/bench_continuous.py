@@ -6,7 +6,9 @@ continuous batcher admits each into a free slot at the next chunk boundary.
 Reports per-request latency (arrival -> completion) and makespan. Runs on
 whatever backend jax picks (the real TPU under axon). Prints one JSON line.
 
-Usage: python tools/bench_continuous.py [n_requests] [arrival_ms]
+Usage: python tools/bench_continuous.py [n_requests] [arrival_ms] [spec]
+(spec > 0 adds a third arm: continuous + speculative slots, reporting
+accepted-token stats and tokens per dispatch.)
 """
 
 import json
@@ -61,11 +63,18 @@ def main():
     reqs = [dict(input_ids=ids_for(i), pixel_values=pixels, grid_thw=grid)
             for i in range(n_req)]
 
-    # warm both paths' programs
+    spec = int(sys.argv[3]) if len(sys.argv) > 3 else 5
+
+    # warm all paths' programs
     engine.generate(**reqs[0], max_new_tokens=8, eos_token_ids=(-1,))
     warm = ContinuousBatcher(engine, n_slots=8, t_max=2048, chunk=8)
     warm.submit(reqs[0], 8, (-1,))
     warm.shutdown()
+    if spec > 0:
+        warm = ContinuousBatcher(engine, n_slots=8, t_max=2048, chunk=8,
+                                 speculative=spec)
+        warm.submit(reqs[0], 8, (-1,))
+        warm.shutdown()
 
     def run_fifo():
         lock = threading.Lock()
@@ -89,8 +98,9 @@ def main():
             th.join()
         return lat, time.perf_counter() - t0
 
-    def run_continuous():
-        bat = ContinuousBatcher(engine, n_slots=8, t_max=2048, chunk=8)
+    def run_continuous(speculative=0):
+        bat = ContinuousBatcher(engine, n_slots=8, t_max=2048, chunk=8,
+                                speculative=speculative)
         lat = [None] * n_req
 
         def worker(i):
@@ -114,6 +124,24 @@ def main():
 
     fifo_lat, fifo_span = run_fifo()
     cont_lat, cont_span, stats = run_continuous()
+    spec_line = {}
+    if spec > 0:
+        spec_lat, spec_span, spec_stats = run_continuous(speculative=spec)
+        med_ = statistics.median
+        tokens = spec_stats["spec_accepted"] + spec_stats["spec_steps"]
+        spec_line = {
+            "spec_propose_len": spec,
+            "spec_p50_ms": round(med_(spec_lat) * 1e3, 1),
+            "spec_makespan_s": round(spec_span, 2),
+            "spec_makespan_speedup_vs_fifo": round(fifo_span / spec_span, 2),
+            "spec_stats": spec_stats,
+            # each verify round costs ~one weight-stream pass; each host
+            # dispatch fuses `chunk` rounds (see _spec_scan_slots)
+            "spec_tokens_per_verify": round(
+                tokens / max(spec_stats["spec_steps"], 1), 2),
+            "spec_tokens_per_dispatch": round(
+                tokens / max(spec_stats["chunks"], 1), 2),
+        }
 
     med = statistics.median
     print(json.dumps({
@@ -131,6 +159,7 @@ def main():
         "p50_speedup": round(med(fifo_lat) / med(cont_lat), 2),
         "makespan_speedup": round(fifo_span / cont_span, 2),
         "continuous_stats": stats,
+        **spec_line,
         "platform": jax.devices()[0].platform,
     }))
 

@@ -137,6 +137,85 @@ def _spec_chunk_slots(params, cache, cur, props, pos, live, cfg, m: int):
     return greedy, a, cache
 
 
+def _lookup_props(buf: jax.Array, n: int, m: int) -> jax.Array:
+    """On-device prompt-lookup over a per-slot token window.
+
+    buf [S, C] holds each slot's most recent C tokens (oldest first, newest
+    at buf[:, -1]; -1 pads). Finds the most recent EARLIER occurrence of
+    the final n-gram and returns the m tokens that followed it ([S, m],
+    zero-padded; all-zeros when no match) — the device analog of the host
+    ``_prompt_lookup``, restricted to the window so it can run INSIDE a
+    scanned multi-round dispatch (no host round trip per round)."""
+    s, c = buf.shape
+    tail = buf[:, c - n:]  # [S, n]
+    num_w = c - n  # candidate starts, excluding the tail's own window
+    windows = jnp.stack(
+        [buf[:, i:i + num_w] for i in range(n)], axis=-1)  # [S, num_w, n]
+    match = jnp.all(windows == tail[:, None, :], axis=-1)  # [S, num_w]
+    best = jnp.max(jnp.where(match, jnp.arange(num_w)[None, :], -1), axis=1)
+    has = best >= 0
+    gidx = best[:, None] + n + jnp.arange(m)[None, :]  # [S, m]
+    cont = jnp.take_along_axis(buf, jnp.clip(gidx, 0, c - 1), axis=1)
+    return jnp.where((gidx < c) & has[:, None], cont, 0).astype(jnp.int32)
+
+
+@functools.partial(jax.jit, static_argnames=("cfg", "m", "rounds", "ngram"),
+                   donate_argnums=(1,))
+def _spec_scan_slots(params, cache, cur, pos, live, buf, cfg, m: int,
+                     rounds: int, ngram: int):
+    """Fused speculative decode: ``rounds`` propose+verify cycles in ONE
+    device dispatch (a lax.scan whose body does on-device prompt-lookup ->
+    m+1-row verify -> greedy acceptance -> window update).
+
+    The single-round path emits 1..m+1 tokens per HOST round trip — through
+    a high-latency link the round trips dominate and a plain chunk-of-k
+    program wins (k tokens per trip guaranteed). Scanning the rounds
+    on-device restores the amortization: >= rounds tokens per trip (one per
+    round minimum, up to rounds*(m+1)), while each round still costs about
+    one weight-stream pass — a strict superset of the plain chunk's
+    schedule when rounds == chunk. Greedy-only; outputs equal the plain
+    chunk's by construction.
+
+    buf [S, C]: per-slot recent-token window for the lookup (-1 padded).
+    Returns (emitted [rounds, S, m+1], accepted [rounds, S], cache, buf,
+    cur, pos) — the host consumes accepted[r, s]+1 tokens per live slot
+    per round, stopping at its eos/budget."""
+    c = buf.shape[1]
+
+    def body(carry, _):
+        cur_c, pos_c, buf_c, cache_c = carry
+        len0 = cache_c.length
+        props = _lookup_props(buf_c, ngram, m)
+        ids = jnp.concatenate([cur_c[:, None], props], axis=1)
+        embeds = lm_mod.embed_tokens(params["lm"], ids)
+        pos_rows = pos_c[:, None] + jnp.arange(m + 1)[None, :]
+        pos3 = jnp.broadcast_to(pos_rows[None], (3,) + pos_rows.shape)
+        hidden, cache_c = lm_mod.lm_decode_chunk(
+            params["lm"], cache_c, embeds, pos3, cfg.text
+        )
+        logits = lm_mod.lm_head(params["lm"], hidden, cfg.text)
+        greedy = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+        eq = props == greedy[:, :m]
+        a = jnp.where(jnp.all(eq, axis=1), m,
+                      jnp.argmin(eq, axis=1)).astype(jnp.int32)
+        a = jnp.where(live, a, -1)  # dead slots consume nothing
+        cache_c = lm_mod.KVCache(
+            k=cache_c.k, v=cache_c.v,
+            length=jnp.where(live[None, :], len0 + a[None, :] + 1, len0))
+        # append the a+1 emitted tokens to the window (variable per-slot
+        # shift via gather over the concatenation)
+        ext = jnp.concatenate([buf_c, greedy], axis=1)  # [S, C + m + 1]
+        gidx = (a + 1)[:, None] + jnp.arange(c)[None, :]
+        buf_c = jnp.take_along_axis(ext, gidx, axis=1)
+        cur_c = jnp.where(live, greedy[jnp.arange(a.shape[0]), a], cur_c)
+        pos_c = pos_c + jnp.where(live, a + 1, 0)
+        return (cur_c, pos_c, buf_c, cache_c), (greedy, a)
+
+    (cur, pos, buf, cache), (emitted, acc) = jax.lax.scan(
+        body, (cur, pos, buf, cache), None, length=rounds)
+    return emitted, acc, cache, buf, cur, pos
+
+
 @functools.partial(jax.jit, donate_argnums=(0, 1, 2))
 def _insert_slot(pool_k, pool_v, pool_len, new_k, new_v, new_len, slot):
     """Scatter one request's prefill KV into pool slot ``slot`` (pool
@@ -182,16 +261,19 @@ class ContinuousBatcher:
 
     def __init__(self, engine, n_slots: int = 8, t_max: int = 2048,
                  chunk: int = 8, lock: Optional[threading.Lock] = None,
-                 prefix_store=None, speculative: int = 0, ngram: int = 3):
+                 prefix_store=None, speculative: int = 0, ngram: int = 3,
+                 ctx_window: int = 128):
         self.engine = engine
         self.n_slots = n_slots
         self.t_max = t_max
         self.chunk = chunk
-        # speculative > 0: all-greedy chunks verify that many prompt-lookup
-        # proposals per slot per dispatch (see _spec_chunk_slots); chunks
+        # speculative > 0: all-greedy dispatches run ``chunk`` fused
+        # on-device propose+verify rounds, each verifying that many
+        # prompt-lookup proposals per slot (see _spec_scan_slots); chunks
         # with a sampled slot fall back to the plain per-step program
         self.speculative = speculative
         self.ngram = ngram
+        self.ctx_window = ctx_window
         # optional external engine lock (the server's): held around device
         # work so session/streaming paths can interleave between chunks
         self.engine_lock = lock if lock is not None else threading.Lock()
@@ -290,7 +372,11 @@ class ContinuousBatcher:
             item["done"].set()
             return
         t_valid = int(np.asarray(state.cache.length).max())
-        headroom = max(self.chunk, self.speculative + 1)
+        # a fused speculative dispatch may overshoot a finishing slot's
+        # budget by up to chunk rounds of m+1 rows
+        headroom = max(self.chunk,
+                       self.chunk * (self.speculative + 1)
+                       if self.speculative > 0 else 0)
         if t_valid + item["max_new"] + headroom > self.t_max:
             # request too long for the slot pool: serve it one-shot
             self.stats["rejected_too_long"] += 1
@@ -407,46 +493,53 @@ class ContinuousBatcher:
                     self.pos[i] += self.chunk
 
     def _spec_round(self, pk, pv, pl):
-        """One speculative dispatch: per-slot prompt-lookup proposals,
-        batched verify, per-slot accepted-prefix harvest."""
-        from visionselector_tpu.models.qwen25vl.model import _prompt_lookup
-
+        """One fused speculative dispatch: ``chunk`` on-device
+        propose+verify rounds per host round trip (``_spec_scan_slots``),
+        then a per-round, per-slot accepted-prefix harvest."""
         m = self.speculative
-        props = np.zeros((self.n_slots, m), np.int32)
+        rounds = self.chunk
+        c = self.ctx_window
+        buf = np.full((self.n_slots, c), -1, np.int32)
         for i, slot in enumerate(self.slots):
             if slot is not None:
-                props[i] = _prompt_lookup(slot.ctx, self.ngram, m)
+                tail = slot.ctx[-c:]
+                buf[i, c - len(tail):] = tail
         with self.engine_lock:
-            greedy, acc, cache = _spec_chunk_slots(
+            emitted, acc, cache, _, _, _ = _spec_scan_slots(
                 self.engine.params,
                 lm_mod.KVCache(k=pk, v=pv, length=pl),
-                jnp.asarray(self.cur), jnp.asarray(props),
-                jnp.asarray(self.pos), jnp.asarray(self.live),
-                self.engine.cfg, m,
+                jnp.asarray(self.cur), jnp.asarray(self.pos),
+                jnp.asarray(self.live), jnp.asarray(buf),
+                self.engine.cfg, m, rounds, self.ngram,
             )
         self.pool = (cache.k, cache.v, cache.length)
         self.stats["chunks"] += 1
-        self.stats["spec_steps"] += 1
-        greedy = np.asarray(greedy)  # [S, m+1]
-        acc = np.asarray(acc)  # [S]
+        self.stats["spec_steps"] += rounds
+        emitted = np.asarray(emitted)  # [rounds, S, m+1]
+        acc = np.asarray(acc)  # [rounds, S]
         for i, slot in enumerate(self.slots):
             if slot is None:
                 continue
             slot.chunks += 1
-            a_i = int(acc[i])
-            self.stats["spec_accepted"] += a_i
+            consumed = 0
             finished = False
-            for t in greedy[i, : a_i + 1].tolist():
-                if t in slot.eos:
-                    finished = True
-                    break
-                slot.tokens.append(t)
-                slot.ctx.append(t)
-                if len(slot.tokens) >= slot.max_new:
-                    finished = True
+            for r in range(rounds):
+                a_i = int(acc[r, i])
+                self.stats["spec_accepted"] += max(a_i, 0)
+                for t in emitted[r, i, : a_i + 1].tolist():
+                    if t in slot.eos:
+                        finished = True
+                        break
+                    slot.tokens.append(t)
+                    slot.ctx.append(t)
+                    consumed += 1
+                    if len(slot.tokens) >= slot.max_new:
+                        finished = True
+                        break
+                if finished:
                     break
             if finished:
                 self._finalize(i, slot)
             else:
                 self.cur[i] = slot.tokens[-1]
-                self.pos[i] += a_i + 1
+                self.pos[i] += consumed
