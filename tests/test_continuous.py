@@ -353,31 +353,40 @@ class TestContinuousBatcher:
                 _lookup_props(jnp.asarray(buf), n, m))[0].tolist()
             assert got == want, (trial, ctx, got, want)
 
-    def test_speculative_with_sampled_slot_falls_back(self, setup):
-        """A sampled request in the pool routes chunks through the plain
-        per-step program (speculative acceptance is greedy-only); both
-        requests still match their one-shot oracles."""
+    def test_sampled_speculative_slots(self, setup):
+        """Sampled slots decode through the speculative program too
+        (speculative-sampling acceptance: same distribution as the plain
+        sampler, different draws). The greedy neighbor stays EXACTLY its
+        oracle; the sampled slot is seed-reproducible (its proposal window
+        and key stream are self-contained) and diverges from greedy."""
         eng, ids_for, pixels, grid = setup
         req_s = dict(input_ids=ids_for([8, 9]), pixel_values=pixels,
                      grid_thw=grid)
         req_g = dict(input_ids=ids_for([40, 41]), pixel_values=pixels,
                      grid_thw=grid)
-        want_s = eng.generate(**req_s, max_new_tokens=8,
-                              eos_token_ids=(-1,), temperature=0.3,
-                              top_p=0.9, seed=7).tokens
+        greedy_s = eng.generate(**req_s, max_new_tokens=8,
+                                eos_token_ids=(-1,)).tokens
         want_g = eng.generate(**req_g, max_new_tokens=8,
                               eos_token_ids=(-1,)).tokens
-        bat = ContinuousBatcher(eng, n_slots=2, t_max=256, chunk=4,
-                                speculative=3)
-        try:
-            with cf.ThreadPoolExecutor(max_workers=2) as ex:
-                fs = ex.submit(bat.submit, req_s, 8, (-1,), 0.3, 0.9, 7)
-                fg = ex.submit(bat.submit, req_g, 8, (-1,))
-                rs, rg = fs.result(timeout=600), fg.result(timeout=600)
-        finally:
-            bat.shutdown()
-        assert rs.tokens == want_s, (rs.tokens, want_s)
-        assert rg.tokens == want_g, (rg.tokens, want_g)
+
+        def run_pair():
+            bat = ContinuousBatcher(eng, n_slots=2, t_max=256, chunk=4,
+                                    speculative=3)
+            try:
+                with cf.ThreadPoolExecutor(max_workers=2) as ex:
+                    fs = ex.submit(bat.submit, req_s, 8, (-1,), 0.3, 0.9, 7)
+                    fg = ex.submit(bat.submit, req_g, 8, (-1,))
+                    return fs.result(timeout=600), fg.result(timeout=600)
+            finally:
+                bat.shutdown()
+
+        rs1, rg1 = run_pair()
+        rs2, rg2 = run_pair()
+        assert rg1.tokens == want_g, (rg1.tokens, want_g)
+        assert rg2.tokens == want_g
+        assert len(rs1.tokens) == 8
+        assert rs1.tokens == rs2.tokens  # seed-reproducible
+        assert rs1.tokens != greedy_s  # sampling actually diverges
 
     def test_shutdown_rejects_queued(self, setup):
         eng, ids_for, pixels, grid = setup

@@ -159,13 +159,16 @@ def _lookup_props(buf: jax.Array, n: int, m: int) -> jax.Array:
     return jnp.where((gidx < c) & has[:, None], cont, 0).astype(jnp.int32)
 
 
-@functools.partial(jax.jit, static_argnames=("cfg", "m", "rounds", "ngram"),
+@functools.partial(jax.jit,
+                   static_argnames=("cfg", "m", "rounds", "ngram",
+                                    "sampled"),
                    donate_argnums=(1,))
-def _spec_scan_slots(params, cache, cur, pos, live, buf, cfg, m: int,
-                     rounds: int, ngram: int):
+def _spec_scan_slots(params, cache, cur, pos, live, buf, temps, tps, keys,
+                     cfg, m: int, rounds: int, ngram: int,
+                     sampled: bool = False):
     """Fused speculative decode: ``rounds`` propose+verify cycles in ONE
     device dispatch (a lax.scan whose body does on-device prompt-lookup ->
-    m+1-row verify -> greedy acceptance -> window update).
+    m+1-row verify -> acceptance -> window update).
 
     The single-round path emits 1..m+1 tokens per HOST round trip — through
     a high-latency link the round trips dominate and a plain chunk-of-k
@@ -173,17 +176,27 @@ def _spec_scan_slots(params, cache, cur, pos, live, buf, cfg, m: int,
     on-device restores the amortization: >= rounds tokens per trip (one per
     round minimum, up to rounds*(m+1)), while each round still costs about
     one weight-stream pass — a strict superset of the plain chunk's
-    schedule when rounds == chunk. Greedy-only; outputs equal the plain
-    chunk's by construction.
+    schedule when rounds == chunk.
+
+    Acceptance: greedy slots (temperature 0) keep exact greedy prefixes —
+    outputs equal the plain chunk's by construction. With ``sampled=True``
+    (the pool holds a sampling slot), sampled slots accept by the
+    speculative-sampling rule (``_spec_accept``, point-mass draft): every
+    emitted token's marginal law is EXACTLY the nucleus sampler's — same
+    distribution as the plain sampled chunk, different draws. A sampled
+    slot's stream is self-contained (its proposals come from its own
+    window, its key splits once per round), so its rollout is
+    seed-reproducible regardless of what else shares the pool.
 
     buf [S, C]: per-slot recent-token window for the lookup (-1 padded).
-    Returns (emitted [rounds, S, m+1], accepted [rounds, S], cache, buf,
-    cur, pos) — the host consumes accepted[r, s]+1 tokens per live slot
-    per round, stopping at its eos/budget."""
+    Returns (emitted [rounds, S, m+1], accepted [rounds, S], cache, keys,
+    buf, cur, pos) — the host consumes accepted[r, s]+1 tokens per live
+    slot per round, stopping at its eos/budget."""
     c = buf.shape[1]
+    s = cur.shape[0]
 
     def body(carry, _):
-        cur_c, pos_c, buf_c, cache_c = carry
+        cur_c, pos_c, buf_c, keys_c, cache_c = carry
         len0 = cache_c.length
         props = _lookup_props(buf_c, ngram, m)
         ids = jnp.concatenate([cur_c[:, None], props], axis=1)
@@ -198,22 +211,36 @@ def _spec_scan_slots(params, cache, cur, pos, live, buf, cfg, m: int,
         eq = props == greedy[:, :m]
         a = jnp.where(jnp.all(eq, axis=1), m,
                       jnp.argmin(eq, axis=1)).astype(jnp.int32)
+        emitted = greedy
+        if sampled:
+            from visionselector_tpu.models.qwen25vl.model import (
+                _nucleus_probs,
+                _spec_accept,
+            )
+
+            probs = jax.vmap(_nucleus_probs)(logits, temps, tps)
+            ks = jax.vmap(jax.random.split)(keys_c)
+            keys_c = ks[:, 0]
+            em_s, a_s = jax.vmap(_spec_accept)(probs, props, ks[:, 1])
+            is_samp = temps > 0.0
+            emitted = jnp.where(is_samp[:, None], em_s, greedy)
+            a = jnp.where(is_samp, a_s, a)
         a = jnp.where(live, a, -1)  # dead slots consume nothing
         cache_c = lm_mod.KVCache(
             k=cache_c.k, v=cache_c.v,
             length=jnp.where(live[None, :], len0 + a[None, :] + 1, len0))
         # append the a+1 emitted tokens to the window (variable per-slot
         # shift via gather over the concatenation)
-        ext = jnp.concatenate([buf_c, greedy], axis=1)  # [S, C + m + 1]
+        ext = jnp.concatenate([buf_c, emitted], axis=1)  # [S, C + m + 1]
         gidx = (a + 1)[:, None] + jnp.arange(c)[None, :]
         buf_c = jnp.take_along_axis(ext, gidx, axis=1)
-        cur_c = jnp.where(live, greedy[jnp.arange(a.shape[0]), a], cur_c)
+        cur_c = jnp.where(live, emitted[jnp.arange(s), a], cur_c)
         pos_c = pos_c + jnp.where(live, a + 1, 0)
-        return (cur_c, pos_c, buf_c, cache_c), (greedy, a)
+        return (cur_c, pos_c, buf_c, keys_c, cache_c), (emitted, a)
 
-    (cur, pos, buf, cache), (emitted, acc) = jax.lax.scan(
-        body, (cur, pos, buf, cache), None, length=rounds)
-    return emitted, acc, cache, buf, cur, pos
+    (cur, pos, buf, keys, cache), (emitted, acc) = jax.lax.scan(
+        body, (cur, pos, buf, keys, cache), None, length=rounds)
+    return emitted, acc, cache, keys, buf, cur, pos
 
 
 @functools.partial(jax.jit, donate_argnums=(0, 1, 2))
@@ -452,8 +479,8 @@ class ContinuousBatcher:
                 continue
             pk, pv, pl = self.pool
             sampled = bool(np.any(self.temps[self.live] > 0.0))
-            if self.speculative > 0 and not sampled:
-                self._spec_round(pk, pv, pl)
+            if self.speculative > 0:
+                self._spec_round(pk, pv, pl, sampled)
                 continue
             with self.engine_lock:
                 toks, cache, keys = _decode_chunk_slots(
@@ -492,7 +519,7 @@ class ContinuousBatcher:
                     self.cur[i] = slot.tokens[-1]
                     self.pos[i] += self.chunk
 
-    def _spec_round(self, pk, pv, pl):
+    def _spec_round(self, pk, pv, pl, sampled: bool = False):
         """One fused speculative dispatch: ``chunk`` on-device
         propose+verify rounds per host round trip (``_spec_scan_slots``),
         then a per-round, per-slot accepted-prefix harvest."""
@@ -505,14 +532,18 @@ class ContinuousBatcher:
                 tail = slot.ctx[-c:]
                 buf[i, c - len(tail):] = tail
         with self.engine_lock:
-            emitted, acc, cache, _, _, _ = _spec_scan_slots(
+            emitted, acc, cache, keys, _, _, _ = _spec_scan_slots(
                 self.engine.params,
                 lm_mod.KVCache(k=pk, v=pv, length=pl),
                 jnp.asarray(self.cur), jnp.asarray(self.pos),
                 jnp.asarray(self.live), jnp.asarray(buf),
-                self.engine.cfg, m, rounds, self.ngram,
+                jnp.asarray(self.temps), jnp.asarray(self.tps),
+                jnp.asarray(self.keys),
+                self.engine.cfg, m, rounds, self.ngram, sampled,
             )
         self.pool = (cache.k, cache.v, cache.length)
+        if sampled:
+            self.keys = np.array(keys)  # np.asarray would be read-only
         self.stats["chunks"] += 1
         self.stats["spec_steps"] += rounds
         emitted = np.asarray(emitted)  # [rounds, S, m+1]
