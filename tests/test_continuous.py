@@ -164,6 +164,14 @@ class TestContinuousBatcher:
         finally:
             bat.shutdown()
         assert ra.tokens == want and rb.tokens == want
+        # the speculative program is family-agnostic too
+        bat = ContinuousBatcher(eng, n_slots=2, t_max=256, chunk=4,
+                                speculative=3)
+        try:
+            rc = bat.submit(req, 7, (-1,))
+        finally:
+            bat.shutdown()
+        assert rc.tokens == want, (rc.tokens, want)
 
     def test_prefix_cached_admission(self, setup):
         """With a PrefixCacheStore attached, admission prefills through the
@@ -387,6 +395,90 @@ class TestContinuousBatcher:
         assert len(rs1.tokens) == 8
         assert rs1.tokens == rs2.tokens  # seed-reproducible
         assert rs1.tokens != greedy_s  # sampling actually diverges
+
+    def test_kv_int8_quant_roundtrip_bound(self):
+        """Per-row absmax int8: dequantized values are within half a
+        quantization step of the original."""
+        import jax.numpy as jnp
+
+        from visionselector_tpu.models.qwen25vl import lm as lm_mod
+
+        x = jnp.asarray(
+            np.random.RandomState(0).randn(2, 3, 4, 24).astype(np.float32))
+        q, s = lm_mod.quantize_kv(x)
+        back = lm_mod.dequantize_kv(q, s, jnp.float32)
+        step = np.asarray(s)[..., None]
+        assert np.all(np.abs(np.asarray(back - x)) <= step / 2 + 1e-6)
+
+    def test_kv_int8_step_logit_drift_bounded(self, setup):
+        """A decode step against the int8-quantized cache lands close to
+        the full-precision step (small relative logit drift — the serving
+        tradeoff the flag buys memory with)."""
+        import jax.numpy as jnp
+
+        from visionselector_tpu.models.qwen25vl import lm as lm_mod
+
+        eng, ids_for, pixels, grid = setup
+        state = eng.generate(
+            input_ids=ids_for([8, 9]), pixel_values=pixels, grid_thw=grid,
+            max_new_tokens=4, eos_token_ids=(-1,), _defer_decode=True)
+        cache = state.cache
+        k8, ks = lm_mod.quantize_kv(cache.k)
+        v8, vs = lm_mod.quantize_kv(cache.v)
+        qcache = lm_mod.QuantKVCache(k=k8, v=v8, k_scale=ks, v_scale=vs,
+                                     length=cache.length)
+        tok = jnp.asarray(state.next_token, jnp.int32)
+        embed = lm_mod.embed_tokens(eng.params["lm"], tok[None])[None]
+        pos3 = jnp.broadcast_to(
+            jnp.asarray(state.start_pos, jnp.int32), (3, 1, 1))
+        h_f, _ = lm_mod.lm_decode_step(
+            eng.params["lm"], cache, embed, pos3, eng.cfg.text)
+        h_q, c_q = lm_mod.lm_decode_step(
+            eng.params["lm"], qcache, embed, pos3, eng.cfg.text)
+        lf = lm_mod.lm_head(eng.params["lm"], h_f[0, 0], eng.cfg.text)
+        lq = lm_mod.lm_head(eng.params["lm"], h_q[0, 0], eng.cfg.text)
+        rel = float(jnp.max(jnp.abs(lf - lq)) / jnp.max(jnp.abs(lf)))
+        assert rel < 0.05, rel
+        assert isinstance(c_q, lm_mod.QuantKVCache)
+        assert int(np.asarray(c_q.length)[0, 0]) == int(
+            np.asarray(cache.length)[0, 0]) + 1
+
+    def test_kv_int8_pool_serves_deterministically(self, setup):
+        """End-to-end int8 pool (plain and speculative): requests complete
+        with the right lengths, rollouts are deterministic across runs,
+        and the pool actually holds int8 buffers. (Token-exact equality
+        with the fp oracle is NOT asserted: int8 rounding shifts logits
+        ~1e-2, far above the argmax ties of random tiny weights.)"""
+        import jax.numpy as jnp  # noqa: F401
+
+        from visionselector_tpu.models.qwen25vl import lm as lm_mod
+
+        eng, ids_for, pixels, grid = setup
+        reqs = [
+            (dict(input_ids=ids_for([8, 9]), pixel_values=pixels,
+                  grid_thw=grid), 9),
+            (dict(input_ids=np.asarray([7, 8, 9, 10], np.int64)), 6),
+        ]
+
+        def run(spec):
+            bat = ContinuousBatcher(eng, n_slots=2, t_max=256, chunk=4,
+                                    kv_int8=True, speculative=spec)
+            try:
+                out = [bat.submit(r, mx, (-1,)).tokens for r, mx in reqs]
+                assert isinstance(bat.pool, lm_mod.QuantKVCache)
+                assert bat.pool.k.dtype == np.int8
+            finally:
+                bat.shutdown()
+            return out
+
+        a1 = run(spec=0)
+        a2 = run(spec=0)
+        assert a1 == a2  # deterministic
+        assert [len(t) for t in a1] == [9, 6]
+        b1 = run(spec=3)
+        b2 = run(spec=3)
+        assert b1 == b2
+        assert [len(t) for t in b1] == [9, 6]
 
     def test_shutdown_rejects_queued(self, setup):
         eng, ids_for, pixels, grid = setup

@@ -10,6 +10,16 @@ import urllib.request
 import numpy as np
 
 
+def _stop(httpd):
+    """Shut down the HTTP server AND its batcher worker thread: leaked
+    daemon workers pin their slot pools for the rest of the test
+    process."""
+    httpd.shutdown()
+    srv = getattr(httpd, "server_obj", None)
+    if srv is not None:
+        srv.close()
+
+
 class TestServe:
     def test_health_and_generate(self):
         from visionselector_tpu.api.serve import build_server
@@ -77,7 +87,7 @@ class TestServe:
             except urllib.error.HTTPError as e:
                 assert e.code == 404
         finally:
-            httpd.shutdown()
+            _stop(httpd)
 
 
 class TestServeSampling:
@@ -122,7 +132,7 @@ class TestServeSampling:
             content = oai["choices"][0]["message"]["content"]
             assert content == " ".join(str(t) for t in s1["tokens"])
         finally:
-            httpd.shutdown()
+            _stop(httpd)
 
 
 class TestServeSpeculative:
@@ -156,8 +166,8 @@ class TestServeSpeculative:
             spec = ask(p2)
             assert spec["tokens"] == plain["tokens"]
         finally:
-            h1.shutdown()
-            h2.shutdown()
+            _stop(h1)
+            _stop(h2)
 
 
 class TestServeContinuous:
@@ -213,9 +223,9 @@ class TestServeContinuous:
                 health3 = json.loads(r.read())
             assert health3["continuous"]["spec_steps"] >= 1
         finally:
-            h1.shutdown()
-            h2.shutdown()
-            h3.shutdown()
+            _stop(h1)
+            _stop(h2)
+            _stop(h3)
 
 
 class TestServePrefixCache:
@@ -250,7 +260,7 @@ class TestServePrefixCache:
             assert health["prefix_cache"]["hits"] >= 1
             assert health["prefix_cache"]["entries"] >= 1
         finally:
-            httpd.shutdown()
+            _stop(httpd)
 
 
 class TestServeChatSession:
@@ -284,7 +294,7 @@ class TestServeChatSession:
             # follow-up consumed only the turn chunk, not a full prompt
             assert r2["prefill_ms"] >= 0.0
         finally:
-            httpd.shutdown()
+            _stop(httpd)
 
 
 class TestServeStreaming:
@@ -313,7 +323,7 @@ class TestServeStreaming:
             assert streamed == lines[-1]["tokens"]
             assert 1 <= len(streamed) <= 4
         finally:
-            httpd.shutdown()
+            _stop(httpd)
 
 
 class TestOpenAICompat:
@@ -363,7 +373,7 @@ class TestOpenAICompat:
             assert any(c["choices"][0]["delta"].get("content")
                        for c in chunks)
         finally:
-            httpd.shutdown()
+            _stop(httpd)
 
 
 class TestWarmup:
@@ -425,7 +435,7 @@ class TestMicroBatch:
         try:
             want = [post(port_seq, p) for p in payloads]
         finally:
-            httpd_seq.shutdown()
+            _stop(httpd_seq)
 
         httpd_bat, port_bat = mk(4)
         try:
@@ -449,7 +459,7 @@ class TestMicroBatch:
                 assert g["tokens"] == w["tokens"]
                 assert g["num_vision_tokens"] == w["num_vision_tokens"]
         finally:
-            httpd_bat.shutdown()
+            _stop(httpd_bat)
 
 
 class TestServeOVFamily:
@@ -485,7 +495,7 @@ class TestServeOVFamily:
             assert out["kept_vision_tokens"] <= out["num_vision_tokens"]
             assert len(out["tokens"]) >= 1
         finally:
-            httpd.shutdown()
+            _stop(httpd)
 
 
 class TestWarmupMicroBatch:

@@ -39,6 +39,7 @@ class MicroBatcher:
         self.window_s = window_ms / 1e3
         self.queue: list = []
         self.cv = threading.Condition()
+        self._running = True
         self.worker = threading.Thread(target=self._loop, daemon=True)
         self.worker.start()
 
@@ -55,13 +56,21 @@ class MicroBatcher:
             raise item["error"]
         return item["result"]
 
+    def shutdown(self):
+        with self.cv:
+            self._running = False
+            self.cv.notify_all()
+        self.worker.join(timeout=10)
+
     def _loop(self):
         import time as _time
 
         while True:
             with self.cv:
-                while not self.queue:
+                while self._running and not self.queue:
                     self.cv.wait()
+                if not self._running:
+                    return
             _time.sleep(self.window_s)  # let concurrent requests join
 
             # Batchmates must share max_new_tokens, eos ids AND sampling
@@ -105,7 +114,8 @@ class Server:
                  micro_batch: int = 1, batch_window_ms: float = 4.0,
                  speculative: int = 0, prefix_cache: int = 0,
                  prefix_cache_min: int = 32, continuous: int = 0,
-                 continuous_t_max: int = 4096, continuous_chunk: int = 8):
+                 continuous_t_max: int = 4096, continuous_chunk: int = 8,
+                 continuous_kv_int8: bool = False):
         self.engine = engine
         self.tokenizer = tokenizer
         self.method = method
@@ -137,7 +147,7 @@ class Server:
                 engine, n_slots=continuous, t_max=continuous_t_max,
                 chunk=continuous_chunk, lock=self.lock,
                 prefix_store=self.prefix_store,
-                speculative=speculative)
+                speculative=speculative, kv_int8=continuous_kv_int8)
         else:
             self.batcher = (
                 MicroBatcher(engine, self.lock, micro_batch,
@@ -148,6 +158,12 @@ class Server:
         # append through one chunked forward — no vision/prompt re-prefill)
         self.sessions: dict = {}
         self.max_sessions = 8
+
+    def close(self):
+        """Stop the batcher worker thread (tests/embedding; the serving
+        process never calls this — daemon threads die with it)."""
+        if self.batcher is not None:
+            self.batcher.shutdown()
 
     def generate(self, prompt: str, image_b64: str | None,
                  max_new_tokens: int = 64, on_token_chunk=None,
@@ -624,8 +640,14 @@ def build_server(args) -> ThreadingHTTPServer:
                  prefix_cache_min=getattr(args, 'prefix_cache_min', 32),
                  continuous=getattr(args, 'continuous', 0),
                  continuous_t_max=getattr(args, 'continuous_t_max', 4096),
-                 continuous_chunk=getattr(args, 'continuous_chunk', 8))
-    return ThreadingHTTPServer((args.host, args.port), make_handler(srv))
+                 continuous_chunk=getattr(args, 'continuous_chunk', 8),
+                 continuous_kv_int8=getattr(args, 'continuous_kv_int8',
+                                            False))
+    httpd = ThreadingHTTPServer((args.host, args.port), make_handler(srv))
+    # tests call httpd.shutdown() then httpd.server_obj.close() to reap
+    # the batcher worker thread (and its slot pool)
+    httpd.server_obj = srv
+    return httpd
 
 
 def main(argv=None) -> int:
@@ -662,6 +684,9 @@ def main(argv=None) -> int:
                    help="per-slot KV capacity (tokens) of the pool")
     p.add_argument("--continuous-chunk", type=int, default=8,
                    help="decode steps per continuous-batching dispatch")
+    p.add_argument("--continuous-kv-int8", action="store_true",
+                   help="int8-quantized slot pool: half the pool HBM and "
+                        "KV read traffic (small rounding cost on K/V)")
     args = p.parse_args(argv)
     httpd = build_server(args)
     print(f"[serve] listening on {args.host}:{args.port} "

@@ -94,8 +94,8 @@ def _decode_chunk_slots(params, cache, cur, pos, live, temps, tps, keys,
 
     (_, _, keys, cache), toks = jax.lax.scan(
         body, (cur, pos, keys, cache), None, length=k)
-    cache = lm_mod.KVCache(
-        k=cache.k, v=cache.v,
+    # ._replace keeps the cache's concrete type (KVCache or QuantKVCache)
+    cache = cache._replace(
         length=jnp.where(live[None, :], cache.length, len0))
     return toks, cache, keys
 
@@ -131,8 +131,7 @@ def _spec_chunk_slots(params, cache, cur, props, pos, live, cfg, m: int):
     a = jnp.where(jnp.all(eq, axis=1), m,
                   jnp.argmin(eq, axis=1)).astype(jnp.int32)
     a = jnp.where(live, a, 0)
-    cache = lm_mod.KVCache(
-        k=cache.k, v=cache.v,
+    cache = cache._replace(
         length=jnp.where(live[None, :], len0 + a[None, :] + 1, len0))
     return greedy, a, cache
 
@@ -226,8 +225,7 @@ def _spec_scan_slots(params, cache, cur, pos, live, buf, temps, tps, keys,
             emitted = jnp.where(is_samp[:, None], em_s, greedy)
             a = jnp.where(is_samp, a_s, a)
         a = jnp.where(live, a, -1)  # dead slots consume nothing
-        cache_c = lm_mod.KVCache(
-            k=cache_c.k, v=cache_c.v,
+        cache_c = cache_c._replace(
             length=jnp.where(live[None, :], len0 + a[None, :] + 1, len0))
         # append the a+1 emitted tokens to the window (variable per-slot
         # shift via gather over the concatenation)
@@ -243,22 +241,37 @@ def _spec_scan_slots(params, cache, cur, pos, live, buf, temps, tps, keys,
     return emitted, acc, cache, keys, buf, cur, pos
 
 
-@functools.partial(jax.jit, donate_argnums=(0, 1, 2))
-def _insert_slot(pool_k, pool_v, pool_len, new_k, new_v, new_len, slot):
-    """Scatter one request's prefill KV into pool slot ``slot`` (pool
-    buffers donated — the pool lives in one device allocation)."""
-    t_max = pool_k.shape[2]
-    if new_k.shape[2] > t_max:
-        new_k = new_k[:, :, :t_max]
-        new_v = new_v[:, :, :t_max]
-    pad = ((0, 0), (0, 0), (0, t_max - new_k.shape[2]), (0, 0), (0, 0))
-    nk = jnp.pad(new_k, pad)
-    nv = jnp.pad(new_v, pad)
-    k2 = jax.lax.dynamic_update_slice_in_dim(pool_k, nk, slot, axis=1)
-    v2 = jax.lax.dynamic_update_slice_in_dim(pool_v, nv, slot, axis=1)
-    ln = jax.lax.dynamic_update_slice_in_dim(pool_len, new_len, slot,
+def _fit_t(x, t_max):
+    if x.shape[2] > t_max:
+        x = x[:, :, :t_max]
+    pad = [(0, 0)] * x.ndim
+    pad[2] = (0, t_max - x.shape[2])
+    return jnp.pad(x, pad)
+
+
+@functools.partial(jax.jit, donate_argnums=(0,))
+def _insert_slot(pool, new_k, new_v, new_len, slot):
+    """Scatter one request's prefill KV into pool slot ``slot`` (the pool
+    cache is donated — it lives in one device allocation). ``pool`` may be
+    a KVCache or a QuantKVCache; new_k/new_v arrive unquantized from the
+    prefill and are quantized here when the pool is int8."""
+    t_max = pool.k.shape[2]
+
+    def put(buf, upd):
+        return jax.lax.dynamic_update_slice_in_dim(
+            buf, _fit_t(upd, t_max), slot, axis=1)
+
+    ln = jax.lax.dynamic_update_slice_in_dim(pool.length, new_len, slot,
                                              axis=1)
-    return k2, v2, ln
+    if isinstance(pool, lm_mod.QuantKVCache):
+        k8, ks = lm_mod.quantize_kv(new_k)
+        v8, vs = lm_mod.quantize_kv(new_v)
+        return lm_mod.QuantKVCache(
+            k=put(pool.k, k8), v=put(pool.v, v8),
+            k_scale=put(pool.k_scale, ks), v_scale=put(pool.v_scale, vs),
+            length=ln)
+    return lm_mod.KVCache(k=put(pool.k, new_k), v=put(pool.v, new_v),
+                          length=ln)
 
 
 @dataclasses.dataclass
@@ -289,7 +302,7 @@ class ContinuousBatcher:
     def __init__(self, engine, n_slots: int = 8, t_max: int = 2048,
                  chunk: int = 8, lock: Optional[threading.Lock] = None,
                  prefix_store=None, speculative: int = 0, ngram: int = 3,
-                 ctx_window: int = 128):
+                 ctx_window: int = 128, kv_int8: bool = False):
         self.engine = engine
         self.n_slots = n_slots
         self.t_max = t_max
@@ -301,6 +314,11 @@ class ContinuousBatcher:
         self.speculative = speculative
         self.ngram = ngram
         self.ctx_window = ctx_window
+        # int8 slot pool: halves pool HBM (2x slot capacity at the same
+        # t_max) and the per-step KV read traffic; decode paths quantize
+        # on write / dequantize on read (see lm.QuantKVCache). Serving
+        # opt-in — one-shot/eval paths keep full-precision caches.
+        self.kv_int8 = kv_int8
         # optional external engine lock (the server's): held around device
         # work so session/streaming paths can interleave between chunks
         self.engine_lock = lock if lock is not None else threading.Lock()
@@ -317,7 +335,8 @@ class ContinuousBatcher:
         self.temps = np.zeros(n_slots, np.float32)
         self.tps = np.ones(n_slots, np.float32)
         self.keys = np.zeros((n_slots, 2), np.uint32)
-        self.pool = None  # (k, v, length) device buffers, lazy-initialized
+        # the slot-pool cache (KVCache or QuantKVCache), lazy-initialized
+        self.pool = None
         self.stats = dict(admitted=0, mid_flight_joins=0, max_concurrent=0,
                           chunks=0, rejected_too_long=0,
                           spec_steps=0, spec_accepted=0)
@@ -365,11 +384,18 @@ class ContinuousBatcher:
 
     def _init_pool(self, proto_cache):
         shp = proto_cache.k.shape  # [L, 1, T, H, D]
-        zeros = functools.partial(
-            jnp.zeros, (shp[0], self.n_slots, self.t_max, shp[3], shp[4]),
-            proto_cache.k.dtype)
-        self.pool = (zeros(), zeros(),
-                     jnp.zeros((shp[0], self.n_slots), jnp.int32))
+        full = (shp[0], self.n_slots, self.t_max, shp[3], shp[4])
+        length = jnp.zeros((shp[0], self.n_slots), jnp.int32)
+        if self.kv_int8:
+            self.pool = lm_mod.QuantKVCache(
+                k=jnp.zeros(full, jnp.int8), v=jnp.zeros(full, jnp.int8),
+                k_scale=jnp.zeros(full[:4], jnp.float32),
+                v_scale=jnp.zeros(full[:4], jnp.float32),
+                length=length)
+        else:
+            self.pool = lm_mod.KVCache(
+                k=jnp.zeros(full, proto_cache.k.dtype),
+                v=jnp.zeros(full, proto_cache.k.dtype), length=length)
 
     def _admit(self, item, slot_idx):
         eng = self.engine
@@ -416,9 +442,8 @@ class ContinuousBatcher:
             return
         if self.pool is None:
             self._init_pool(state.cache)
-        pk, pv, pl = self.pool
         self.pool = _insert_slot(
-            pk, pv, pl, state.cache.k, state.cache.v,
+            self.pool, state.cache.k, state.cache.v,
             state.cache.length.astype(jnp.int32),
             jnp.asarray(slot_idx, jnp.int32))
         self.cur[slot_idx] = state.next_token
@@ -477,21 +502,19 @@ class ContinuousBatcher:
                     item["done"].set()
             if not any(self.live):
                 continue
-            pk, pv, pl = self.pool
             sampled = bool(np.any(self.temps[self.live] > 0.0))
             if self.speculative > 0:
-                self._spec_round(pk, pv, pl, sampled)
+                self._spec_round(sampled)
                 continue
             with self.engine_lock:
                 toks, cache, keys = _decode_chunk_slots(
-                    self.engine.params,
-                    lm_mod.KVCache(k=pk, v=pv, length=pl),
+                    self.engine.params, self.pool,
                     jnp.asarray(self.cur), jnp.asarray(self.pos),
                     jnp.asarray(self.live), jnp.asarray(self.temps),
                     jnp.asarray(self.tps), jnp.asarray(self.keys),
                     self.engine.cfg, self.chunk, sampled,
                 )
-            self.pool = (cache.k, cache.v, cache.length)
+            self.pool = cache
             if sampled:
                 # np.array (copy): np.asarray of a device array is
                 # read-only, which would break the next _admit's write
@@ -519,7 +542,7 @@ class ContinuousBatcher:
                     self.cur[i] = slot.tokens[-1]
                     self.pos[i] += self.chunk
 
-    def _spec_round(self, pk, pv, pl, sampled: bool = False):
+    def _spec_round(self, sampled: bool = False):
         """One fused speculative dispatch: ``chunk`` on-device
         propose+verify rounds per host round trip (``_spec_scan_slots``),
         then a per-round, per-slot accepted-prefix harvest."""
@@ -533,15 +556,14 @@ class ContinuousBatcher:
                 buf[i, c - len(tail):] = tail
         with self.engine_lock:
             emitted, acc, cache, keys, _, _, _ = _spec_scan_slots(
-                self.engine.params,
-                lm_mod.KVCache(k=pk, v=pv, length=pl),
+                self.engine.params, self.pool,
                 jnp.asarray(self.cur), jnp.asarray(self.pos),
                 jnp.asarray(self.live), jnp.asarray(buf),
                 jnp.asarray(self.temps), jnp.asarray(self.tps),
                 jnp.asarray(self.keys),
                 self.engine.cfg, m, rounds, self.ngram, sampled,
             )
-        self.pool = (cache.k, cache.v, cache.length)
+        self.pool = cache
         if sampled:
             self.keys = np.array(keys)  # np.asarray would be read-only
         self.stats["chunks"] += 1
