@@ -11,7 +11,8 @@ Decode at long context reads weights + the valid KV every step, so the
 expected ceiling is (W + KV16) / (W + KV8); at 3B/7680 tokens that is
 ~1.16x. The pool memory halving is exact and printed alongside.
 
-Usage: python tools/bench_kv_int8.py [t_fill] [n_slots]
+Usage: python tools/bench_kv_int8.py [t_fill] [n_slots] [config]
+(config: "3b" default, "tiny" for a CPU smoke run.)
 """
 
 import functools
@@ -29,7 +30,7 @@ import numpy as np
 
 
 def main():
-    from visionselector_tpu.core.config import qwen25vl_3b
+    from visionselector_tpu.core.config import qwen25vl_3b, qwen25vl_tiny
     from visionselector_tpu.models.qwen25vl import lm as lm_mod
     from visionselector_tpu.models.qwen25vl.continuous import (
         _decode_chunk_slots,
@@ -38,10 +39,14 @@ def main():
 
     t_fill = int(sys.argv[1]) if len(sys.argv) > 1 else 7680
     n_slots = int(sys.argv[2]) if len(sys.argv) > 2 else 8
+    which = sys.argv[3] if len(sys.argv) > 3 else "3b"
     chunk = 8
     t_max = t_fill + 256  # headroom for the timed chunks
 
-    cfg = qwen25vl_3b()
+    if which == "tiny":
+        # CPU smoke run: env vars alone don't override the axon preset
+        jax.config.update("jax_platforms", "cpu")
+    cfg = qwen25vl_tiny() if which == "tiny" else qwen25vl_3b()
     params = jax.jit(lambda k: init_params(k, cfg))(jax.random.PRNGKey(0))
     jax.block_until_ready(params)
 
@@ -49,10 +54,10 @@ def main():
     shape = (tc.num_hidden_layers, n_slots, t_max, tc.num_key_value_heads,
              tc.head_dim)
     rng = jax.random.PRNGKey(1)
-    k_f = (jax.random.normal(rng, shape, jnp.float32) * 0.5).astype(
-        jnp.bfloat16)
+    kv_dtype = cfg.jax_dtype  # the pool matches the model compute dtype
+    k_f = (jax.random.normal(rng, shape, jnp.float32) * 0.5).astype(kv_dtype)
     v_f = (jax.random.normal(jax.random.fold_in(rng, 1), shape,
-                             jnp.float32) * 0.5).astype(jnp.bfloat16)
+                             jnp.float32) * 0.5).astype(kv_dtype)
     length = jnp.full((tc.num_hidden_layers, n_slots), t_fill, jnp.int32)
     pool16 = lm_mod.KVCache(k=k_f, v=v_f, length=length)
     k8, ks = lm_mod.quantize_kv(k_f)
