@@ -435,9 +435,38 @@ def init_7b_int8(cfg):
     return {"visual": visual, "lm": lm, "scorer": scorer}
 
 
+def _backend_alive(timeout_s: int = 180) -> bool:
+    """Probe the configured backend in a CHILD with a hard timeout.
+
+    Under the axon preset, the first jax.devices() call opens the TPU
+    tunnel; when the tunnel is down it hangs forever. Probing in a
+    subprocess lets the bench fail fast with an honest JSON line instead
+    of hanging the driver's capture."""
+    import subprocess
+    import sys
+
+    try:
+        res = subprocess.run(
+            [sys.executable, "-c", "import jax; jax.devices()"],
+            timeout=timeout_s, capture_output=True,
+            cwd=os.path.dirname(os.path.abspath(__file__)))
+        return res.returncode == 0
+    except subprocess.TimeoutExpired:
+        return False
+
+
 def main():
     from visionselector_tpu.core.config import qwen25vl_3b, qwen25vl_7b
     from visionselector_tpu.models.qwen25vl.model import init_params
+
+    if not _backend_alive():
+        print(json.dumps({
+            "metric": "prefill_speedup_at_20pct_retention",
+            "value": 0.0, "unit": "x", "vs_baseline": 0.0, "suspect": True,
+            "detail": {"error": "TPU backend unreachable (tunnel probe "
+                                "timed out); no measurement taken"},
+        }), flush=True)
+        return
 
     budget = float(os.environ.get("VST_BENCH_BUDGET", "0.2"))
     preset = os.environ.get("VST_BENCH_PRESET", "3b")
