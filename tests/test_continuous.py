@@ -172,6 +172,16 @@ class TestContinuousBatcher:
         finally:
             bat.shutdown()
         assert rc.tokens == want, (rc.tokens, want)
+        # and the int8 pool (deterministic; exactness not asserted —
+        # int8 rounding exceeds random-weight argmax gaps)
+        bat = ContinuousBatcher(eng, n_slots=2, t_max=256, chunk=4,
+                                kv_int8=True)
+        try:
+            r1 = bat.submit(req, 7, (-1,))
+            r2 = bat.submit(req, 7, (-1,))
+        finally:
+            bat.shutdown()
+        assert r1.tokens == r2.tokens and len(r1.tokens) == 7
 
     def test_prefix_cached_admission(self, setup):
         """With a PrefixCacheStore attached, admission prefills through the
