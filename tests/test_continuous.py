@@ -299,16 +299,15 @@ class TestContinuousBatcher:
         assert bat.stats["spec_accepted"] >= 0
 
     def test_spec_chunk_accepts_true_continuation(self, setup):
-        """Feed the verify program proposals that ARE the model's greedy
-        continuation: it must accept all m and advance the slot m+1
-        tokens in one dispatch (the speedup mechanism, pinned
-        deterministically — no reliance on the model echoing prompts)."""
+        """Craft a lookup window whose proposal IS the model's greedy
+        continuation: one fused round must accept all m and advance the
+        slot m+1 tokens (the speedup mechanism, pinned deterministically —
+        no reliance on the model echoing prompts)."""
         import jax.numpy as jnp
 
         from visionselector_tpu.models.qwen25vl import lm as lm_mod
         from visionselector_tpu.models.qwen25vl.continuous import (
-            _decode_chunk_slots,
-            _spec_chunk_slots,
+            _spec_scan_slots,
         )
 
         eng, ids_for, pixels, grid = setup
@@ -332,17 +331,23 @@ class TestContinuousBatcher:
         cur = jnp.asarray([state.next_token, 0], jnp.int32)
         pos = jnp.asarray([state.start_pos, 0], jnp.int32)
         live = jnp.asarray([True, False])
-        m = 4
-        # true greedy continuation after next_token = want[1:1+m]
-        props = jnp.asarray(
-            [want[1:1 + m], [0] * m], jnp.int32)
-        greedy, acc, cache = _spec_chunk_slots(
-            eng.params, two_slot_pool(state.cache), cur, props, pos, live,
-            eng.cfg, m)
-        assert int(acc[0]) == m  # all proposals accepted
-        assert int(acc[1]) == 0  # dead slot untouched
-        emitted = np.asarray(greedy)[0, : m + 1].tolist()
-        assert emitted == want[1: 2 + m], (emitted, want)
+        m, ngram, c = 4, 3, 32
+        # window: [tail-ngram + true continuation] ... [tail-ngram]; the
+        # on-device lookup finds the earlier occurrence and proposes the
+        # true greedy continuation want[1:1+m]
+        tail = [97, 98, state.next_token]
+        buf_row = [-1] * (c - 2 * len(tail) - m) + tail + want[1:1 + m] + tail
+        buf = jnp.asarray([buf_row, [-1] * c], jnp.int32)
+        temps = jnp.zeros((2,), jnp.float32)
+        tps = jnp.ones((2,), jnp.float32)
+        keys = jnp.zeros((2, 2), jnp.uint32)
+        emitted, acc, cache, _, _, _, _ = _spec_scan_slots(
+            eng.params, two_slot_pool(state.cache), cur, pos, live, buf,
+            temps, tps, keys, eng.cfg, m, 1, ngram)
+        assert int(acc[0, 0]) == m  # all proposals accepted
+        assert int(acc[0, 1]) == -1  # dead slot consumes nothing
+        out = np.asarray(emitted)[0, 0, : m + 1].tolist()
+        assert out == want[1: 2 + m], (out, want)
         # slot cache advanced by the accepted run, dead slot restored
         assert int(np.asarray(cache.length)[0, 0]) == int(
             np.asarray(state.cache.length)[0, 0]) + m + 1

@@ -128,19 +128,21 @@ def main():
     if spec > 0:
         spec_lat, spec_span, spec_stats = run_continuous(speculative=spec)
         med_ = statistics.median
-        tokens = spec_stats["spec_accepted"] + spec_stats["spec_steps"]
         spec_line = {
             "spec_propose_len": spec,
             "spec_p50_ms": round(med_(spec_lat) * 1e3, 1),
             "spec_makespan_s": round(spec_span, 2),
             "spec_makespan_speedup_vs_fifo": round(fifo_span / spec_span, 2),
             "spec_stats": spec_stats,
-            # each verify round costs ~one weight-stream pass; each host
+            # spec_tokens counts tokens actually emitted (all slots); each
+            # verify round costs ~one weight-stream pass and each host
             # dispatch fuses `chunk` rounds (see _spec_scan_slots)
-            "spec_tokens_per_verify": round(
-                tokens / max(spec_stats["spec_steps"], 1), 2),
+            "spec_tokens_per_verify_round": round(
+                spec_stats["spec_tokens"]
+                / max(spec_stats["spec_steps"], 1), 2),
             "spec_tokens_per_dispatch": round(
-                tokens / max(spec_stats["chunks"], 1), 2),
+                spec_stats["spec_tokens"]
+                / max(spec_stats["chunks"], 1), 2),
         }
 
     med = statistics.median

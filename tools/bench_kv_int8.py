@@ -105,8 +105,22 @@ def main():
     for _ in range(5):  # interleaved arms
         s16.append(once(pool16))
         s8.append(once(pool8))
-    t16 = statistics.median([s for s in s16 if s > 0])
-    t8 = statistics.median([s for s in s8 if s > 0])
+
+    def med_pos(samples):
+        pos = [s for s in samples if s > 0]
+        if not pos:  # noise-dominated (tiny smoke): report raw median
+            return statistics.median(samples), True
+        return statistics.median(pos), False
+
+    t16, suspect16 = med_pos(s16)
+    t8, suspect8 = med_pos(s8)
+    if t16 <= 0 or t8 <= 0:
+        print(json.dumps({"suspect": True, "error": "non-positive "
+                          "differential medians (noise-dominated run)",
+                          "samples_bf16_ms": [round(s * 1e3, 3) for s in s16],
+                          "samples_int8_ms": [round(s * 1e3, 3) for s in s8],
+                          "platform": jax.devices()[0].platform}))
+        return
 
     def nbytes(p):
         return sum(np.asarray(x).nbytes if not hasattr(x, "nbytes")
@@ -114,6 +128,7 @@ def main():
 
     toks = chunk * n_slots
     print(json.dumps({
+        "suspect": suspect16 or suspect8,
         "t_fill": t_fill, "n_slots": n_slots, "chunk": chunk,
         "chunk_ms_bf16": round(t16 * 1e3, 2),
         "chunk_ms_int8": round(t8 * 1e3, 2),

@@ -49,6 +49,8 @@ class MicroBatcher:
                 "samp": (float(temperature), float(top_p), int(seed)),
                 "done": threading.Event(), "result": None, "error": None}
         with self.cv:
+            if not self._running:
+                raise RuntimeError("batcher shut down")
             self.queue.append(item)
             self.cv.notify()
         item["done"].wait()
@@ -70,17 +72,29 @@ class MicroBatcher:
                 while self._running and not self.queue:
                     self.cv.wait()
                 if not self._running:
+                    # drain: never strand a waiter that enqueued before
+                    # the shutdown flag flipped
+                    for b in self.queue:
+                        b["error"] = RuntimeError("batcher shut down")
+                        b["done"].set()
+                    self.queue.clear()
                     return
             _time.sleep(self.window_s)  # let concurrent requests join
 
-            # Batchmates must share max_new_tokens, eos ids AND sampling
-            # params: the batched decode loop runs one shared stopping +
-            # sampling program, so mixing eos sets would stop the wrong
-            # rows and mixing temperatures would sample the wrong rows.
+            # Batchmates must share max_new_tokens and eos ids (the batched
+            # decode loop runs one shared stopping program). Sampled
+            # requests (temperature > 0) are NEVER batched: generate_batch
+            # derives per-row keys from row index and padded batch size,
+            # so a sampled rollout would depend on batch composition —
+            # breaking seed-reproducibility. Each runs as its own batch of
+            # one through engine.generate's exact key stream. (The
+            # ContinuousBatcher has per-slot key streams and batches
+            # sampled traffic reproducibly; use --continuous for that.)
             def _key(b):
                 eos = b["kw"].get("eos_token_ids")
+                solo = id(b) if b["samp"][0] > 0.0 else None
                 return (b["mnt"], tuple(eos) if eos is not None else None,
-                        b["samp"])
+                        b["samp"], solo)
 
             with self.cv:
                 key = _key(self.queue[0])

@@ -100,42 +100,6 @@ def _decode_chunk_slots(params, cache, cur, pos, live, temps, tps, keys,
     return toks, cache, keys
 
 
-@functools.partial(jax.jit, static_argnames=("cfg", "m"),
-                   donate_argnums=(1,))
-def _spec_chunk_slots(params, cache, cur, props, pos, live, cfg, m: int):
-    """Speculative chunk: verify ``m`` prompt-lookup proposals per slot in
-    ONE multi-token forward (``lm_decode_chunk`` over [S, m+1] rows).
-
-    Decode is weight-bandwidth-bound, so the m+1-row verify costs about one
-    single-token step (measured 0.991x at m=9); each slot emits its
-    accepted greedy prefix — 1..m+1 tokens per dispatch instead of exactly
-    one per step. Greedy-only (the worker falls back to the plain sampled
-    chunk when any live slot samples); accepted tokens are exactly the
-    greedy continuations, so outputs equal the plain chunk's.
-
-    cur/pos/live [S]; props [S, m]. Dead slots' cache lengths are restored
-    (their verify rows land past the restored length, so their state is
-    untouched). Returns (greedy [S, m+1], accepted counts a [S], cache
-    with per-slot lengths len0 + a + 1)."""
-    len0 = cache.length
-    ids = jnp.concatenate([cur[:, None], props], axis=1)  # [S, m+1]
-    embeds = lm_mod.embed_tokens(params["lm"], ids)  # [S, m+1, D]
-    pos_rows = pos[:, None] + jnp.arange(m + 1)[None, :]
-    pos3 = jnp.broadcast_to(pos_rows[None], (3,) + pos_rows.shape)
-    hidden, cache = lm_mod.lm_decode_chunk(
-        params["lm"], cache, embeds, pos3, cfg.text
-    )
-    logits = lm_mod.lm_head(params["lm"], hidden, cfg.text)  # [S, m+1, V]
-    greedy = jnp.argmax(logits, axis=-1).astype(jnp.int32)
-    eq = props.astype(jnp.int32) == greedy[:, :m]
-    a = jnp.where(jnp.all(eq, axis=1), m,
-                  jnp.argmin(eq, axis=1)).astype(jnp.int32)
-    a = jnp.where(live, a, 0)
-    cache = cache._replace(
-        length=jnp.where(live[None, :], len0 + a[None, :] + 1, len0))
-    return greedy, a, cache
-
-
 def _lookup_props(buf: jax.Array, n: int, m: int) -> jax.Array:
     """On-device prompt-lookup over a per-slot token window.
 
@@ -307,10 +271,11 @@ class ContinuousBatcher:
         self.n_slots = n_slots
         self.t_max = t_max
         self.chunk = chunk
-        # speculative > 0: all-greedy dispatches run ``chunk`` fused
-        # on-device propose+verify rounds, each verifying that many
-        # prompt-lookup proposals per slot (see _spec_scan_slots); chunks
-        # with a sampled slot fall back to the plain per-step program
+        # speculative > 0: every dispatch runs ``chunk`` fused on-device
+        # propose+verify rounds, each verifying that many prompt-lookup
+        # proposals per slot (see _spec_scan_slots); greedy slots keep
+        # exact greedy prefixes, sampled slots use speculative-sampling
+        # acceptance (same distribution, per-slot reproducible streams)
         self.speculative = speculative
         self.ngram = ngram
         self.ctx_window = ctx_window
@@ -339,7 +304,12 @@ class ContinuousBatcher:
         self.pool = None
         self.stats = dict(admitted=0, mid_flight_joins=0, max_concurrent=0,
                           chunks=0, rejected_too_long=0,
-                          spec_steps=0, spec_accepted=0)
+                          # spec_steps: verify rounds (one per dispatch x
+                          # rounds, regardless of live-slot count);
+                          # spec_accepted: accepted proposals consumed;
+                          # spec_tokens: tokens actually emitted through
+                          # the speculative path (all slots)
+                          spec_steps=0, spec_accepted=0, spec_tokens=0)
         self._running = True
         self._thread = threading.Thread(target=self._run, daemon=True)
         self._thread.start()
@@ -469,6 +439,22 @@ class ContinuousBatcher:
             self.stats["max_concurrent"],
             sum(s is not None for s in self.slots))
 
+    def _fail_all(self, exc: Exception):
+        """Deliver ``exc`` to every live slot and queued item, then mark
+        the batcher dead (a poisoned pool must not serve further)."""
+        with self.cv:
+            self._running = False
+            for i, slot in enumerate(self.slots):
+                if slot is not None:
+                    slot.item["error"] = exc
+                    slot.done_event.set()
+                    self.slots[i] = None
+                    self.live[i] = False
+            while self.queue:
+                item = self.queue.popleft()
+                item["error"] = exc
+                item["done"].set()
+
     def _finalize(self, idx, slot):
         slot.result.tokens = slot.tokens[: slot.max_new]
         slot.result.total_seconds = time.perf_counter() - slot.t_submit
@@ -503,17 +489,26 @@ class ContinuousBatcher:
             if not any(self.live):
                 continue
             sampled = bool(np.any(self.temps[self.live] > 0.0))
-            if self.speculative > 0:
-                self._spec_round(sampled)
-                continue
-            with self.engine_lock:
-                toks, cache, keys = _decode_chunk_slots(
-                    self.engine.params, self.pool,
-                    jnp.asarray(self.cur), jnp.asarray(self.pos),
-                    jnp.asarray(self.live), jnp.asarray(self.temps),
-                    jnp.asarray(self.tps), jnp.asarray(self.keys),
-                    self.engine.cfg, self.chunk, sampled,
-                )
+            try:
+                if self.speculative > 0:
+                    self._spec_round(sampled)
+                    continue
+                with self.engine_lock:
+                    toks, cache, keys = _decode_chunk_slots(
+                        self.engine.params, self.pool,
+                        jnp.asarray(self.cur), jnp.asarray(self.pos),
+                        jnp.asarray(self.live), jnp.asarray(self.temps),
+                        jnp.asarray(self.tps), jnp.asarray(self.keys),
+                        self.engine.cfg, self.chunk, sampled,
+                    )
+            except Exception as e:  # noqa: BLE001 — fail fast, not hang
+                # A dispatch failure (runtime error, invalid pool after a
+                # failed donating call) poisons the shared pool: waking
+                # every waiter with the error and dying beats leaving
+                # done-events unset forever; submit() then raises
+                # "batcher shut down" for future callers.
+                self._fail_all(e)
+                return
             self.pool = cache
             if sampled:
                 # np.array (copy): np.asarray of a device array is
@@ -591,6 +586,7 @@ class ContinuousBatcher:
                         break
                 if finished:
                     break
+            self.stats["spec_tokens"] += consumed
             if finished:
                 self._finalize(i, slot)
             else:
