@@ -45,6 +45,32 @@ class TestChatSession:
         assert res.tokens == ref.tokens
         assert sess.pending == ref.tokens[-1]
 
+    def test_sampled_turns(self):
+        """Per-turn sampling: a sampled first turn equals the one-shot
+        sampled generate (same key stream); a sampled follow-up turn is
+        seed-reproducible and diverges from the greedy follow-up.
+
+        temperature 0.3: high-temperature draws flip on ~1 ulp logit
+        noise with random near-uniform weights (see test_continuous)."""
+        eng, ids, pixels, grid = self._setup()
+        ref = eng.generate(ids, pixels, grid, max_new_tokens=6,
+                           eos_token_ids=(-1,), temperature=0.3,
+                           top_p=0.9, seed=5)
+        res, sess = start_chat_session(eng, ids, pixels, grid,
+                                       max_new_tokens=6,
+                                       eos_token_ids=(-1,),
+                                       temperature=0.3, top_p=0.9, seed=5)
+        assert res.tokens == ref.tokens, (res.tokens, ref.tokens)
+
+        turn2 = np.array([41, 42, 43])
+        g2, _ = continue_chat_session(eng, sess, turn2, max_new_tokens=6)
+        s2a, _ = continue_chat_session(eng, sess, turn2, max_new_tokens=6,
+                                       temperature=0.3, top_p=0.9, seed=2)
+        s2b, _ = continue_chat_session(eng, sess, turn2, max_new_tokens=6,
+                                       temperature=0.3, top_p=0.9, seed=2)
+        assert s2a.tokens == s2b.tokens  # seed-reproducible
+        assert s2a.tokens != g2.tokens  # sampling actually diverges
+
     def test_second_turn_matches_from_scratch_prefill(self):
         """Turn 2 via KV reuse == generating over the concatenated stream
         [prompt, answer1, turn2] from scratch (CPU fp32 greedy)."""

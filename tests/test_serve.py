@@ -123,6 +123,15 @@ class TestServeSampling:
             assert s1["tokens"] != greedy["tokens"]
             assert s3["tokens"] != s1["tokens"]  # different seed differs
 
+            # chat sessions accept sampling too (per-turn seed): two fresh
+            # sessions with the same prompt+seed produce the same tokens
+            sa = gen({**base, "temperature": 0.3, "top_p": 0.9, "seed": 7,
+                      "session": "sa"})
+            sb = gen({**base, "temperature": 0.3, "top_p": 0.9, "seed": 7,
+                      "session": "sb"})
+            assert sa["tokens"] == sb["tokens"]
+            assert sa["tokens"] != greedy["tokens"]
+
             # OpenAI-compatible endpoint takes the same knobs
             body = {"messages": [{"role": "user", "content": "hi"}],
                     "max_tokens": 10, "temperature": 0.3, "top_p": 0.9,

@@ -187,12 +187,6 @@ class Server:
         from visionselector_tpu.preprocess.rope import expand_vision_tokens
 
         cfg = self.engine.cfg
-        if session is not None and temperature > 0.0:
-            # chat sessions decode through the chunk-append path, which has
-            # no sampling variant yet — fail loudly rather than silently
-            # returning greedy text for a sampled request
-            raise ValueError("chat sessions are greedy-only; omit "
-                             "temperature or drop the session id")
         if session is not None:
             # membership must be decided under the lock: another thread's
             # first-turn request may evict this session between an unlocked
@@ -228,6 +222,7 @@ class Server:
                         self.engine, existing,
                         np.asarray(turn, np.int64),
                         max_new_tokens=max_new_tokens,
+                        temperature=temperature, top_p=top_p, seed=seed,
                     )
                     self.sessions[session] = sess
                 return self._result_dict(res, session=session)
@@ -267,6 +262,7 @@ class Server:
                 res, sess = start_chat_session(
                     self.engine, input_ids, pixels, grid,
                     max_new_tokens=max_new_tokens,
+                    temperature=temperature, top_p=top_p, seed=seed,
                 )
                 if len(self.sessions) >= self.max_sessions:
                     self.sessions.pop(next(iter(self.sessions)))

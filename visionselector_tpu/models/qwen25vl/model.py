@@ -1814,10 +1814,15 @@ def start_chat_session(
     grid_thw: Optional[np.ndarray] = None,
     max_new_tokens: int = 64,
     eos_token_ids: Optional[Tuple[int, ...]] = None,
+    temperature: float = 0.0,
+    top_p: float = 1.0,
+    seed: int = 0,
     **gen_kwargs,
 ) -> Tuple["GenerationResult", ChatSession]:
-    """First turn: normal (compressed) prefill + greedy decode, but the KV
-    cache is kept and returned as a ChatSession for follow-up turns."""
+    """First turn: normal (compressed) prefill + decode, but the KV cache
+    is kept and returned as a ChatSession for follow-up turns. Sampling is
+    per-turn: a sampled first turn consumes the same key stream as
+    ``engine.generate(temperature, seed)`` (identical rollout)."""
     import time
 
     state = engine.generate(
@@ -1839,6 +1844,9 @@ def start_chat_session(
         engine.params, cfg, state.cache, jnp.asarray(first, jnp.int32),
         jnp.asarray(state.start_pos, jnp.int32), eos_arr,
         max_new_tokens - 1,
+        jnp.asarray(temperature, jnp.float32), jnp.asarray(top_p,
+                                                           jnp.float32),
+        jax.random.PRNGKey(seed),
     )
     n = int(count)
     tokens = [first] + np.asarray(toks)[:n].tolist()
@@ -1859,10 +1867,15 @@ def continue_chat_session(
     sess: ChatSession,
     new_ids: np.ndarray,
     max_new_tokens: int = 64,
+    temperature: float = 0.0,
+    top_p: float = 1.0,
+    seed: int = 0,
 ) -> Tuple["GenerationResult", ChatSession]:
     """Follow-up turn: append [pending eos + new turn tokens] through ONE
     chunked forward (static 32-multiple chunk; kv of padding rows rolled
-    back), then decode. No vision re-encode, no prompt re-prefill."""
+    back), then decode. No vision re-encode, no prompt re-prefill.
+    Sampling is per-turn (fresh PRNGKey(seed) each turn; vary the seed
+    across turns for independent draws)."""
     import time
 
     t_start = time.perf_counter()
@@ -1897,6 +1910,9 @@ def continue_chat_session(
     toks, count, cache, last = _decode_loop(
         engine.params, cfg, cache, next_token,
         jnp.asarray(pos, jnp.int32), eos_arr, max_new_tokens - 1,
+        jnp.asarray(temperature, jnp.float32), jnp.asarray(top_p,
+                                                           jnp.float32),
+        jax.random.PRNGKey(seed),
     )
     k = int(count)
     tokens = [first] + np.asarray(toks)[:k].tolist()
