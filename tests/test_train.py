@@ -163,6 +163,61 @@ class TestTrainStep:
         )
 
 
+class TestRematAndClipping:
+    def test_remat_is_exact(self, params):
+        """Gradient checkpointing is a pure memory knob: loss, grads and
+        the updated params are identical with remat on and off."""
+        batch = make_batch(2)
+        sched_off = ScheduleConfig(total_steps=10, remat=False)
+        sched_on = ScheduleConfig(total_steps=10, remat=True)
+        s_off, m_off = train_step(
+            init_train_state(params, sched_off), params, batch, CFG,
+            K_MAX, sched_off)
+        s_on, m_on = train_step(
+            init_train_state(params, sched_on), params, batch, CFG,
+            K_MAX, sched_on)
+        np.testing.assert_allclose(float(m_off["loss"]),
+                                   float(m_on["loss"]), rtol=1e-6)
+        np.testing.assert_allclose(float(m_off["grad_norm"]),
+                                   float(m_on["grad_norm"]), rtol=1e-5)
+        jax.tree.map(
+            lambda a, b: np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b), rtol=1e-5, atol=1e-7),
+            s_off.scorer_params, s_on.scorer_params)
+
+    def test_grad_clipping_engages(self):
+        """make_optimizer clips at the global norm: a huge threshold
+        matches the unclipped update; a small one rescales the gradient
+        before AdamW sees it."""
+        import optax
+
+        from visionselector_tpu.train.train_step import make_optimizer
+
+        g = {"w": jnp.asarray([3.0, 4.0])}  # ||g|| = 5
+        p = {"w": jnp.zeros(2)}
+
+        def update(sched):
+            opt = make_optimizer(sched)
+            st = opt.init(p)
+            u, _ = opt.update(g, st, p)
+            return u
+
+        u_off = update(ScheduleConfig(total_steps=10, max_grad_norm=0.0))
+        u_big = update(ScheduleConfig(total_steps=10, max_grad_norm=1e9))
+        jax.tree.map(lambda a, b: np.testing.assert_allclose(a, b),
+                     u_off, u_big)
+        # clipped at 0.5: AdamW should see g * (0.5 / 5)
+        u_clip = update(ScheduleConfig(total_steps=10, max_grad_norm=0.5))
+        opt_ref = make_optimizer(
+            ScheduleConfig(total_steps=10, max_grad_norm=0.0))
+        st = opt_ref.init(p)
+        u_ref, _ = opt_ref.update(
+            jax.tree.map(lambda x: x * 0.1, g), st, p)
+        jax.tree.map(
+            lambda a, b: np.testing.assert_allclose(a, b, rtol=1e-6),
+            u_clip, u_ref)
+
+
 class TestBaselineSFT:
     def test_sft_step_trains_only_masked_leaves(self, params):
         """train_qwen.py parity: tune_mm_llm trains the LM, vision/scorer

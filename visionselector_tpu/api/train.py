@@ -34,6 +34,15 @@ def build_parser():
     p.add_argument("--reg-weight-start", type=float, default=0.1)
     p.add_argument("--reg-weight-end", type=float, default=2.0)
     p.add_argument("--lr", type=float, default=5e-5)
+    p.add_argument("--weight-decay", type=float, default=0.0)
+    p.add_argument("--warmup-ratio", type=float, default=0.03)
+    p.add_argument("--max-grad-norm", type=float, default=1.0,
+                   help="global-norm gradient clipping (reference "
+                        "TrainingArguments default; 0 disables)")
+    p.add_argument("--gradient-checkpointing", action="store_true",
+                   help="remat the LM layer scan: exact, recomputes "
+                        "activations on backward for O(1)-layer memory "
+                        "(reference --gradient_checkpointing True)")
     p.add_argument("--total-steps", type=int, default=1000)
     p.add_argument("--batch-size", type=int, default=8,
                    help="global batch (sharded over the data mesh axis)")
@@ -287,6 +296,10 @@ def main(argv=None) -> int:
             )
         sched = SFTScheduleConfig(
             total_steps=args.total_steps, lr=args.lr,
+            weight_decay=args.weight_decay,
+            warmup_ratio=args.warmup_ratio,
+            max_grad_norm=args.max_grad_norm,
+            remat=args.gradient_checkpointing,
             tune_mm_vision=args.tune_mm_vision,
             tune_mm_mlp=args.tune_mm_mlp,
             tune_mm_llm=args.tune_mm_llm,
@@ -306,6 +319,10 @@ def main(argv=None) -> int:
 
         sched = DynamicScheduleConfig(
             total_steps=args.total_steps, lr=args.lr,
+            weight_decay=args.weight_decay,
+            warmup_ratio=args.warmup_ratio,
+            max_grad_norm=args.max_grad_norm,
+            remat=args.gradient_checkpointing,
             tau_start=args.tau_start, tau_end=args.tau_end,
             budget=args.budget, mask_loss_weight=args.mask_loss_weight,
         )
@@ -321,6 +338,10 @@ def main(argv=None) -> int:
     else:
         sched = ScheduleConfig(
             total_steps=args.total_steps, lr=args.lr,
+            weight_decay=args.weight_decay,
+            warmup_ratio=args.warmup_ratio,
+            max_grad_norm=args.max_grad_norm,
+            remat=args.gradient_checkpointing,
             reg_weight_start=args.reg_weight_start,
             reg_weight_end=args.reg_weight_end,
         )

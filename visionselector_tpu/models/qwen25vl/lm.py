@@ -293,12 +293,20 @@ def lm_prefill_layers(
     position_ids: jax.Array,
     seg_ids: jax.Array,
     cfg: TextConfig,
+    remat: bool = False,
 ) -> Tuple[jax.Array, Tuple[jax.Array, jax.Array]]:
     """Run a stack of decoder layers (no final norm) over a full sequence.
 
     ``layers`` is any stacked-layer pytree slice — the whole model, or a
     contiguous range for two-stage (LLM-side compression) prefill.
     Returns (hidden [B, T, D], (k, v) each [n_layers, B, T, H_kv, Dh]).
+
+    ``remat=True`` wraps the scanned layer in ``jax.checkpoint``: the
+    backward pass recomputes each layer's activations instead of keeping
+    them all live — the TPU-native equivalent of the reference's
+    ``--gradient_checkpointing True`` (HF ``gradient_checkpointing_enable``),
+    trading ~one extra forward of FLOPs for O(1)-layer activation memory.
+    Exact (same values and gradients), so it is a pure memory knob.
     """
     cos, sin = mrope_cos_sin(position_ids, cfg)
     n_rep = cfg.num_attention_heads // cfg.num_key_value_heads
@@ -321,6 +329,8 @@ def lm_prefill_layers(
         x = x + _mlp(h, p, cfg)
         return x, (k, v)
 
+    if remat:
+        layer = jax.checkpoint(layer)
     return jax.lax.scan(layer, inputs_embeds, layers)
 
 
@@ -330,6 +340,7 @@ def lm_prefill(
     position_ids: jax.Array,
     seg_ids: jax.Array,
     cfg: TextConfig,
+    remat: bool = False,
 ) -> Tuple[jax.Array, Tuple[jax.Array, jax.Array]]:
     """Full-sequence forward (training and prefill).
 
@@ -344,7 +355,8 @@ def lm_prefill(
          [n_layers, B, T, H_kv, Dh] rotated keys for the KV cache).
     """
     x, kv = lm_prefill_layers(
-        params["layers"], inputs_embeds, position_ids, seg_ids, cfg
+        params["layers"], inputs_embeds, position_ids, seg_ids, cfg,
+        remat=remat,
     )
     x = rms_norm(x, params["final_ln_scale"], cfg.rms_norm_eps)
     return x, kv

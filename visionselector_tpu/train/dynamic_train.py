@@ -48,6 +48,8 @@ class DynamicScheduleConfig(NamedTuple):
     target_layer: int = 2
     weight_decay: float = 0.0
     warmup_ratio: float = 0.03
+    max_grad_norm: float = 1.0  # reference TrainingArguments default
+    remat: bool = False  # gradient checkpointing on the LM layer scans
 
 
 class DynamicTrainState(NamedTuple):
@@ -63,7 +65,11 @@ def make_optimizer(sched: DynamicScheduleConfig) -> optax.GradientTransformation
         init_value=0.0, peak_value=sched.lr, warmup_steps=warmup,
         decay_steps=max(sched.total_steps, warmup + 1),
     )
-    return optax.adamw(lr, weight_decay=sched.weight_decay)
+    opt = optax.adamw(lr, weight_decay=sched.weight_decay)
+    if sched.max_grad_norm > 0:
+        opt = optax.chain(
+            optax.clip_by_global_norm(sched.max_grad_norm), opt)
+    return opt
 
 
 def init_dynamic_train_state(predictor_params: dict,
@@ -109,7 +115,7 @@ def dynamic_train_forward(
     pre = jax.tree.map(lambda a: a[:target], layers)
     hidden, _ = lm_mod.lm_prefill_layers(
         pre, embeds[None], sample.position_ids[:, None, :],
-        sample.seg_ids[None], cfg.text,
+        sample.seg_ids[None], cfg.text, remat=sched.remat,
     )  # [1, T_pad, D]
 
     # predictor over image rows (buffered gather; sentinel row = zeros)
@@ -130,7 +136,7 @@ def dynamic_train_forward(
     post = jax.tree.map(lambda a: a[target:], layers)
     x, _ = lm_mod.lm_prefill_layers(
         post, hidden, sample.position_ids[:, None, :],
-        sample.seg_ids[None], cfg.text,
+        sample.seg_ids[None], cfg.text, remat=sched.remat,
     )
     x = vit_mod.rms_norm(
         x, frozen_params["lm"]["final_ln_scale"], cfg.text.rms_norm_eps

@@ -71,6 +71,7 @@ def selector_train_forward(
     cfg: VLConfig,
     reg_weight: jax.Array,
     k_max: int,
+    remat: bool = False,
 ) -> tuple[jax.Array, dict]:
     """One sample's composite loss. Returns (loss, metrics dict)."""
     merged = vit_mod.vit_forward(
@@ -96,7 +97,7 @@ def selector_train_forward(
 
     hidden, _ = lm_mod.lm_prefill(
         params["lm"], embeds[None], sample.position_ids[:, None, :],
-        sample.seg_ids[None], cfg.text,
+        sample.seg_ids[None], cfg.text, remat=remat,
     )
     logits = lm_mod.lm_head(params["lm"], hidden[0], cfg.text)  # [T, V] fp32
 

@@ -44,6 +44,7 @@ def ov_selector_train_forward(
     cfg: OVConfig,
     reg_weight: jax.Array,
     k_max: int,
+    remat: bool = False,
 ) -> Tuple[jax.Array, dict]:
     merged = rice_mod.rice_forward(
         params["visual"], sample.pixel_values, sample.rot_pos_ids,
@@ -65,7 +66,7 @@ def ov_selector_train_forward(
 
     hidden, _ = lm_mod.lm_prefill(
         params["lm"], embeds[None], sample.position_ids[:, None, :],
-        sample.seg_ids[None], cfg.text,
+        sample.seg_ids[None], cfg.text, remat=remat,
     )
     logits = lm_mod.lm_head(params["lm"], hidden[0], cfg.text)
 

@@ -29,6 +29,8 @@ class SFTScheduleConfig(NamedTuple):
     lr: float = 1e-5
     weight_decay: float = 0.0
     warmup_ratio: float = 0.03
+    max_grad_norm: float = 1.0  # reference TrainingArguments default
+    remat: bool = False  # gradient checkpointing on the LM layer scan
     tune_mm_vision: bool = False
     tune_mm_mlp: bool = False
     tune_mm_llm: bool = True
@@ -77,9 +79,13 @@ def make_optimizer(params: dict,
     not_mask = jax.tree.map(lambda m: not m, mask)
     # masked() leaves unmasked updates untouched — frozen leaves must be
     # explicitly zeroed, then AdamW runs (with state) only on trainables.
+    inner = optax.adamw(lr, weight_decay=sched.weight_decay)
+    if sched.max_grad_norm > 0:
+        inner = optax.chain(
+            optax.clip_by_global_norm(sched.max_grad_norm), inner)
     return optax.chain(
         optax.masked(optax.set_to_zero(), not_mask),
-        optax.masked(optax.adamw(lr, weight_decay=sched.weight_decay), mask),
+        optax.masked(inner, mask),
     )
 
 
@@ -90,7 +96,8 @@ def init_sft_state(params: dict, sched: SFTScheduleConfig) -> SFTState:
 
 
 def sft_train_forward(
-    params: dict, sample: TrainBatchSample, cfg: VLConfig
+    params: dict, sample: TrainBatchSample, cfg: VLConfig,
+    remat: bool = False,
 ) -> Tuple[jax.Array, dict]:
     """Plain CE forward: full ViT -> scatter -> decoder -> CE (no selector)."""
     vision_embeds = vit_mod.vit_forward(
@@ -107,7 +114,7 @@ def sft_train_forward(
     )
     hidden, _ = lm_mod.lm_prefill(
         params["lm"], full[:t_pad][None], sample.position_ids[:, None, :],
-        sample.seg_ids[None], cfg.text,
+        sample.seg_ids[None], cfg.text, remat=remat,
     )
     logits = lm_mod.lm_head(params["lm"], hidden[0], cfg.text)
     ce = cross_entropy(logits[:-1], sample.labels[1:])
@@ -124,7 +131,8 @@ def sft_train_step(
 ) -> Tuple[SFTState, dict]:
     def batch_loss(params):
         def per_sample(sample):
-            return sft_train_forward(params, sample, cfg)
+            return sft_train_forward(params, sample, cfg,
+                                     remat=sched.remat)
 
         losses, metrics = jax.vmap(per_sample)(batch)
         return losses.mean(), jax.tree.map(jnp.mean, metrics)
@@ -157,7 +165,8 @@ def sft_train_step_accum(
 
     def micro_loss(params, mb):
         def per_sample(sample):
-            return sft_train_forward(params, sample, cfg)
+            return sft_train_forward(params, sample, cfg,
+                                     remat=sched.remat)
 
         losses, metrics = jax.vmap(per_sample)(mb)
         return losses.mean(), jax.tree.map(jnp.mean, metrics)

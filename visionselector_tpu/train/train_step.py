@@ -42,6 +42,11 @@ class ScheduleConfig(NamedTuple):
     reg_weight_end: float = 2.0
     weight_decay: float = 0.0
     warmup_ratio: float = 0.03
+    # reference TrainingArguments defaults: clip grads at global-norm 1.0
+    max_grad_norm: float = 1.0
+    # gradient checkpointing (jax.checkpoint on the scanned LM layer):
+    # exact, trades one extra forward for O(1)-layer activation memory
+    remat: bool = False
 
 
 def make_optimizer(sched: ScheduleConfig) -> optax.GradientTransformation:
@@ -52,7 +57,11 @@ def make_optimizer(sched: ScheduleConfig) -> optax.GradientTransformation:
         warmup_steps=warmup,
         decay_steps=max(sched.total_steps, warmup + 1),
     )
-    return optax.adamw(lr, weight_decay=sched.weight_decay)
+    opt = optax.adamw(lr, weight_decay=sched.weight_decay)
+    if sched.max_grad_norm > 0:
+        opt = optax.chain(
+            optax.clip_by_global_norm(sched.max_grad_norm), opt)
+    return opt
 
 
 def init_train_state(params: dict, sched: ScheduleConfig) -> TrainState:
@@ -71,6 +80,7 @@ def batch_loss(
     cfg: VLConfig,
     reg_weight: jax.Array,
     k_max: int,
+    remat: bool = False,
 ) -> Tuple[jax.Array, dict]:
     """Mean loss over the (globally sharded) batch. Batch arrays have a
     leading batch dim; vmapped per-sample."""
@@ -84,11 +94,12 @@ def batch_loss(
 
         def per_sample(sample):
             return ov_selector_train_forward(
-                params, sample, cfg, reg_weight, k_max
+                params, sample, cfg, reg_weight, k_max, remat=remat
             )
     else:
         def per_sample(sample):
-            return selector_train_forward(params, sample, cfg, reg_weight, k_max)
+            return selector_train_forward(params, sample, cfg, reg_weight,
+                                          k_max, remat=remat)
 
     losses, metrics = jax.vmap(per_sample)(batch)
     return losses.mean(), jax.tree.map(jnp.mean, metrics)
@@ -110,7 +121,8 @@ def train_step(
         sched.reg_weight_end,
     )
     (loss, metrics), grads = jax.value_and_grad(batch_loss, has_aux=True)(
-        state.scorer_params, frozen_params, batch, cfg, reg_weight, k_max
+        state.scorer_params, frozen_params, batch, cfg, reg_weight, k_max,
+        sched.remat,
     )
     opt = make_optimizer(sched)
     updates, opt_state = opt.update(
@@ -154,7 +166,8 @@ def train_step_accum(
 
     def micro(gsum, mb):
         (loss, metrics), g = jax.value_and_grad(batch_loss, has_aux=True)(
-            state.scorer_params, frozen_params, mb, cfg, reg_weight, k_max
+            state.scorer_params, frozen_params, mb, cfg, reg_weight, k_max,
+            sched.remat,
         )
         gsum = jax.tree.map(lambda a, b: a + b.astype(jnp.float32),
                             gsum, g)
