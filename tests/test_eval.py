@@ -494,6 +494,18 @@ class TestMultiRound:
         out = adapter.generate_until_multi_round([req])
         assert len(out) == 1 and isinstance(out[0], str) and out[0]
 
+        # max_pixels caps the per-image token count (reference model_args):
+        # a tight budget shrinks the prepared grid vs the default
+        small = EngineAdapter(eng, Tok(), max_pixels=28 * 28)
+        r1 = Request(doc_id=0, question="q?", answers=["x"],
+                     image_path=os.path.join(data_dir, "img.png"),
+                     task=TASKS["chartqa"])
+        kw_default, grid_default = adapter._prepare_request(r1)
+        kw_small, grid_small = small._prepare_request(r1)
+        assert int(grid_small.prod()) < int(grid_default.prod())
+        assert kw_small["pixel_values"].shape[0] < \
+            kw_default["pixel_values"].shape[0]
+
 
 class TestLoglikelihood:
     """lmms model-ABC ``loglikelihood`` contract

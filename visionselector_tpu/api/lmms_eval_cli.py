@@ -94,6 +94,9 @@ def main(argv=None) -> int:
     ]
     if model_path:
         argv2 += ["--model-path", model_path]
+    for k in ("min_pixels", "max_pixels"):
+        if k in ma:
+            argv2 += [f"--{k.replace('_', '-')}", str(ma[k])]
     if args.limit is not None:
         # lmms-eval semantics: limit < 1 = fraction of docs, >= 1 = count
         argv2 += ["--limit", str(args.limit)]

@@ -36,6 +36,11 @@ def build_parser():
     p.add_argument("--rank", type=int, default=0)
     p.add_argument("--world-size", type=int, default=1)
     p.add_argument("--max-new-tokens", type=int, default=None)
+    p.add_argument("--min-pixels", type=int, default=None,
+                   help="per-image pixel floor (smart_resize lower bound)")
+    p.add_argument("--max-pixels", type=int, default=None,
+                   help="per-image pixel budget (reference model_args "
+                        "max_pixels)")
     p.add_argument("--merge", action="store_true",
                    help="merge per-rank sample logs in --output-dir (run "
                         "after all ranks finish) — each doc scored once")
@@ -173,6 +178,7 @@ def main(argv=None) -> int:
         adapter = EngineAdapter(
             engine, tokenizer, visualize_dir=args.visualize_dir,
             model_tag=f"{args.family}:{args.model_path or 'smoke'}",
+            min_pixels=args.min_pixels, max_pixels=args.max_pixels,
         )
         results = evaluate(
             adapter, tasks, args.data_dir, limit=args.limit,

@@ -53,9 +53,21 @@ class EngineAdapter:
 
     def __init__(self, engine, tokenizer, eval_time: bool = False,
                  visualize_dir: Optional[str] = None,
-                 model_tag: str = ""):
+                 model_tag: str = "", min_pixels: Optional[int] = None,
+                 max_pixels: Optional[int] = None):
+        from visionselector_tpu.preprocess.image import (
+            PROCESSOR_MAX_PIXELS,
+            PROCESSOR_MIN_PIXELS,
+        )
+
         self.engine = engine
         self.tokenizer = tokenizer
+        # per-image pixel budget (reference model_args min_pixels/
+        # max_pixels, qwen2_5_vl_with_token_compression.py:70-78)
+        self.min_pixels = (PROCESSOR_MIN_PIXELS if min_pixels is None
+                           else int(min_pixels))
+        self.max_pixels = (PROCESSOR_MAX_PIXELS if max_pixels is None
+                           else int(max_pixels))
         # identifies the model for response-cache keys (family + checkpoint);
         # without it two different checkpoints would share cache entries
         self.model_tag = model_tag or type(engine).__name__
@@ -96,11 +108,7 @@ class EngineAdapter:
         try:
             from PIL import Image
 
-            from visionselector_tpu.preprocess.image import (
-                PROCESSOR_MAX_PIXELS,
-                PROCESSOR_MIN_PIXELS,
-                smart_resize,
-            )
+            from visionselector_tpu.preprocess.image import smart_resize
             from visionselector_tpu.preprocess.indices import pick_bucket
 
             vis = self.engine.cfg.vision
@@ -110,8 +118,8 @@ class EngineAdapter:
                 with Image.open(path) as im:
                     w, h = im.size
                 hb, wb = smart_resize(h, w, factor=factor,
-                                      min_pixels=PROCESSOR_MIN_PIXELS,
-                                      max_pixels=PROCESSOR_MAX_PIXELS)
+                                      min_pixels=self.min_pixels,
+                                      max_pixels=self.max_pixels)
                 grids.append((1, hb // vis.patch_size, wb // vis.patch_size))
             import numpy as _np
 
@@ -182,6 +190,8 @@ class EngineAdapter:
             image = Image.open(path)
             px, g = preprocess_image(
                 image,
+                min_pixels=self.min_pixels,
+                max_pixels=self.max_pixels,
                 patch_size=cfg.vision.patch_size,
                 temporal_patch_size=cfg.vision.temporal_patch_size,
                 merge_size=cfg.vision.spatial_merge_size,
