@@ -379,6 +379,70 @@ def kv_cache_reduction(cfg, budget, s_bucket, text_len=64) -> float:
     return 1.0 - sel_len / full_len
 
 
+def memory_story(cfg, params, budget, text_len) -> dict:
+    """The full memory axis, reconciled against the reference's 86.08%
+    peak-memory claim (README.md:47, measured via
+    ``torch.cuda.max_memory_allocated`` around generate,
+    ``qwen2_5_vl_with_token_compression.py:374-394``).
+
+    Reported quantities:
+    - ``asymptote``: 1 - budget — the exact supremum of any reduction metric
+      that scales linearly with prefill length (KV, flash activations). With
+      budget 0.2, >=80% is the unreachable limit; the reference's 86.08%
+      therefore measures a SUPERLINEAR uncompressed transient (an eager
+      attention T x T map is the only such buffer in its stack) on top of
+      persistent weights.
+    - ``video_scale``: the same analytic model at the 16384-patch video
+      bucket (32-frame clip), where vision tokens dominate and every linear
+      metric approaches its asymptote.
+    - ``eager_equiv``: what the reference's definition yields from OUR
+      analytic model if the uncompressed arm additionally materialized one
+      layer's eager attention logits (heads x T x T fp32) — the
+      configuration its claim implies. This framework's Pallas flash path
+      never allocates that buffer, so its uncompressed arm already runs at
+      the memory level the reference only reaches WITH compression.
+    """
+    txt = cfg.text
+
+    def arm(t_len, eager):
+        m = hbm_model(cfg, params, s_bucket_v, t_len)
+        if eager:
+            m = dict(m)
+            eager_map = txt.num_attention_heads * t_len * t_len * 4
+            m["act"] = max(m["act"], eager_map)
+            m["peak"] = m["weights"] + m["kv"] + m["act"]
+            m["incremental"] = m["kv"] + m["act"]
+        return m
+
+    # Video-scale bucket: 16384 patches -> 4096 merged vision tokens.
+    s_bucket_v = 16384
+    l_pad = s_bucket_v // cfg.vision.spatial_merge_unit
+    t_sel = max(1, int(l_pad * budget)) + text_len
+    t_full = l_pad + text_len
+    sel, full = arm(t_sel, eager=False), arm(t_full, eager=False)
+    full_eager = arm(t_full, eager=True)
+    return {
+        "asymptote": 1.0 - budget,
+        "video_scale": {
+            "s_bucket": s_bucket_v,
+            "kv_reduction": round(1 - sel["kv"] / full["kv"], 4),
+            "incremental_reduction": round(
+                1 - sel["incremental"] / full["incremental"], 4),
+            "with_weights_reduction": round(
+                1 - sel["peak"] / full["peak"], 4),
+        },
+        "eager_equiv": {
+            "uncompressed_transient_mb": round(
+                full_eager["incremental"] / 2**20, 1),
+            "selector_transient_mb": round(sel["incremental"] / 2**20, 1),
+            "incremental_reduction": round(
+                1 - sel["incremental"] / full_eager["incremental"], 4),
+            "with_weights_reduction": round(
+                1 - sel["peak"] / full_eager["peak"], 4),
+        },
+    }
+
+
 def time_decode_tok_s(params, cfg, batch, t_ctx=384, steps=48):
     """Decode throughput (tokens/s) at the given micro-batch size via the
     batched on-device decode loop. Differential over step counts cancels the
@@ -529,6 +593,7 @@ def main():
             1 - mem_sel["peak"] / mem_full["peak"], 4),
         "hbm_reduction_incremental": round(
             1 - mem_sel["incremental"] / mem_full["incremental"], 4),
+        "memory_story": memory_story(cfg, params, budget, n_text),
     }
 
     detail = {
@@ -597,6 +662,7 @@ def main():
                 hbm_reduction_incremental=round(
                     1 - mem_sel7["incremental"] / mem_full7["incremental"],
                     4),
+                memory_story=memory_story(cfg7, params7, budget, n_text),
             )
             # Task-shaped second line: the same ratio at a realistic
             # 256-token text prompt (the synthetic default is ~40 tokens;
