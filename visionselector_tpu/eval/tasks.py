@@ -81,6 +81,13 @@ TASKS: Dict[str, TaskConfig] = {
                          filter="mc_letter"),
     "realworldqa": TaskConfig("realworldqa", "multiple_choice", _MC, 8,
                               filter="mc_letter"),
+    # Standard short-answer VQA suites (lmms-eval tasks/<name>/ equivalents
+    # with the matching headline metric).
+    "infovqa_val": TaskConfig("infovqa_val", "anls", _SHORT, 32),
+    "vqav2_val": TaskConfig("vqav2_val", "vqa_accuracy", _SHORT, 32),
+    "gqa": TaskConfig("gqa", "exact_match", _SHORT, 32),
+    "vizwiz_vqa_val": TaskConfig("vizwiz_vqa_val", "vqa_accuracy", _SHORT,
+                                 32),
     # Loglikelihood-scored MC variant (lmms ABC ``loglikelihood``,
     # ``api/model.py:30-57``): each doc's choices are scored by continuation
     # log-prob and the argmax letter is the prediction. Shares the
