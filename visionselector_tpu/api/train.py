@@ -64,10 +64,21 @@ def build_parser():
                    help="model family (OV selector SFT parity: "
                         "llava-ov-15/src/train/train_sft_visionselector.py)")
     p.add_argument("--method", default="selector",
-                   choices=("selector", "dynamic", "sft"),
+                   choices=("selector", "dynamic", "sft", "dpo"),
                    help="dynamic = Gumbel-ST VisionPredictor training "
                         "(train_qwen_dynamic.py parity); sft = baseline "
-                        "full-model CE training (train_qwen.py parity)")
+                        "full-model CE training (train_qwen.py parity); "
+                        "dpo = preference optimization against a frozen "
+                        "reference policy (train_dpo.py/dpo_trainer.py "
+                        "parity; annotation records carry "
+                        "prompt/chosen/rejected)")
+    # DPO knobs (reference src/trainer/dpo_trainer.py / trl surface)
+    p.add_argument("--beta", type=float, default=0.1)
+    p.add_argument("--dpo-loss-type", default="sigmoid",
+                   choices=("sigmoid", "ipo"))
+    p.add_argument("--rpo-alpha", type=float, default=0.0,
+                   help="> 0 adds alpha * CE(chosen) (RPO NLL term)")
+    p.add_argument("--label-smoothing", type=float, default=0.0)
     p.add_argument("--tau-start", type=float, default=1.0)
     p.add_argument("--tau-end", type=float, default=0.1)
     p.add_argument("--mask-loss-weight", type=float, default=100.0)
@@ -269,6 +280,47 @@ def main(argv=None) -> int:
                     t_bucket=args.text_bucket, min_pixels=1, max_pixels=10**9,
                 )
 
+    def dpo_pair_stream():
+        rng = np.random.RandomState(args.seed)
+        if args.annotation:
+            from transformers import AutoTokenizer
+
+            from visionselector_tpu.train.dpo import build_dpo_pair_from_record
+
+            tokenizer = AutoTokenizer.from_pretrained(
+                args.model_path, local_files_only=True
+            )
+            with open(args.annotation) as f:
+                head = f.read(1)
+                f.seek(0)
+                if head == "[":  # json list (reference dpo_dataset surface)
+                    records = json.load(f)
+                else:  # jsonl
+                    records = [json.loads(ln) for ln in f if ln.strip()]
+            i = 0
+            while True:
+                rec = records[i % len(records)]
+                i += 1
+                yield build_dpo_pair_from_record(
+                    cfg, rec, tokenizer, args.budget,
+                    args.vision_bucket, args.text_bucket,
+                    image_root=args.image_root,
+                )
+        else:  # synthetic smoke pairs: same prompt, two completions
+            from visionselector_tpu.train.data import build_train_sample
+
+            kw = dict(budget=args.budget, s_bucket=args.vision_bucket,
+                      t_bucket=args.text_bucket, min_pixels=1,
+                      max_pixels=10**9)
+            while True:
+                img = (rng.rand(56, 56, 3) * 255).astype(np.uint8)
+                yield (
+                    build_train_sample(cfg, img, [101, 102], [103],
+                                       [201, 202, 203], **kw),
+                    build_train_sample(cfg, img, [101, 102], [103],
+                                       [301, 302], **kw),
+                )
+
     import math
 
     devices = jax.devices()
@@ -277,7 +329,34 @@ def main(argv=None) -> int:
     frozen = shard_params(params, mesh)
     is_dynamic = args.method == "dynamic"
     is_sft = args.method == "sft"
-    if is_sft:
+    is_dpo = args.method == "dpo"
+    if is_dpo:
+        assert not is_ov, (
+            "DPO entry runs on the Qwen-family forward (the reference "
+            "trainer's loss semantics, src/trainer/dpo_trainer.py, are "
+            "family-agnostic)")
+        assert args.grad_accum_steps <= 1, "DPO: grad accumulation TODO"
+        from visionselector_tpu.train.dpo import (
+            DPOScheduleConfig,
+            dpo_train_step,
+            init_dpo_state,
+        )
+
+        sched = DPOScheduleConfig(
+            total_steps=args.total_steps, lr=args.lr,
+            weight_decay=args.weight_decay,
+            warmup_ratio=args.warmup_ratio,
+            max_grad_norm=args.max_grad_norm,
+            remat=args.gradient_checkpointing,
+            beta=args.beta, loss_type=args.dpo_loss_type,
+            rpo_alpha=args.rpo_alpha,
+            label_smoothing=args.label_smoothing,
+            tune_mm_vision=args.tune_mm_vision,
+            tune_mm_mlp=args.tune_mm_mlp,
+            tune_mm_llm=args.tune_mm_llm,
+        )
+        state = init_dpo_state(params, sched)
+    elif is_sft:
         assert not is_ov, "baseline SFT entry is Qwen-family (train_qwen.py)"
         from visionselector_tpu.train.sft import (
             SFTScheduleConfig,
@@ -363,12 +442,37 @@ def main(argv=None) -> int:
         from visionselector_tpu.core.mesh import accum_batch_sharding
 
         spec = accum_batch_sharding(mesh)
-    stream = sample_stream()
+    stream = dpo_pair_stream() if is_dpo else sample_stream()
     os.makedirs(args.output_dir, exist_ok=True)
     log_path = os.path.join(args.output_dir, "train_log.jsonl")
 
     t0 = time.time()
     while int(state.step) < args.total_steps:
+        if is_dpo:
+            pairs = [next(stream) for _ in range(args.batch_size)]
+            chosen = jax.tree.map(jnp.asarray,
+                                  stack_samples([c for c, _ in pairs]))
+            rejected = jax.tree.map(jnp.asarray,
+                                    stack_samples([r for _, r in pairs]))
+            chosen = jax.tree.map(lambda x: jax.device_put(x, spec(x)),
+                                  chosen)
+            rejected = jax.tree.map(lambda x: jax.device_put(x, spec(x)),
+                                    rejected)
+            # frozen == the pretrained starting weights even after resume:
+            # exactly the reference-policy contract (dpo_trainer.py).
+            state, metrics = dpo_train_step(state, frozen, chosen, rejected,
+                                            cfg, sched)
+            step = int(state.step)
+            if step % args.log_steps == 0 or step == args.total_steps:
+                m = {k: float(v) for k, v in metrics.items()}
+                m.update(step=step, wall_s=round(time.time() - t0, 1))
+                print(json.dumps(m))
+                with open(log_path, "a") as f:
+                    f.write(json.dumps(m) + "\n")
+            if step % args.save_steps == 0 or step == args.total_steps:
+                path = save_train_state(state, args.output_dir)
+                print(f"[train] saved {path}")
+            continue
         if accum == 1:
             samples = [next(stream) for _ in range(args.batch_size)]
             batch = jax.tree.map(jnp.asarray, stack_samples(samples))
@@ -421,7 +525,10 @@ def main(argv=None) -> int:
             path = save_train_state(state, args.output_dir)
             print(f"[train] saved {path}")
 
-    if is_sft:
+    if is_dpo:
+        # full-model weights live in the orbax checkpoint-<step> dirs
+        print(f"[train] DPO checkpoints in {args.output_dir}")
+    elif is_sft:
         if args.lora_rank > 0:
             # merge adapters into dense weights (merge_lora_weights.py flow)
             import orbax.checkpoint as ocp

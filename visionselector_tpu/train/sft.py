@@ -95,11 +95,13 @@ def init_sft_state(params: dict, sched: SFTScheduleConfig) -> SFTState:
                     step=jnp.zeros((), jnp.int32))
 
 
-def sft_train_forward(
+def sft_forward_logits(
     params: dict, sample: TrainBatchSample, cfg: VLConfig,
     remat: bool = False,
-) -> Tuple[jax.Array, dict]:
-    """Plain CE forward: full ViT -> scatter -> decoder -> CE (no selector)."""
+) -> jax.Array:
+    """Uncompressed forward to logits [T_pad, V]: full ViT -> scatter ->
+    decoder -> lm_head. Shared by the SFT CE loss and the DPO sequence
+    log-prob scorer (``train/dpo.py``)."""
     vision_embeds = vit_mod.vit_forward(
         params["visual"], sample.pixel_values, sample.rot_pos_ids,
         sample.window_seg_ids, sample.full_seg_ids, sample.reverse_index,
@@ -116,7 +118,15 @@ def sft_train_forward(
         params["lm"], full[:t_pad][None], sample.position_ids[:, None, :],
         sample.seg_ids[None], cfg.text, remat=remat,
     )
-    logits = lm_mod.lm_head(params["lm"], hidden[0], cfg.text)
+    return lm_mod.lm_head(params["lm"], hidden[0], cfg.text)
+
+
+def sft_train_forward(
+    params: dict, sample: TrainBatchSample, cfg: VLConfig,
+    remat: bool = False,
+) -> Tuple[jax.Array, dict]:
+    """Plain CE forward: full ViT -> scatter -> decoder -> CE (no selector)."""
+    logits = sft_forward_logits(params, sample, cfg, remat=remat)
     ce = cross_entropy(logits[:-1], sample.labels[1:])
     return ce, {"ce": ce}
 
