@@ -1,0 +1,184 @@
+"""GRPO training (train/grpo.py) — reference parity:
+``llava-ov-15/src/trainer/grpo_trainer.py`` loss/advantage semantics and
+``src/train/reward_funcs.py`` reward functions on our TPU stack.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from visionselector_tpu.core.config import qwen25vl_tiny
+from visionselector_tpu.models.qwen25vl.model import QwenVLEngine, init_params
+from visionselector_tpu.preprocess.image import preprocess_image
+from visionselector_tpu.preprocess.rope import expand_vision_tokens
+from visionselector_tpu.train.data import build_train_sample, stack_samples
+from visionselector_tpu.train.grpo import (
+    GRPOScheduleConfig,
+    accuracy_reward,
+    build_grpo_batch,
+    format_reward,
+    group_advantages,
+    grpo_train_step,
+    init_grpo_state,
+    per_token_logps,
+    rollout_group,
+)
+from visionselector_tpu.train.loss import IGNORE_INDEX
+
+CFG = qwen25vl_tiny()
+
+
+def _img(seed=0):
+    rng = np.random.RandomState(seed)
+    return (rng.rand(56, 56, 3) * 255).astype(np.uint8)
+
+
+def _group_batch(completions, seed=0):
+    return jax.tree.map(jnp.asarray, build_grpo_batch(
+        CFG, _img(seed), [101, 102], [103], completions,
+        budget=0.25, s_bucket=64, t_bucket=64,
+        min_pixels=1, max_pixels=10**9))
+
+
+class TestGroupAdvantages:
+    def test_hand_math(self):
+        # group [1, 0]: mean 0.5, unbiased std ~0.7071
+        adv = group_advantages(np.array([1.0, 0.0]), 2, scale_rewards=True)
+        np.testing.assert_allclose(
+            adv, [0.5 / (np.sqrt(0.5) + 1e-4),
+                  -0.5 / (np.sqrt(0.5) + 1e-4)], rtol=1e-6)
+
+    def test_unscaled_and_groups(self):
+        adv = group_advantages(np.array([3.0, 1.0, 10.0, 10.0]), 2,
+                               scale_rewards=False)
+        np.testing.assert_allclose(adv, [1.0, -1.0, 0.0, 0.0], atol=1e-7)
+
+    def test_constant_group_stays_finite(self):
+        adv = group_advantages(np.array([2.0, 2.0, 2.0]), 3)
+        np.testing.assert_allclose(adv, [0.0, 0.0, 0.0], atol=1e-7)
+
+
+class TestRewards:
+    def test_accuracy_exact_and_tags(self):
+        r = accuracy_reward(
+            ["<answer> 42 </answer>", "nope", "42.0"],
+            ["42", "<answer>yes</answer>", "42"])
+        assert r == [1.0, 0.0, 1.0]  # tag extraction, mismatch, numeric
+
+    def test_format(self):
+        good = "<think>hm</think> <answer>x</answer>"
+        assert format_reward([good, "<answer>x</answer>", "x " + good]) == \
+            [1.0, 0.0, 0.0]  # anchored at start (re.match semantics)
+
+
+class TestPerTokenLogps:
+    def test_matches_sequence_sum(self):
+        from visionselector_tpu.train.dpo import sequence_logps
+
+        params = init_params(jax.random.PRNGKey(0), CFG)
+        batch = _group_batch([[201, 202, 203]])
+        sample = jax.tree.map(lambda x: x[0], batch)
+        pt, mask = per_token_logps(params, sample, CFG)
+        lp, n, _ = sequence_logps(params, sample, CFG)
+        assert int(mask.sum()) == int(n)
+        np.testing.assert_allclose(float(pt.sum()), float(lp), rtol=1e-6)
+        # zero outside the completion
+        labels = np.asarray(sample.labels)[1:]
+        assert float(np.abs(np.asarray(pt)[labels == IGNORE_INDEX]).sum()) \
+            == 0.0
+
+
+class TestGRPOStep:
+    def test_first_step_invariants_and_learning(self):
+        """Step 1 (policy == ref): loss == -mean(A) == 0 for centered
+        advantages, kl == 0, clip_ratio == 0. Training then pushes the
+        advantaged completion's logp above the disadvantaged one's."""
+        params = init_params(jax.random.PRNGKey(0), CFG)
+        sched = GRPOScheduleConfig(total_steps=8, lr=5e-4, beta=0.04,
+                                   num_generations=2)
+        state = init_grpo_state(params, sched)
+        batch = _group_batch([[201, 202, 203], [301, 302]])
+        adv = jnp.asarray(group_advantages(np.array([1.0, 0.0]), 2))
+
+        def gap(p):
+            pt, _ = jax.vmap(
+                lambda s: per_token_logps(p, s, CFG))(batch)
+            sums = np.asarray(pt.sum(-1))
+            return sums[0] - sums[1]
+
+        g0 = gap(state.params)
+        state, m = grpo_train_step(state, params, batch, adv, CFG, sched)
+        np.testing.assert_allclose(float(m["loss"]), 0.0, atol=1e-5)
+        np.testing.assert_allclose(float(m["kl"]), 0.0, atol=1e-6)
+        assert float(m["clip_ratio"]) == 0.0
+        for _ in range(3):
+            state, m = grpo_train_step(state, params, batch, adv, CFG, sched)
+            assert np.isfinite(float(m["loss"]))
+        assert gap(state.params) > g0 + 0.05
+
+    def test_loss_types_reduce_differently(self):
+        params = init_params(jax.random.PRNGKey(0), CFG)
+        batch = _group_batch([[201, 202, 203], [301, 302]])
+        adv = jnp.asarray([0.7, -0.7], jnp.float32)
+        outs = {}
+        for lt in ("grpo", "bnpo", "dr_grpo"):
+            sched = GRPOScheduleConfig(total_steps=4, lr=1e-3, beta=0.04,
+                                       loss_type=lt, num_generations=2)
+            state = init_grpo_state(params, sched)
+            state, _ = grpo_train_step(state, params, batch, adv, CFG, sched)
+            state, m = grpo_train_step(state, params, batch, adv, CFG, sched)
+            outs[lt] = float(m["loss"])
+            assert np.isfinite(outs[lt])
+        # after one real update the three reductions disagree
+        assert len({round(v, 8) for v in outs.values()}) == 3
+
+    def test_beta_zero_skips_kl(self):
+        params = init_params(jax.random.PRNGKey(0), CFG)
+        sched = GRPOScheduleConfig(total_steps=4, lr=0.0, beta=0.0)
+        state = init_grpo_state(params, sched)
+        batch = _group_batch([[201], [301]])
+        _, m = grpo_train_step(state, params, batch,
+                               jnp.asarray([1.0, -1.0]), CFG, sched)
+        assert "kl" not in m
+
+
+class TestGRPOCLI:
+    def test_grpo_cli_smoke(self, tmp_path, capsys):
+        import json
+        import os
+
+        from visionselector_tpu.api.train import main
+
+        out = str(tmp_path / "grpo")
+        rc = main([
+            "--output-dir", out, "--smoke", "--method", "grpo",
+            "--total-steps", "2", "--batch-size", "2",
+            "--num-generations", "2", "--max-completion-length", "4",
+            "--save-steps", "2", "--log-steps", "1", "--lr", "1e-4",
+        ])
+        assert rc == 0
+        lines = [l for l in capsys.readouterr().out.splitlines()
+                 if l.startswith("{")]
+        last = json.loads(lines[-1])
+        assert np.isfinite(last["loss"])
+        assert {"kl", "clip_ratio", "mean_reward"} <= set(last)
+        assert os.path.exists(os.path.join(out, "checkpoint-2"))
+
+
+class TestRollout:
+    def test_engine_rollout_and_batch(self):
+        params = init_params(jax.random.PRNGKey(0), CFG)
+        pixels, grid = preprocess_image(_img(), min_pixels=1,
+                                        max_pixels=10**9)
+        ids = expand_vision_tokens([101, 102], [103], grid)
+        eng = QwenVLEngine(CFG, params, use_selector=False)
+        sched = GRPOScheduleConfig(num_generations=3, temperature=1.0,
+                                   max_completion_length=6)
+        comps = rollout_group(eng, ids, pixels, grid, sched, seed=7)
+        assert len(comps) == 3
+        assert all(1 <= len(c) <= 6 for c in comps)
+        # temperature sampling with distinct seeds: not all identical
+        assert len({tuple(c.tolist()) for c in comps}) > 1
+        batch = _group_batch([c.tolist() for c in comps])
+        assert batch.input_ids.shape[0] == 3

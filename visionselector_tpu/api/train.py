@@ -64,14 +64,17 @@ def build_parser():
                    help="model family (OV selector SFT parity: "
                         "llava-ov-15/src/train/train_sft_visionselector.py)")
     p.add_argument("--method", default="selector",
-                   choices=("selector", "dynamic", "sft", "dpo"),
+                   choices=("selector", "dynamic", "sft", "dpo", "grpo"),
                    help="dynamic = Gumbel-ST VisionPredictor training "
                         "(train_qwen_dynamic.py parity); sft = baseline "
                         "full-model CE training (train_qwen.py parity); "
                         "dpo = preference optimization against a frozen "
                         "reference policy (train_dpo.py/dpo_trainer.py "
                         "parity; annotation records carry "
-                        "prompt/chosen/rejected)")
+                        "prompt/chosen/rejected); grpo = sampled-rollout "
+                        "RL with group-relative advantages "
+                        "(train_grpo.py/grpo_trainer.py parity; records "
+                        "carry prompt/solution)")
     # DPO knobs (reference src/trainer/dpo_trainer.py / trl surface)
     p.add_argument("--beta", type=float, default=0.1)
     p.add_argument("--dpo-loss-type", default="sigmoid",
@@ -79,6 +82,17 @@ def build_parser():
     p.add_argument("--rpo-alpha", type=float, default=0.0,
                    help="> 0 adds alpha * CE(chosen) (RPO NLL term)")
     p.add_argument("--label-smoothing", type=float, default=0.0)
+    # GRPO knobs (reference src/trainer/grpo_trainer.py / trl surface)
+    p.add_argument("--grpo-beta", type=float, default=0.04,
+                   help="KL-to-reference weight (0 skips the ref forward)")
+    p.add_argument("--num-generations", type=int, default=4)
+    p.add_argument("--temperature", type=float, default=1.0)
+    p.add_argument("--max-completion-length", type=int, default=64)
+    p.add_argument("--grpo-loss-type", default="grpo",
+                   choices=("grpo", "bnpo", "dr_grpo"))
+    p.add_argument("--rewards", default="accuracy,format",
+                   help="comma list from train.grpo.REWARD_FUNCS "
+                        "(reference reward_funcs.py)")
     p.add_argument("--tau-start", type=float, default=1.0)
     p.add_argument("--tau-end", type=float, default=0.1)
     p.add_argument("--mask-loss-weight", type=float, default=100.0)
@@ -321,6 +335,54 @@ def main(argv=None) -> int:
                                        [301, 302], **kw),
                 )
 
+    def grpo_prompt_stream():
+        """Yields (image, pre_ids, post_ids, solution_text|None)."""
+        rng = np.random.RandomState(args.seed)
+        if args.annotation:
+            from transformers import AutoTokenizer
+
+            from visionselector_tpu.train.dataset import render_conversation
+
+            tokenizer = AutoTokenizer.from_pretrained(
+                args.model_path, local_files_only=True
+            )
+            with open(args.annotation) as f:
+                head = f.read(1)
+                f.seek(0)
+                records = (json.load(f) if head == "["
+                           else [json.loads(ln) for ln in f if ln.strip()])
+            from PIL import Image
+
+            i = 0
+            while True:
+                rec = records[i % len(records)]
+                i += 1
+                if "conversations" in rec:
+                    convo = list(rec["conversations"])
+                    if convo and convo[-1].get(
+                            "from", convo[-1].get("role")) in (
+                            "gpt", "assistant"):
+                        convo = convo[:-1]
+                else:
+                    prompt = rec["prompt"]
+                    if "<image>" not in prompt and rec.get("image"):
+                        prompt = "<image>" + prompt
+                    convo = [{"from": "human", "value": prompt}]
+                ids, _, slots = render_conversation(convo, tokenizer)
+                assert len(slots) == 1, "GRPO entry: single-image records"
+                img_path = rec["image"]
+                if isinstance(img_path, list):
+                    img_path = img_path[0]
+                with Image.open(os.path.join(args.image_root,
+                                             img_path)) as im:
+                    image = im.convert("RGB").copy()
+                yield (image, ids[:slots[0]], ids[slots[0]:],
+                       rec.get("solution", rec.get("answer", "")), tokenizer)
+        else:  # synthetic smoke prompts
+            while True:
+                img = (rng.rand(56, 56, 3) * 255).astype(np.uint8)
+                yield img, [101, 102], [103], None, None
+
     import math
 
     devices = jax.devices()
@@ -330,7 +392,35 @@ def main(argv=None) -> int:
     is_dynamic = args.method == "dynamic"
     is_sft = args.method == "sft"
     is_dpo = args.method == "dpo"
-    if is_dpo:
+    is_grpo = args.method == "grpo"
+    if is_grpo:
+        assert not is_ov, (
+            "GRPO entry runs on the Qwen-family forward (the reference "
+            "trainer's loss semantics, src/trainer/grpo_trainer.py, are "
+            "family-agnostic)")
+        assert args.grad_accum_steps <= 1, "GRPO: grad accumulation TODO"
+        from visionselector_tpu.train.grpo import (
+            GRPOScheduleConfig,
+            grpo_train_step,
+            init_grpo_state,
+        )
+
+        sched = GRPOScheduleConfig(
+            total_steps=args.total_steps, lr=args.lr,
+            weight_decay=args.weight_decay,
+            warmup_ratio=args.warmup_ratio,
+            max_grad_norm=args.max_grad_norm,
+            remat=args.gradient_checkpointing,
+            beta=args.grpo_beta, loss_type=args.grpo_loss_type,
+            num_generations=args.num_generations,
+            temperature=args.temperature,
+            max_completion_length=args.max_completion_length,
+            tune_mm_vision=args.tune_mm_vision,
+            tune_mm_mlp=args.tune_mm_mlp,
+            tune_mm_llm=args.tune_mm_llm,
+        )
+        state = init_grpo_state(params, sched)
+    elif is_dpo:
         assert not is_ov, (
             "DPO entry runs on the Qwen-family forward (the reference "
             "trainer's loss semantics, src/trainer/dpo_trainer.py, are "
@@ -442,12 +532,88 @@ def main(argv=None) -> int:
         from visionselector_tpu.core.mesh import accum_batch_sharding
 
         spec = accum_batch_sharding(mesh)
-    stream = dpo_pair_stream() if is_dpo else sample_stream()
+    if is_grpo:
+        stream = grpo_prompt_stream()
+    elif is_dpo:
+        stream = dpo_pair_stream()
+    else:
+        stream = sample_stream()
     os.makedirs(args.output_dir, exist_ok=True)
     log_path = os.path.join(args.output_dir, "train_log.jsonl")
 
     t0 = time.time()
     while int(state.step) < args.total_steps:
+        if is_grpo:
+            from visionselector_tpu.models.qwen25vl.model import QwenVLEngine
+            from visionselector_tpu.preprocess.image import preprocess_image
+            from visionselector_tpu.preprocess.rope import (
+                expand_vision_tokens,
+            )
+            from visionselector_tpu.train.data import build_train_sample
+            from visionselector_tpu.train.grpo import (
+                REWARD_FUNCS,
+                group_advantages,
+                rollout_group,
+            )
+
+            # rollouts under the CURRENT policy (grpo_trainer.py:843-900)
+            eng = QwenVLEngine(cfg, state.params, use_selector=False)
+            mm = dict(min_pixels=1, max_pixels=10**9) if (
+                args.smoke or not args.model_path) else {}
+            reward_fns = [REWARD_FUNCS[n]
+                          for n in args.rewards.split(",") if n]
+            samples, rewards = [], []
+            for bi in range(args.batch_size):
+                image, pre, post, solution, tok = next(stream)
+                pixels, grid = preprocess_image(
+                    image, patch_size=cfg.vision.patch_size,
+                    temporal_patch_size=cfg.vision.temporal_patch_size,
+                    merge_size=cfg.vision.spatial_merge_size, **mm)
+                ids = expand_vision_tokens(
+                    pre, post, grid,
+                    spatial_merge_size=cfg.vision.spatial_merge_size)
+                comps = rollout_group(
+                    eng, ids, pixels, grid, sched,
+                    seed=int(state.step) * args.batch_size + bi)
+                if tok is not None:
+                    texts = [tok.decode(c, skip_special_tokens=True)
+                             for c in comps]
+                    sols = [solution] * len(texts)
+                    per_fn = [fn(texts, solution=sols)
+                              for fn in reward_fns]
+                    rewards.extend(float(sum(col)) for col in zip(*per_fn))
+                else:
+                    # smoke reward: parity of the completion's token sum —
+                    # varies across group members, exercises the math
+                    rewards.extend(float(int(np.sum(c)) % 2 == 0)
+                                   for c in comps)
+                samples.extend(
+                    build_train_sample(
+                        cfg, image, pre, post, [int(t) for t in c],
+                        budget=args.budget, s_bucket=args.vision_bucket,
+                        t_bucket=args.text_bucket, **mm)
+                    for c in comps)
+            adv = group_advantages(
+                np.asarray(rewards), sched.num_generations,
+                sched.scale_rewards)
+            batch = jax.tree.map(jnp.asarray, stack_samples(samples))
+            batch = jax.tree.map(lambda x: jax.device_put(x, spec(x)),
+                                 batch)
+            adv_dev = jax.device_put(jnp.asarray(adv), spec(jnp.asarray(adv)))
+            state, metrics = grpo_train_step(state, frozen, batch, adv_dev,
+                                             cfg, sched)
+            step = int(state.step)
+            if step % args.log_steps == 0 or step == args.total_steps:
+                m = {k: float(v) for k, v in metrics.items()}
+                m.update(step=step, wall_s=round(time.time() - t0, 1),
+                         mean_reward=float(np.mean(rewards)))
+                print(json.dumps(m))
+                with open(log_path, "a") as f:
+                    f.write(json.dumps(m) + "\n")
+            if step % args.save_steps == 0 or step == args.total_steps:
+                path = save_train_state(state, args.output_dir)
+                print(f"[train] saved {path}")
+            continue
         if is_dpo:
             pairs = [next(stream) for _ in range(args.batch_size)]
             chosen = jax.tree.map(jnp.asarray,
@@ -525,9 +691,10 @@ def main(argv=None) -> int:
             path = save_train_state(state, args.output_dir)
             print(f"[train] saved {path}")
 
-    if is_dpo:
+    if is_dpo or is_grpo:
         # full-model weights live in the orbax checkpoint-<step> dirs
-        print(f"[train] DPO checkpoints in {args.output_dir}")
+        print(f"[train] {args.method.upper()} checkpoints in "
+              f"{args.output_dir}")
     elif is_sft:
         if args.lora_rank > 0:
             # merge adapters into dense weights (merge_lora_weights.py flow)
