@@ -148,6 +148,65 @@ class TestDPOStep:
             rtol=1e-5)
 
 
+class TestDPOAccum:
+    def test_accum_equals_concatenated(self):
+        """A=2 micro-pairs accumulated == one step on the concatenated
+        2-pair batch (same updated params)."""
+        from visionselector_tpu.train.dpo import dpo_train_step_accum
+
+        params = init_params(jax.random.PRNGKey(0), CFG)
+        sched = DPOScheduleConfig(total_steps=4, lr=1e-3, beta=0.1)
+        c0, r0 = _pair_batch(seed=0)
+        c1, r1 = _pair_batch(seed=1, answer_c=(211, 212), answer_r=(311,))
+        cat = lambda a, b: jax.tree.map(
+            lambda x, y: jnp.concatenate([x, y]), a, b)
+        s_cat = init_dpo_state(params, sched)
+        s_cat, m_cat = dpo_train_step(
+            s_cat, params, cat(c0, c1), cat(r0, r1), CFG, sched)
+        stk = lambda a, b: jax.tree.map(lambda x, y: jnp.stack([x, y]), a, b)
+        s_acc = init_dpo_state(params, sched)
+        s_acc, m_acc = dpo_train_step_accum(
+            s_acc, params, stk(c0, c1), stk(r0, r1), CFG, sched)
+        np.testing.assert_allclose(
+            float(m_cat["loss"]), float(m_acc["loss"]), rtol=1e-5)
+        for a, b in zip(jax.tree.leaves(s_cat.params),
+                        jax.tree.leaves(s_acc.params)):
+            np.testing.assert_allclose(np.asarray(a, np.float32),
+                                       np.asarray(b, np.float32),
+                                       atol=2e-5)
+
+
+class TestOVFamilyDPO:
+    def test_ov_dpo_step_learns_margin(self):
+        """OV-family DPO (the reference entry's own family,
+        ``llava-ov-15/src/train/train_dpo.py``): the sample-type dispatch
+        routes through the RICE/uncompressed OV forward and the margin
+        still learns."""
+        from visionselector_tpu.core.config import llava_ov_tiny
+        from visionselector_tpu.models.llava_ov15.model import init_ov_params
+        from visionselector_tpu.train.ov_loss import build_ov_train_sample
+
+        cfg = llava_ov_tiny()
+        params = init_ov_params(jax.random.PRNGKey(0), cfg)
+        kw = dict(budget=0.25, s_bucket=64, t_bucket=64,
+                  min_pixels=1, max_pixels=10**9)
+        chosen = jax.tree.map(jnp.asarray, stack_samples([
+            build_ov_train_sample(cfg, _img(), [101, 102], [103],
+                                  [201, 202, 203], **kw)]))
+        rejected = jax.tree.map(jnp.asarray, stack_samples([
+            build_ov_train_sample(cfg, _img(), [101, 102], [103],
+                                  [301, 302], **kw)]))
+        sched = DPOScheduleConfig(total_steps=8, lr=5e-4, beta=0.1)
+        state = init_dpo_state(params, sched)
+        margins = []
+        for _ in range(3):
+            state, metrics = dpo_train_step(
+                state, params, chosen, rejected, cfg, sched)
+            margins.append(float(metrics["reward_margin"]))
+        np.testing.assert_allclose(margins[0], 0.0, atol=1e-5)
+        assert margins[-1] > 0.02, margins
+
+
 class TestDPOCLI:
     def test_dpo_cli_smoke(self, tmp_path, capsys):
         import json
@@ -194,3 +253,21 @@ class TestDPORecordBuilder:
         sup_c = np.asarray(c.input_ids)[lc != IGNORE_INDEX]
         enc = StubTokenizer().encode("a good one")
         assert list(sup_c[: len(enc)]) == enc
+
+    def test_multi_image_record(self, tmp_path):
+        """Records with an image LIST splice every image's tokens
+        (data_qwen.py:233-242 multi-image parity)."""
+        for name, seed in (("a.png", 0), ("b.png", 1)):
+            Image.fromarray(_img(seed)).save(tmp_path / name)
+        record = {"image": ["a.png", "b.png"], "prompt": "compare",
+                  "chosen": "left", "rejected": "right"}
+        c, r = build_dpo_pair_from_record(
+            CFG, record, StubTokenizer(), budget=0.25, s_bucket=128,
+            t_bucket=256, image_root=str(tmp_path),
+            min_pixels=1, max_pixels=10**9)
+        # two images -> two vision_start markers in the expanded ids
+        n_starts = int((np.asarray(c.input_ids)
+                        == CFG.vision_start_token_id).sum())
+        assert n_starts == 2
+        np.testing.assert_array_equal(
+            np.asarray(c.input_ids)[:10], np.asarray(r.input_ids)[:10])

@@ -133,6 +133,36 @@ class TestGRPOStep:
         # after one real update the three reductions disagree
         assert len({round(v, 8) for v in outs.values()}) == 3
 
+    def test_accum_equals_concatenated(self):
+        """A=2 micro-batches accumulated == one 'grpo'-reduction step on
+        the concatenated batch (same updated params)."""
+        from visionselector_tpu.train.grpo import grpo_train_step_accum
+
+        params = init_params(jax.random.PRNGKey(0), CFG)
+        sched = GRPOScheduleConfig(total_steps=4, lr=1e-3, beta=0.04,
+                                   num_generations=2)
+        b0 = _group_batch([[201, 202, 203], [301, 302]], seed=0)
+        b1 = _group_batch([[205], [306, 307]], seed=1)
+        a0 = jnp.asarray([0.7, -0.7], jnp.float32)
+        a1 = jnp.asarray([-0.7, 0.7], jnp.float32)
+        s_cat = init_grpo_state(params, sched)
+        s_cat, m_cat = grpo_train_step(
+            s_cat, params,
+            jax.tree.map(lambda x, y: jnp.concatenate([x, y]), b0, b1),
+            jnp.concatenate([a0, a1]), CFG, sched)
+        s_acc = init_grpo_state(params, sched)
+        s_acc, m_acc = grpo_train_step_accum(
+            s_acc, params,
+            jax.tree.map(lambda x, y: jnp.stack([x, y]), b0, b1),
+            jnp.stack([a0, a1]), CFG, sched)
+        np.testing.assert_allclose(
+            float(m_cat["loss"]), float(m_acc["loss"]), rtol=1e-5)
+        for a, b in zip(jax.tree.leaves(s_cat.params),
+                        jax.tree.leaves(s_acc.params)):
+            np.testing.assert_allclose(np.asarray(a, np.float32),
+                                       np.asarray(b, np.float32),
+                                       atol=2e-5)
+
     def test_beta_zero_skips_kl(self):
         params = init_params(jax.random.PRNGKey(0), CFG)
         sched = GRPOScheduleConfig(total_steps=4, lr=0.0, beta=0.0)
@@ -164,6 +194,28 @@ class TestGRPOCLI:
         assert np.isfinite(last["loss"])
         assert {"kl", "clip_ratio", "mean_reward"} <= set(last)
         assert os.path.exists(os.path.join(out, "checkpoint-2"))
+
+    def test_grpo_cli_ov_family(self, tmp_path, capsys):
+        """OV-family GRPO end to end (reference entry's own family):
+        OVEngine rollouts -> OV sample builder -> dispatched step."""
+        import json
+        import os
+
+        from visionselector_tpu.api.train import main
+
+        out = str(tmp_path / "grpo_ov")
+        rc = main([
+            "--output-dir", out, "--smoke", "--method", "grpo",
+            "--family", "llava_ov15", "--total-steps", "1",
+            "--batch-size", "2", "--num-generations", "2",
+            "--max-completion-length", "4", "--save-steps", "1",
+            "--log-steps", "1", "--lr", "1e-4",
+        ])
+        assert rc == 0
+        lines = [l for l in capsys.readouterr().out.splitlines()
+                 if l.startswith("{")]
+        assert np.isfinite(json.loads(lines[-1])["loss"])
+        assert os.path.exists(os.path.join(out, "checkpoint-1"))
 
 
 class TestRollout:

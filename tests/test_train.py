@@ -308,6 +308,29 @@ class TestBaselineSFT:
         assert np.isfinite(json.loads(lines[-1])["loss"])
         assert os.path.exists(os.path.join(out, "checkpoint-2"))
 
+    def test_ov_sft_cli_smoke(self, tmp_path, capsys):
+        """OV-family baseline SFT (reference
+        ``llava-ov-15/src/train/train_sft.py`` generic finetune) through
+        the sample-type dispatch in ``train/sft.py:forward_logits``."""
+        import json
+        import os
+
+        import numpy as np
+
+        from visionselector_tpu.api.train import main
+
+        out = str(tmp_path / "ovsft")
+        rc = main([
+            "--output-dir", out, "--smoke", "--method", "sft",
+            "--family", "llava_ov15", "--total-steps", "2",
+            "--batch-size", "2", "--save-steps", "2", "--log-steps", "1",
+        ])
+        assert rc == 0
+        lines = [l for l in capsys.readouterr().out.splitlines()
+                 if l.startswith("{")]
+        assert np.isfinite(json.loads(lines[-1])["loss"])
+        assert os.path.exists(os.path.join(out, "checkpoint-2"))
+
     def test_accum_cli_smoke(self, tmp_path, capsys):
         import json
 

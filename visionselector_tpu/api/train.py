@@ -318,10 +318,17 @@ def main(argv=None) -> int:
                 yield build_dpo_pair_from_record(
                     cfg, rec, tokenizer, args.budget,
                     args.vision_bucket, args.text_bucket,
-                    image_root=args.image_root,
+                    image_root=args.image_root, family=args.family,
                 )
         else:  # synthetic smoke pairs: same prompt, two completions
-            from visionselector_tpu.train.data import build_train_sample
+            if is_ov:
+                from visionselector_tpu.train.ov_loss import (
+                    build_ov_train_sample as _build,
+                )
+            else:
+                from visionselector_tpu.train.data import (
+                    build_train_sample as _build,
+                )
 
             kw = dict(budget=args.budget, s_bucket=args.vision_bucket,
                       t_bucket=args.text_bucket, min_pixels=1,
@@ -329,10 +336,10 @@ def main(argv=None) -> int:
             while True:
                 img = (rng.rand(56, 56, 3) * 255).astype(np.uint8)
                 yield (
-                    build_train_sample(cfg, img, [101, 102], [103],
-                                       [201, 202, 203], **kw),
-                    build_train_sample(cfg, img, [101, 102], [103],
-                                       [301, 302], **kw),
+                    _build(cfg, img, [101, 102], [103],
+                           [201, 202, 203], **kw),
+                    _build(cfg, img, [101, 102], [103],
+                           [301, 302], **kw),
                 )
 
     def grpo_prompt_stream():
@@ -394,14 +401,13 @@ def main(argv=None) -> int:
     is_dpo = args.method == "dpo"
     is_grpo = args.method == "grpo"
     if is_grpo:
-        assert not is_ov, (
-            "GRPO entry runs on the Qwen-family forward (the reference "
-            "trainer's loss semantics, src/trainer/grpo_trainer.py, are "
-            "family-agnostic)")
-        assert args.grad_accum_steps <= 1, "GRPO: grad accumulation TODO"
+        assert args.grad_accum_steps <= 1 or args.grpo_loss_type == "grpo", (
+            "GRPO grad accumulation supports the per-sequence-mean 'grpo' "
+            "reduction (bnpo/dr_grpo weight by global token counts)")
         from visionselector_tpu.train.grpo import (
             GRPOScheduleConfig,
             grpo_train_step,
+            grpo_train_step_accum,
             init_grpo_state,
         )
 
@@ -421,14 +427,10 @@ def main(argv=None) -> int:
         )
         state = init_grpo_state(params, sched)
     elif is_dpo:
-        assert not is_ov, (
-            "DPO entry runs on the Qwen-family forward (the reference "
-            "trainer's loss semantics, src/trainer/dpo_trainer.py, are "
-            "family-agnostic)")
-        assert args.grad_accum_steps <= 1, "DPO: grad accumulation TODO"
         from visionselector_tpu.train.dpo import (
             DPOScheduleConfig,
             dpo_train_step,
+            dpo_train_step_accum,
             init_dpo_state,
         )
 
@@ -447,7 +449,9 @@ def main(argv=None) -> int:
         )
         state = init_dpo_state(params, sched)
     elif is_sft:
-        assert not is_ov, "baseline SFT entry is Qwen-family (train_qwen.py)"
+        # Qwen: train_qwen.py parity; OV: llava-ov-15/src/train/train_sft.py
+        # parity (the generic full-model finetune) via the family dispatch
+        # in train/sft.py:forward_logits.
         from visionselector_tpu.train.sft import (
             SFTScheduleConfig,
             init_sft_state,
@@ -549,59 +553,93 @@ def main(argv=None) -> int:
             from visionselector_tpu.preprocess.rope import (
                 expand_vision_tokens,
             )
-            from visionselector_tpu.train.data import build_train_sample
             from visionselector_tpu.train.grpo import (
                 REWARD_FUNCS,
                 group_advantages,
                 rollout_group,
             )
 
+            if is_ov:
+                from visionselector_tpu.train.ov_loss import (
+                    build_ov_train_sample as sample_builder,
+                )
+            else:
+                from visionselector_tpu.train.data import (
+                    build_train_sample as sample_builder,
+                )
+
             # rollouts under the CURRENT policy (grpo_trainer.py:843-900)
-            eng = QwenVLEngine(cfg, state.params, use_selector=False)
+            if is_ov:
+                from visionselector_tpu.models.llava_ov15.model import (
+                    OVEngine,
+                )
+
+                eng = OVEngine(cfg, state.params, use_selector=False)
+            else:
+                eng = QwenVLEngine(cfg, state.params, use_selector=False)
             mm = dict(min_pixels=1, max_pixels=10**9) if (
                 args.smoke or not args.model_path) else {}
             reward_fns = [REWARD_FUNCS[n]
                           for n in args.rewards.split(",") if n]
-            samples, rewards = [], []
-            for bi in range(args.batch_size):
-                image, pre, post, solution, tok = next(stream)
-                pixels, grid = preprocess_image(
-                    image, patch_size=cfg.vision.patch_size,
-                    temporal_patch_size=cfg.vision.temporal_patch_size,
-                    merge_size=cfg.vision.spatial_merge_size, **mm)
-                ids = expand_vision_tokens(
-                    pre, post, grid,
-                    spatial_merge_size=cfg.vision.spatial_merge_size)
-                comps = rollout_group(
-                    eng, ids, pixels, grid, sched,
-                    seed=int(state.step) * args.batch_size + bi)
-                if tok is not None:
-                    texts = [tok.decode(c, skip_special_tokens=True)
-                             for c in comps]
-                    sols = [solution] * len(texts)
-                    per_fn = [fn(texts, solution=sols)
-                              for fn in reward_fns]
-                    rewards.extend(float(sum(col)) for col in zip(*per_fn))
-                else:
-                    # smoke reward: parity of the completion's token sum —
-                    # varies across group members, exercises the math
-                    rewards.extend(float(int(np.sum(c)) % 2 == 0)
-                                   for c in comps)
-                samples.extend(
-                    build_train_sample(
-                        cfg, image, pre, post, [int(t) for t in c],
-                        budget=args.budget, s_bucket=args.vision_bucket,
-                        t_bucket=args.text_bucket, **mm)
-                    for c in comps)
-            adv = group_advantages(
-                np.asarray(rewards), sched.num_generations,
-                sched.scale_rewards)
-            batch = jax.tree.map(jnp.asarray, stack_samples(samples))
+            def one_micro(seed_base):
+                samples, rewards = [], []
+                for bi in range(args.batch_size):
+                    image, pre, post, solution, tok = next(stream)
+                    pixels, grid = preprocess_image(
+                        image, patch_size=cfg.vision.patch_size,
+                        temporal_patch_size=cfg.vision.temporal_patch_size,
+                        merge_size=cfg.vision.spatial_merge_size, **mm)
+                    ids = expand_vision_tokens(
+                        pre, post, grid,
+                        spatial_merge_size=cfg.vision.spatial_merge_size,
+                        image_token_id=cfg.image_token_id,
+                        vision_start_token_id=cfg.vision_start_token_id,
+                        vision_end_token_id=cfg.vision_end_token_id)
+                    comps = rollout_group(
+                        eng, ids, pixels, grid, sched, seed=seed_base + bi)
+                    if tok is not None:
+                        texts = [tok.decode(c, skip_special_tokens=True)
+                                 for c in comps]
+                        sols = [solution] * len(texts)
+                        per_fn = [fn(texts, solution=sols)
+                                  for fn in reward_fns]
+                        rewards.extend(float(sum(col))
+                                       for col in zip(*per_fn))
+                    else:
+                        # smoke reward: parity of the completion's token
+                        # sum — varies across group members
+                        rewards.extend(float(int(np.sum(c)) % 2 == 0)
+                                       for c in comps)
+                    samples.extend(
+                        sample_builder(
+                            cfg, image, pre, post, [int(t) for t in c],
+                            budget=args.budget, s_bucket=args.vision_bucket,
+                            t_bucket=args.text_bucket, **mm)
+                        for c in comps)
+                adv = group_advantages(
+                    np.asarray(rewards), sched.num_generations,
+                    sched.scale_rewards)
+                return stack_samples(samples), adv, rewards
+
+            base = int(state.step) * args.batch_size * accum
+            if accum == 1:
+                batch, adv, rewards = one_micro(base)
+                batch = jax.tree.map(jnp.asarray, batch)
+                adv = jnp.asarray(adv)
+                step_fn = grpo_train_step
+            else:
+                micros = [one_micro(base + a * args.batch_size)
+                          for a in range(accum)]
+                batch = jax.tree.map(lambda *xs: jnp.stack(xs),
+                                     *[b for b, _, _ in micros])
+                adv = jnp.stack([jnp.asarray(a) for _, a, _ in micros])
+                rewards = [r for _, _, rs in micros for r in rs]
+                step_fn = grpo_train_step_accum
             batch = jax.tree.map(lambda x: jax.device_put(x, spec(x)),
                                  batch)
-            adv_dev = jax.device_put(jnp.asarray(adv), spec(jnp.asarray(adv)))
-            state, metrics = grpo_train_step(state, frozen, batch, adv_dev,
-                                             cfg, sched)
+            adv_dev = jax.device_put(adv, spec(adv))
+            state, metrics = step_fn(state, frozen, batch, adv_dev,
+                                     cfg, sched)
             step = int(state.step)
             if step % args.log_steps == 0 or step == args.total_steps:
                 m = {k: float(v) for k, v in metrics.items()}
@@ -615,19 +653,30 @@ def main(argv=None) -> int:
                 print(f"[train] saved {path}")
             continue
         if is_dpo:
-            pairs = [next(stream) for _ in range(args.batch_size)]
-            chosen = jax.tree.map(jnp.asarray,
-                                  stack_samples([c for c, _ in pairs]))
-            rejected = jax.tree.map(jnp.asarray,
-                                    stack_samples([r for _, r in pairs]))
+            def one_pair_batch():
+                pairs = [next(stream) for _ in range(args.batch_size)]
+                return (stack_samples([c for c, _ in pairs]),
+                        stack_samples([r for _, r in pairs]))
+
+            if accum == 1:
+                chosen, rejected = one_pair_batch()
+                chosen = jax.tree.map(jnp.asarray, chosen)
+                rejected = jax.tree.map(jnp.asarray, rejected)
+            else:
+                micro = [one_pair_batch() for _ in range(accum)]
+                chosen = jax.tree.map(lambda *xs: jnp.stack(xs),
+                                      *[c for c, _ in micro])
+                rejected = jax.tree.map(lambda *xs: jnp.stack(xs),
+                                        *[r for _, r in micro])
             chosen = jax.tree.map(lambda x: jax.device_put(x, spec(x)),
                                   chosen)
             rejected = jax.tree.map(lambda x: jax.device_put(x, spec(x)),
                                     rejected)
             # frozen == the pretrained starting weights even after resume:
             # exactly the reference-policy contract (dpo_trainer.py).
-            state, metrics = dpo_train_step(state, frozen, chosen, rejected,
-                                            cfg, sched)
+            step_fn = dpo_train_step_accum if accum > 1 else dpo_train_step
+            state, metrics = step_fn(state, frozen, chosen, rejected,
+                                     cfg, sched)
             step = int(state.step)
             if step % args.log_steps == 0 or step == args.total_steps:
                 m = {k: float(v) for k, v in metrics.items()}

@@ -35,8 +35,8 @@ from visionselector_tpu.train.loss import (
 )
 from visionselector_tpu.train.sft import (
     SFTScheduleConfig,
+    forward_logits,
     make_optimizer,
-    sft_forward_logits,
 )
 
 
@@ -88,7 +88,7 @@ def sequence_logps(
     length, CE) for one sample. Labels use IGNORE_INDEX outside the
     completion, exactly like the SFT collator — the reference's
     ``loss_mask`` (``dpo_trainer.py:117-145``)."""
-    logits = sft_forward_logits(params, sample, cfg, remat=remat)
+    logits = forward_logits(params, sample, cfg, remat=remat)
     logits = logits[:-1].astype(jnp.float32)
     labels = sample.labels[1:]
     valid = labels != IGNORE_INDEX
@@ -179,6 +179,61 @@ def dpo_train_step(
                     step=state.step + 1), metrics
 
 
+@functools.partial(jax.jit, static_argnames=("cfg", "sched"))
+def dpo_train_step_accum(
+    state: DPOState,
+    ref_params: dict,
+    chosen: TrainBatchSample,
+    rejected: TrainBatchSample,
+    cfg: VLConfig,
+    sched: DPOScheduleConfig,
+) -> Tuple[DPOState, dict]:
+    """Gradient-accumulated DPO step over a leading [A] micro-step axis on
+    both pair batches — equivalent to ``dpo_train_step`` on the
+    concatenated A*B pair batch, with one micro-batch of activations live
+    at a time (``lax.scan``). Grads sum in fp32."""
+
+    def pair_loss(params, c, r):
+        def lp(p, b):
+            return jax.vmap(
+                lambda s: sequence_logps(p, s, cfg, remat=sched.remat))(b)
+
+        ref_c, len_c, _ = lp(ref_params, c)
+        ref_r, len_r, _ = lp(ref_params, r)
+        pol_c, _, ce_c = lp(params, c)
+        pol_r, _, _ = lp(params, r)
+        loss, metrics = dpo_losses(
+            pol_c, pol_r, ref_c, ref_r, len_c, len_r, sched)
+        nll = ce_c.mean()
+        if sched.rpo_alpha > 0:
+            loss = loss + sched.rpo_alpha * nll
+        metrics["nll_chosen"] = nll
+        return loss, metrics
+
+    def micro(gsum, pair):
+        c, r = pair
+        (loss, metrics), g = jax.value_and_grad(
+            pair_loss, has_aux=True)(state.params, c, r)
+        gsum = jax.tree.map(lambda a, b: a + b.astype(jnp.float32),
+                            gsum, g)
+        return gsum, (loss, metrics)
+
+    zeros = jax.tree.map(lambda p: jnp.zeros(p.shape, jnp.float32),
+                         state.params)
+    gsum, (losses, metrics) = jax.lax.scan(micro, zeros,
+                                           (chosen, rejected))
+    a = losses.shape[0]
+    grads = jax.tree.map(lambda g, p: (g / a).astype(p.dtype),
+                         gsum, state.params)
+    opt = make_optimizer(state.params, sched.sft_view())
+    updates, opt_state = opt.update(grads, state.opt_state, state.params)
+    params = optax.apply_updates(state.params, updates)
+    metrics = {k: jnp.mean(v) for k, v in dict(metrics).items()}
+    metrics.update(loss=losses.mean(), grad_norm=optax.global_norm(grads))
+    return DPOState(params=params, opt_state=opt_state,
+                    step=state.step + 1), metrics
+
+
 def build_dpo_pair_from_record(
     cfg: VLConfig,
     record: dict,
@@ -189,8 +244,11 @@ def build_dpo_pair_from_record(
     image_root: str = "",
     min_pixels: int = 56 * 56,
     max_pixels: int = 28 * 28 * 1280,
+    family: str = "qwen25vl",
 ) -> Tuple[TrainBatchSample, TrainBatchSample]:
-    """One jsonl preference record -> (chosen, rejected) TrainBatchSamples.
+    """One jsonl preference record -> (chosen, rejected) TrainBatchSamples
+    (``family="llava_ov15"`` -> OVTrainSamples, the reference DPO entry's
+    own family).
 
     Record schema (the reference's DPO dataset,
     ``llava-ov-15/src/dataset/dpo_dataset.py``): ``{"image": path,
@@ -205,6 +263,10 @@ def build_dpo_pair_from_record(
         render_conversation,
     )
 
+    img_path = record.get("image")
+    paths = ([] if not img_path
+             else img_path if isinstance(img_path, list) else [img_path])
+
     if "conversations" in record:
         base = list(record["conversations"])
         if base and base[-1].get("from", base[-1].get("role")) in (
@@ -212,19 +274,26 @@ def build_dpo_pair_from_record(
             base = base[:-1]
     else:
         prompt = record["prompt"]
-        if "<image>" not in prompt and record.get("image"):
-            prompt = "<image>" + prompt
+        if "<image>" not in prompt and paths:
+            prompt = "<image>" * len(paths) + prompt
         base = [{"from": "human", "value": prompt}]
 
-    image = None
-    img_path = record.get("image")
-    if img_path:
-        if isinstance(img_path, list):
-            img_path = img_path[0]
-        from PIL import Image
+    from PIL import Image
 
-        with Image.open(os.path.join(image_root, img_path)) as im:
-            image = im.convert("RGB").copy()
+    images = []
+    for p in paths:
+        with Image.open(os.path.join(image_root, p)) as im:
+            images.append(im.convert("RGB").copy())
+    image = images[0] if images else None
+    if family == "llava_ov15":
+        assert len(images) <= 1, "OV DPO records: single image"
+
+    if family == "llava_ov15":
+        from visionselector_tpu.train.ov_loss import (
+            build_ov_sample_from_record as builder,
+        )
+    else:
+        builder = build_sample_from_record
 
     def build(answer_text):
         ids, labels, slots = render_conversation(
@@ -234,10 +303,10 @@ def build_dpo_pair_from_record(
             "ids": ids, "labels": labels,
             "image_slot": slots[0] if slots else -1,
             "image_slots": slots,
-            "image": image, "images": [image] if image is not None else [],
+            "image": image, "images": images,
             "video": None,
         }
-        return build_sample_from_record(
+        return builder(
             cfg, rec, budget=budget, s_bucket=s_bucket, t_bucket=t_bucket,
             min_pixels=min_pixels, max_pixels=max_pixels,
         )

@@ -40,11 +40,7 @@ import optax
 
 from visionselector_tpu.core.config import VLConfig
 from visionselector_tpu.train.loss import IGNORE_INDEX, TrainBatchSample
-from visionselector_tpu.train.sft import (
-    SFTScheduleConfig,
-    make_optimizer,
-    sft_forward_logits,
-)
+from visionselector_tpu.train.sft import SFTScheduleConfig, make_optimizer
 
 
 class GRPOScheduleConfig(NamedTuple):
@@ -108,8 +104,11 @@ def per_token_logps(
 ) -> Tuple[jax.Array, jax.Array]:
     """(per-token log P(label | prefix) zeroed outside the completion,
     completion-position mask), both [T_pad - 1]. The completion region is
-    where labels != IGNORE_INDEX — exactly the SFT/DPO convention."""
-    logits = sft_forward_logits(params, sample, cfg, remat=remat)
+    where labels != IGNORE_INDEX — exactly the SFT/DPO convention. Works
+    for both families (sample-type dispatch via ``sft.forward_logits``)."""
+    from visionselector_tpu.train.sft import forward_logits
+
+    logits = forward_logits(params, sample, cfg, remat=remat)
     logits = logits[:-1].astype(jnp.float32)
     labels = sample.labels[1:]
     valid = labels != IGNORE_INDEX
@@ -182,6 +181,68 @@ def grpo_train_step(
     params = optax.apply_updates(state.params, updates)
     metrics = dict(metrics)
     metrics.update(loss=loss, grad_norm=optax.global_norm(grads),
+                   advantage_mean=advantages.mean())
+    return GRPOState(params=params, opt_state=opt_state,
+                     step=state.step + 1), metrics
+
+
+@functools.partial(jax.jit, static_argnames=("cfg", "sched"))
+def grpo_train_step_accum(
+    state: GRPOState,
+    ref_params: dict,
+    batch: TrainBatchSample,
+    advantages: jax.Array,
+    cfg: VLConfig,
+    sched: GRPOScheduleConfig,
+) -> Tuple[GRPOState, dict]:
+    """Gradient-accumulated GRPO step: leading [A] micro axis on the
+    completion batch and advantages — equivalent to ``grpo_train_step`` on
+    the concatenated A*(B*G) batch (grpo reduction), one micro-batch of
+    activations live at a time. Grads sum in fp32."""
+
+    def micro_loss(params, mb, adv):
+        pol_lp, mask = jax.vmap(
+            lambda s: per_token_logps(params, s, cfg, remat=sched.remat)
+        )(mb)
+        maskf = mask.astype(jnp.float32)
+        advc = adv[:, None].astype(jnp.float32)
+        old_lp = jax.lax.stop_gradient(pol_lp)
+        coef1 = jnp.exp(pol_lp - old_lp)
+        coef2 = jnp.clip(coef1, 1.0 - sched.epsilon_low,
+                         1.0 + sched.epsilon_high)
+        pt_loss = -jnp.minimum(coef1 * advc, coef2 * advc)
+        metrics = {}
+        if sched.beta > 0.0:
+            ref_lp, _ = jax.vmap(
+                lambda s: per_token_logps(ref_params, s, cfg,
+                                          remat=sched.remat))(mb)
+            delta = ref_lp - pol_lp
+            kl = jnp.exp(delta) - delta - 1.0
+            pt_loss = pt_loss + sched.beta * kl
+            metrics["kl"] = (kl * maskf).sum() / jnp.maximum(maskf.sum(), 1)
+        per_seq = (pt_loss * maskf).sum(-1) / jnp.maximum(maskf.sum(-1), 1.0)
+        return per_seq.mean(), metrics
+
+    def micro(gsum, xs):
+        mb, adv = xs
+        (loss, metrics), g = jax.value_and_grad(
+            micro_loss, has_aux=True)(state.params, mb, adv)
+        gsum = jax.tree.map(lambda a, b: a + b.astype(jnp.float32),
+                            gsum, g)
+        return gsum, (loss, metrics)
+
+    zeros = jax.tree.map(lambda p: jnp.zeros(p.shape, jnp.float32),
+                         state.params)
+    gsum, (losses, metrics) = jax.lax.scan(micro, zeros,
+                                           (batch, advantages))
+    a = losses.shape[0]
+    grads = jax.tree.map(lambda g, p: (g / a).astype(p.dtype),
+                         gsum, state.params)
+    opt = make_optimizer(state.params, sched.sft_view())
+    updates, opt_state = opt.update(grads, state.opt_state, state.params)
+    params = optax.apply_updates(state.params, updates)
+    metrics = {k: jnp.mean(v) for k, v in dict(metrics).items()}
+    metrics.update(loss=losses.mean(), grad_norm=optax.global_norm(grads),
                    advantage_mean=advantages.mean())
     return GRPOState(params=params, opt_state=opt_state,
                      step=state.step + 1), metrics
@@ -272,17 +333,29 @@ def build_grpo_batch(
     t_bucket: int,
     min_pixels: int = 56 * 56,
     max_pixels: int = 28 * 28 * 1280,
+    family: str = "qwen25vl",
 ) -> TrainBatchSample:
-    """Stack one prompt's G completions into a [G] TrainBatchSample whose
-    labels supervise exactly the completion tokens."""
+    """Stack one prompt's G completions into a [G] TrainBatchSample (or
+    OVTrainSample for ``family="llava_ov15"``) whose labels supervise
+    exactly the completion tokens."""
     from visionselector_tpu.train.data import build_train_sample, stack_samples
 
-    samples = [
-        build_train_sample(
-            cfg, image, prompt_before, prompt_after, list(map(int, comp)),
-            budget=budget, s_bucket=s_bucket, t_bucket=t_bucket,
-            min_pixels=min_pixels, max_pixels=max_pixels,
-        )
-        for comp in completions
-    ]
-    return stack_samples(samples)
+    if family == "llava_ov15":
+        from visionselector_tpu.train.ov_loss import build_ov_train_sample
+
+        def builder(comp):
+            return build_ov_train_sample(
+                cfg, image, prompt_before, prompt_after, comp,
+                budget=budget, s_bucket=s_bucket, t_bucket=t_bucket,
+                min_pixels=min_pixels, max_pixels=max_pixels,
+            )
+    else:
+        def builder(comp):
+            return build_train_sample(
+                cfg, image, prompt_before, prompt_after, comp,
+                budget=budget, s_bucket=s_bucket, t_bucket=t_bucket,
+                min_pixels=min_pixels, max_pixels=max_pixels,
+            )
+
+    return stack_samples([builder([int(t) for t in c])
+                          for c in completions])

@@ -82,6 +82,37 @@ def ov_selector_train_forward(
     }
 
 
+def ov_forward_logits(
+    params: dict,
+    sample: OVTrainSample,
+    cfg: OVConfig,
+    remat: bool = False,
+) -> jax.Array:
+    """Uncompressed OV forward to logits [T_pad, V]: RICE tower -> scatter
+    ALL merged tokens (no selector mask) -> decoder -> lm_head. The OV
+    counterpart of ``train/sft.py:sft_forward_logits``; shared by the
+    DPO/GRPO log-prob scorers for ``--family llava_ov15``."""
+    merged = rice_mod.rice_forward(
+        params["visual"], sample.pixel_values, sample.rot_pos_ids,
+        sample.insert_map, sample.strip_map, sample.vit_seg_ids, cfg.vision,
+    )  # [L_pad, D]
+
+    text_embeds = lm_mod.embed_tokens(params["lm"], sample.input_ids)
+    t_pad, d = text_embeds.shape
+    full = jnp.zeros((t_pad + 1, d), text_embeds.dtype)
+    full = full.at[:t_pad].set(text_embeds)
+    full = full.at[sample.image_positions].set(
+        merged.astype(text_embeds.dtype)
+    )
+    embeds = full[:t_pad]
+
+    hidden, _ = lm_mod.lm_prefill(
+        params["lm"], embeds[None], sample.position_ids[:, None, :],
+        sample.seg_ids[None], cfg.text, remat=remat,
+    )
+    return lm_mod.lm_head(params["lm"], hidden[0], cfg.text)
+
+
 def build_ov_sample_from_record(cfg: OVConfig, record: dict, budget: float,
                                 s_bucket: int, t_bucket: int,
                                 min_pixels: int = 56 * 56,

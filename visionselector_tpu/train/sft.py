@@ -121,12 +121,29 @@ def sft_forward_logits(
     return lm_mod.lm_head(params["lm"], hidden[0], cfg.text)
 
 
+def forward_logits(params, sample, cfg, remat: bool = False) -> jax.Array:
+    """Family dispatch on the (static) sample type: Qwen
+    ``TrainBatchSample`` -> ``sft_forward_logits``; OV ``OVTrainSample`` ->
+    ``ov_loss.ov_forward_logits``. Shared by the SFT CE loss and the
+    DPO/GRPO log-prob scorers (the reference's SFT/DPO/GRPO entries are
+    OV-family, ``llava-ov-15/src/train/train_{sft,dpo,grpo}.py``)."""
+    from visionselector_tpu.train.ov_loss import (
+        OVTrainSample,
+        ov_forward_logits,
+    )
+
+    if isinstance(sample, OVTrainSample):
+        return ov_forward_logits(params, sample, cfg, remat=remat)
+    return sft_forward_logits(params, sample, cfg, remat=remat)
+
+
 def sft_train_forward(
     params: dict, sample: TrainBatchSample, cfg: VLConfig,
     remat: bool = False,
 ) -> Tuple[jax.Array, dict]:
-    """Plain CE forward: full ViT -> scatter -> decoder -> CE (no selector)."""
-    logits = sft_forward_logits(params, sample, cfg, remat=remat)
+    """Plain CE forward: full ViT -> scatter -> decoder -> CE (no selector);
+    both families via the sample-type dispatch."""
+    logits = forward_logits(params, sample, cfg, remat=remat)
     ce = cross_entropy(logits[:-1], sample.labels[1:])
     return ce, {"ce": ce}
 
