@@ -148,6 +148,40 @@ class TestDPOStep:
             rtol=1e-5)
 
 
+class TestDPOLoRA:
+    def test_lora_trains_only_adapters(self):
+        """--lora-rank path: base LM weights stay frozen, only the LoRA
+        adapters (and nothing in visual/scorer) move."""
+        from visionselector_tpu.train.lora import add_lora_params
+
+        base = init_params(jax.random.PRNGKey(0), CFG)
+        params = dict(base)
+        params["lm"] = add_lora_params(
+            params["lm"], jax.random.PRNGKey(1), rank=2, alpha=16,
+            dtype=jnp.float32)
+        sched = DPOScheduleConfig(total_steps=4, lr=1e-3, lora_rank=2)
+        state = init_dpo_state(params, sched)
+        chosen, rejected = _pair_batch()
+        before = jax.tree.map(lambda x: np.array(jax.device_get(x)),
+                              state.params)
+        for _ in range(2):  # step 1 has warmup LR 0
+            state, _ = dpo_train_step(state, base, chosen, rejected, CFG,
+                                      sched)
+        after = jax.tree.map(lambda x: np.array(jax.device_get(x)),
+                             state.params)
+        before_leaves = jax.tree_util.tree_flatten_with_path(before["lm"])[0]
+        after_leaves = jax.tree_util.tree_flatten_with_path(after["lm"])[0]
+        moved_lora = False
+        for (path, b), (_, a) in zip(before_leaves, after_leaves):
+            name = "/".join(str(getattr(p, "key", p)) for p in path)
+            same = np.array_equal(b, a)
+            if "_lora_a" in name or "_lora_b" in name:
+                moved_lora = moved_lora or not same
+            elif "_lora_scale" not in name:
+                assert same, f"base weight {name} moved under LoRA"
+        assert moved_lora
+
+
 class TestDPOAccum:
     def test_accum_equals_concatenated(self):
         """A=2 micro-pairs accumulated == one step on the concatenated
@@ -253,6 +287,38 @@ class TestDPORecordBuilder:
         sup_c = np.asarray(c.input_ids)[lc != IGNORE_INDEX]
         enc = StubTokenizer().encode("a good one")
         assert list(sup_c[: len(enc)]) == enc
+
+    def test_multi_turn_prompt_fully_masked(self, tmp_path):
+        """Earlier assistant turns in a conversations record are context:
+        ONLY the final completion is supervised (dpo_trainer.py loss_mask
+        semantics — prompt = everything before the completion)."""
+        img_file = tmp_path / "i.png"
+        Image.fromarray(_img()).save(img_file)
+        record = {
+            "image": "i.png",
+            "conversations": [
+                {"from": "human", "value": "<image>what is it"},
+                {"from": "gpt", "value": "an early answer"},
+                {"from": "human", "value": "are you sure"},
+            ],
+            "chosen": "yes", "rejected": "maybe not",
+        }
+        c, r = build_dpo_pair_from_record(
+            CFG, record, StubTokenizer(), budget=0.25, s_bucket=64,
+            t_bucket=512, image_root=str(tmp_path),
+            min_pixels=1, max_pixels=10**9)
+        tok = StubTokenizer()
+        for sample, ans in ((c, "yes"), (r, "maybe not")):
+            labels = np.asarray(sample.labels)
+            sup = np.asarray(sample.input_ids)[labels != IGNORE_INDEX]
+            enc = tok.encode(ans)
+            # supervised region starts with the completion, and the earlier
+            # assistant turn's text is nowhere in it
+            assert list(sup[: len(enc)]) == enc
+            early = tok.encode("an early answer")
+            sup_l = list(sup)
+            assert not any(sup_l[i: i + len(early)] == early
+                           for i in range(len(sup_l)))
 
     def test_multi_image_record(self, tmp_path):
         """Records with an image LIST splice every image's tokens

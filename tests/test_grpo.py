@@ -58,6 +58,10 @@ class TestGroupAdvantages:
         adv = group_advantages(np.array([2.0, 2.0, 2.0]), 3)
         np.testing.assert_allclose(adv, [0.0, 0.0, 0.0], atol=1e-7)
 
+    def test_single_generation_rejected(self):
+        with pytest.raises(ValueError, match="num_generations"):
+            group_advantages(np.array([1.0, 0.0]), 1)
+
 
 class TestRewards:
     def test_accuracy_exact_and_tags(self):
@@ -73,6 +77,30 @@ class TestRewards:
 
 
 class TestPerTokenLogps:
+    def test_temperature_scales_scoring_distribution(self):
+        """temperature divides the logits before the log-softmax (trl
+        ``_get_per_token_logps`` parity): at T != 1 the scored logps must
+        match softmax(logits / T), not softmax(logits)."""
+        params = init_params(jax.random.PRNGKey(0), CFG)
+        batch = _group_batch([[201, 202, 203]])
+        sample = jax.tree.map(lambda x: x[0], batch)
+        from visionselector_tpu.train.sft import forward_logits
+
+        pt2, mask = per_token_logps(params, sample, CFG, temperature=2.0)
+        logits = np.asarray(
+            forward_logits(params, sample, CFG), np.float32)[:-1] / 2.0
+        labels = np.asarray(sample.labels)[1:]
+        valid = labels != -100
+        logz = np.log(np.exp(logits - logits.max(-1, keepdims=True))
+                      .sum(-1)) + logits.max(-1)
+        gold = np.take_along_axis(
+            logits, np.where(valid, labels, 0)[:, None], axis=-1)[:, 0]
+        np.testing.assert_allclose(
+            np.asarray(pt2)[valid], (gold - logz)[valid], rtol=2e-4)
+        pt1, _ = per_token_logps(params, sample, CFG, temperature=1.0)
+        assert not np.allclose(np.asarray(pt1)[valid],
+                               np.asarray(pt2)[valid])
+
     def test_matches_sequence_sum(self):
         from visionselector_tpu.train.dpo import sequence_logps
 
@@ -162,6 +190,17 @@ class TestGRPOStep:
             np.testing.assert_allclose(np.asarray(a, np.float32),
                                        np.asarray(b, np.float32),
                                        atol=2e-5)
+
+    def test_accum_rejects_global_token_reductions(self):
+        from visionselector_tpu.train.grpo import grpo_train_step_accum
+
+        params = init_params(jax.random.PRNGKey(0), CFG)
+        sched = GRPOScheduleConfig(total_steps=4, loss_type="bnpo")
+        state = init_grpo_state(params, sched)
+        batch = jax.tree.map(lambda x: x[None], _group_batch([[201], [301]]))
+        with pytest.raises(ValueError, match="bnpo"):
+            grpo_train_step_accum(state, params, batch,
+                                  jnp.asarray([[1.0, -1.0]]), CFG, sched)
 
     def test_beta_zero_skips_kl(self):
         params = init_params(jax.random.PRNGKey(0), CFG)

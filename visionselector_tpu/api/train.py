@@ -376,6 +376,12 @@ def main(argv=None) -> int:
                         prompt = "<image>" + prompt
                     convo = [{"from": "human", "value": prompt}]
                 ids, _, slots = render_conversation(convo, tokenizer)
+                # open the assistant turn so generation starts on-template
+                # (the reference applies the chat template with
+                # add_generation_prompt=True before rollout)
+                from visionselector_tpu.train.dataset import IM_START
+
+                ids = ids + tokenizer.encode(f"{IM_START}assistant\n")
                 assert len(slots) == 1, "GRPO entry: single-image records"
                 img_path = rec["image"]
                 if isinstance(img_path, list):
@@ -400,10 +406,27 @@ def main(argv=None) -> int:
     is_sft = args.method == "sft"
     is_dpo = args.method == "dpo"
     is_grpo = args.method == "grpo"
+    def maybe_add_lora():
+        """Attach LoRA adapters to the policy LM (the frozen ``frozen``/
+        reference tree keeps the base weights — adapters apply wherever
+        these params flow, including GRPO rollouts)."""
+        nonlocal params
+        if args.lora_rank > 0:
+            from visionselector_tpu.train.lora import add_lora_params
+
+            params = dict(params)
+            params["lm"] = add_lora_params(
+                params["lm"], jax.random.PRNGKey(args.seed + 1),
+                rank=args.lora_rank, alpha=args.lora_alpha,
+                dtype=cfg.jax_dtype,
+            )
+
     if is_grpo:
         assert args.grad_accum_steps <= 1 or args.grpo_loss_type == "grpo", (
             "GRPO grad accumulation supports the per-sequence-mean 'grpo' "
             "reduction (bnpo/dr_grpo weight by global token counts)")
+        assert args.num_generations >= 2, (
+            "GRPO needs --num-generations >= 2 for a relative advantage")
         from visionselector_tpu.train.grpo import (
             GRPOScheduleConfig,
             grpo_train_step,
@@ -411,6 +434,7 @@ def main(argv=None) -> int:
             init_grpo_state,
         )
 
+        maybe_add_lora()
         sched = GRPOScheduleConfig(
             total_steps=args.total_steps, lr=args.lr,
             weight_decay=args.weight_decay,
@@ -424,6 +448,7 @@ def main(argv=None) -> int:
             tune_mm_vision=args.tune_mm_vision,
             tune_mm_mlp=args.tune_mm_mlp,
             tune_mm_llm=args.tune_mm_llm,
+            lora_rank=args.lora_rank,
         )
         state = init_grpo_state(params, sched)
     elif is_dpo:
@@ -434,6 +459,7 @@ def main(argv=None) -> int:
             init_dpo_state,
         )
 
+        maybe_add_lora()
         sched = DPOScheduleConfig(
             total_steps=args.total_steps, lr=args.lr,
             weight_decay=args.weight_decay,
@@ -446,6 +472,7 @@ def main(argv=None) -> int:
             tune_mm_vision=args.tune_mm_vision,
             tune_mm_mlp=args.tune_mm_mlp,
             tune_mm_llm=args.tune_mm_llm,
+            lora_rank=args.lora_rank,
         )
         state = init_dpo_state(params, sched)
     elif is_sft:
@@ -546,6 +573,18 @@ def main(argv=None) -> int:
     log_path = os.path.join(args.output_dir, "train_log.jsonl")
 
     t0 = time.time()
+
+    def log_and_save(metrics, **extra):
+        step = int(state.step)
+        if step % args.log_steps == 0 or step == args.total_steps:
+            m = {k: float(v) for k, v in metrics.items()}
+            m.update(step=step, wall_s=round(time.time() - t0, 1), **extra)
+            print(json.dumps(m))
+            with open(log_path, "a") as f:
+                f.write(json.dumps(m) + "\n")
+        if step % args.save_steps == 0 or step == args.total_steps:
+            path = save_train_state(state, args.output_dir)
+            print(f"[train] saved {path}")
     while int(state.step) < args.total_steps:
         if is_grpo:
             from visionselector_tpu.models.qwen25vl.model import QwenVLEngine
@@ -577,8 +616,14 @@ def main(argv=None) -> int:
                 eng = OVEngine(cfg, state.params, use_selector=False)
             else:
                 eng = QwenVLEngine(cfg, state.params, use_selector=False)
-            mm = dict(min_pixels=1, max_pixels=10**9) if (
-                args.smoke or not args.model_path) else {}
+            # ONE pixel-bound policy for rollout preprocessing AND the
+            # scored training sample — the completions must be conditioned
+            # on exactly the image grid the step scores (OV's builder
+            # defaults differ from preprocess_image's, so never rely on
+            # defaults here).
+            mm = (dict(min_pixels=1, max_pixels=10**9)
+                  if (args.smoke or not args.model_path)
+                  else dict(min_pixels=56 * 56, max_pixels=28 * 28 * 1280))
             reward_fns = [REWARD_FUNCS[n]
                           for n in args.rewards.split(",") if n]
             def one_micro(seed_base):
@@ -640,17 +685,7 @@ def main(argv=None) -> int:
             adv_dev = jax.device_put(adv, spec(adv))
             state, metrics = step_fn(state, frozen, batch, adv_dev,
                                      cfg, sched)
-            step = int(state.step)
-            if step % args.log_steps == 0 or step == args.total_steps:
-                m = {k: float(v) for k, v in metrics.items()}
-                m.update(step=step, wall_s=round(time.time() - t0, 1),
-                         mean_reward=float(np.mean(rewards)))
-                print(json.dumps(m))
-                with open(log_path, "a") as f:
-                    f.write(json.dumps(m) + "\n")
-            if step % args.save_steps == 0 or step == args.total_steps:
-                path = save_train_state(state, args.output_dir)
-                print(f"[train] saved {path}")
+            log_and_save(metrics, mean_reward=float(np.mean(rewards)))
             continue
         if is_dpo:
             def one_pair_batch():
@@ -677,16 +712,7 @@ def main(argv=None) -> int:
             step_fn = dpo_train_step_accum if accum > 1 else dpo_train_step
             state, metrics = step_fn(state, frozen, chosen, rejected,
                                      cfg, sched)
-            step = int(state.step)
-            if step % args.log_steps == 0 or step == args.total_steps:
-                m = {k: float(v) for k, v in metrics.items()}
-                m.update(step=step, wall_s=round(time.time() - t0, 1))
-                print(json.dumps(m))
-                with open(log_path, "a") as f:
-                    f.write(json.dumps(m) + "\n")
-            if step % args.save_steps == 0 or step == args.total_steps:
-                path = save_train_state(state, args.output_dir)
-                print(f"[train] saved {path}")
+            log_and_save(metrics)
             continue
         if accum == 1:
             samples = [next(stream) for _ in range(args.batch_size)]
@@ -729,18 +755,22 @@ def main(argv=None) -> int:
             else:
                 state, metrics = train_step(state, frozen, batch, cfg,
                                             k_max, sched)
-        step = int(state.step)
-        if step % args.log_steps == 0 or step == args.total_steps:
-            m = {k: float(v) for k, v in metrics.items()}
-            m.update(step=step, wall_s=round(time.time() - t0, 1))
-            print(json.dumps(m))
-            with open(log_path, "a") as f:
-                f.write(json.dumps(m) + "\n")
-        if step % args.save_steps == 0 or step == args.total_steps:
-            path = save_train_state(state, args.output_dir)
-            print(f"[train] saved {path}")
+        log_and_save(metrics)
 
     if is_dpo or is_grpo:
+        if args.lora_rank > 0:
+            # merge adapters into dense weights (merge_lora_weights.py flow)
+            import orbax.checkpoint as ocp
+
+            from visionselector_tpu.train.lora import merge_lora_params
+
+            merged = dict(state.params)
+            merged["lm"] = merge_lora_params(state.params["lm"])
+            path = os.path.join(os.path.abspath(args.output_dir),
+                                "lora_merged")
+            with ocp.StandardCheckpointer() as ckptr:
+                ckptr.save(path, merged, force=True)
+            print(f"[train] LoRA merged into {path}")
         # full-model weights live in the orbax checkpoint-<step> dirs
         print(f"[train] {args.method.upper()} checkpoints in "
               f"{args.output_dir}")

@@ -295,10 +295,16 @@ def build_dpo_pair_from_record(
     else:
         builder = build_sample_from_record
 
+    # The DPO "prompt" is EVERYTHING before the final completion — earlier
+    # assistant turns in a conversations record are context, not supervised
+    # (the reference masks all but the answer, ``dpo_trainer.py:117-145``).
+    prompt_len = len(render_conversation(base, tokenizer)[0])
+
     def build(answer_text):
         ids, labels, slots = render_conversation(
             base + [{"from": "gpt", "value": answer_text}], tokenizer
         )
+        labels = [IGNORE_INDEX] * prompt_len + labels[prompt_len:]
         rec = {
             "ids": ids, "labels": labels,
             "image_slot": slots[0] if slots else -1,

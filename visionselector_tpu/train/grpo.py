@@ -62,6 +62,7 @@ class GRPOScheduleConfig(NamedTuple):
     tune_mm_vision: bool = False
     tune_mm_mlp: bool = False
     tune_mm_llm: bool = True
+    lora_rank: int = 0
 
     def sft_view(self) -> SFTScheduleConfig:
         return SFTScheduleConfig(
@@ -70,6 +71,7 @@ class GRPOScheduleConfig(NamedTuple):
             max_grad_norm=self.max_grad_norm, remat=self.remat,
             tune_mm_vision=self.tune_mm_vision,
             tune_mm_mlp=self.tune_mm_mlp, tune_mm_llm=self.tune_mm_llm,
+            lora_rank=self.lora_rank,
         )
 
 
@@ -90,6 +92,10 @@ def group_advantages(
 ) -> np.ndarray:
     """[B*G] rewards -> group-relative advantages (``grpo_trainer.py``
     :997-1005; std is torch's unbiased/ddof=1)."""
+    if num_generations < 2:
+        raise ValueError(
+            "GRPO needs num_generations >= 2 (a 1-member group has no "
+            "relative advantage; trl rejects this too)")
     r = np.asarray(rewards, np.float32).reshape(-1, num_generations)
     adv = r - r.mean(axis=1, keepdims=True)
     if scale_rewards:
@@ -100,16 +106,19 @@ def group_advantages(
 
 def per_token_logps(
     params: dict, sample: TrainBatchSample, cfg: VLConfig,
-    remat: bool = False,
+    remat: bool = False, temperature: float = 1.0,
 ) -> Tuple[jax.Array, jax.Array]:
     """(per-token log P(label | prefix) zeroed outside the completion,
     completion-position mask), both [T_pad - 1]. The completion region is
     where labels != IGNORE_INDEX — exactly the SFT/DPO convention. Works
-    for both families (sample-type dispatch via ``sft.forward_logits``)."""
+    for both families (sample-type dispatch via ``sft.forward_logits``).
+    ``temperature`` divides the logits so the scored distribution matches
+    the SAMPLING distribution of the rollouts (trl ``_get_per_token_logps``
+    scales by ``self.temperature``)."""
     from visionselector_tpu.train.sft import forward_logits
 
     logits = forward_logits(params, sample, cfg, remat=remat)
-    logits = logits[:-1].astype(jnp.float32)
+    logits = logits[:-1].astype(jnp.float32) / temperature
     labels = sample.labels[1:]
     valid = labels != IGNORE_INDEX
     safe = jnp.where(valid, labels, 0)
@@ -133,7 +142,8 @@ def grpo_train_step(
 
     def logps(params):
         return jax.vmap(
-            lambda s: per_token_logps(params, s, cfg, remat=sched.remat)
+            lambda s: per_token_logps(params, s, cfg, remat=sched.remat,
+                                      temperature=sched.temperature)
         )(batch)
 
     if sched.beta > 0.0:
@@ -197,12 +207,20 @@ def grpo_train_step_accum(
 ) -> Tuple[GRPOState, dict]:
     """Gradient-accumulated GRPO step: leading [A] micro axis on the
     completion batch and advantages — equivalent to ``grpo_train_step`` on
-    the concatenated A*(B*G) batch (grpo reduction), one micro-batch of
-    activations live at a time. Grads sum in fp32."""
+    the concatenated A*(B*G) batch, one micro-batch of activations live at
+    a time. Grads sum in fp32. Only the per-sequence-mean ``grpo``
+    reduction decomposes into equal-weight micro means — other loss types
+    are rejected."""
+    if sched.loss_type != "grpo":
+        raise ValueError(
+            "grpo_train_step_accum supports loss_type='grpo' only "
+            "(bnpo/dr_grpo weight by global token counts and do not "
+            f"decompose across micro-steps); got {sched.loss_type!r}")
 
     def micro_loss(params, mb, adv):
         pol_lp, mask = jax.vmap(
-            lambda s: per_token_logps(params, s, cfg, remat=sched.remat)
+            lambda s: per_token_logps(params, s, cfg, remat=sched.remat,
+                                      temperature=sched.temperature)
         )(mb)
         maskf = mask.astype(jnp.float32)
         advc = adv[:, None].astype(jnp.float32)
@@ -211,15 +229,24 @@ def grpo_train_step_accum(
         coef2 = jnp.clip(coef1, 1.0 - sched.epsilon_low,
                          1.0 + sched.epsilon_high)
         pt_loss = -jnp.minimum(coef1 * advc, coef2 * advc)
+        n_tok = jnp.maximum(maskf.sum(), 1.0)
         metrics = {}
         if sched.beta > 0.0:
             ref_lp, _ = jax.vmap(
                 lambda s: per_token_logps(ref_params, s, cfg,
-                                          remat=sched.remat))(mb)
+                                          remat=sched.remat,
+                                          temperature=sched.temperature)
+            )(mb)
             delta = ref_lp - pol_lp
             kl = jnp.exp(delta) - delta - 1.0
             pt_loss = pt_loss + sched.beta * kl
-            metrics["kl"] = (kl * maskf).sum() / jnp.maximum(maskf.sum(), 1)
+            metrics["kl"] = (kl * maskf).sum() / n_tok
+        clipped = (
+            ((coef1 < 1.0 - sched.epsilon_low) & (advc < 0))
+            | ((coef1 > 1.0 + sched.epsilon_high) & (advc > 0))
+        )
+        metrics["clip_ratio"] = (clipped * maskf).sum() / n_tok
+        metrics["completion_tokens"] = maskf.sum(-1).mean()
         per_seq = (pt_loss * maskf).sum(-1) / jnp.maximum(maskf.sum(-1), 1.0)
         return per_seq.mean(), metrics
 
