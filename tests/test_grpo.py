@@ -41,6 +41,71 @@ def _group_batch(completions, seed=0):
         min_pixels=1, max_pixels=10**9))
 
 
+class TestBuildGRPOSample:
+    def test_single_image_matches_legacy_builder(self):
+        """build_grpo_sample on a 1-image prompt == build_train_sample on
+        the equivalent pre/post split (bit-identical pytree)."""
+        from visionselector_tpu.train.grpo import build_grpo_sample
+
+        kw = dict(budget=0.25, s_bucket=64, t_bucket=64,
+                  min_pixels=1, max_pixels=10**9)
+        comp = [201, 202, 203]
+        got = build_grpo_sample(CFG, [_img()], [101, 102, 103], [2],
+                                comp, **kw)
+        want = build_train_sample(CFG, _img(), [101, 102], [103], comp, **kw)
+        for g, w in zip(got, want):
+            np.testing.assert_array_equal(np.asarray(g), np.asarray(w))
+
+    def test_multi_image_supervises_exact_completion(self):
+        """Two-image record (data_qwen.py:233-242 parity): both grids ride
+        one vision batch, placeholders splice at each slot, and the
+        supervised region is EXACTLY the sampled completion tokens."""
+        from visionselector_tpu.train.grpo import build_grpo_sample
+
+        comp = [201, 202]
+        s = build_grpo_sample(
+            CFG, [_img(0), _img(1)], [101, 102, 103, 104], [1, 3], comp,
+            budget=0.25, s_bucket=128, t_bucket=128,
+            min_pixels=1, max_pixels=10**9)
+        labels = np.asarray(s.labels)
+        sup = np.asarray(s.input_ids)[labels != IGNORE_INDEX]
+        assert list(sup) == comp
+        # two images' merged tokens all present, split across two runs
+        _, g0 = preprocess_image(_img(0), min_pixels=1, max_pixels=10**9)
+        _, g1 = preprocess_image(_img(1), min_pixels=1, max_pixels=10**9)
+        mu = CFG.vision.spatial_merge_size ** 2
+        n = (int(np.prod(g0)) + int(np.prod(g1))) // mu
+        assert int(s.num_merged) == n
+        ids = np.asarray(s.input_ids)
+        assert (ids == CFG.image_token_id).sum() == n
+        assert (ids == CFG.vision_start_token_id).sum() == 2
+
+    def test_rollout_prompt_matches_training_prompt(self):
+        """The ids the rollout engine sees must be a prefix of the ids the
+        train step scores (same expansion at every slot)."""
+        from visionselector_tpu.preprocess.rope import (
+            expand_vision_tokens_at_slots,
+        )
+        from visionselector_tpu.train.grpo import build_grpo_sample
+
+        raw, slots = [101, 102, 103, 104], [1, 3]
+        imgs = [_img(0), _img(1)]
+        px = [preprocess_image(im, min_pixels=1, max_pixels=10**9)
+              for im in imgs]
+        grid = np.concatenate([g for _, g in px], axis=0)
+        prompt = expand_vision_tokens_at_slots(
+            raw, slots, grid,
+            spatial_merge_size=CFG.vision.spatial_merge_size,
+            image_token_id=CFG.image_token_id,
+            vision_start_token_id=CFG.vision_start_token_id,
+            vision_end_token_id=CFG.vision_end_token_id)
+        s = build_grpo_sample(
+            CFG, imgs, raw, slots, [201], budget=0.25, s_bucket=128,
+            t_bucket=128, min_pixels=1, max_pixels=10**9)
+        np.testing.assert_array_equal(
+            np.asarray(s.input_ids)[: len(prompt)], prompt)
+
+
 class TestGroupAdvantages:
     def test_hand_math(self):
         # group [1, 0]: mean 0.5, unbiased std ~0.7071

@@ -343,7 +343,9 @@ def main(argv=None) -> int:
                 )
 
     def grpo_prompt_stream():
-        """Yields (image, pre_ids, post_ids, solution_text|None)."""
+        """Yields (images, raw_prompt_ids, image_slots, solution_text|None,
+        tokenizer|None) — slots are placeholder offsets in the RAW ids
+        (one per image; multi-image records get one grid row each)."""
         rng = np.random.RandomState(args.seed)
         if args.annotation:
             from transformers import AutoTokenizer
@@ -382,19 +384,21 @@ def main(argv=None) -> int:
                 from visionselector_tpu.train.dataset import IM_START
 
                 ids = ids + tokenizer.encode(f"{IM_START}assistant\n")
-                assert len(slots) == 1, "GRPO entry: single-image records"
-                img_path = rec["image"]
-                if isinstance(img_path, list):
-                    img_path = img_path[0]
-                with Image.open(os.path.join(args.image_root,
-                                             img_path)) as im:
-                    image = im.convert("RGB").copy()
-                yield (image, ids[:slots[0]], ids[slots[0]:],
+                assert slots, "GRPO entry: records need at least one image"
+                img_paths = rec["image"]
+                if not isinstance(img_paths, list):
+                    img_paths = [img_paths]
+                assert len(img_paths) == len(slots), (img_paths, slots)
+                images = []
+                for p in img_paths:
+                    with Image.open(os.path.join(args.image_root, p)) as im:
+                        images.append(im.convert("RGB").copy())
+                yield (images, ids, slots,
                        rec.get("solution", rec.get("answer", "")), tokenizer)
         else:  # synthetic smoke prompts
             while True:
                 img = (rng.rand(56, 56, 3) * 255).astype(np.uint8)
-                yield img, [101, 102], [103], None, None
+                yield [img], [101, 102, 103], [2], None, None
 
     import math
 
@@ -590,22 +594,14 @@ def main(argv=None) -> int:
             from visionselector_tpu.models.qwen25vl.model import QwenVLEngine
             from visionselector_tpu.preprocess.image import preprocess_image
             from visionselector_tpu.preprocess.rope import (
-                expand_vision_tokens,
+                expand_vision_tokens_at_slots,
             )
             from visionselector_tpu.train.grpo import (
                 REWARD_FUNCS,
+                build_grpo_sample,
                 group_advantages,
                 rollout_group,
             )
-
-            if is_ov:
-                from visionselector_tpu.train.ov_loss import (
-                    build_ov_train_sample as sample_builder,
-                )
-            else:
-                from visionselector_tpu.train.data import (
-                    build_train_sample as sample_builder,
-                )
 
             # rollouts under the CURRENT policy (grpo_trainer.py:843-900)
             if is_ov:
@@ -629,13 +625,19 @@ def main(argv=None) -> int:
             def one_micro(seed_base):
                 samples, rewards = [], []
                 for bi in range(args.batch_size):
-                    image, pre, post, solution, tok = next(stream)
-                    pixels, grid = preprocess_image(
-                        image, patch_size=cfg.vision.patch_size,
-                        temporal_patch_size=cfg.vision.temporal_patch_size,
-                        merge_size=cfg.vision.spatial_merge_size, **mm)
-                    ids = expand_vision_tokens(
-                        pre, post, grid,
+                    images, raw_ids, slots, solution, tok = next(stream)
+                    px_list, g_list = [], []
+                    for image in images:
+                        px_i, g_i = preprocess_image(
+                            image, patch_size=cfg.vision.patch_size,
+                            temporal_patch_size=cfg.vision.temporal_patch_size,
+                            merge_size=cfg.vision.spatial_merge_size, **mm)
+                        px_list.append(px_i)
+                        g_list.append(g_i)
+                    pixels = np.concatenate(px_list, axis=0)
+                    grid = np.concatenate(g_list, axis=0)
+                    ids = expand_vision_tokens_at_slots(
+                        raw_ids, slots, grid,
                         spatial_merge_size=cfg.vision.spatial_merge_size,
                         image_token_id=cfg.image_token_id,
                         vision_start_token_id=cfg.vision_start_token_id,
@@ -656,10 +658,11 @@ def main(argv=None) -> int:
                         rewards.extend(float(int(np.sum(c)) % 2 == 0)
                                        for c in comps)
                     samples.extend(
-                        sample_builder(
-                            cfg, image, pre, post, [int(t) for t in c],
+                        build_grpo_sample(
+                            cfg, images, raw_ids, slots, c,
                             budget=args.budget, s_bucket=args.vision_bucket,
-                            t_bucket=args.text_bucket, **mm)
+                            t_bucket=args.text_bucket,
+                            family=args.family, **mm)
                         for c in comps)
                 adv = group_advantages(
                     np.asarray(rewards), sched.num_generations,

@@ -136,3 +136,33 @@ def expand_vision_tokens(
         ids += [vision_start_token_id] + [image_token_id] * n + [vision_end_token_id]
     ids += list(prompt_ids_after)
     return np.asarray(ids, dtype=np.int64)
+
+
+def expand_vision_tokens_at_slots(
+    ids: list,
+    slots: list,
+    grid_thw: np.ndarray,
+    spatial_merge_size: int = 2,
+    image_token_id: int = 151655,
+    vision_start_token_id: int = 151652,
+    vision_end_token_id: int = 151653,
+) -> np.ndarray:
+    """Splice one vision run per grid row into ``ids`` at each slot offset.
+
+    Generalizes :func:`expand_vision_tokens` to interleaved multi-image
+    prompts: ``slots[i]`` is the position in ``ids`` where image ``i``'s
+    ``<vision_start> image_pad*N <vision_end>`` run belongs (the processor
+    expands each ``<|image_pad|>`` placeholder in place,
+    ``qwen25vl/processing_qwen2_5_vl.py:48-219``)."""
+    grid_thw = np.asarray(grid_thw)
+    assert len(slots) == len(grid_thw), (slots, grid_thw.shape)
+    assert list(slots) == sorted(slots), slots
+    out, prev = [], 0
+    for sl, (t, h, w) in zip(slots, grid_thw):
+        n = int(t * h * w) // (spatial_merge_size**2)
+        out += list(ids[prev:sl])
+        out += [vision_start_token_id] + [image_token_id] * n + [
+            vision_end_token_id]
+        prev = sl
+    out += list(ids[prev:])
+    return np.asarray(out, dtype=np.int64)

@@ -386,3 +386,55 @@ def build_grpo_batch(
 
     return stack_samples([builder([int(t) for t in c])
                           for c in completions])
+
+
+def build_grpo_sample(
+    cfg,
+    images: Sequence,
+    prompt_ids: Sequence[int],
+    slots: Sequence[int],
+    completion: Sequence[int],
+    budget: float,
+    s_bucket: int,
+    t_bucket: int,
+    min_pixels: int = 56 * 56,
+    max_pixels: int = 28 * 28 * 1280,
+    family: str = "qwen25vl",
+):
+    """One rollout -> training sample supervising EXACTLY the sampled
+    completion tokens (no decode/re-encode round trip, which BPE does not
+    guarantee to preserve).
+
+    ``prompt_ids`` are the RAW (unexpanded) prompt tokens; ``slots[i]`` is
+    the offset where image ``i``'s vision run belongs. Multi-image records
+    ride the Qwen dataset record builder (one grid row per image,
+    ``data_qwen.py:233-242`` parity); the OV family is single-image, like
+    its SFT record builder."""
+    comp = [int(t) for t in completion]
+    prompt_ids = list(prompt_ids)
+    slots = list(slots)
+    assert slots, "GRPO training samples need at least one image"
+    if family == "llava_ov15":
+        assert len(slots) == 1, "OV GRPO: single-image records"
+        from visionselector_tpu.train.ov_loss import build_ov_train_sample
+
+        return build_ov_train_sample(
+            cfg, images[0], prompt_ids[: slots[0]], prompt_ids[slots[0]:],
+            comp, budget=budget, s_bucket=s_bucket, t_bucket=t_bucket,
+            min_pixels=min_pixels, max_pixels=max_pixels,
+        )
+    from visionselector_tpu.train.dataset import build_sample_from_record
+    from visionselector_tpu.train.loss import IGNORE_INDEX
+
+    rec = {
+        "ids": prompt_ids + comp,
+        "labels": [IGNORE_INDEX] * len(prompt_ids) + comp,
+        "image": images[0],
+        "images": list(images),
+        "image_slot": slots[0],
+        "image_slots": slots,
+    }
+    return build_sample_from_record(
+        cfg, rec, budget=budget, s_bucket=s_bucket, t_bucket=t_bucket,
+        min_pixels=min_pixels, max_pixels=max_pixels,
+    )
