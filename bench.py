@@ -480,10 +480,11 @@ def time_decode_tok_s(params, cfg, batch, t_ctx=384, steps=48):
     return batch / per_step
 
 
-def init_7b_int8(cfg):
-    """7B-shape params: bf16 ViT/scorer + int8 weight-only LM (bf16 7B does
-    not fit one 16 GB v5e; int8 halves weight HBM — the deployment-realistic
-    single-chip 7B configuration)."""
+def init_7b_int8(cfg, bits=8):
+    """7B-shape params: bf16 ViT/scorer + int8 (or packed int4) weight-only
+    LM (bf16 7B does not fit one 16 GB v5e; int8 halves weight HBM — the
+    deployment-realistic single-chip 7B configuration; int4 halves it
+    again)."""
     from visionselector_tpu.models.qwen25vl import lm as lm_mod
     from visionselector_tpu.models.qwen25vl import vit as vit_mod
     from visionselector_tpu.selector.scorer import init_scorer_params
@@ -493,7 +494,12 @@ def init_7b_int8(cfg):
     visual = jax.jit(
         lambda k: vit_mod.init_vit_params(k, cfg.vision, dtype)
     )(k1)
-    lm = jax.jit(lambda k: lm_mod.init_lm_params_int8(k, cfg.text, dtype))(k2)
+    if bits == 4:
+        # eager: to_int4's layout-pinned production can't run under a trace
+        lm = lm_mod.init_lm_params_int8(k2, cfg.text, dtype, bits=4)
+    else:
+        lm = jax.jit(
+            lambda k: lm_mod.init_lm_params_int8(k, cfg.text, dtype))(k2)
     sel = cfg.with_selector().selector
     scorer = init_scorer_params(k3, sel, jnp.float32)
     return {"visual": visual, "lm": lm, "scorer": scorer}
@@ -680,6 +686,15 @@ def main():
                 }
             if os.environ.get("VST_BENCH_DECODE", "0") == "1":
                 detail["decode_tok_s_7b_int8_b8"] = round(
+                    time_decode_tok_s(params7, cfg7, 8), 1)
+                from visionselector_tpu.models.qwen25vl import lm as _lm
+
+                # swap the LM for packed int4 (drop the int8 tree first —
+                # int8 8.4 GB + int4 4.2 GB + ViT would crowd 16 GB HBM)
+                params7["lm"] = None
+                params7["lm"] = _lm.init_lm_params_int8(
+                    jax.random.PRNGKey(7), cfg7.text, cfg7.jax_dtype, bits=4)
+                detail["decode_tok_s_7b_int4_b8"] = round(
                     time_decode_tok_s(params7, cfg7, 8), 1)
         except Exception as e:  # noqa: BLE001 — fall back to the 3B figure
             detail["bench_7b_error"] = repr(e)

@@ -44,6 +44,10 @@ def build_parser() -> argparse.ArgumentParser:
                    help="0 = greedy; >0 enables top-p sampling")
     p.add_argument("--top-p", type=float, default=1.0)
     p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--quantize", default=None,
+                   help="weight-only LM quantization: int8 (per-channel), "
+                        "int4, or int4:g<N> (grouped, e.g. int4:g128); "
+                        "int4 packs 2 weights/byte of HBM")
     p.add_argument("--speculative", type=int, default=0,
                    help="prompt-lookup speculative decoding: propose N "
                         "tokens per decode dispatch (greedy-identical at "
@@ -132,6 +136,13 @@ def main(argv=None) -> int:
 
         cfg = qwen25vl_tiny()
         params = init_params(jax.random.PRNGKey(0), cfg)
+
+    if args.quantize:
+        from visionselector_tpu.models.qwen25vl.lm import (
+            apply_weight_quantization,
+        )
+
+        params = apply_weight_quantization(params, args.quantize)
 
     tp = cfg.vision.temporal_patch_size
     if args.image:

@@ -53,6 +53,9 @@ def build_parser():
     p.add_argument("--decode-batch", type=int, default=None,
                    help="micro-batch size for the shared decode dispatch "
                         "(engine.generate_batch); default 1")
+    p.add_argument("--quantize", default=None,
+                   help="weight-only LM quantization: int8, int4, or "
+                        "int4:g<N> (grouped)")
     p.add_argument("--speculative", type=int, default=None,
                    help="prompt-lookup speculative decoding: propose N "
                         "tokens per decode dispatch (greedy-identical "
@@ -144,6 +147,12 @@ def main(argv=None) -> int:
     else:
         cfg = qwen25vl_tiny()
         params = init_params(jax.random.PRNGKey(0), cfg)
+    if args.quantize:
+        from visionselector_tpu.models.qwen25vl.lm import (
+            apply_weight_quantization,
+        )
+
+        params = apply_weight_quantization(params, args.quantize)
     if tokenizer is None:
         class _IdTokenizer:  # smoke mode: ids-as-text
             def encode(self, s):

@@ -633,6 +633,13 @@ def build_server(args) -> ThreadingHTTPServer:
             cfg = qwen25vl_tiny()
             params = init_fn(jax.random.PRNGKey(0), cfg)
 
+    if getattr(args, "quantize", None):
+        from visionselector_tpu.models.qwen25vl.lm import (
+            apply_weight_quantization,
+        )
+
+        params = apply_weight_quantization(params, args.quantize)
+
     strategy = None
     if args.method not in ("orig", "selector"):
         from visionselector_tpu.selector.baselines import get_baseline
@@ -673,6 +680,10 @@ def main(argv=None) -> int:
                    help="coalesce concurrent non-streaming requests into "
                         "one batched decode dispatch (serving throughput)")
     p.add_argument("--batch-window-ms", type=float, default=4.0)
+    p.add_argument("--quantize", default=None,
+                   help="weight-only LM quantization: int8, int4, or "
+                        "int4:g<N> (grouped); int4 packs 2 weights/byte "
+                        "of HBM — more KV slots for --continuous")
     p.add_argument("--speculative", type=int, default=0,
                    help="prompt-lookup speculative decoding: propose N "
                         "tokens per decode dispatch (greedy-identical "

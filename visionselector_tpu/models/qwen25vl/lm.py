@@ -18,6 +18,7 @@ from typing import NamedTuple, Tuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from visionselector_tpu.core.config import TextConfig
 from visionselector_tpu.kernels.attention import (
@@ -114,16 +115,30 @@ def _apply_mrope(q, k, cos, sin):
 
 
 def _dense(x, p, name):
-    """Matmul against a possibly int8-quantized kernel.
+    """Matmul against a possibly int8/int4-quantized kernel.
 
     int8 weight-only quantization (per-output-channel symmetric scales): the
     weight stays int8 in HBM — the cast fuses into the matmul read — and the
     fp scale is applied to the [.., out] result. Halves 7B LM weight HBM so a
     7B fits one 16 GB v5e (the reference's 1.73x headline is a 7B figure).
+
+    int4 (packed 2/byte in HBM, XLA S4) supports the same per-output-channel
+    scales, or group-wise scales along the contraction axis (scale shape
+    [G, out] per layer, AWQ-class granularity) — grouped scales cannot be
+    hoisted past the matmul, so the weight dequantizes on read (convert +
+    broadcast multiply fuse into the dot's operand load).
     """
     w = p[name]
-    if w.dtype == jnp.int8:
-        y = (x @ w.astype(x.dtype)) * p[name + "_scale"].astype(x.dtype)
+    if w.dtype in (jnp.int8, jnp.int4):
+        s = p[name + "_scale"]
+        if s.ndim == w.ndim:  # grouped: w [in, out], s [G, out]
+            g = s.shape[-2]
+            gs = w.shape[-2] // g
+            wd = (w.astype(x.dtype).reshape(g, gs, w.shape[-1])
+                  * s[:, None, :].astype(x.dtype)).reshape(w.shape)
+            y = x @ wd
+        else:
+            y = (x @ w.astype(x.dtype)) * s.astype(x.dtype)
     else:
         y = x @ w
     a = p.get(name + "_lora_a")
@@ -139,20 +154,92 @@ QUANT_KERNELS = ("q_kernel", "k_kernel", "v_kernel", "o_kernel",
                  "gate_kernel", "up_kernel", "down_kernel")
 
 
-def quantize_lm_params(lm_params: dict) -> dict:
-    """Per-output-channel symmetric int8 quantization of all decoder matmul
-    kernels (embeddings / lm_head / norms stay in the original dtype)."""
+def apply_weight_quantization(params: dict, spec: str) -> dict:
+    """Apply a ``--quantize`` spec to a full engine param tree.
+
+    Specs: ``int8`` (per-output-channel), ``int4`` (per-channel, coarse),
+    ``int4:g<N>`` (group-wise along the contraction axis, e.g.
+    ``int4:g128``). Returns a new tree with ``params['lm']`` quantized;
+    ViT/scorer/merger stay in the compute dtype."""
+    if not spec or spec == "none":
+        return params
+    import re
+
+    m = re.fullmatch(r"int(8|4)(?::g(\d+))?", spec)
+    if m is None:
+        raise ValueError(
+            f"bad --quantize spec {spec!r}: expected int8, int4 or int4:g<N>")
+    bits = int(m.group(1))
+    group = int(m.group(2) or 0)
+    if bits == 8 and group:
+        raise ValueError("grouped scales are an int4 feature (int4:g<N>)")
+    out = dict(params)
+    out["lm"] = quantize_lm_params(params["lm"], bits=bits, group_size=group)
+    return out
+
+
+_INT4_FMT_CACHE: dict = {}
+
+
+def to_int4(wq: jax.Array) -> jax.Array:
+    """int8-valued weights -> packed S4 device array, layout-normalized.
+
+    On the axon TPU backend an S4 array produced with XLA's default output
+    layout triggers unbounded relayout recursion when later passed as a jit
+    argument (device_put -> _array_shard_arg -> device_put ...). Producing
+    the array with out_shardings pinned to the consumer-preferred Format —
+    probed ONCE per shape from a tiny dot program — sidesteps the relayout;
+    measured on v5e, the probed layout (tiling ((64,128),(8,1)), sub-byte 4)
+    is identical across every consumer program shape tried, so one probe
+    serves all engine programs."""
+    shape = tuple(wq.shape)
+    key = (shape, jax.devices()[0].platform)
+    fmt = _INT4_FMT_CACHE.get(key)
+    if fmt is None:
+        xa = jax.ShapeDtypeStruct((1, shape[-2]), jnp.bfloat16)
+        wa = jax.ShapeDtypeStruct(shape, jnp.int4)
+        if len(shape) == 3:
+            probe = lambda x, w: x @ w[0].astype(x.dtype)  # noqa: E731
+        else:
+            probe = lambda x, w: x @ w.astype(x.dtype)  # noqa: E731
+        fmt = jax.jit(probe).lower(xa, wa).compile().input_formats[0][1]
+        _INT4_FMT_CACHE[key] = fmt
+    return jax.jit(lambda w: w.astype(jnp.int4), out_shardings=fmt)(wq)
+
+
+def quantize_lm_params(lm_params: dict, bits: int = 8,
+                       group_size: int = 0) -> dict:
+    """Symmetric weight-only quantization of all decoder matmul kernels
+    (embeddings / lm_head / norms stay in the original dtype).
+
+    bits=8: per-output-channel scales (range ±127).
+    bits=4: packed S4 storage (2 weights/byte in HBM, range ±7); with
+    ``group_size`` > 0 the contraction axis gets one scale per
+    ``group_size`` inputs (AWQ-class granularity — per-channel int4 is
+    usually too coarse for real checkpoints), scale shape [n, G, out]."""
+    assert bits in (8, 4), bits
+    qmax = 127.0 if bits == 8 else 7.0
     layers = dict(lm_params["layers"])
     for name in QUANT_KERNELS:
         if name not in layers:  # MoE trees have expert kernels instead
             continue
         w = layers[name]  # [n_layers, in, out]
-        amax = jnp.max(jnp.abs(w.astype(jnp.float32)), axis=1)  # [n, out]
-        scale = jnp.maximum(amax / 127.0, 1e-12)
-        wq = jnp.clip(
-            jnp.round(w.astype(jnp.float32) / scale[:, None, :]), -127, 127
-        ).astype(jnp.int8)
-        layers[name] = wq
+        wf = w.astype(jnp.float32)
+        n, din, dout = w.shape
+        if bits == 4 and group_size > 0:
+            assert din % group_size == 0, (name, din, group_size)
+            g = din // group_size
+            wg = wf.reshape(n, g, group_size, dout)
+            amax = jnp.max(jnp.abs(wg), axis=2)  # [n, g, out]
+            scale = jnp.maximum(amax / qmax, 1e-12)
+            wq = jnp.clip(jnp.round(wg / scale[:, :, None, :]), -qmax, qmax
+                          ).reshape(n, din, dout).astype(jnp.int8)
+        else:
+            amax = jnp.max(jnp.abs(wf), axis=1)  # [n, out]
+            scale = jnp.maximum(amax / qmax, 1e-12)
+            wq = jnp.clip(jnp.round(wf / scale[:, None, :]), -qmax, qmax
+                          ).astype(jnp.int8)
+        layers[name] = to_int4(wq) if bits == 4 else wq
         layers[name + "_scale"] = scale
     out = dict(lm_params)
     out["layers"] = layers
@@ -607,12 +694,12 @@ def init_lm_params(key: jax.Array, cfg: TextConfig, dtype=jnp.float32) -> dict:
 
 
 def init_lm_params_int8(key: jax.Array, cfg: TextConfig,
-                        dtype=jnp.bfloat16) -> dict:
-    """Random-init the LM directly with int8 matmul kernels.
+                        dtype=jnp.bfloat16, bits: int = 8) -> dict:
+    """Random-init the LM directly with int8 (or packed int4) matmul kernels.
 
     For benchmark/memory purposes at 7B scale: initializing bf16 then
     quantizing would transiently hold ~13 GB of bf16 kernels — more than one
-    v5e's HBM. Kernels are uniform int8 with a per-channel scale chosen so the
+    v5e's HBM. Kernels are uniform ints with a per-channel scale chosen so the
     dequantized std matches the usual 0.02 init.
     """
     d, i = cfg.hidden_size, cfg.intermediate_size
@@ -632,10 +719,14 @@ def init_lm_params_int8(key: jax.Array, cfg: TextConfig,
         "input_ln_scale": jnp.ones((n, d), dtype),
         "post_ln_scale": jnp.ones((n, d), dtype),
     }
-    # uniform int8 in [-127, 127] has std ~73.3; scale to weight std 0.02
-    scale_val = 0.02 / 73.3
+    # uniform int in [-qmax, qmax] has std sqrt(((2*qmax+1)^2 - 1)/12);
+    # scale to weight std 0.02
+    assert bits in (8, 4), bits
+    qmax = 127 if bits == 8 else 7
+    scale_val = 0.02 / float(np.sqrt(((2 * qmax + 1) ** 2 - 1) / 12.0))
     for idx, (name, shape) in enumerate(shapes.items()):
-        layers[name] = jax.random.randint(ks[idx], shape, -127, 128, jnp.int8)
+        wq = jax.random.randint(ks[idx], shape, -qmax, qmax + 1, jnp.int8)
+        layers[name] = to_int4(wq) if bits == 4 else wq
         layers[name + "_scale"] = jnp.full(
             (shape[0], shape[2]), scale_val, jnp.float32
         )
