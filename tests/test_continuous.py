@@ -4,6 +4,7 @@ every request's greedy tokens must equal a plain per-request generate
 same property for the one-shot batched path)."""
 
 import concurrent.futures as cf
+import time
 
 import jax
 import numpy as np
@@ -75,6 +76,140 @@ class TestContinuousBatcher:
         assert bat.stats["max_concurrent"] == 2
         assert bat.stats["mid_flight_joins"] >= 1
         assert bat.stats["chunks"] >= 3
+
+    def test_chunked_prefill_state_matches_fused(self, setup):
+        """start_chunked_prefill -> step* -> finish produces the SAME
+        next_token, logits, cache rows [0:valid_len] and selection as the
+        fused _defer_decode prefill."""
+        eng, ids_for, pixels, grid = setup
+        kw = dict(input_ids=ids_for([8, 9]), pixel_values=pixels,
+                  grid_thw=grid, max_new_tokens=4, eos_token_ids=(-1,))
+        ref = eng.generate(**kw, _defer_decode=True)
+        job = eng.start_chunked_prefill(**kw, prefill_chunk=8)
+        segs = 1
+        while not job.step():
+            segs += 1
+        st = job.finish()
+        assert segs == job.n_seg and segs >= 2
+        assert st.next_token == ref.next_token
+        assert st.result.prefill_len == ref.result.prefill_len
+        assert st.start_pos == ref.start_pos
+        vl = st.result.prefill_len
+        np.testing.assert_allclose(
+            np.asarray(st.cache.k)[:, :, :vl],
+            np.asarray(ref.cache.k)[:, :, :vl], atol=2e-5)
+        np.testing.assert_allclose(
+            np.asarray(st.cache.v)[:, :, :vl],
+            np.asarray(ref.cache.v)[:, :, :vl], atol=2e-5)
+        np.testing.assert_allclose(
+            np.asarray(st.logits), np.asarray(ref.logits), atol=2e-4)
+        np.testing.assert_array_equal(st.result.selected_indices,
+                                      ref.result.selected_indices)
+
+    def test_chunked_prefill_admission_matches_sequential(self, setup):
+        """prefill_chunk > 0: admissions run segmented (vision dispatch +
+        fixed-size decoder segments interleaved with decode chunks) and
+        every result still equals the per-request oracle; text-only
+        requests fall back to the fused path."""
+        eng, ids_for, pixels, grid = setup
+        reqs = [
+            (dict(input_ids=ids_for([8, 9]), pixel_values=pixels,
+                  grid_thw=grid), 12),
+            (dict(input_ids=ids_for([8, 40, 41]), pixel_values=pixels,
+                  grid_thw=grid), 5),
+            (dict(input_ids=np.asarray([7, 8, 9, 10], np.int64)), 9),
+            (dict(input_ids=ids_for([50]), pixel_values=pixels,
+                  grid_thw=grid), 16),
+        ]
+        oracle = [
+            eng.generate(**r, max_new_tokens=m, eos_token_ids=(-1,)).tokens
+            for r, m in reqs
+        ]
+        bat = ContinuousBatcher(eng, n_slots=2, t_max=256, chunk=4,
+                                prefill_chunk=8)
+        try:
+            with cf.ThreadPoolExecutor(max_workers=len(reqs)) as ex:
+                futs = [ex.submit(bat.submit, r, m, (-1,))
+                        for r, m in reqs]
+                results = [f.result(timeout=600) for f in futs]
+        finally:
+            bat.shutdown()
+        for i, (res, want) in enumerate(zip(results, oracle)):
+            assert res.tokens == want, (i, res.tokens, want)
+        # the three vision requests admit via the segmented path, in >= 2
+        # segments each (prompts are ~10+ compacted tokens at chunk 8)
+        assert bat.stats["chunked_admissions"] == 3
+        assert bat.stats["prefill_chunks"] >= 6
+        assert bat.stats["admitted"] == len(reqs)
+
+    def test_chunked_admission_mid_decode_preserves_live_slot(self, setup):
+        """A request admitted through the segmented path while another slot
+        decodes must not perturb the live slot's tokens, and the joiner
+        must match its own oracle."""
+        eng, ids_for, pixels, grid = setup
+        r1 = dict(input_ids=ids_for([8, 9]), pixel_values=pixels,
+                  grid_thw=grid)
+        r2 = dict(input_ids=ids_for([8, 40, 41]), pixel_values=pixels,
+                  grid_thw=grid)
+        want1 = eng.generate(**r1, max_new_tokens=24,
+                             eos_token_ids=(-1,)).tokens
+        want2 = eng.generate(**r2, max_new_tokens=6,
+                             eos_token_ids=(-1,)).tokens
+        bat = ContinuousBatcher(eng, n_slots=2, t_max=256, chunk=2,
+                                prefill_chunk=8)
+        try:
+            with cf.ThreadPoolExecutor(max_workers=2) as ex:
+                f1 = ex.submit(bat.submit, r1, 24, (-1,))
+                time.sleep(0.5)  # let r1 start decoding
+                f2 = ex.submit(bat.submit, r2, 6, (-1,))
+                res1, res2 = f1.result(timeout=600), f2.result(timeout=600)
+        finally:
+            bat.shutdown()
+        assert res1.tokens == want1
+        assert res2.tokens == want2
+        assert bat.stats["chunked_admissions"] == 2
+
+    def test_int4_lm_serves_like_its_oracle(self):
+        """Continuous serving over a grouped-int4 LM: every result equals
+        the same int4 engine's one-shot generate (the quantized weights
+        flow through admission prefill + chunked decode unchanged)."""
+        from visionselector_tpu.models.qwen25vl.lm import (
+            apply_weight_quantization,
+        )
+        from visionselector_tpu.preprocess.image import preprocess_image
+        from visionselector_tpu.preprocess.rope import expand_vision_tokens
+
+        cfg = qwen25vl_tiny()
+        params = apply_weight_quantization(
+            init_params(jax.random.PRNGKey(3), cfg),
+            f"int4:g{cfg.text.hidden_size // 4}")
+        eng = QwenVLEngine(cfg, params, use_selector=True, budget=0.5)
+        img = (np.random.RandomState(1).rand(56, 56, 3) * 255).astype(
+            np.uint8)
+        pixels, grid = preprocess_image(img)
+        reqs = [
+            (dict(input_ids=expand_vision_tokens(
+                [5, 6], [q], grid,
+                image_token_id=cfg.image_token_id,
+                vision_start_token_id=cfg.vision_start_token_id,
+                vision_end_token_id=cfg.vision_end_token_id),
+                pixel_values=pixels, grid_thw=grid), m)
+            for q, m in ((8, 6), (9, 4), (10, 8))
+        ]
+        oracle = [
+            eng.generate(**r, max_new_tokens=m, eos_token_ids=(-1,)).tokens
+            for r, m in reqs
+        ]
+        bat = ContinuousBatcher(eng, n_slots=2, t_max=128, chunk=4)
+        try:
+            with cf.ThreadPoolExecutor(max_workers=len(reqs)) as ex:
+                futs = [ex.submit(bat.submit, r, m, (-1,))
+                        for r, m in reqs]
+                results = [f.result(timeout=600) for f in futs]
+        finally:
+            bat.shutdown()
+        for res, want in zip(results, oracle):
+            assert res.tokens == want
 
     def test_per_request_eos_sets(self, setup):
         """Different requests may stop on different tokens (host-side eos:

@@ -129,7 +129,8 @@ class Server:
                  speculative: int = 0, prefix_cache: int = 0,
                  prefix_cache_min: int = 32, continuous: int = 0,
                  continuous_t_max: int = 4096, continuous_chunk: int = 8,
-                 continuous_kv_int8: bool = False):
+                 continuous_kv_int8: bool = False,
+                 continuous_prefill_chunk: int = 0):
         self.engine = engine
         self.tokenizer = tokenizer
         self.method = method
@@ -161,7 +162,8 @@ class Server:
                 engine, n_slots=continuous, t_max=continuous_t_max,
                 chunk=continuous_chunk, lock=self.lock,
                 prefix_store=self.prefix_store,
-                speculative=speculative, kv_int8=continuous_kv_int8)
+                speculative=speculative, kv_int8=continuous_kv_int8,
+                prefill_chunk=continuous_prefill_chunk)
         else:
             self.batcher = (
                 MicroBatcher(engine, self.lock, micro_batch,
@@ -659,7 +661,9 @@ def build_server(args) -> ThreadingHTTPServer:
                  continuous_t_max=getattr(args, 'continuous_t_max', 4096),
                  continuous_chunk=getattr(args, 'continuous_chunk', 8),
                  continuous_kv_int8=getattr(args, 'continuous_kv_int8',
-                                            False))
+                                            False),
+                 continuous_prefill_chunk=getattr(
+                     args, 'continuous_prefill_chunk', 0))
     httpd = ThreadingHTTPServer((args.host, args.port), make_handler(srv))
     # tests call httpd.shutdown() then httpd.server_obj.close() to reap
     # the batcher worker thread (and its slot pool)
@@ -708,6 +712,11 @@ def main(argv=None) -> int:
     p.add_argument("--continuous-kv-int8", action="store_true",
                    help="int8-quantized slot pool: half the pool HBM and "
                         "KV read traffic (small rounding cost on K/V)")
+    p.add_argument("--continuous-prefill-chunk", type=int, default=0,
+                   help="segmented admission prefills: one vision dispatch "
+                        "+ N-token decoder segments interleaved with decode "
+                        "chunks, bounding the decode stall per admission "
+                        "(vLLM chunked prefill); 0 = fused one-shot")
     args = p.parse_args(argv)
     httpd = build_server(args)
     print(f"[serve] listening on {args.host}:{args.port} "

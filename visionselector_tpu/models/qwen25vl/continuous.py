@@ -266,7 +266,8 @@ class ContinuousBatcher:
     def __init__(self, engine, n_slots: int = 8, t_max: int = 2048,
                  chunk: int = 8, lock: Optional[threading.Lock] = None,
                  prefix_store=None, speculative: int = 0, ngram: int = 3,
-                 ctx_window: int = 128, kv_int8: bool = False):
+                 ctx_window: int = 128, kv_int8: bool = False,
+                 prefill_chunk: int = 0):
         self.engine = engine
         self.n_slots = n_slots
         self.t_max = t_max
@@ -284,6 +285,13 @@ class ContinuousBatcher:
         # on write / dequantize on read (see lm.QuantKVCache). Serving
         # opt-in — one-shot/eval paths keep full-precision caches.
         self.kv_int8 = kv_int8
+        # prefill_chunk > 0: admission prefills run SEGMENTED — one
+        # vision+compaction dispatch, then prefill_chunk-token decoder
+        # segments interleaved with decode chunks, so live slots stall at
+        # most max(segment, vision dispatch) per iteration instead of the
+        # whole fused prefill (vLLM chunked-prefill discipline)
+        self.prefill_chunk = prefill_chunk
+        self._admitting = None  # (ChunkedPrefill, item, slot_idx)
         # optional external engine lock (the server's): held around device
         # work so session/streaming paths can interleave between chunks
         self.engine_lock = lock if lock is not None else threading.Lock()
@@ -304,6 +312,7 @@ class ContinuousBatcher:
         self.pool = None
         self.stats = dict(admitted=0, mid_flight_joins=0, max_concurrent=0,
                           chunks=0, rejected_too_long=0,
+                          prefill_chunks=0, chunked_admissions=0,
                           # spec_steps: verify rounds (one per dispatch x
                           # rounds, regardless of live-slot count);
                           # spec_accepted: accepted proposals consumed;
@@ -350,7 +359,9 @@ class ContinuousBatcher:
     # -- worker ----------------------------------------------------------
 
     def _free_slots(self):
-        return [i for i, s in enumerate(self.slots) if s is None]
+        busy = self._admitting[2] if self._admitting is not None else -1
+        return [i for i, s in enumerate(self.slots)
+                if s is None and i != busy]
 
     def _init_pool(self, proto_cache):
         shp = proto_cache.k.shape  # [L, 1, T, H, D]
@@ -368,6 +379,7 @@ class ContinuousBatcher:
                 v=jnp.zeros(full, proto_cache.k.dtype), length=length)
 
     def _admit(self, item, slot_idx):
+        """Fused one-shot admission prefill, then slot install."""
         eng = self.engine
         if self.prefix_store is not None:
             from visionselector_tpu.models.qwen25vl.model import (
@@ -384,6 +396,25 @@ class ContinuousBatcher:
                 **item["request"], max_new_tokens=item["max_new"],
                 eos_token_ids=item["eos"], _defer_decode=True,
             )
+        self._install(state, item, slot_idx)
+
+    def _chunk_eligible(self, item) -> bool:
+        """Chunked admission handles selector/orig vision requests on
+        engines exposing ``start_chunked_prefill``; strategy captures are
+        fused programs and text-only prefills are already cheap, and the
+        prefix store's fused reuse path wins over segmenting."""
+        return (
+            self.prefill_chunk > 0
+            and self.prefix_store is None
+            and getattr(self.engine, "strategy", None) is None
+            and hasattr(self.engine, "start_chunked_prefill")
+            and (item["request"].get("pixel_values") is not None
+                 or item["request"].get("pixel_values_videos") is not None)
+        )
+
+    def _install(self, state, item, slot_idx):
+        """Move a finished admission prefill into slot ``slot_idx``."""
+        eng = self.engine
         eos = tuple(state.eos_token_ids)
         if state.next_token in eos or item["max_new"] <= 1:
             state.result.tokens = (
@@ -444,6 +475,11 @@ class ContinuousBatcher:
         the batcher dead (a poisoned pool must not serve further)."""
         with self.cv:
             self._running = False
+            if self._admitting is not None:
+                _, item, _ = self._admitting
+                item["error"] = exc
+                item["done"].set()
+                self._admitting = None
             for i, slot in enumerate(self.slots):
                 if slot is not None:
                     slot.item["error"] = exc
@@ -468,17 +504,31 @@ class ContinuousBatcher:
         while True:
             with self.cv:
                 while (self._running and not self.queue
-                       and not any(self.live)):
+                       and not any(self.live)
+                       and self._admitting is None):
                     self.cv.wait()
                 if not self._running:
+                    if self._admitting is not None:
+                        _, item, _ = self._admitting
+                        item["error"] = RuntimeError("batcher shut down")
+                        item["done"].set()
+                        self._admitting = None
                     for item in self.queue:
                         item["error"] = RuntimeError("batcher shut down")
                         item["done"].set()
                     return
                 pending = []
+                start_chunked = None
                 free = self._free_slots()
-                while self.queue and free:
-                    pending.append((self.queue.popleft(), free.pop(0)))
+                while self.queue and free and self._admitting is None:
+                    item = self.queue.popleft()
+                    idx = free.pop(0)
+                    if self._chunk_eligible(item):
+                        # one segmented admission at a time; its vision
+                        # dispatch runs below, outside the cv
+                        start_chunked = (item, idx)
+                        break
+                    pending.append((item, idx))
             for item, idx in pending:
                 try:
                     with self.engine_lock:
@@ -486,6 +536,38 @@ class ContinuousBatcher:
                 except Exception as e:  # noqa: BLE001 — report to waiter
                     item["error"] = e
                     item["done"].set()
+            if start_chunked is not None:
+                item, idx = start_chunked
+                try:
+                    with self.engine_lock:
+                        job = self.engine.start_chunked_prefill(
+                            **item["request"], max_new_tokens=item["max_new"],
+                            eos_token_ids=item["eos"],
+                            prefill_chunk=self.prefill_chunk,
+                        )
+                        if job is None:  # not eligible after all
+                            self._admit(item, idx)
+                        else:
+                            self._admitting = (job, item, idx)
+                except Exception as e:  # noqa: BLE001 — report to waiter
+                    item["error"] = e
+                    item["done"].set()
+            if self._admitting is not None:
+                # ONE decoder segment per loop iteration; live slots get
+                # their decode chunk in between
+                job, item, idx = self._admitting
+                try:
+                    with self.engine_lock:
+                        done = job.step()
+                        self.stats["prefill_chunks"] += 1
+                        if done:
+                            self._install(job.finish(), item, idx)
+                            self._admitting = None
+                            self.stats["chunked_admissions"] += 1
+                except Exception as e:  # noqa: BLE001 — report to waiter
+                    item["error"] = e
+                    item["done"].set()
+                    self._admitting = None
             if not any(self.live):
                 continue
             sampled = bool(np.any(self.temps[self.live] > 0.0))

@@ -126,17 +126,18 @@ def _prefill(
             comp.valid_len, (k_layers, v_layers), logits)
 
 
-def _prefill_core(
+def _compact_stage(
     params, cfg, k_max, use_selector, pixel_values, rot_pos_ids,
     window_seg_ids, full_seg_ids, reverse_index, num_merged, k,
     input_ids, image_positions, text_positions, num_text,
     position_ids_orig, window_kv_bounds, full_kv_bounds,
     window_diag, window_kv_iters, full_kv_iters,
 ):
-    """Shared traced prefill body: ViT -> selection -> compaction -> LM.
+    """Traced ViT -> selection -> compaction (NO decoder layers).
 
-    Called under jit by ``_prefill`` (generation) and ``_prefill_ll``
-    (loglikelihood scoring). Returns (hidden, comp, selection, kv)."""
+    Shared by the fused prefill programs below and by the chunked-prefill
+    path, which runs the compacted sequence through the decoder in
+    fixed-size segments between continuous-batching decode chunks."""
     vision_embeds = vit_mod.vit_forward(
         params["visual"], pixel_values, rot_pos_ids, window_seg_ids,
         full_seg_ids, reverse_index, cfg.vision,
@@ -165,6 +166,51 @@ def _prefill_core(
     comp = compact_sequence(
         text_embeds, vision_embeds, selection, image_positions,
         text_positions, num_text, position_ids_orig,
+    )
+    return comp, selection
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("cfg", "k_max", "use_selector", "window_diag",
+                     "window_kv_iters", "full_kv_iters"),
+)
+def _vision_compact(
+    params, cfg, k_max, use_selector, pixel_values, rot_pos_ids,
+    window_seg_ids, full_seg_ids, reverse_index, num_merged, k,
+    input_ids, image_positions, text_positions, num_text,
+    position_ids_orig, window_kv_bounds=None, full_kv_bounds=None,
+    window_diag: bool = False, window_kv_iters: int = 0,
+    full_kv_iters: int = 0,
+):
+    """Chunked-prefill stage A: the compacted sequence WITHOUT any decoder
+    work. Returns (comp, selection) pytrees."""
+    return _compact_stage(
+        params, cfg, k_max, use_selector, pixel_values, rot_pos_ids,
+        window_seg_ids, full_seg_ids, reverse_index, num_merged, k,
+        input_ids, image_positions, text_positions, num_text,
+        position_ids_orig, window_kv_bounds, full_kv_bounds,
+        window_diag, window_kv_iters, full_kv_iters,
+    )
+
+
+def _prefill_core(
+    params, cfg, k_max, use_selector, pixel_values, rot_pos_ids,
+    window_seg_ids, full_seg_ids, reverse_index, num_merged, k,
+    input_ids, image_positions, text_positions, num_text,
+    position_ids_orig, window_kv_bounds, full_kv_bounds,
+    window_diag, window_kv_iters, full_kv_iters,
+):
+    """Shared traced prefill body: ViT -> selection -> compaction -> LM.
+
+    Called under jit by ``_prefill`` (generation) and ``_prefill_ll``
+    (loglikelihood scoring). Returns (hidden, comp, selection, kv)."""
+    comp, selection = _compact_stage(
+        params, cfg, k_max, use_selector, pixel_values, rot_pos_ids,
+        window_seg_ids, full_seg_ids, reverse_index, num_merged, k,
+        input_ids, image_positions, text_positions, num_text,
+        position_ids_orig, window_kv_bounds, full_kv_bounds,
+        window_diag, window_kv_iters, full_kv_iters,
     )
 
     hidden, kv = lm_mod.lm_prefill(
@@ -930,6 +976,104 @@ class GenerationResult:
     decode_dispatches: Optional[int] = None
 
 
+@functools.partial(jax.jit, static_argnames=("cfg", "p"), donate_argnums=(1,))
+def _prefill_chunk_seg(params, cache, embeds, pos, base, cfg, p: int):
+    """One chunked-prefill segment: compacted rows [base, base+p) run
+    through ALL decoder layers against the (growing) cache in one dispatch.
+
+    ``lm_decode_chunk`` gives exactly the needed semantics — each row's kv
+    appends at layer_len + i, row i attends the committed cache plus
+    causally within the segment. The cache is donated so segments never
+    copy the pool-sized buffer. Returns (hidden [1, p, D], cache)."""
+    d = embeds.shape[1]
+    seg_e = jax.lax.dynamic_slice(embeds, (base, 0), (p, d))[None]
+    seg_p = jax.lax.dynamic_slice(pos, (0, base), (3, p))[:, None, :]
+    return lm_mod.lm_decode_chunk(params["lm"], cache, seg_e, seg_p,
+                                  cfg.text)
+
+
+@functools.partial(jax.jit, static_argnames=("cfg",))
+def _prefill_chunk_logits(params, hidden, idx, cfg):
+    last = hidden[0, idx]
+    logits = lm_mod.lm_head(params["lm"], last, cfg.text)
+    return jnp.argmax(logits, axis=-1).astype(jnp.int32), logits
+
+
+@dataclasses.dataclass
+class ChunkedPrefill:
+    """In-flight segmented admission prefill (continuous batching).
+
+    The fused prefill program stalls every live decode slot for its full
+    duration (~ViT + whole-prompt LM). This state machine splits the LM
+    part into fixed ``seg``-token segments so the batcher can interleave
+    decode chunks between them, bounding the decode stall per iteration to
+    max(one segment, one vision dispatch) — the vLLM "chunked prefill"
+    discipline, TPU-shaped: every segment is the SAME compiled program
+    (static segment length, dynamic base offset).
+
+    Correctness leans on the compacted valid-prefix layout: real tokens
+    form a prefix, so mid segments are fully real, and the final segment's
+    padding rows sit strictly after the real rows (causal masking keeps
+    real rows from attending them; their garbage kv lands above the final
+    cache length and is never attended — the same invariant the slot pool
+    already relies on)."""
+
+    engine: "QwenVLEngine"
+    embeds: jax.Array  # [t_cap, D] compacted sequence (segment-padded)
+    position_ids: jax.Array  # [3, t_cap]
+    cache: "lm_mod.KVCache"  # [L, 1, t_cap] — grows seg rows per step
+    valid_len: int
+    seg: int
+    n_seg: int
+    eos_token_ids: Tuple[int, ...]
+    max_new_tokens: int
+    rope_delta: int
+    result: "GenerationResult"
+    t_start: float
+    i: int = 0
+    _hidden_last: Optional[jax.Array] = None
+
+    @property
+    def done(self) -> bool:
+        return self.i >= self.n_seg
+
+    def step(self) -> bool:
+        """Run ONE segment; returns True when the prefill is complete."""
+        assert not self.done
+        hidden, self.cache = _prefill_chunk_seg(
+            self.engine.params, self.cache, self.embeds, self.position_ids,
+            jnp.asarray(self.i * self.seg, jnp.int32), self.engine.cfg,
+            self.seg,
+        )
+        self.i += 1
+        if self.done:
+            self._hidden_last = hidden
+        return self.done
+
+    def finish(self) -> "PrefillState":
+        """Epilogue after the last segment: first token + trimmed cache."""
+        import time
+
+        assert self.done
+        idx = (self.valid_len - 1) - (self.n_seg - 1) * self.seg
+        next_tok, logits = _prefill_chunk_logits(
+            self.engine.params, self._hidden_last,
+            jnp.asarray(idx, jnp.int32), self.engine.cfg,
+        )
+        cache = self.cache._replace(
+            length=jnp.full_like(self.cache.length, self.valid_len))
+        self.result.prefill_len = self.valid_len
+        self.result.prefill_seconds = time.perf_counter() - self.t_start
+        return PrefillState(
+            cache=cache, next_token=int(next_tok),
+            start_pos=self.valid_len + self.rope_delta,
+            eos_token_ids=self.eos_token_ids,
+            max_new_tokens=self.max_new_tokens,
+            result=self.result, t_start=self.t_start, logits=logits,
+            rope_delta=self.rope_delta,
+        )
+
+
 class QwenVLEngine:
     """Batch-1 generation engine (the reference asserts batch=1 for the
     selector path too — ``token_compression/selector_model.py:270``)."""
@@ -1412,6 +1556,95 @@ class QwenVLEngine:
             prefill_len=valid_len_i,
             prefill_seconds=t_prefill,
             total_seconds=time.perf_counter() - t_start,
+        )
+
+    def start_chunked_prefill(
+        self,
+        input_ids,
+        pixel_values=None,
+        grid_thw=None,
+        pixel_values_videos=None,
+        video_grid_thw=None,
+        second_per_grid_ts=None,
+        max_new_tokens: int = 64,
+        eos_token_ids: Optional[Tuple[int, ...]] = None,
+        prefill_chunk: int = 256,
+    ) -> Optional["ChunkedPrefill"]:
+        """Begin a segmented admission prefill (see ``ChunkedPrefill``).
+
+        Runs ONE vision+compaction dispatch (``_vision_compact``) and
+        returns the state machine whose ``step()`` feeds ``prefill_chunk``
+        compacted tokens through the decoder per call. Returns None when
+        the request is not eligible — strategy baselines (their capture
+        stages are fused) and text-only requests (their prefill is already
+        cheap) fall back to the fused one-shot path."""
+        import time
+
+        cfg = self.cfg
+        if self.strategy is not None:
+            return None
+        if pixel_values is None and pixel_values_videos is None:
+            return None
+        if eos_token_ids is None:
+            eos_token_ids = (cfg.eos_token_id,)
+        input_ids = np.asarray(input_ids).reshape(-1)
+        t_start = time.perf_counter()
+
+        img_grid = grid_thw if pixel_values is not None else None
+        vid_grid = video_grid_thw if pixel_values_videos is not None else None
+        if pixel_values is not None and pixel_values_videos is not None:
+            pixel_values = np.concatenate([pixel_values, pixel_values_videos])
+            grid_thw = np.concatenate([grid_thw, video_grid_thw])
+        elif pixel_values_videos is not None:
+            pixel_values = pixel_values_videos
+            grid_thw = video_grid_thw
+
+        p = self._prep_vision(
+            input_ids, pixel_values, grid_thw, img_grid, vid_grid,
+            second_per_grid_ts,
+        )
+        vb = p.vb
+        comp, selection = _vision_compact(
+            self.params, cfg, p.k_max, self.use_selector,
+            jnp.asarray(vb.pixel_values), jnp.asarray(vb.rot_pos_ids),
+            jnp.asarray(vb.window_seg_ids), jnp.asarray(vb.full_seg_ids),
+            jnp.asarray(vb.reverse_index), jnp.asarray(p.n),
+            jnp.asarray(p.k), jnp.asarray(input_ids),
+            jnp.asarray(p.image_pos_padded), jnp.asarray(p.text_pos_padded),
+            jnp.asarray(p.num_text), jnp.asarray(p.position_ids),
+            jnp.asarray(vb.window_kv_bounds), jnp.asarray(vb.full_kv_bounds),
+            window_diag=vb.window_diag,
+            window_kv_iters=vb.window_kv_iters,
+            full_kv_iters=vb.full_kv_iters,
+        )
+        valid_len = int(comp.valid_len)  # one scalar fetch
+        seg = max(1, int(prefill_chunk))
+        n_seg = -(-valid_len // seg)
+        t_cap = n_seg * seg
+        embeds, pos = comp.embeds, comp.position_ids
+        t_comp = embeds.shape[0]
+        if t_comp < t_cap:
+            embeds = jnp.pad(embeds, ((0, t_cap - t_comp), (0, 0)))
+            pos = jnp.pad(pos, ((0, 0), (0, t_cap - t_comp)))
+        cache = lm_mod.init_kv_cache(cfg.text, 1, t_cap, embeds.dtype)
+
+        sel_idx = np.asarray(selection.indices)
+        sel_valid = np.asarray(selection.valid)
+        result = GenerationResult(
+            tokens=[],
+            scores=(np.asarray(selection.scores)[: p.n]
+                    if self.use_selector else None),
+            selected_indices=(sel_idx[sel_valid]
+                              if self.use_selector else None),
+            num_vision_tokens=p.n,
+            prefill_len=valid_len,
+        )
+        return ChunkedPrefill(
+            engine=self, embeds=embeds, position_ids=pos, cache=cache,
+            valid_len=valid_len, seg=seg, n_seg=n_seg,
+            eos_token_ids=tuple(eos_token_ids),
+            max_new_tokens=max_new_tokens,
+            rope_delta=int(p.rope_delta), result=result, t_start=t_start,
         )
 
     def generate_batch(
