@@ -141,6 +141,7 @@ class TestContinuousBatcher:
         assert bat.stats["chunked_admissions"] == 3
         assert bat.stats["prefill_chunks"] >= 6
         assert bat.stats["admitted"] == len(reqs)
+        assert bat.stats["max_decode_gap_ms"] > 0.0  # gap metric populated
 
     def test_chunked_admission_mid_decode_preserves_live_slot(self, setup):
         """A request admitted through the segmented path while another slot

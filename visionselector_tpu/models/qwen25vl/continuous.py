@@ -292,6 +292,7 @@ class ContinuousBatcher:
         # whole fused prefill (vLLM chunked-prefill discipline)
         self.prefill_chunk = prefill_chunk
         self._admitting = None  # (ChunkedPrefill, item, slot_idx)
+        self._last_decode_t = None  # gap tracking (max_decode_gap_ms)
         # optional external engine lock (the server's): held around device
         # work so session/streaming paths can interleave between chunks
         self.engine_lock = lock if lock is not None else threading.Lock()
@@ -313,6 +314,11 @@ class ContinuousBatcher:
         self.stats = dict(admitted=0, mid_flight_joins=0, max_concurrent=0,
                           chunks=0, rejected_too_long=0,
                           prefill_chunks=0, chunked_admissions=0,
+                          # max wall-clock between consecutive decode
+                          # dispatches while slots were live: the worst
+                          # stall a streaming request saw (admission work
+                          # lands in these gaps; chunked prefill bounds it)
+                          max_decode_gap_ms=0.0,
                           # spec_steps: verify rounds (one per dispatch x
                           # rounds, regardless of live-slot count);
                           # spec_accepted: accepted proposals consumed;
@@ -362,6 +368,16 @@ class ContinuousBatcher:
         busy = self._admitting[2] if self._admitting is not None else -1
         return [i for i, s in enumerate(self.slots)
                 if s is None and i != busy]
+
+    def _mark_decode(self):
+        """Track the max wall gap between consecutive decode dispatches
+        over a continuously-live pool (the streaming stall metric)."""
+        now = time.perf_counter()
+        if self._last_decode_t is not None:
+            self.stats["max_decode_gap_ms"] = max(
+                self.stats["max_decode_gap_ms"],
+                (now - self._last_decode_t) * 1e3)
+        self._last_decode_t = now
 
     def _init_pool(self, proto_cache):
         shp = proto_cache.k.shape  # [L, 1, T, H, D]
@@ -569,11 +585,13 @@ class ContinuousBatcher:
                     item["done"].set()
                     self._admitting = None
             if not any(self.live):
+                self._last_decode_t = None
                 continue
             sampled = bool(np.any(self.temps[self.live] > 0.0))
             try:
                 if self.speculative > 0:
                     self._spec_round(sampled)
+                    self._mark_decode()
                     continue
                 with self.engine_lock:
                     toks, cache, keys = _decode_chunk_slots(
@@ -597,7 +615,8 @@ class ContinuousBatcher:
                 # read-only, which would break the next _admit's write
                 self.keys = np.array(keys)
             self.stats["chunks"] += 1
-            toks = np.asarray(toks)  # [k, S]
+            toks = np.asarray(toks)  # [k, S] (blocks on the dispatch)
+            self._mark_decode()
             for i, slot in enumerate(self.slots):
                 if slot is None:
                     continue
