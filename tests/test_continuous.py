@@ -106,11 +106,14 @@ class TestContinuousBatcher:
         np.testing.assert_array_equal(st.result.selected_indices,
                                       ref.result.selected_indices)
 
-    def test_chunked_prefill_admission_matches_sequential(self, setup):
+    @pytest.mark.parametrize("vit_segments", [0, 2])
+    def test_chunked_prefill_admission_matches_sequential(
+            self, setup, vit_segments):
         """prefill_chunk > 0: admissions run segmented (vision dispatch +
         fixed-size decoder segments interleaved with decode chunks) and
         every result still equals the per-request oracle; text-only
-        requests fall back to the fused path."""
+        requests fall back to the fused path. vit_segments > 1 also runs
+        the vision tower in layer groups."""
         eng, ids_for, pixels, grid = setup
         reqs = [
             (dict(input_ids=ids_for([8, 9]), pixel_values=pixels,
@@ -126,7 +129,8 @@ class TestContinuousBatcher:
             for r, m in reqs
         ]
         bat = ContinuousBatcher(eng, n_slots=2, t_max=256, chunk=4,
-                                prefill_chunk=8)
+                                prefill_chunk=8,
+                                prefill_vit_segments=vit_segments)
         try:
             with cf.ThreadPoolExecutor(max_workers=len(reqs)) as ex:
                 futs = [ex.submit(bat.submit, r, m, (-1,))
@@ -137,9 +141,11 @@ class TestContinuousBatcher:
         for i, (res, want) in enumerate(zip(results, oracle)):
             assert res.tokens == want, (i, res.tokens, want)
         # the three vision requests admit via the segmented path, in >= 2
-        # segments each (prompts are ~10+ compacted tokens at chunk 8)
+        # segments each (prompts are ~10+ compacted tokens at chunk 8);
+        # with a segmented tower each admission takes further dispatches
         assert bat.stats["chunked_admissions"] == 3
-        assert bat.stats["prefill_chunks"] >= 6
+        floor = 6 if vit_segments <= 1 else 6 + 3 * vit_segments
+        assert bat.stats["prefill_chunks"] >= floor
         assert bat.stats["admitted"] == len(reqs)
         assert bat.stats["max_decode_gap_ms"] > 0.0  # gap metric populated
 

@@ -65,9 +65,10 @@ def main():
     long_budget = 160
     short_budget = 8
 
-    def run_arm(prefill_chunk):
+    def run_arm(prefill_chunk, vit_segments=0):
         bat = ContinuousBatcher(engine, n_slots=4, t_max=2048, chunk=8,
-                                prefill_chunk=prefill_chunk)
+                                prefill_chunk=prefill_chunk,
+                                prefill_vit_segments=vit_segments)
         # warm every program this arm uses (admission + decode), then
         # reset the gap stat so compiles don't count as stalls
         bat.submit(short_reqs[0], 4, (-1,))
@@ -98,9 +99,11 @@ def main():
             "prefill_chunks": stats["prefill_chunks"],
         }
 
+    vseg = int(sys.argv[3]) if len(sys.argv) > 3 else 4
     fused = run_arm(0)
     chunked = run_arm(seg)
-    print(json.dumps({
+    chunked_vit = run_arm(seg, vit_segments=vseg) if vseg > 1 else None
+    out = {
         "bench": "chunked_prefill_stall",
         "n_admissions": n_adm,
         "segment_tokens": seg,
@@ -110,7 +113,14 @@ def main():
             1 - chunked["max_decode_gap_ms"]
             / max(fused["max_decode_gap_ms"], 1e-9), 3),
         "platform": jax.devices()[0].platform,
-    }))
+    }
+    if chunked_vit is not None:
+        out["chunked_vit_segments"] = vseg
+        out["chunked_vit"] = chunked_vit
+        out["stall_reduction_vit"] = round(
+            1 - chunked_vit["max_decode_gap_ms"]
+            / max(fused["max_decode_gap_ms"], 1e-9), 3)
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":

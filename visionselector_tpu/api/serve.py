@@ -130,7 +130,8 @@ class Server:
                  prefix_cache_min: int = 32, continuous: int = 0,
                  continuous_t_max: int = 4096, continuous_chunk: int = 8,
                  continuous_kv_int8: bool = False,
-                 continuous_prefill_chunk: int = 0):
+                 continuous_prefill_chunk: int = 0,
+                 continuous_prefill_vit_segments: int = 0):
         self.engine = engine
         self.tokenizer = tokenizer
         self.method = method
@@ -163,7 +164,8 @@ class Server:
                 chunk=continuous_chunk, lock=self.lock,
                 prefix_store=self.prefix_store,
                 speculative=speculative, kv_int8=continuous_kv_int8,
-                prefill_chunk=continuous_prefill_chunk)
+                prefill_chunk=continuous_prefill_chunk,
+                prefill_vit_segments=continuous_prefill_vit_segments)
         else:
             self.batcher = (
                 MicroBatcher(engine, self.lock, micro_batch,
@@ -663,7 +665,9 @@ def build_server(args) -> ThreadingHTTPServer:
                  continuous_kv_int8=getattr(args, 'continuous_kv_int8',
                                             False),
                  continuous_prefill_chunk=getattr(
-                     args, 'continuous_prefill_chunk', 0))
+                     args, 'continuous_prefill_chunk', 0),
+                 continuous_prefill_vit_segments=getattr(
+                     args, 'continuous_prefill_vit_segments', 0))
     httpd = ThreadingHTTPServer((args.host, args.port), make_handler(srv))
     # tests call httpd.shutdown() then httpd.server_obj.close() to reap
     # the batcher worker thread (and its slot pool)
@@ -717,6 +721,11 @@ def main(argv=None) -> int:
                         "+ N-token decoder segments interleaved with decode "
                         "chunks, bounding the decode stall per admission "
                         "(vLLM chunked prefill); 0 = fused one-shot")
+    p.add_argument("--continuous-prefill-vit-segments", type=int, default=0,
+                   help="with --continuous-prefill-chunk: also run the "
+                        "vision tower of each admission in N layer groups "
+                        "(for large images the tower is the dominant "
+                        "un-chunkable dispatch); 0/1 = whole tower")
     args = p.parse_args(argv)
     httpd = build_server(args)
     print(f"[serve] listening on {args.host}:{args.port} "

@@ -267,7 +267,7 @@ class ContinuousBatcher:
                  chunk: int = 8, lock: Optional[threading.Lock] = None,
                  prefix_store=None, speculative: int = 0, ngram: int = 3,
                  ctx_window: int = 128, kv_int8: bool = False,
-                 prefill_chunk: int = 0):
+                 prefill_chunk: int = 0, prefill_vit_segments: int = 0):
         self.engine = engine
         self.n_slots = n_slots
         self.t_max = t_max
@@ -291,6 +291,10 @@ class ContinuousBatcher:
         # most max(segment, vision dispatch) per iteration instead of the
         # whole fused prefill (vLLM chunked-prefill discipline)
         self.prefill_chunk = prefill_chunk
+        # > 1: the vision tower of a segmented admission also runs in
+        # layer groups (depth/N layers per dispatch) — for large images
+        # the tower is the dominant un-chunkable dispatch otherwise
+        self.prefill_vit_segments = prefill_vit_segments
         self._admitting = None  # (ChunkedPrefill, item, slot_idx)
         self._last_decode_t = None  # gap tracking (max_decode_gap_ms)
         # optional external engine lock (the server's): held around device
@@ -560,6 +564,7 @@ class ContinuousBatcher:
                             **item["request"], max_new_tokens=item["max_new"],
                             eos_token_ids=item["eos"],
                             prefill_chunk=self.prefill_chunk,
+                            vit_segments=self.prefill_vit_segments,
                         )
                         if job is None:  # not eligible after all
                             self._admit(item, idx)

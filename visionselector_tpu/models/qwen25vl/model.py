@@ -145,7 +145,19 @@ def _compact_stage(
         window_diag=window_diag,
         window_kv_iters=window_kv_iters, full_kv_iters=full_kv_iters,
     )  # [L_pad, out]
+    return _select_and_compact(
+        params, cfg, k_max, use_selector, vision_embeds, num_merged, k,
+        input_ids, image_positions, text_positions, num_text,
+        position_ids_orig,
+    )
 
+
+def _select_and_compact(
+    params, cfg, k_max, use_selector, vision_embeds, num_merged, k,
+    input_ids, image_positions, text_positions, num_text,
+    position_ids_orig,
+):
+    """Selection + sequence compaction given merged vision embeddings."""
     text_embeds = lm_mod.embed_tokens(params["lm"], input_ids)  # [T_orig, D]
 
     if use_selector:
@@ -173,7 +185,7 @@ def _compact_stage(
 @functools.partial(
     jax.jit,
     static_argnames=("cfg", "k_max", "use_selector", "window_diag",
-                     "window_kv_iters", "full_kv_iters"),
+                     "window_kv_iters", "full_kv_iters", "pad_to"),
 )
 def _vision_compact(
     params, cfg, k_max, use_selector, pixel_values, rot_pos_ids,
@@ -181,17 +193,28 @@ def _vision_compact(
     input_ids, image_positions, text_positions, num_text,
     position_ids_orig, window_kv_bounds=None, full_kv_bounds=None,
     window_diag: bool = False, window_kv_iters: int = 0,
-    full_kv_iters: int = 0,
+    full_kv_iters: int = 0, pad_to: int = 0,
 ):
     """Chunked-prefill stage A: the compacted sequence WITHOUT any decoder
-    work. Returns (comp, selection) pytrees."""
-    return _compact_stage(
+    work. Returns (comp, selection) pytrees; ``pad_to`` > t_comp pads the
+    embeds/position rows inside the program (an eager pad would cost an
+    extra dispatch round trip per admission — material through the axon
+    tunnel)."""
+    comp, selection = _compact_stage(
         params, cfg, k_max, use_selector, pixel_values, rot_pos_ids,
         window_seg_ids, full_seg_ids, reverse_index, num_merged, k,
         input_ids, image_positions, text_positions, num_text,
         position_ids_orig, window_kv_bounds, full_kv_bounds,
         window_diag, window_kv_iters, full_kv_iters,
     )
+    t_comp = comp.embeds.shape[0]
+    if pad_to > t_comp:
+        comp = comp._replace(
+            embeds=jnp.pad(comp.embeds, ((0, pad_to - t_comp), (0, 0))),
+            position_ids=jnp.pad(comp.position_ids,
+                                 ((0, 0), (0, pad_to - t_comp))),
+        )
+    return comp, selection
 
 
 def _prefill_core(
@@ -976,6 +999,58 @@ class GenerationResult:
     decode_dispatches: Optional[int] = None
 
 
+@functools.partial(
+    jax.jit,
+    static_argnames=("cfg", "lo", "hi", "first", "window_diag",
+                     "window_kv_iters", "full_kv_iters"),
+)
+def _vit_segment(
+    params, x, rot_pos_ids, window_seg_ids, full_seg_ids, cfg,
+    lo: int, hi: int, first: bool,
+    window_kv_bounds=None, full_kv_bounds=None, window_diag: bool = False,
+    window_kv_iters: int = 0, full_kv_iters: int = 0,
+):
+    """Vision-tower layers [lo, hi) as one chunked-admission dispatch
+    (``first`` also runs the patch embed on raw pixel rows)."""
+    if first:
+        x = vit_mod.vit_embed(params["visual"], x)
+    return vit_mod.vit_forward_segment(
+        params["visual"], x, rot_pos_ids, window_seg_ids, full_seg_ids,
+        cfg.vision, lo, hi,
+        window_kv_bounds=window_kv_bounds, full_kv_bounds=full_kv_bounds,
+        window_diag=window_diag, window_kv_iters=window_kv_iters,
+        full_kv_iters=full_kv_iters,
+    )
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("cfg", "k_max", "use_selector", "pad_to"),
+)
+def _compact_from_hidden(
+    params, cfg, k_max, use_selector, x, reverse_index, num_merged, k,
+    input_ids, image_positions, text_positions, num_text,
+    position_ids_orig, pad_to: int = 0,
+):
+    """Chunked-admission epilogue of the vision phase: merger + selection +
+    compaction on the final tower hidden states."""
+    vision_embeds = vit_mod.vit_merge(
+        params["visual"], x, reverse_index, cfg.vision)
+    comp, selection = _select_and_compact(
+        params, cfg, k_max, use_selector, vision_embeds, num_merged, k,
+        input_ids, image_positions, text_positions, num_text,
+        position_ids_orig,
+    )
+    t_comp = comp.embeds.shape[0]
+    if pad_to > t_comp:
+        comp = comp._replace(
+            embeds=jnp.pad(comp.embeds, ((0, pad_to - t_comp), (0, 0))),
+            position_ids=jnp.pad(comp.position_ids,
+                                 ((0, 0), (0, pad_to - t_comp))),
+        )
+    return comp, selection
+
+
 @functools.partial(jax.jit, static_argnames=("cfg", "p"), donate_argnums=(1,))
 def _prefill_chunk_seg(params, cache, embeds, pos, base, cfg, p: int):
     """One chunked-prefill segment: compacted rows [base, base+p) run
@@ -1019,27 +1094,38 @@ class ChunkedPrefill:
     already relies on)."""
 
     engine: "QwenVLEngine"
-    embeds: jax.Array  # [t_cap, D] compacted sequence (segment-padded)
-    position_ids: jax.Array  # [3, t_cap]
-    cache: "lm_mod.KVCache"  # [L, 1, t_cap] — grows seg rows per step
-    valid_len: int
     seg: int
-    n_seg: int
     eos_token_ids: Tuple[int, ...]
     max_new_tokens: int
     rope_delta: int
     result: "GenerationResult"
     t_start: float
+    # LM phase (populated by start(), or by the compact step when the
+    # vision tower itself runs segmented)
+    embeds: Optional[jax.Array] = None  # [t_cap, D] compacted (seg-padded)
+    position_ids: Optional[jax.Array] = None  # [3, t_cap]
+    cache: Optional["lm_mod.KVCache"] = None  # [L, 1, t_cap]
+    valid_len: int = 0
+    n_seg: int = 0
+    selection: Optional[object] = None  # device pytree; fetched in finish()
     i: int = 0
     _hidden_last: Optional[jax.Array] = None
+    # vision phase state (segmented tower): layer cursor + program inputs;
+    # None once the compact step has run
+    _vit: Optional[dict] = None
 
     @property
     def done(self) -> bool:
-        return self.i >= self.n_seg
+        return self._vit is None and self.cache is not None \
+            and self.i >= self.n_seg
 
     def step(self) -> bool:
-        """Run ONE segment; returns True when the prefill is complete."""
+        """Run ONE dispatch (a vision layer group, the compact epilogue,
+        or an LM segment); returns True when the prefill is complete."""
         assert not self.done
+        if self._vit is not None:
+            self._vit_step()
+            return False
         hidden, self.cache = _prefill_chunk_seg(
             self.engine.params, self.cache, self.embeds, self.position_ids,
             jnp.asarray(self.i * self.seg, jnp.int32), self.engine.cfg,
@@ -1049,6 +1135,40 @@ class ChunkedPrefill:
         if self.done:
             self._hidden_last = hidden
         return self.done
+
+    def _vit_step(self):
+        eng, v = self.engine, self._vit
+        cfg = eng.cfg
+        depth = cfg.vision.depth
+        if v["lo"] < depth:
+            hi = min(v["lo"] + v["group"], depth)
+            v["x"] = _vit_segment(
+                eng.params, v["x"], v["rot_pos_ids"], v["window_seg_ids"],
+                v["full_seg_ids"], cfg, v["lo"], hi, first=(v["lo"] == 0),
+                window_kv_bounds=v["window_kv_bounds"],
+                full_kv_bounds=v["full_kv_bounds"],
+                window_diag=v["window_diag"],
+                window_kv_iters=v["window_kv_iters"],
+                full_kv_iters=v["full_kv_iters"],
+            )
+            v["lo"] = hi
+            return
+        # compact epilogue: merger + selection + compaction, then arm the
+        # LM phase (the ONE host sync of the admission lives here)
+        comp, selection = _compact_from_hidden(
+            eng.params, cfg, v["k_max"], eng.use_selector, v["x"],
+            v["reverse_index"], v["num_merged"], v["k"], v["input_ids"],
+            v["image_positions"], v["text_positions"], v["num_text"],
+            v["position_ids_orig"], pad_to=v["t_cap"],
+        )
+        self.cache = lm_mod.init_kv_cache(
+            cfg.text, 1, v["t_cap"], comp.embeds.dtype)
+        self.valid_len = int(comp.valid_len)
+        self.n_seg = -(-self.valid_len // self.seg)
+        self.embeds, self.position_ids = comp.embeds, comp.position_ids
+        self.selection = selection if eng.use_selector else None
+        self.result.prefill_len = self.valid_len
+        self._vit = None
 
     def finish(self) -> "PrefillState":
         """Epilogue after the last segment: first token + trimmed cache."""
@@ -1062,6 +1182,13 @@ class ChunkedPrefill:
         )
         cache = self.cache._replace(
             length=jnp.full_like(self.cache.length, self.valid_len))
+        if self.selection is not None:
+            # one batched fetch for all selection arrays (single RTT)
+            sel_idx, sel_valid, scores = jax.device_get(
+                (self.selection.indices, self.selection.valid,
+                 self.selection.scores))
+            self.result.selected_indices = sel_idx[sel_valid]
+            self.result.scores = scores[: self.result.num_vision_tokens]
         self.result.prefill_len = self.valid_len
         self.result.prefill_seconds = time.perf_counter() - self.t_start
         return PrefillState(
@@ -1569,15 +1696,21 @@ class QwenVLEngine:
         max_new_tokens: int = 64,
         eos_token_ids: Optional[Tuple[int, ...]] = None,
         prefill_chunk: int = 256,
+        vit_segments: int = 0,
     ) -> Optional["ChunkedPrefill"]:
         """Begin a segmented admission prefill (see ``ChunkedPrefill``).
 
-        Runs ONE vision+compaction dispatch (``_vision_compact``) and
-        returns the state machine whose ``step()`` feeds ``prefill_chunk``
-        compacted tokens through the decoder per call. Returns None when
-        the request is not eligible — strategy baselines (their capture
-        stages are fused) and text-only requests (their prefill is already
-        cheap) fall back to the fused one-shot path."""
+        With ``vit_segments`` <= 1: runs ONE vision+compaction dispatch
+        (``_vision_compact``) and returns the state machine whose
+        ``step()`` feeds ``prefill_chunk`` compacted tokens through the
+        decoder per call. With ``vit_segments`` > 1 the vision tower ITSELF
+        runs segmented — ``step()`` first advances depth/vit_segments tower
+        layers at a time, then the merger+selection+compaction epilogue,
+        then the LM segments; for large images the tower is the dominant
+        un-chunkable dispatch otherwise. Returns None when the request is
+        not eligible — strategy baselines (their capture stages are fused)
+        and text-only requests (their prefill is already cheap) fall back
+        to the fused one-shot path."""
         import time
 
         cfg = self.cfg
@@ -1604,6 +1737,45 @@ class QwenVLEngine:
             second_per_grid_ts,
         )
         vb = p.vb
+        seg = max(1, int(prefill_chunk))
+        # static segment-aligned capacity: padding happens INSIDE the
+        # program, the per-request cache allocates once — admission costs
+        # exactly one dispatch + one scalar fetch before the first segment
+        t_comp = p.k_max + p.t_text_bucket
+        t_cap = -(-t_comp // seg) * seg
+        if vit_segments > 1:
+            # segmented tower: no dispatch here; step() drives the phases
+            result = GenerationResult(
+                tokens=[], scores=None, selected_indices=None,
+                num_vision_tokens=p.n, prefill_len=0,
+            )
+            depth = cfg.vision.depth
+            vit = dict(
+                x=jnp.asarray(vb.pixel_values),
+                rot_pos_ids=jnp.asarray(vb.rot_pos_ids),
+                window_seg_ids=jnp.asarray(vb.window_seg_ids),
+                full_seg_ids=jnp.asarray(vb.full_seg_ids),
+                reverse_index=jnp.asarray(vb.reverse_index),
+                window_kv_bounds=jnp.asarray(vb.window_kv_bounds),
+                full_kv_bounds=jnp.asarray(vb.full_kv_bounds),
+                window_diag=vb.window_diag,
+                window_kv_iters=vb.window_kv_iters,
+                full_kv_iters=vb.full_kv_iters,
+                num_merged=jnp.asarray(p.n), k=jnp.asarray(p.k),
+                input_ids=jnp.asarray(input_ids),
+                image_positions=jnp.asarray(p.image_pos_padded),
+                text_positions=jnp.asarray(p.text_pos_padded),
+                num_text=jnp.asarray(p.num_text),
+                position_ids_orig=jnp.asarray(p.position_ids),
+                k_max=p.k_max, t_cap=t_cap,
+                lo=0, group=max(1, -(-depth // int(vit_segments))),
+            )
+            return ChunkedPrefill(
+                engine=self, seg=seg, eos_token_ids=tuple(eos_token_ids),
+                max_new_tokens=max_new_tokens,
+                rope_delta=int(p.rope_delta), result=result,
+                t_start=t_start, _vit=vit,
+            )
         comp, selection = _vision_compact(
             self.params, cfg, p.k_max, self.use_selector,
             jnp.asarray(vb.pixel_values), jnp.asarray(vb.rot_pos_ids),
@@ -1616,35 +1788,25 @@ class QwenVLEngine:
             window_diag=vb.window_diag,
             window_kv_iters=vb.window_kv_iters,
             full_kv_iters=vb.full_kv_iters,
+            pad_to=t_cap,
         )
-        valid_len = int(comp.valid_len)  # one scalar fetch
-        seg = max(1, int(prefill_chunk))
+        cache = lm_mod.init_kv_cache(cfg.text, 1, t_cap, comp.embeds.dtype)
+        valid_len = int(comp.valid_len)  # the ONE host sync
         n_seg = -(-valid_len // seg)
-        t_cap = n_seg * seg
-        embeds, pos = comp.embeds, comp.position_ids
-        t_comp = embeds.shape[0]
-        if t_comp < t_cap:
-            embeds = jnp.pad(embeds, ((0, t_cap - t_comp), (0, 0)))
-            pos = jnp.pad(pos, ((0, 0), (0, t_cap - t_comp)))
-        cache = lm_mod.init_kv_cache(cfg.text, 1, t_cap, embeds.dtype)
 
-        sel_idx = np.asarray(selection.indices)
-        sel_valid = np.asarray(selection.valid)
+        # selection arrays are fetched lazily in finish() — each blocking
+        # device->host read is a tunnel round trip on the admission path
         result = GenerationResult(
-            tokens=[],
-            scores=(np.asarray(selection.scores)[: p.n]
-                    if self.use_selector else None),
-            selected_indices=(sel_idx[sel_valid]
-                              if self.use_selector else None),
-            num_vision_tokens=p.n,
-            prefill_len=valid_len,
+            tokens=[], scores=None, selected_indices=None,
+            num_vision_tokens=p.n, prefill_len=valid_len,
         )
         return ChunkedPrefill(
-            engine=self, embeds=embeds, position_ids=pos, cache=cache,
-            valid_len=valid_len, seg=seg, n_seg=n_seg,
+            engine=self, embeds=comp.embeds, position_ids=comp.position_ids,
+            cache=cache, valid_len=valid_len, seg=seg, n_seg=n_seg,
             eos_token_ids=tuple(eos_token_ids),
             max_new_tokens=max_new_tokens,
             rope_delta=int(p.rope_delta), result=result, t_start=t_start,
+            selection=selection if self.use_selector else None,
         )
 
     def generate_batch(

@@ -233,14 +233,89 @@ def vit_forward(
     Returns:
         merged hidden states [L, out_hidden] in ORIGINAL (unpermuted) order.
     """
-    dtype = params["patch_embed_kernel"].dtype
-    x = pixel_values.astype(dtype) @ params["patch_embed_kernel"]  # [S, hidden]
-
+    x = vit_embed(params, pixel_values)  # [S, hidden]
     cos, sin = vision_rotary_cos_sin(rot_pos_ids, cfg.head_dim)
-
     use_full = jnp.asarray(
         [i in cfg.fullatt_block_indexes for i in range(cfg.depth)]
     )
+    layer = _make_scan_layer(
+        cfg, cos, sin, window_seg_ids, full_seg_ids,
+        window_kv_bounds, full_kv_bounds, window_diag,
+        window_kv_iters, full_kv_iters, pixel_values.shape[0],
+    )
+    x, _ = jax.lax.scan(layer, x, (params["blocks"], use_full))
+    return vit_merge(params, x, reverse_index, cfg)
+
+
+def vit_embed(params: dict, pixel_values: jax.Array) -> jax.Array:
+    """Patch embedding: [S, patch_dim] -> [S, hidden]."""
+    dtype = params["patch_embed_kernel"].dtype
+    return pixel_values.astype(dtype) @ params["patch_embed_kernel"]
+
+
+def vit_merge(params: dict, x: jax.Array, reverse_index: jax.Array,
+              cfg: VisionConfig) -> jax.Array:
+    """PatchMerger: RMSNorm -> group merge_unit -> 2-layer GELU MLP, then
+    the permutation restoring original merged order."""
+    m = cfg.spatial_merge_unit
+    h = rms_norm(x, params["merger_ln_scale"], cfg.rms_norm_eps)
+    h = h.reshape(x.shape[0] // m, m * cfg.hidden_size)
+    h = h @ params["merger_fc1_kernel"] + params["merger_fc1_bias"]
+    h = jax.nn.gelu(h, approximate=False)
+    h = h @ params["merger_fc2_kernel"] + params["merger_fc2_bias"]
+    return h[reverse_index]
+
+
+def vit_forward_segment(
+    params: dict,
+    x: jax.Array,
+    rot_pos_ids: jax.Array,
+    window_seg_ids: jax.Array,
+    full_seg_ids: jax.Array,
+    cfg: VisionConfig,
+    lo: int,
+    hi: int,
+    window_kv_bounds: jax.Array | None = None,
+    full_kv_bounds: jax.Array | None = None,
+    window_diag: bool = False,
+    window_kv_iters: int = 0,
+    full_kv_iters: int = 0,
+) -> jax.Array:
+    """Tower layers [lo, hi) on pre-embedded hidden states [S, hidden].
+
+    Splitting one scan over 32 stacked layers into consecutive segment
+    scans is mathematically identical; chunked admission prefills use this
+    to interleave vision work with serving decode chunks (the full-image
+    ViT is the largest un-chunkable dispatch otherwise)."""
+    cos, sin = vision_rotary_cos_sin(rot_pos_ids, cfg.head_dim)
+    use_full = jnp.asarray(
+        [i in cfg.fullatt_block_indexes for i in range(cfg.depth)]
+    )[lo:hi]
+    blocks = jax.tree.map(lambda a: a[lo:hi], params["blocks"])
+    layer = _make_scan_layer(
+        cfg, cos, sin, window_seg_ids, full_seg_ids,
+        window_kv_bounds, full_kv_bounds, window_diag,
+        window_kv_iters, full_kv_iters, x.shape[0],
+    )
+    x, _ = jax.lax.scan(layer, x, (blocks, use_full))
+    return x
+
+
+def _make_scan_layer(
+    cfg: VisionConfig,
+    cos, sin,
+    window_seg_ids, full_seg_ids,
+    window_kv_bounds, full_kv_bounds,
+    window_diag: bool,
+    window_kv_iters: int,
+    full_kv_iters: int,
+    s_pad: int,
+):
+    """Build the per-layer scan body shared by ``vit_forward`` and
+    ``vit_forward_segment``: picks the attention configuration (fused
+    kernel / bounds-skipping Pallas / plain) from env + batch flags;
+    window vs full dispatches per layer via ``lax.cond`` on the scanned
+    flag."""
     have_bounds = window_kv_bounds is not None and full_kv_bounds is not None
     d = cfg.head_dim
 
@@ -252,7 +327,6 @@ def vit_forward(
             fused_vit_attention,
         )
 
-        s_pad = pixel_values.shape[0]
         fused_block = min(256, s_pad)
 
         def _rescale(bounds):
@@ -312,14 +386,7 @@ def vit_forward(
 
             return _block(x, p, None, cos, sin, cfg, fused_fn=fused_fn), None
 
-        x, _ = jax.lax.scan(layer, x, (params["blocks"], use_full))
-        m = cfg.spatial_merge_unit
-        h = rms_norm(x, params["merger_ln_scale"], cfg.rms_norm_eps)
-        h = h.reshape(x.shape[0] // m, m * cfg.hidden_size)
-        h = h @ params["merger_fc1_kernel"] + params["merger_fc1_bias"]
-        h = jax.nn.gelu(h, approximate=False)
-        h = h @ params["merger_fc2_kernel"] + params["merger_fc2_bias"]
-        return h[reverse_index]
+        return layer
 
     if have_bounds:
         # Window and full layers get their own attention configurations:
@@ -343,7 +410,6 @@ def vit_forward(
         use_slots = window_diag and WINDOW_IMPL == "slots"
         win = cfg.window_size // cfg.spatial_merge_size // cfg.patch_size
         slot = win * win * cfg.spatial_merge_unit
-        s_pad = pixel_values.shape[0]
         wblock = s_pad // window_kv_bounds.shape[0]
         fblock = s_pad // full_kv_bounds.shape[0]
 
@@ -391,17 +457,7 @@ def vit_forward(
             seg = jnp.where(full, full_seg_ids, window_seg_ids)
             return _block(x, p, seg, cos, sin, cfg), None
 
-    x, _ = jax.lax.scan(layer, x, (params["blocks"], use_full))
-
-    # PatchMerger: RMSNorm -> group merge_unit -> 2-layer GELU MLP.
-    m = cfg.spatial_merge_unit
-    h = rms_norm(x, params["merger_ln_scale"], cfg.rms_norm_eps)
-    h = h.reshape(x.shape[0] // m, m * cfg.hidden_size)
-    h = h @ params["merger_fc1_kernel"] + params["merger_fc1_bias"]
-    h = jax.nn.gelu(h, approximate=False)
-    h = h @ params["merger_fc2_kernel"] + params["merger_fc2_bias"]  # [L, out]
-
-    return h[reverse_index]
+    return layer
 
 
 def vit_forward_sp(
