@@ -1003,6 +1003,8 @@ def chunk_decode_attention(
     v_cache: jax.Array,
     base_len: jax.Array,
     scale: float | None = None,
+    k_scale: jax.Array | None = None,
+    v_scale: jax.Array | None = None,
 ) -> jax.Array:
     """Multi-token decode attention (speculative verification chunk).
 
@@ -1012,19 +1014,41 @@ def chunk_decode_attention(
     (causal within the chunk, full view of the committed cache). Like
     ``decode_attention``, XLA handles this well — decode is weight-stream
     bound, which is exactly why verifying T_c tokens costs about one step.
+
+    GQA is handled WITHOUT head expansion: the caches stay [B, T_max, H_kv,
+    D] and q is grouped to [B, T_c, H_kv, n_rep, D], so each decode step
+    streams the KV pool exactly once at its true size. (``_repeat_kv`` before
+    the dot materializes the n_rep-times-larger expanded cache — at 3B's
+    n_rep=8 that is 8x the KV HBM traffic, measured ~4x off the roofline at
+    long context.) Passing already-expanded caches still works (n_rep=1).
+
+    With ``k_scale``/``v_scale`` ([B, T_max, H_kv], f32) the caches are int8
+    and the per-row dequant scales fold into the logits / probs instead of
+    materializing a dequantized bf16 cache: the int8->bf16 convert fuses into
+    the dot's operand read, so the step's KV HBM traffic really halves (a
+    separate dequantize writes + re-reads a bf16 copy, tripling it).
     """
     if scale is None:
         scale = q.shape[-1] ** -0.5
-    t_c = q.shape[1]
+    b, t_c, hq, d = q.shape
+    h_kv = k_cache.shape[2]
+    n_rep = hq // h_kv
+    qg = q.reshape(b, t_c, h_kv, n_rep, d)
     logits = jnp.einsum(
-        "bqhd,bkhd->bhqk", q, k_cache, preferred_element_type=jnp.float32
+        "bqgrd,bkgd->bgrqk", qg, k_cache.astype(q.dtype),
+        preferred_element_type=jnp.float32,
     ) * scale
+    if k_scale is not None:
+        logits = logits * k_scale.transpose(0, 2, 1)[:, :, None, None, :]
     limit = base_len[:, None, None] + jnp.arange(t_c)[None, :, None] + 1
     valid = jnp.arange(k_cache.shape[1])[None, None, :] < limit  # [B, Tc, T]
-    logits = jnp.where(valid[:, None, :, :], logits, NEG_INF)
+    logits = jnp.where(valid[:, None, None, :, :], logits, NEG_INF)
     probs = jax.nn.softmax(logits, axis=-1)
-    out = jnp.einsum("bhqk,bkhd->bqhd", probs.astype(v_cache.dtype), v_cache)
-    return out.astype(q.dtype)
+    if v_scale is not None:
+        probs = probs * v_scale.transpose(0, 2, 1)[:, :, None, None, :]
+    out = jnp.einsum(
+        "bgrqk,bkgd->bqgrd", probs.astype(q.dtype), v_cache.astype(q.dtype))
+    return out.reshape(b, t_c, hq, d).astype(q.dtype)
 
 
 def decode_attention(
@@ -1033,20 +1057,36 @@ def decode_attention(
     v_cache: jax.Array,
     cache_len: jax.Array,
     scale: float | None = None,
+    k_scale: jax.Array | None = None,
+    v_scale: jax.Array | None = None,
 ) -> jax.Array:
     """Single-step decode attention against a KV cache.
 
-    q: [B, 1, H, D]; k_cache/v_cache: [B, T_max, H, D]; cache_len: [B] valid
-    lengths (query attends to cache positions < cache_len). XLA handles this
-    well (it is bandwidth-bound); no Pallas needed at batch-1 decode.
+    q: [B, 1, H, D]; k_cache/v_cache: [B, T_max, H_kv, D]; cache_len: [B]
+    valid lengths (query attends to cache positions < cache_len). XLA handles
+    this well (it is bandwidth-bound); no Pallas needed at batch-1 decode.
+
+    GQA without expansion and optional int8-cache ``k_scale``/``v_scale``
+    ([B, T_max, H_kv], f32) folded into logits/probs — see
+    ``chunk_decode_attention``.
     """
     if scale is None:
         scale = q.shape[-1] ** -0.5
+    b, t_q, hq, d = q.shape
+    h_kv = k_cache.shape[2]
+    n_rep = hq // h_kv
+    qg = q.reshape(b, t_q, h_kv, n_rep, d)
     logits = jnp.einsum(
-        "bqhd,bkhd->bhqk", q, k_cache, preferred_element_type=jnp.float32
+        "bqgrd,bkgd->bgrqk", qg, k_cache.astype(q.dtype),
+        preferred_element_type=jnp.float32,
     ) * scale
+    if k_scale is not None:
+        logits = logits * k_scale.transpose(0, 2, 1)[:, :, None, None, :]
     valid = jnp.arange(k_cache.shape[1])[None, :] < cache_len[:, None]  # [B, T]
-    logits = jnp.where(valid[:, None, None, :], logits, NEG_INF)
+    logits = jnp.where(valid[:, None, None, None, :], logits, NEG_INF)
     probs = jax.nn.softmax(logits, axis=-1)
-    out = jnp.einsum("bhqk,bkhd->bqhd", probs.astype(v_cache.dtype), v_cache)
-    return out.astype(q.dtype)
+    if v_scale is not None:
+        probs = probs * v_scale.transpose(0, 2, 1)[:, :, None, None, :]
+    out = jnp.einsum(
+        "bgrqk,bkgd->bqgrd", probs.astype(q.dtype), v_cache.astype(q.dtype))
+    return out.reshape(b, t_q, hq, d).astype(q.dtype)

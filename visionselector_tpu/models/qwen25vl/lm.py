@@ -511,17 +511,19 @@ def lm_decode_step(
             v_cache = jax.vmap(write_row)(v_cache, v8, pos)
             k_s = jax.vmap(write_row)(k_s, ks_new, pos)
             v_s = jax.vmap(write_row)(v_s, vs_new, pos)
-            k_read = dequantize_kv(k_cache, k_s, q.dtype)
-            v_read = dequantize_kv(v_cache, v_s, q.dtype)
+            # int8 straight into the attention dots; scales fold into the
+            # grouped logits/probs (materializing a dequantized bf16 copy
+            # triples the step's KV traffic — measured 0.78x).
+            kq_scale, vq_scale = k_s, v_s
         else:
+            kq_scale = vq_scale = None
             k_cache = jax.vmap(write_row)(k_cache, k, pos)
             v_cache = jax.vmap(write_row)(v_cache, v, pos)
-            k_read, v_read = k_cache, v_cache
+        # Unexpanded [B, T, H_kv, D] caches: grouped-query attention streams
+        # the pool once (no n_rep-x _repeat_kv materialization).
         attn = decode_attention(
-            q,
-            _repeat_kv(k_read, n_rep),
-            _repeat_kv(v_read, n_rep),
-            pos + 1,
+            q, k_cache, v_cache, pos + 1,
+            k_scale=kq_scale, v_scale=vq_scale,
         )
         x = x + _dense(attn.reshape(b, 1, -1), p, "o_kernel")
         h = rms_norm(x, p["post_ln_scale"], cfg.rms_norm_eps)
@@ -591,17 +593,15 @@ def lm_decode_chunk(
             v_cache = jax.vmap(write_row)(v_cache, v8, pos)
             k_s = jax.vmap(write_row)(k_s, ks_new, pos)
             v_s = jax.vmap(write_row)(v_s, vs_new, pos)
-            k_read = dequantize_kv(k_cache, k_s, q.dtype)
-            v_read = dequantize_kv(v_cache, v_s, q.dtype)
+            # Fold dequant scales into logits/probs (see lm_decode_step).
+            kq_scale, vq_scale = k_s, v_s
         else:
+            kq_scale = vq_scale = None
             k_cache = jax.vmap(write_row)(k_cache, k, pos)
             v_cache = jax.vmap(write_row)(v_cache, v, pos)
-            k_read, v_read = k_cache, v_cache
         attn = chunk_decode_attention(
-            q,
-            _repeat_kv(k_read, n_rep),
-            _repeat_kv(v_read, n_rep),
-            pos,
+            q, k_cache, v_cache, pos,
+            k_scale=kq_scale, v_scale=vq_scale,
         )
         x = x + _dense(attn.reshape(b, t_c, -1), p, "o_kernel")
         h = rms_norm(x, p["post_ln_scale"], cfg.rms_norm_eps)
