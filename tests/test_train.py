@@ -349,6 +349,67 @@ class TestBaselineSFT:
                  if l.startswith("{")]
         assert np.isfinite(json.loads(lines[-1])["loss"])
 
+    def test_prefetch_matches_sync(self, tmp_path, capsys):
+        """--prefetch builds batches in a background thread; the stream
+        cursor is owned by that thread alone, so the batch order (and
+        every logged loss) must equal the synchronous loop's."""
+        import json
+
+        from visionselector_tpu.api.train import main
+
+        losses = {}
+        for pf in ("0", "2"):
+            out = str(tmp_path / f"pf{pf}")
+            rc = main([
+                "--output-dir", out, "--smoke", "--total-steps", "3",
+                "--batch-size", "2", "--save-steps", "3",
+                "--log-steps", "1", "--prefetch", pf,
+            ])
+            assert rc == 0
+            lines = [l for l in capsys.readouterr().out.splitlines()
+                     if l.startswith("{")]
+            losses[pf] = [json.loads(l)["loss"] for l in lines]
+        assert losses["0"] == losses["2"]
+
+
+class TestBatchPrefetcher:
+    def test_preserves_order(self):
+        from visionselector_tpu.train.prefetch import BatchPrefetcher
+
+        it = iter(range(100))
+        pf = BatchPrefetcher(lambda: next(it), size=4)
+        got = [next(pf) for _ in range(50)]
+        pf.close()
+        assert got == list(range(50))
+
+    def test_propagates_exception(self):
+        from visionselector_tpu.train.prefetch import BatchPrefetcher
+
+        state = {"n": 0}
+
+        def make():
+            state["n"] += 1
+            if state["n"] > 3:
+                raise ValueError("boom")
+            return state["n"]
+
+        pf = BatchPrefetcher(make, size=1)
+        seen = []
+        with pytest.raises(ValueError, match="boom"):
+            for _ in range(10):
+                seen.append(next(pf))
+        assert seen == [1, 2, 3]
+        pf.close()
+
+    def test_close_joins_thread(self):
+        import time as _time
+
+        from visionselector_tpu.train.prefetch import BatchPrefetcher
+
+        pf = BatchPrefetcher(lambda: _time.sleep(0.01) or 0, size=2)
+        next(pf)
+        pf.close()
+        assert not pf._thread.is_alive()
 
 
 class TestGradAccum:

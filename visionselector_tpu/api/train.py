@@ -113,6 +113,11 @@ def build_parser():
     # ``data_qwen.py:566-637`` flattened collator).
     p.add_argument("--data-flatten", action=argparse.BooleanOptionalAction,
                    default=False)
+    # Host/device overlap: build + device_put the next N batches in a
+    # background thread while the device runs the current step (the JAX
+    # analog of the reference's DataLoader workers, ``sft_3b.sh
+    # --dataloader_num_workers 4``). 0 = synchronous.
+    p.add_argument("--prefetch", type=int, default=2)
     return p
 
 
@@ -579,7 +584,10 @@ def main(argv=None) -> int:
     t0 = time.time()
 
     def log_and_save(metrics, **extra):
-        step = int(state.step)
+        # host_step mirrors state.step without forcing a device sync
+        # every iteration (reading state.step blocks on the in-flight
+        # step and would serialize host batch-build with device compute)
+        step = host_step
         if step % args.log_steps == 0 or step == args.total_steps:
             m = {k: float(v) for k, v in metrics.items()}
             m.update(step=step, wall_s=round(time.time() - t0, 1), **extra)
@@ -589,7 +597,65 @@ def main(argv=None) -> int:
         if step % args.save_steps == 0 or step == args.total_steps:
             path = save_train_state(state, args.output_dir)
             print(f"[train] saved {path}")
-    while int(state.step) < args.total_steps:
+
+    def next_host_batch():
+        """One device-ready batch for the standard (selector/sft/dynamic)
+        path: pull B samples (x accum micro-steps), stack, device_put."""
+        if accum == 1:
+            samples = [next(stream) for _ in range(args.batch_size)]
+            b = jax.tree.map(jnp.asarray, stack_samples(samples))
+        else:
+            micro = [
+                stack_samples(
+                    [next(stream) for _ in range(args.batch_size)])
+                for _ in range(accum)
+            ]
+            b = jax.tree.map(lambda *xs: jnp.stack(xs), *micro)
+        return jax.tree.map(lambda x: jax.device_put(x, spec(x)), b)
+
+    def next_dpo_batch():
+        def one_pair_batch():
+            pairs = [next(stream) for _ in range(args.batch_size)]
+            return (stack_samples([c for c, _ in pairs]),
+                    stack_samples([r for _, r in pairs]))
+
+        if accum == 1:
+            chosen, rejected = one_pair_batch()
+            chosen = jax.tree.map(jnp.asarray, chosen)
+            rejected = jax.tree.map(jnp.asarray, rejected)
+        else:
+            micro = [one_pair_batch() for _ in range(accum)]
+            chosen = jax.tree.map(lambda *xs: jnp.stack(xs),
+                                  *[c for c, _ in micro])
+            rejected = jax.tree.map(lambda *xs: jnp.stack(xs),
+                                    *[r for _, r in micro])
+        chosen = jax.tree.map(lambda x: jax.device_put(x, spec(x)),
+                              chosen)
+        rejected = jax.tree.map(lambda x: jax.device_put(x, spec(x)),
+                                rejected)
+        return chosen, rejected
+
+    # GRPO rollouts depend on the CURRENT policy, so its batches cannot
+    # be built ahead; the standard and DPO paths can.
+    prefetcher = None
+    if is_grpo:
+        batch_iter = None
+    else:
+        make = next_dpo_batch if is_dpo else next_host_batch
+        if args.prefetch > 0:
+            from visionselector_tpu.train.prefetch import BatchPrefetcher
+
+            prefetcher = BatchPrefetcher(make, size=args.prefetch)
+            batch_iter = prefetcher
+        else:
+            def _sync_iter(fn=make):
+                while True:
+                    yield fn()
+
+            batch_iter = _sync_iter()
+
+    host_step = int(state.step)
+    while host_step < args.total_steps:
         if is_grpo:
             from visionselector_tpu.models.qwen25vl.model import QwenVLEngine
             from visionselector_tpu.preprocess.image import preprocess_image
@@ -669,7 +735,7 @@ def main(argv=None) -> int:
                     sched.scale_rewards)
                 return stack_samples(samples), adv, rewards
 
-            base = int(state.step) * args.batch_size * accum
+            base = host_step * args.batch_size * accum
             if accum == 1:
                 batch, adv, rewards = one_micro(base)
                 batch = jax.tree.map(jnp.asarray, batch)
@@ -688,46 +754,20 @@ def main(argv=None) -> int:
             adv_dev = jax.device_put(adv, spec(adv))
             state, metrics = step_fn(state, frozen, batch, adv_dev,
                                      cfg, sched)
+            host_step += 1
             log_and_save(metrics, mean_reward=float(np.mean(rewards)))
             continue
         if is_dpo:
-            def one_pair_batch():
-                pairs = [next(stream) for _ in range(args.batch_size)]
-                return (stack_samples([c for c, _ in pairs]),
-                        stack_samples([r for _, r in pairs]))
-
-            if accum == 1:
-                chosen, rejected = one_pair_batch()
-                chosen = jax.tree.map(jnp.asarray, chosen)
-                rejected = jax.tree.map(jnp.asarray, rejected)
-            else:
-                micro = [one_pair_batch() for _ in range(accum)]
-                chosen = jax.tree.map(lambda *xs: jnp.stack(xs),
-                                      *[c for c, _ in micro])
-                rejected = jax.tree.map(lambda *xs: jnp.stack(xs),
-                                        *[r for _, r in micro])
-            chosen = jax.tree.map(lambda x: jax.device_put(x, spec(x)),
-                                  chosen)
-            rejected = jax.tree.map(lambda x: jax.device_put(x, spec(x)),
-                                    rejected)
+            chosen, rejected = next(batch_iter)
             # frozen == the pretrained starting weights even after resume:
             # exactly the reference-policy contract (dpo_trainer.py).
             step_fn = dpo_train_step_accum if accum > 1 else dpo_train_step
             state, metrics = step_fn(state, frozen, chosen, rejected,
                                      cfg, sched)
+            host_step += 1
             log_and_save(metrics)
             continue
-        if accum == 1:
-            samples = [next(stream) for _ in range(args.batch_size)]
-            batch = jax.tree.map(jnp.asarray, stack_samples(samples))
-        else:
-            micro = [
-                stack_samples(
-                    [next(stream) for _ in range(args.batch_size)])
-                for _ in range(accum)
-            ]
-            batch = jax.tree.map(lambda *xs: jnp.stack(xs), *micro)
-        batch = jax.tree.map(lambda x: jax.device_put(x, spec(x)), batch)
+        batch = next(batch_iter)
         if is_sft:
             if accum > 1:
                 from visionselector_tpu.train.sft import sft_train_step_accum
@@ -758,7 +798,11 @@ def main(argv=None) -> int:
             else:
                 state, metrics = train_step(state, frozen, batch, cfg,
                                             k_max, sched)
+        host_step += 1
         log_and_save(metrics)
+
+    if prefetcher is not None:
+        prefetcher.close()
 
     if is_dpo or is_grpo:
         if args.lora_rank > 0:

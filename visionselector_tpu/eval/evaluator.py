@@ -262,6 +262,7 @@ class EngineAdapter:
         order = sorted(range(len(requests)),
                        key=lambda i: self._bucket_key(requests[i]))
         out_by_pos = [None] * len(requests)
+        chunks = []
         i = 0
         while i < len(order):
             mnt = requests[order[i]].task.max_new_tokens
@@ -272,7 +273,29 @@ class EngineAdapter:
                    == mnt):
                 chunk.append(order[i + len(chunk)])
             i += len(chunk)
-            prepared = [self._prepare_request(requests[oi]) for oi in chunk]
+            chunks.append(chunk)
+
+        # Overlap the NEXT chunk's host work (PIL decode + patchify +
+        # tokenize) with the current chunk's device prefill/decode — the
+        # eval-side analog of the training loop's --prefetch
+        # (train/prefetch.py). Pure host work; results are identical.
+        from concurrent.futures import ThreadPoolExecutor
+
+        overlap = os.environ.get("VST_EVAL_PREFETCH", "1") != "0"
+        ex = ThreadPoolExecutor(max_workers=1) if overlap else None
+
+        def prep(chunk):
+            return [self._prepare_request(requests[oi]) for oi in chunk]
+
+        fut = ex.submit(prep, chunks[0]) if (ex and chunks) else None
+        for ci, chunk in enumerate(chunks):
+            mnt = requests[chunk[0]].task.max_new_tokens
+            if fut is not None:
+                prepared = fut.result()
+                fut = (ex.submit(prep, chunks[ci + 1])
+                       if ci + 1 < len(chunks) else None)
+            else:
+                prepared = prep(chunk)
             spec = int(os.environ.get("VST_SPECULATIVE", "0"))
             if len(chunk) == 1 and spec > 0:
                 # prompt-lookup speculative decoding (greedy-identical
@@ -293,6 +316,8 @@ class EngineAdapter:
             for oi, (kw, grid), res in zip(chunk, prepared, results):
                 out_by_pos[oi] = self._postprocess(
                     requests[oi], res, grid, until)
+        if ex is not None:
+            ex.shutdown()
         return out_by_pos
 
     def loglikelihood(
