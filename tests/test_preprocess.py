@@ -86,6 +86,37 @@ class TestPatchify:
         assert flat.shape == (t * h * w, 1176)
         assert h % 2 == 0 and w % 2 == 0
 
+    def test_uint8_array_resize_matches_pil_input(self):
+        """A uint8 numpy image that NEEDS resizing routes through PIL
+        BICUBIC (the HF processor converts numpy to PIL before its
+        BICUBIC resample), so the array-input and PIL-input paths must be
+        bit-identical. The float-array fallback stays bilinear."""
+        from PIL import Image
+
+        img = (np.random.RandomState(3).rand(1036, 1456, 3) * 255).astype(
+            np.uint8)
+        flat_arr, grid_arr = preprocess_image(img)
+        flat_pil, grid_pil = preprocess_image(Image.fromarray(img))
+        np.testing.assert_array_equal(grid_arr, grid_pil)
+        np.testing.assert_array_equal(flat_arr, flat_pil)
+
+    def test_uint8_video_frames_resize_matches_image_path(self):
+        """Video frames (uint8, needing resize) use the same PIL BICUBIC
+        per frame: one repeated frame must patchify to the image path's
+        rows (temporal repeat aside)."""
+        from visionselector_tpu.preprocess.image import (
+            preprocess_video_frames,
+        )
+
+        rng = np.random.RandomState(4)
+        frame = (rng.rand(480, 854, 3) * 255).astype(np.uint8)
+        flat_img, grid_img = preprocess_image(
+            frame, min_pixels=128 * 28 * 28, max_pixels=768 * 28 * 28)
+        flat_vid, grid_vid = preprocess_video_frames(
+            np.stack([frame, frame]))
+        np.testing.assert_array_equal(grid_img[0][1:], grid_vid[0][1:])
+        np.testing.assert_array_equal(flat_img, flat_vid)
+
 
 class TestNormalize:
     def test_range(self):

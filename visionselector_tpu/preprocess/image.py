@@ -94,6 +94,25 @@ def _bilinear_resize(image: np.ndarray, out_h: int, out_w: int) -> np.ndarray:
     return (a * (1 - wx) + b * wx) * (1 - wy) + (c * (1 - wx) + d * wx) * wy
 
 
+def _resize_uint8_frames(frames: np.ndarray, out_h: int, out_w: int):
+    """(T, H, W, 3) uint8 -> (T, out_h, out_w, 3) uint8 via PIL BICUBIC —
+    the resample the HF processor applies to numpy inputs (it converts to
+    PIL first; ``image_processing_qwen2_vl`` resample=BICUBIC) and the
+    close match to the reference video path's antialiased bicubic
+    (``vision_process.py`` torchvision resize). ~20x faster than the
+    float64 numpy fallback. Returns None when PIL is unavailable."""
+    try:
+        from PIL import Image  # noqa: PLC0415
+    except ImportError:
+        return None
+    out = np.empty((frames.shape[0], out_h, out_w, 3), np.uint8)
+    for i, f in enumerate(frames):
+        out[i] = np.asarray(
+            Image.fromarray(f).resize((out_w, out_h), Image.BICUBIC)
+        )
+    return out
+
+
 def resize_image(image, out_h: int, out_w: int) -> np.ndarray:
     """Resize to (out_h, out_w). Accepts a PIL image or (H, W, C) uint8/float
     numpy array; returns float64 (H, W, C) in [0, 255] range."""
@@ -186,6 +205,13 @@ def preprocess_image(
             and image.shape[2] == 3 and image.dtype == np.uint8
             and (out_h, out_w) == (height, width)):
         frames_in = image[None]  # resize-free uint8 fast path
+    elif (isinstance(image, np.ndarray) and image.ndim == 3
+            and image.shape[2] == 3 and image.dtype == np.uint8
+            and (r := _resize_uint8_frames(image[None], out_h, out_w))
+            is not None):
+        # uint8 array needing resize: PIL BICUBIC (matches the HF
+        # processor's numpy handling) straight into the fused kernel
+        frames_in = r
     elif not isinstance(image, np.ndarray):
         # PIL path: bicubic resize emits uint8 — feed it to the fused kernel
         # without the float64 cast (bit-identical; the cast was pure cost)
@@ -237,6 +263,14 @@ def preprocess_video_frames(
     if (out_h, out_w) == (height, width) and frames.ndim == 4 \
             and frames.shape[3] == 3 and frames.dtype == np.uint8:
         resized = frames  # uint8 fast path straight into the native kernel
+    elif (frames.ndim == 4 and frames.shape[3] == 3
+            and frames.dtype == np.uint8
+            and (r := _resize_uint8_frames(frames, out_h, out_w))
+            is not None):
+        # uint8 frames: per-frame PIL BICUBIC (the reference's video
+        # resize is antialiased bicubic, vision_process.py; PIL is its
+        # close match and ~20x the float64 numpy fallback's speed)
+        resized = r
     else:
         frames = frames.astype(np.float64)
         resized = np.stack([_bilinear_resize(f, out_h, out_w) for f in frames])
