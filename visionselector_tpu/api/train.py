@@ -655,154 +655,159 @@ def main(argv=None) -> int:
             batch_iter = _sync_iter()
 
     host_step = int(state.step)
-    while host_step < args.total_steps:
-        if is_grpo:
-            from visionselector_tpu.models.qwen25vl.model import QwenVLEngine
-            from visionselector_tpu.preprocess.image import preprocess_image
-            from visionselector_tpu.preprocess.rope import (
-                expand_vision_tokens_at_slots,
-            )
-            from visionselector_tpu.train.grpo import (
-                REWARD_FUNCS,
-                build_grpo_sample,
-                group_advantages,
-                rollout_group,
-            )
-
-            # rollouts under the CURRENT policy (grpo_trainer.py:843-900)
-            if is_ov:
-                from visionselector_tpu.models.llava_ov15.model import (
-                    OVEngine,
+    try:
+        while host_step < args.total_steps:
+            if is_grpo:
+                from visionselector_tpu.models.qwen25vl.model import QwenVLEngine
+                from visionselector_tpu.preprocess.image import preprocess_image
+                from visionselector_tpu.preprocess.rope import (
+                    expand_vision_tokens_at_slots,
+                )
+                from visionselector_tpu.train.grpo import (
+                    REWARD_FUNCS,
+                    build_grpo_sample,
+                    group_advantages,
+                    rollout_group,
                 )
 
-                eng = OVEngine(cfg, state.params, use_selector=False)
-            else:
-                eng = QwenVLEngine(cfg, state.params, use_selector=False)
-            # ONE pixel-bound policy for rollout preprocessing AND the
-            # scored training sample — the completions must be conditioned
-            # on exactly the image grid the step scores (OV's builder
-            # defaults differ from preprocess_image's, so never rely on
-            # defaults here).
-            mm = (dict(min_pixels=1, max_pixels=10**9)
-                  if (args.smoke or not args.model_path)
-                  else dict(min_pixels=56 * 56, max_pixels=28 * 28 * 1280))
-            reward_fns = [REWARD_FUNCS[n]
-                          for n in args.rewards.split(",") if n]
-            def one_micro(seed_base):
-                samples, rewards = [], []
-                for bi in range(args.batch_size):
-                    images, raw_ids, slots, solution, tok = next(stream)
-                    px_list, g_list = [], []
-                    for image in images:
-                        px_i, g_i = preprocess_image(
-                            image, patch_size=cfg.vision.patch_size,
-                            temporal_patch_size=cfg.vision.temporal_patch_size,
-                            merge_size=cfg.vision.spatial_merge_size, **mm)
-                        px_list.append(px_i)
-                        g_list.append(g_i)
-                    pixels = np.concatenate(px_list, axis=0)
-                    grid = np.concatenate(g_list, axis=0)
-                    ids = expand_vision_tokens_at_slots(
-                        raw_ids, slots, grid,
-                        spatial_merge_size=cfg.vision.spatial_merge_size,
-                        image_token_id=cfg.image_token_id,
-                        vision_start_token_id=cfg.vision_start_token_id,
-                        vision_end_token_id=cfg.vision_end_token_id)
-                    comps = rollout_group(
-                        eng, ids, pixels, grid, sched, seed=seed_base + bi)
-                    if tok is not None:
-                        texts = [tok.decode(c, skip_special_tokens=True)
-                                 for c in comps]
-                        sols = [solution] * len(texts)
-                        per_fn = [fn(texts, solution=sols)
-                                  for fn in reward_fns]
-                        rewards.extend(float(sum(col))
-                                       for col in zip(*per_fn))
-                    else:
-                        # smoke reward: parity of the completion's token
-                        # sum — varies across group members
-                        rewards.extend(float(int(np.sum(c)) % 2 == 0)
-                                       for c in comps)
-                    samples.extend(
-                        build_grpo_sample(
-                            cfg, images, raw_ids, slots, c,
-                            budget=args.budget, s_bucket=args.vision_bucket,
-                            t_bucket=args.text_bucket,
-                            family=args.family, **mm)
-                        for c in comps)
-                adv = group_advantages(
-                    np.asarray(rewards), sched.num_generations,
-                    sched.scale_rewards)
-                return stack_samples(samples), adv, rewards
+                # rollouts under the CURRENT policy (grpo_trainer.py:843-900)
+                if is_ov:
+                    from visionselector_tpu.models.llava_ov15.model import (
+                        OVEngine,
+                    )
 
-            base = host_step * args.batch_size * accum
-            if accum == 1:
-                batch, adv, rewards = one_micro(base)
-                batch = jax.tree.map(jnp.asarray, batch)
-                adv = jnp.asarray(adv)
-                step_fn = grpo_train_step
+                    eng = OVEngine(cfg, state.params, use_selector=False)
+                else:
+                    eng = QwenVLEngine(cfg, state.params, use_selector=False)
+                # ONE pixel-bound policy for rollout preprocessing AND the
+                # scored training sample — the completions must be conditioned
+                # on exactly the image grid the step scores (OV's builder
+                # defaults differ from preprocess_image's, so never rely on
+                # defaults here).
+                mm = (dict(min_pixels=1, max_pixels=10**9)
+                      if (args.smoke or not args.model_path)
+                      else dict(min_pixels=56 * 56, max_pixels=28 * 28 * 1280))
+                reward_fns = [REWARD_FUNCS[n]
+                              for n in args.rewards.split(",") if n]
+                def one_micro(seed_base):
+                    samples, rewards = [], []
+                    for bi in range(args.batch_size):
+                        images, raw_ids, slots, solution, tok = next(stream)
+                        px_list, g_list = [], []
+                        for image in images:
+                            px_i, g_i = preprocess_image(
+                                image, patch_size=cfg.vision.patch_size,
+                                temporal_patch_size=cfg.vision.temporal_patch_size,
+                                merge_size=cfg.vision.spatial_merge_size, **mm)
+                            px_list.append(px_i)
+                            g_list.append(g_i)
+                        pixels = np.concatenate(px_list, axis=0)
+                        grid = np.concatenate(g_list, axis=0)
+                        ids = expand_vision_tokens_at_slots(
+                            raw_ids, slots, grid,
+                            spatial_merge_size=cfg.vision.spatial_merge_size,
+                            image_token_id=cfg.image_token_id,
+                            vision_start_token_id=cfg.vision_start_token_id,
+                            vision_end_token_id=cfg.vision_end_token_id)
+                        comps = rollout_group(
+                            eng, ids, pixels, grid, sched, seed=seed_base + bi)
+                        if tok is not None:
+                            texts = [tok.decode(c, skip_special_tokens=True)
+                                     for c in comps]
+                            sols = [solution] * len(texts)
+                            per_fn = [fn(texts, solution=sols)
+                                      for fn in reward_fns]
+                            rewards.extend(float(sum(col))
+                                           for col in zip(*per_fn))
+                        else:
+                            # smoke reward: parity of the completion's token
+                            # sum — varies across group members
+                            rewards.extend(float(int(np.sum(c)) % 2 == 0)
+                                           for c in comps)
+                        samples.extend(
+                            build_grpo_sample(
+                                cfg, images, raw_ids, slots, c,
+                                budget=args.budget, s_bucket=args.vision_bucket,
+                                t_bucket=args.text_bucket,
+                                family=args.family, **mm)
+                            for c in comps)
+                    adv = group_advantages(
+                        np.asarray(rewards), sched.num_generations,
+                        sched.scale_rewards)
+                    return stack_samples(samples), adv, rewards
+
+                base = host_step * args.batch_size * accum
+                if accum == 1:
+                    batch, adv, rewards = one_micro(base)
+                    batch = jax.tree.map(jnp.asarray, batch)
+                    adv = jnp.asarray(adv)
+                    step_fn = grpo_train_step
+                else:
+                    micros = [one_micro(base + a * args.batch_size)
+                              for a in range(accum)]
+                    batch = jax.tree.map(lambda *xs: jnp.stack(xs),
+                                         *[b for b, _, _ in micros])
+                    adv = jnp.stack([jnp.asarray(a) for _, a, _ in micros])
+                    rewards = [r for _, _, rs in micros for r in rs]
+                    step_fn = grpo_train_step_accum
+                batch = jax.tree.map(lambda x: jax.device_put(x, spec(x)),
+                                     batch)
+                adv_dev = jax.device_put(adv, spec(adv))
+                state, metrics = step_fn(state, frozen, batch, adv_dev,
+                                         cfg, sched)
+                host_step += 1
+                log_and_save(metrics, mean_reward=float(np.mean(rewards)))
+                continue
+            if is_dpo:
+                chosen, rejected = next(batch_iter)
+                # frozen == the pretrained starting weights even after resume:
+                # exactly the reference-policy contract (dpo_trainer.py).
+                step_fn = dpo_train_step_accum if accum > 1 else dpo_train_step
+                state, metrics = step_fn(state, frozen, chosen, rejected,
+                                         cfg, sched)
+                host_step += 1
+                log_and_save(metrics)
+                continue
+            batch = next(batch_iter)
+            if is_sft:
+                if accum > 1:
+                    from visionselector_tpu.train.sft import sft_train_step_accum
+
+                    state, metrics = sft_train_step_accum(state, batch, cfg,
+                                                          sched)
+                else:
+                    state, metrics = sft_train_step(state, batch, cfg, sched)
+            elif is_dynamic:
+                if accum > 1:
+                    from visionselector_tpu.train.dynamic_train import (
+                        dynamic_train_step_accum,
+                    )
+
+                    state, metrics = dynamic_train_step_accum(
+                        state, frozen, batch, cfg, sched)
+                else:
+                    state, metrics = dynamic_train_step(state, frozen, batch,
+                                                        cfg, sched)
             else:
-                micros = [one_micro(base + a * args.batch_size)
-                          for a in range(accum)]
-                batch = jax.tree.map(lambda *xs: jnp.stack(xs),
-                                     *[b for b, _, _ in micros])
-                adv = jnp.stack([jnp.asarray(a) for _, a, _ in micros])
-                rewards = [r for _, _, rs in micros for r in rs]
-                step_fn = grpo_train_step_accum
-            batch = jax.tree.map(lambda x: jax.device_put(x, spec(x)),
-                                 batch)
-            adv_dev = jax.device_put(adv, spec(adv))
-            state, metrics = step_fn(state, frozen, batch, adv_dev,
-                                     cfg, sched)
-            host_step += 1
-            log_and_save(metrics, mean_reward=float(np.mean(rewards)))
-            continue
-        if is_dpo:
-            chosen, rejected = next(batch_iter)
-            # frozen == the pretrained starting weights even after resume:
-            # exactly the reference-policy contract (dpo_trainer.py).
-            step_fn = dpo_train_step_accum if accum > 1 else dpo_train_step
-            state, metrics = step_fn(state, frozen, chosen, rejected,
-                                     cfg, sched)
+                if accum > 1:
+                    from visionselector_tpu.train.train_step import (
+                        train_step_accum,
+                    )
+
+                    state, metrics = train_step_accum(state, frozen, batch,
+                                                      cfg, k_max, sched)
+                else:
+                    state, metrics = train_step(state, frozen, batch, cfg,
+                                                k_max, sched)
             host_step += 1
             log_and_save(metrics)
-            continue
-        batch = next(batch_iter)
-        if is_sft:
-            if accum > 1:
-                from visionselector_tpu.train.sft import sft_train_step_accum
 
-                state, metrics = sft_train_step_accum(state, batch, cfg,
-                                                      sched)
-            else:
-                state, metrics = sft_train_step(state, batch, cfg, sched)
-        elif is_dynamic:
-            if accum > 1:
-                from visionselector_tpu.train.dynamic_train import (
-                    dynamic_train_step_accum,
-                )
-
-                state, metrics = dynamic_train_step_accum(
-                    state, frozen, batch, cfg, sched)
-            else:
-                state, metrics = dynamic_train_step(state, frozen, batch,
-                                                    cfg, sched)
-        else:
-            if accum > 1:
-                from visionselector_tpu.train.train_step import (
-                    train_step_accum,
-                )
-
-                state, metrics = train_step_accum(state, frozen, batch,
-                                                  cfg, k_max, sched)
-            else:
-                state, metrics = train_step(state, frozen, batch, cfg,
-                                            k_max, sched)
-        host_step += 1
-        log_and_save(metrics)
-
-    if prefetcher is not None:
-        prefetcher.close()
+    finally:
+        # close the prefetch thread even when a step raises, or the
+        # daemon keeps pulling samples and device_put-ting batches
+        # (holding HBM) while the exception unwinds
+        if prefetcher is not None:
+            prefetcher.close()
 
     if is_dpo or is_grpo:
         if args.lora_rank > 0:

@@ -12,6 +12,7 @@ from __future__ import annotations
 import dataclasses
 import json
 import os
+import threading
 import time
 from typing import Dict, List, Optional, Sequence
 
@@ -62,6 +63,12 @@ class EngineAdapter:
 
         self.engine = engine
         self.tokenizer = tokenizer
+        # HF fast (Rust) tokenizers are not re-entrant: encode mutates
+        # truncation/padding state, so a prefetch-thread encode racing a
+        # main-thread decode can raise RuntimeError('Already borrowed').
+        # Every tokenizer call in this adapter takes this lock (pure host
+        # work, microseconds — never held across device dispatch).
+        self._tok_lock = threading.Lock()
         # per-image pixel budget (reference model_args min_pixels/
         # max_pixels, qwen2_5_vl_with_token_compression.py:70-78)
         self.min_pixels = (PROCESSOR_MIN_PIXELS if min_pixels is None
@@ -90,11 +97,13 @@ class EngineAdapter:
         if custom is not None:
             return custom(question)
         tok = self.tokenizer
-        before = tok.encode(
-            "<|im_start|>system\nYou are a helpful assistant.<|im_end|>\n"
-            "<|im_start|>user\n"
-        )
-        after = tok.encode(f"{question}<|im_end|>\n<|im_start|>assistant\n")
+        with self._tok_lock:
+            before = tok.encode(
+                "<|im_start|>system\nYou are a helpful assistant.<|im_end|>\n"
+                "<|im_start|>user\n"
+            )
+            after = tok.encode(
+                f"{question}<|im_end|>\n<|im_start|>assistant\n")
         return before, after
 
     def _bucket_key(self, req: Request) -> int:
@@ -228,7 +237,8 @@ class EngineAdapter:
                 ),
                 spatial_merge_size=cfg.vision.spatial_merge_size,
             )
-        text = self.tokenizer.decode(res.tokens, skip_special_tokens=True)
+        with self._tok_lock:
+            text = self.tokenizer.decode(res.tokens, skip_special_tokens=True)
         for stop in until:
             if stop in text:
                 text = text.split(stop)[0]
@@ -287,37 +297,42 @@ class EngineAdapter:
         def prep(chunk):
             return [self._prepare_request(requests[oi]) for oi in chunk]
 
-        fut = ex.submit(prep, chunks[0]) if (ex and chunks) else None
-        for ci, chunk in enumerate(chunks):
-            mnt = requests[chunk[0]].task.max_new_tokens
-            if fut is not None:
-                prepared = fut.result()
-                fut = (ex.submit(prep, chunks[ci + 1])
-                       if ci + 1 < len(chunks) else None)
-            else:
-                prepared = prep(chunk)
-            spec = int(os.environ.get("VST_SPECULATIVE", "0"))
-            if len(chunk) == 1 and spec > 0:
-                # prompt-lookup speculative decoding (greedy-identical
-                # outputs; fewer weight-stream passes per answer)
-                from visionselector_tpu.models.qwen25vl.model import (
-                    generate_speculative,
-                )
+        try:
+            fut = ex.submit(prep, chunks[0]) if (ex and chunks) else None
+            for ci, chunk in enumerate(chunks):
+                mnt = requests[chunk[0]].task.max_new_tokens
+                if fut is not None:
+                    prepared = fut.result()
+                    fut = (ex.submit(prep, chunks[ci + 1])
+                           if ci + 1 < len(chunks) else None)
+                else:
+                    prepared = prep(chunk)
+                spec = int(os.environ.get("VST_SPECULATIVE", "0"))
+                if len(chunk) == 1 and spec > 0:
+                    # prompt-lookup speculative decoding (greedy-identical
+                    # outputs; fewer weight-stream passes per answer)
+                    from visionselector_tpu.models.qwen25vl.model import (
+                        generate_speculative,
+                    )
 
-                results = [generate_speculative(
-                    self.engine, **prepared[0][0], max_new_tokens=mnt,
-                    propose_len=spec)]
-            elif len(chunk) == 1:
-                results = [self.engine.generate(
-                    **prepared[0][0], max_new_tokens=mnt)]
-            else:
-                results = self.engine.generate_batch(
-                    [p[0] for p in prepared], max_new_tokens=mnt)
-            for oi, (kw, grid), res in zip(chunk, prepared, results):
-                out_by_pos[oi] = self._postprocess(
-                    requests[oi], res, grid, until)
-        if ex is not None:
-            ex.shutdown()
+                    results = [generate_speculative(
+                        self.engine, **prepared[0][0], max_new_tokens=mnt,
+                        propose_len=spec)]
+                elif len(chunk) == 1:
+                    results = [self.engine.generate(
+                        **prepared[0][0], max_new_tokens=mnt)]
+                else:
+                    results = self.engine.generate_batch(
+                        [p[0] for p in prepared], max_new_tokens=mnt)
+                for oi, (kw, grid), res in zip(chunk, prepared, results):
+                    out_by_pos[oi] = self._postprocess(
+                        requests[oi], res, grid, until)
+        finally:
+            # shut the prep worker down even when generate/_postprocess
+            # raises — otherwise the non-daemon executor thread keeps a
+            # pending future alive and delays interpreter exit
+            if ex is not None:
+                ex.shutdown(cancel_futures=True)
         return out_by_pos
 
     def loglikelihood(
@@ -332,9 +347,10 @@ class EngineAdapter:
         out = []
         for req, continuation in requests:
             kw, _grid = self._prepare_request(req)
-            cont_ids = np.asarray(
-                self.tokenizer.encode(continuation), np.int64
-            )
+            with self._tok_lock:
+                cont_ids = np.asarray(
+                    self.tokenizer.encode(continuation), np.int64
+                )
             ll, greedy = self.engine.loglikelihood(
                 continuation_ids=cont_ids, **kw
             )
@@ -363,10 +379,12 @@ class EngineAdapter:
         for req in requests:
             choices = list(req.choices) or ["A", "B", "C", "D"]
             kw, _grid = self._prepare_request(req)
-            cont_list = [
-                np.asarray(self.tokenizer.encode(" " + c.strip()), np.int64)
-                for c in choices
-            ]
+            with self._tok_lock:
+                cont_list = [
+                    np.asarray(self.tokenizer.encode(" " + c.strip()),
+                               np.int64)
+                    for c in choices
+                ]
             lls = run_loglikelihood_choices(
                 self.engine, kw.pop("input_ids"), cont_list, **kw
             )

@@ -16,6 +16,7 @@ from __future__ import annotations
 
 import queue
 import threading
+import time
 from typing import Callable, Optional
 
 
@@ -75,12 +76,32 @@ class BatchPrefetcher:
             raise self._err
         return item
 
-    def close(self):
+    def close(self, timeout: float = 60.0):
+        """Stop the worker and wait until it has provably exited.
+
+        The worker may be deep inside ``make_batch`` (e.g. a slow data
+        source) when close() is called; a single drain+join(5s) could
+        return while the thread is still alive, consuming the sample
+        stream and enqueueing afterwards. Instead, drain + join in a
+        loop until the thread exits, bounded by ``timeout`` seconds; if
+        it is still alive then, log a warning so the non-quiescent
+        stream cursor is visible instead of silent."""
         self._stop.set()
-        # drain so the worker's blocked put can observe the stop flag
-        while True:
-            try:
-                self._q.get_nowait()
-            except queue.Empty:
+        deadline = time.monotonic() + timeout
+        while self._thread.is_alive():
+            # drain so the worker's blocked put can observe the stop flag
+            while True:
+                try:
+                    self._q.get_nowait()
+                except queue.Empty:
+                    break
+            self._thread.join(timeout=0.5)
+            if time.monotonic() >= deadline:
                 break
-        self._thread.join(timeout=5.0)
+        if self._thread.is_alive():
+            import logging
+
+            logging.getLogger(__name__).warning(
+                "BatchPrefetcher.close(): worker still inside make_batch "
+                "after %.0fs; the sample-stream cursor may advance once "
+                "more before the daemon thread exits", timeout)
