@@ -605,3 +605,116 @@ class TestStreamedFlash:
         np.testing.assert_allclose(
             np.asarray(got), np.asarray(want), atol=5e-5, rtol=1e-4
         )
+
+
+class TestBlockedDecode:
+    """Length-aware blocked decode attention (``impl="blocked"``): reads
+    only each slot's live prefix of the [B, T_max] pool. Interpret-mode
+    equality vs the dense XLA decode path, including the DMA-clamping
+    index map (inactive tiles re-fetch the last live tile, fully masked)."""
+
+    def _inputs(self, b=4, t_max=256, h_kv=2, n_rep=8, d=32, t_c=8, seed=0):
+        rng = np.random.RandomState(seed)
+        q = jnp.asarray(rng.randn(b, t_c, h_kv * n_rep, d), jnp.float32)
+        k = jnp.asarray(rng.randn(b, t_max, h_kv, d), jnp.float32)
+        v = jnp.asarray(rng.randn(b, t_max, h_kv, d), jnp.float32)
+        return q, k, v
+
+    @pytest.mark.parametrize("lens", [
+        [0, 5, 100, 248],       # mixed, incl. empty cache
+        [1, 1, 1, 1],           # all-minimal (single live tile each)
+        [248, 248, 248, 248],   # near-full pool
+        [64, 63, 65, 128],      # tile-boundary straddles
+    ])
+    def test_chunk_matches_xla(self, lens):
+        from visionselector_tpu.kernels.attention import (
+            chunk_decode_attention,
+        )
+
+        q, k, v = self._inputs()
+        base = jnp.asarray(lens, jnp.int32)
+        want = chunk_decode_attention(q, k, v, base, impl="xla")
+        got = chunk_decode_attention(
+            q, k, v, base, impl="blocked_interpret", block_k=64)
+        np.testing.assert_allclose(
+            np.asarray(got), np.asarray(want), atol=3e-5, rtol=1e-4)
+
+    @pytest.mark.parametrize("lens", [[1, 5, 100, 256], [256, 1, 37, 200]])
+    def test_single_step_matches_xla(self, lens):
+        from visionselector_tpu.kernels.attention import decode_attention
+
+        q, k, v = self._inputs()
+        q1 = q[:, :1]
+        cl = jnp.asarray(lens, jnp.int32)
+        want = decode_attention(q1, k, v, cl, impl="xla")
+        got = decode_attention(
+            q1, k, v, cl, impl="blocked_interpret", block_k=64)
+        np.testing.assert_allclose(
+            np.asarray(got), np.asarray(want), atol=3e-5, rtol=1e-4)
+
+    def test_mha_no_grouping(self):
+        """n_rep == 1 (expanded / MHA caches) works unchanged."""
+        from visionselector_tpu.kernels.attention import (
+            chunk_decode_attention,
+        )
+
+        q, k, v = self._inputs(h_kv=4, n_rep=1, seed=3)
+        base = jnp.asarray([7, 130, 0, 255], jnp.int32)
+        want = chunk_decode_attention(q, k, v, base, impl="xla")
+        got = chunk_decode_attention(
+            q, k, v, base, impl="blocked_interpret", block_k=64)
+        np.testing.assert_allclose(
+            np.asarray(got), np.asarray(want), atol=3e-5, rtol=1e-4)
+
+    def test_quantized_cache_matches_xla(self):
+        """int8 caches: the kernel folds the per-row dequant scales into
+        logits/probs exactly like the dense path."""
+        from visionselector_tpu.kernels.attention import (
+            chunk_decode_attention,
+        )
+
+        rng = np.random.RandomState(5)
+        q, k, v = self._inputs(seed=5)
+        k8 = jnp.clip(jnp.round(k * 10), -127, 127).astype(jnp.int8)
+        v8 = jnp.clip(jnp.round(v * 10), -127, 127).astype(jnp.int8)
+        ks = jnp.asarray(0.05 + rng.rand(*k.shape[:3]) * 0.1, jnp.float32)
+        vs = jnp.asarray(0.05 + rng.rand(*v.shape[:3]) * 0.1, jnp.float32)
+        base = jnp.asarray([10, 20, 30, 40], jnp.int32)
+        want = chunk_decode_attention(
+            q, k8, v8, base, k_scale=ks, v_scale=vs, impl="xla")
+        got = chunk_decode_attention(
+            q, k8, v8, base, k_scale=ks, v_scale=vs,
+            impl="blocked_interpret", block_k=64)
+        np.testing.assert_allclose(
+            np.asarray(got), np.asarray(want), atol=3e-5, rtol=1e-4)
+
+    def test_single_step_quantized_matches_xla(self):
+        from visionselector_tpu.kernels.attention import decode_attention
+
+        rng = np.random.RandomState(6)
+        q, k, v = self._inputs(seed=6)
+        q1 = q[:, :1]
+        k8 = jnp.clip(jnp.round(k * 10), -127, 127).astype(jnp.int8)
+        v8 = jnp.clip(jnp.round(v * 10), -127, 127).astype(jnp.int8)
+        ks = jnp.asarray(0.05 + rng.rand(*k.shape[:3]) * 0.1, jnp.float32)
+        vs = jnp.asarray(0.05 + rng.rand(*v.shape[:3]) * 0.1, jnp.float32)
+        cl = jnp.asarray([1, 77, 130, 256], jnp.int32)
+        want = decode_attention(
+            q1, k8, v8, cl, k_scale=ks, v_scale=vs, impl="xla")
+        got = decode_attention(
+            q1, k8, v8, cl, k_scale=ks, v_scale=vs,
+            impl="blocked_interpret", block_k=64)
+        np.testing.assert_allclose(
+            np.asarray(got), np.asarray(want), atol=3e-5, rtol=1e-4)
+
+    def test_unaligned_t_max_falls_back(self):
+        from visionselector_tpu.kernels.attention import (
+            chunk_decode_attention,
+        )
+
+        q, k, v = self._inputs(t_max=200, seed=7)
+        base = jnp.asarray([10, 20, 30, 199 - 8], jnp.int32)
+        want = chunk_decode_attention(q, k, v, base, impl="xla")
+        got = chunk_decode_attention(
+            q, k, v, base, impl="blocked_interpret", block_k=64)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want))

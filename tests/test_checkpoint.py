@@ -61,6 +61,41 @@ class TestCheckpoint:
         assert names == ["checkpoint-2", "checkpoint-3"]
 
 
+
+    def test_async_save_roundtrip_and_prune(self, tmp_path):
+        """async_save: the write commits on background threads;
+        finalize_saves() joins it; restore sees the exact state; pruning
+        keeps `keep` dirs and never deletes the in-flight checkpoint."""
+        from visionselector_tpu.core.checkpoint import finalize_saves
+
+        params = init_params(jax.random.PRNGKey(0), CFG)
+        sched = ScheduleConfig(total_steps=10)
+        state = init_train_state(params, sched)
+
+        out = str(tmp_path / "run")
+        for step in (1, 2, 3):
+            st = state._replace(step=jnp.asarray(step, jnp.int32))
+            path = save_train_state(st, out, step=step, async_save=True)
+            assert path.endswith(f"checkpoint-{step}")
+        finalize_saves()
+        assert latest_checkpoint(out).endswith("checkpoint-3")
+        import os
+
+        names = sorted(n for n in os.listdir(out)
+                       if n.startswith("checkpoint-"))
+        assert names == ["checkpoint-3"], names  # keep=1 semantics
+
+        template = init_train_state(
+            init_params(jax.random.PRNGKey(1), CFG), sched
+        )
+        restored, resumed = maybe_resume(out, template)
+        assert resumed and int(restored.step) == 3
+        np.testing.assert_allclose(
+            np.asarray(restored.scorer_params["q_kernel"]),
+            np.asarray(state.scorer_params["q_kernel"]),
+        )
+
+
 class TestPredictCLI:
     def test_smoke_mode(self, capsys):
         import json

@@ -646,3 +646,68 @@ class TestContinuousBatcher:
         with pytest.raises(RuntimeError):
             bat.submit(dict(input_ids=np.asarray([1, 2], np.int64)), 4,
                        (-1,))
+
+
+def test_blocked_decode_attn_matches_oracle(setup):
+    """ContinuousBatcher(decode_attn="blocked_interpret"): the length-aware
+    Pallas decode kernel produces the same rollouts as the dense path and
+    the one-shot oracle (incl. a text-only slot and mixed lengths)."""
+    eng, ids_for, pixels, grid = setup
+    reqs = [
+        (dict(input_ids=ids_for([8, 9]), pixel_values=pixels,
+              grid_thw=grid), 10),
+        (dict(input_ids=np.asarray([7, 8, 9, 10], np.int64)), 6),
+        (dict(input_ids=ids_for([50, 51, 52]), pixel_values=pixels,
+              grid_thw=grid), 13),
+    ]
+    oracle = [
+        eng.generate(**r, max_new_tokens=m, eos_token_ids=(-1,)).tokens
+        for r, m in reqs
+    ]
+    bat = ContinuousBatcher(eng, n_slots=2, t_max=256, chunk=4,
+                            decode_attn="blocked_interpret")
+    try:
+        with cf.ThreadPoolExecutor(max_workers=len(reqs)) as ex:
+            futs = [ex.submit(bat.submit, r, m, (-1,)) for r, m in reqs]
+            results = [f.result(timeout=600) for f in futs]
+    finally:
+        bat.shutdown()
+    for i, (res, want) in enumerate(zip(results, oracle)):
+        assert res.tokens == want, (i, res.tokens, want)
+
+
+def test_blocked_decode_attn_speculative_slots(setup):
+    """Speculative slot rounds (lm_decode_chunk) under the blocked kernel
+    stay greedy-exact."""
+    eng, ids_for, pixels, grid = setup
+    req = dict(input_ids=ids_for([8, 9]), pixel_values=pixels, grid_thw=grid)
+    want = eng.generate(**req, max_new_tokens=10, eos_token_ids=(-1,)).tokens
+    bat = ContinuousBatcher(eng, n_slots=2, t_max=256, chunk=4,
+                            speculative=3,
+                            decode_attn="blocked_interpret")
+    try:
+        res = bat.submit(dict(req), 10, (-1,))
+    finally:
+        bat.shutdown()
+    assert res.tokens == want, (res.tokens, want)
+
+
+def test_blocked_decode_attn_int8_pool(setup):
+    """kv_int8 + blocked compose: the kernel folds the int8 pool's dequant
+    scales in. int8 rounding shifts logits slightly, so assert determinism
+    + agreement with the dense-XLA int8 pool (exact: same quantized pool,
+    same math), not bf16 equality."""
+    eng, ids_for, pixels, grid = setup
+    req = dict(input_ids=ids_for([8, 9]), pixel_values=pixels, grid_thw=grid)
+
+    def run(decode_attn):
+        bat = ContinuousBatcher(eng, n_slots=2, t_max=256, chunk=4,
+                                kv_int8=True, decode_attn=decode_attn)
+        try:
+            return bat.submit(dict(req), 10, (-1,)).tokens
+        finally:
+            bat.shutdown()
+
+    dense = run(None)
+    blocked = run("blocked_interpret")
+    assert blocked == dense, (blocked, dense)

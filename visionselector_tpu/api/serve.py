@@ -131,7 +131,8 @@ class Server:
                  continuous_t_max: int = 4096, continuous_chunk: int = 8,
                  continuous_kv_int8: bool = False,
                  continuous_prefill_chunk: int = 0,
-                 continuous_prefill_vit_segments: int = 0):
+                 continuous_prefill_vit_segments: int = 0,
+                 decode_attn: str | None = None):
         self.engine = engine
         self.tokenizer = tokenizer
         self.method = method
@@ -165,7 +166,8 @@ class Server:
                 prefix_store=self.prefix_store,
                 speculative=speculative, kv_int8=continuous_kv_int8,
                 prefill_chunk=continuous_prefill_chunk,
-                prefill_vit_segments=continuous_prefill_vit_segments)
+                prefill_vit_segments=continuous_prefill_vit_segments,
+                decode_attn=decode_attn)
         else:
             self.batcher = (
                 MicroBatcher(engine, self.lock, micro_batch,
@@ -667,7 +669,8 @@ def build_server(args) -> ThreadingHTTPServer:
                  continuous_prefill_chunk=getattr(
                      args, 'continuous_prefill_chunk', 0),
                  continuous_prefill_vit_segments=getattr(
-                     args, 'continuous_prefill_vit_segments', 0))
+                     args, 'continuous_prefill_vit_segments', 0),
+                 decode_attn=getattr(args, 'decode_attn', None))
     httpd = ThreadingHTTPServer((args.host, args.port), make_handler(srv))
     # tests call httpd.shutdown() then httpd.server_obj.close() to reap
     # the batcher worker thread (and its slot pool)
@@ -726,7 +729,16 @@ def main(argv=None) -> int:
                         "vision tower of each admission in N layer groups "
                         "(for large images the tower is the dominant "
                         "un-chunkable dispatch); 0/1 = whole tower")
+    p.add_argument("--decode-attn", choices=("xla", "blocked"), default=None,
+                   help="decode-attention impl: 'blocked' reads only each "
+                        "slot's live prefix of the KV pool (Pallas, "
+                        "length-clamped tile fetch) — wins when per-slot "
+                        "lengths sit well below --continuous-t-max; "
+                        "default keeps the dense XLA path")
     args = p.parse_args(argv)
+    if args.decode_attn:
+        # trace-time knob: must be set before any decode program compiles
+        os.environ["VST_DECODE_ATTN"] = args.decode_attn
     httpd = build_server(args)
     print(f"[serve] listening on {args.host}:{args.port} "
           f"method={args.method} budget={args.budget}")

@@ -55,6 +55,11 @@ def build_parser():
     p.add_argument("--vision-bucket", type=int, default=4096)
     p.add_argument("--text-bucket", type=int, default=2048)
     p.add_argument("--save-steps", type=int, default=200)
+    p.add_argument("--async-save", action="store_true",
+                   help="checkpoint writes happen on orbax background "
+                        "threads while training continues (at most one in "
+                        "flight; the final save is always joined before "
+                        "export)")
     p.add_argument("--log-steps", type=int, default=10)
     p.add_argument("--seed", type=int, default=42)
     p.add_argument("--smoke", action="store_true",
@@ -595,8 +600,12 @@ def main(argv=None) -> int:
             with open(log_path, "a") as f:
                 f.write(json.dumps(m) + "\n")
         if step % args.save_steps == 0 or step == args.total_steps:
-            path = save_train_state(state, args.output_dir)
-            print(f"[train] saved {path}")
+            # step passed explicitly: int(state.step) would force a device
+            # sync; host_step equals it once the step's metrics are read
+            path = save_train_state(state, args.output_dir, step=step,
+                                    async_save=args.async_save)
+            print(f"[train] saved {path}"
+                  + (" (async)" if args.async_save else ""))
 
     def next_host_batch():
         """One device-ready batch for the standard (selector/sft/dynamic)
@@ -808,6 +817,12 @@ def main(argv=None) -> int:
         # (holding HBM) while the exception unwinds
         if prefetcher is not None:
             prefetcher.close()
+        if args.async_save:
+            # join any in-flight background save before exports/exit (and
+            # before an exception unwinds past a half-written checkpoint)
+            from visionselector_tpu.core.checkpoint import finalize_saves
+
+            finalize_saves()
 
     if is_dpo or is_grpo:
         if args.lora_rank > 0:

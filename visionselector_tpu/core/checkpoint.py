@@ -38,15 +38,43 @@ def latest_checkpoint(output_dir: str) -> Optional[str]:
     return os.path.abspath(best) if best else None
 
 
+# One async checkpointer for the process: orbax snapshots device arrays,
+# then serializes on background threads while training continues — the HF
+# Trainer analog is synchronous, so this is strictly better wall-clock at
+# the same save contract. At most one save is in flight (the next save —
+# or finalize_saves() — waits for the previous one first).
+_ASYNC_CKPTR: Optional["ocp.AsyncCheckpointer"] = None
+
+
+def _async_ckptr() -> "ocp.AsyncCheckpointer":
+    global _ASYNC_CKPTR
+    if _ASYNC_CKPTR is None:
+        _ASYNC_CKPTR = ocp.AsyncCheckpointer(ocp.StandardCheckpointHandler())
+    return _ASYNC_CKPTR
+
+
+def finalize_saves() -> None:
+    """Block until any in-flight async save has committed to disk.
+
+    Call before reading the checkpoint back, exporting, or exiting."""
+    if _ASYNC_CKPTR is not None:
+        _ASYNC_CKPTR.wait_until_finished()
+
+
 def save_train_state(state, output_dir: str, step: Optional[int] = None,
-                     keep: int = 1) -> str:
-    """Save (scorer_params, opt_state, step); prune old checkpoints."""
+                     keep: int = 1, async_save: bool = False) -> str:
+    """Save (scorer_params, opt_state, step); prune old checkpoints.
+
+    ``async_save``: return as soon as the state is snapshotted; the write
+    happens on orbax's background threads (``finalize_saves()`` to join).
+    Pruning runs BEFORE scheduling the write so it can never delete a
+    directory that is still being committed."""
     step = int(state.step) if step is None else step
     path = _ckpt_dir(output_dir, step)
-    with ocp.StandardCheckpointer() as ckptr:
-        ckptr.save(path, state, force=True)
-    # save_total_limit-style pruning (reference: save_total_limit 1)
-    if keep is not None:
+
+    def prune(keep_n: int):
+        if keep_n is None:
+            return
         import shutil
 
         steps = sorted(
@@ -54,13 +82,27 @@ def save_train_state(state, output_dir: str, step: Optional[int] = None,
             for n in os.listdir(output_dir)
             if re.fullmatch(r"checkpoint-(\d+)", n)
         )
-        for s in steps[:-keep]:
-            shutil.rmtree(_ckpt_dir(output_dir, s), ignore_errors=True)
+        for s in steps[:len(steps) - keep_n]:
+            if s != step:
+                shutil.rmtree(_ckpt_dir(output_dir, s), ignore_errors=True)
+
+    if async_save:
+        ckptr = _async_ckptr()
+        ckptr.wait_until_finished()  # at most one save in flight
+        os.makedirs(output_dir, exist_ok=True)
+        prune(max(0, (keep or 1) - 1))  # after this save lands: `keep` dirs
+        ckptr.save(path, args=ocp.args.StandardSave(state), force=True)
+        return path
+    with ocp.StandardCheckpointer() as ckptr:
+        ckptr.save(path, state, force=True)
+    # save_total_limit-style pruning (reference: save_total_limit 1)
+    prune(keep)
     return path
 
 
 def restore_train_state(path: str, template):
     """Restore into the structure/shardings of ``template``."""
+    finalize_saves()  # never read a checkpoint mid-commit
     with ocp.StandardCheckpointer() as ckptr:
         return ckptr.restore(path, template)
 

@@ -997,6 +997,180 @@ def attention(
     raise ValueError(f"unknown attention impl {impl!r}")
 
 
+def _decode_blocked_kernel(lens_ref, q_ref, k_ref, v_ref, *rest,
+                           scale, block_k, h_kv, n_rep, t_c, n_iters, d,
+                           quant=False):
+    """Length-aware decode attention body. Grid: (B, n_iters).
+
+    kv tiles beyond this slot's live length are never DMA'd: the BlockSpec
+    index map clamps to the last live tile (the pipeline skips the copy when
+    the mapped block is unchanged — same mechanism as
+    ``_flash_kernel_streamed``) and their compute is skipped with
+    ``pl.when``. HBM traffic per slot is ceil((len + t_c)/block_k) tiles
+    instead of T_max/block_k — the whole point: a continuous-batching slot
+    pool is provisioned for its LONGEST request, and the dense XLA decode
+    attention reads every slot at T_max regardless of how little of it is
+    live.
+
+    ``quant=True``: k/v refs are int8 and two extra [block_k, h_kv] f32
+    per-row scale refs follow — dequant folds into the logits and probs
+    exactly like the dense XLA path, so the int8 pool's halved tile bytes
+    combine with the tail skipping."""
+    if quant:
+        ks_ref, vs_ref, o_ref, acc_ref, m_ref, l_ref = rest
+    else:
+        o_ref, acc_ref, m_ref, l_ref = rest
+        ks_ref = vs_ref = None
+    ib = pl.program_id(0)
+    ikv = pl.program_id(1)
+    base = lens_ref[ib]
+
+    @pl.when(ikv == 0)
+    def _init():
+        acc_ref[...] = jnp.zeros_like(acc_ref)
+        m_ref[...] = jnp.full_like(m_ref, NEG_INF)
+        l_ref[...] = jnp.zeros_like(l_ref)
+
+    active = (ikv * block_k) < (base + t_c)
+
+    @pl.when(active)
+    def _compute():
+        rows = t_c * n_rep
+        # chunk row i's kv sits at cache position base + i, and row i
+        # attends causally: positions < base + i + 1. Rows are grouped
+        # [t_c, n_rep] -> row r belongs to chunk position r // n_rep.
+        ki = ikv * block_k + jax.lax.broadcasted_iota(
+            jnp.int32, (rows, block_k), 1)
+        row_pos = jax.lax.broadcasted_iota(
+            jnp.int32, (rows, block_k), 0) // n_rep
+        mask = ki < (base + row_pos + 1)
+        for hh in range(h_kv):
+            qh = q_ref[0, hh]                          # [rows, D]
+            kh = k_ref[0][:, hh * d:(hh + 1) * d]      # [block_k, D]
+            vh = v_ref[0][:, hh * d:(hh + 1) * d]
+            if quant:
+                kh = kh.astype(qh.dtype)
+                vh = vh.astype(qh.dtype)
+            s = jax.lax.dot_general(
+                qh, kh, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            ) * scale
+            if ks_ref is not None:
+                s = s * ks_ref[0][:, hh][None, :]
+            s = jnp.where(mask, s, NEG_INF)
+            m_prev = m_ref[hh]
+            l_prev = l_ref[hh]
+            m_cur = jnp.max(s, axis=-1, keepdims=True)
+            m_new = jnp.maximum(m_prev, m_cur)
+            p = jnp.where(mask, jnp.exp(s - m_new), 0.0)
+            alpha = jnp.exp(m_prev - m_new)
+            l_ref[hh] = l_prev * alpha + jnp.sum(p, axis=-1, keepdims=True)
+            if vs_ref is not None:
+                p = p * vs_ref[0][:, hh][None, :]
+            acc_ref[hh] = acc_ref[hh] * alpha + jax.lax.dot_general(
+                p.astype(vh.dtype), vh, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            m_ref[hh] = m_new
+
+    @pl.when(ikv == n_iters - 1)
+    def _finalize():
+        for hh in range(h_kv):
+            l = l_ref[hh]
+            o_ref[0, hh] = (
+                acc_ref[hh] / jnp.where(l == 0.0, 1.0, l)
+            ).astype(o_ref.dtype)
+
+
+def _decode_blocked_pallas(q, k_cache, v_cache, base_len, scale, block_k,
+                           interpret=False, k_scale=None, v_scale=None):
+    """Blocked GQA decode attention over an unexpanded [B, T_max, H_kv, D]
+    cache; reads only the live prefix of each slot (see kernel docstring).
+
+    ``base_len`` [B]: pre-chunk lengths; row i attends to < base_len + i + 1.
+    ``k_scale``/``v_scale`` ([B, T_max, H_kv] f32): int8-cache dequant
+    scales, folded into logits/probs in-kernel.
+    """
+    b, t_c, hq, d = q.shape
+    t_max, h_kv = k_cache.shape[1], k_cache.shape[2]
+    n_rep = hq // h_kv
+    assert t_max % block_k == 0, (t_max, block_k)
+    n_iters = t_max // block_k
+    rows = t_c * n_rep
+    quant = k_scale is not None
+    # [B, H_kv, t_c*n_rep, D]: per kv head, its query group as dense rows
+    qg = (q.reshape(b, t_c, h_kv, n_rep, d)
+           .transpose(0, 2, 1, 3, 4).reshape(b, h_kv, rows, d))
+    # flatten (H_kv, D) so the per-head slice is a minor-dim slice at
+    # d-alignment (no strided sublane loads in the kernel)
+    kf = k_cache.reshape(b, t_max, h_kv * d)
+    vf = v_cache.reshape(b, t_max, h_kv * d)
+    lens = base_len.astype(jnp.int32)
+
+    def kv_index(ib, ikv, lens):
+        last = jnp.maximum(
+            (lens[ib] + t_c + block_k - 1) // block_k - 1, 0)
+        return (ib, jnp.minimum(ikv, last), 0)
+
+    in_specs = [
+        pl.BlockSpec((1, h_kv, rows, d),
+                     lambda ib, ikv, lens: (ib, 0, 0, 0)),
+        pl.BlockSpec((1, block_k, h_kv * d), kv_index),
+        pl.BlockSpec((1, block_k, h_kv * d), kv_index),
+    ]
+    operands = [lens, qg, kf, vf]
+    if quant:
+        in_specs += [pl.BlockSpec((1, block_k, h_kv), kv_index)] * 2
+        operands += [k_scale.astype(jnp.float32),
+                     v_scale.astype(jnp.float32)]
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(b, n_iters),
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec((1, h_kv, rows, d),
+                               lambda ib, ikv, lens: (ib, 0, 0, 0)),
+        scratch_shapes=[
+            pltpu.VMEM((h_kv, rows, d), jnp.float32),
+            pltpu.VMEM((h_kv, rows, 1), jnp.float32),
+            pltpu.VMEM((h_kv, rows, 1), jnp.float32),
+        ],
+    )
+    kernel = functools.partial(
+        _decode_blocked_kernel, scale=scale, block_k=block_k, h_kv=h_kv,
+        n_rep=n_rep, t_c=t_c, n_iters=n_iters, d=d, quant=quant)
+    out = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((b, h_kv, rows, d), q.dtype),
+        interpret=interpret,
+        cost_estimate=pl.CostEstimate(
+            flops=4 * b * hq * t_c * t_max * d,
+            # the honest traffic is data-dependent; report the worst case
+            bytes_accessed=(qg.size + kf.size + vf.size) * 2,
+            transcendentals=b * hq * t_c * t_max,
+        ),
+    )(*operands)
+    return (out.reshape(b, h_kv, t_c, n_rep, d)
+               .transpose(0, 2, 1, 3, 4).reshape(b, t_c, hq, d))
+
+
+def _decode_impl(impl: str | None) -> str:
+    """Decode-attention impl: explicit arg > VST_DECODE_ATTN env > xla.
+
+    Like every VST_* knob, the env var is read at TRACE time — flipping it
+    after a program compiled does not retrace."""
+    return impl or os.environ.get("VST_DECODE_ATTN", "xla")
+
+
+def _blocked_ok(k_cache, k_scale, v_scale, block_k: int) -> bool:
+    # int8 caches need BOTH scales (the kernel folds k into logits and v
+    # into probs); mixed/missing scales fall back to the dense path
+    quant_ok = (k_scale is None) == (v_scale is None)
+    return (quant_ok and k_cache.ndim == 4
+            and k_cache.shape[1] % block_k == 0
+            and k_cache.shape[1] >= 2 * block_k)
+
+
 def chunk_decode_attention(
     q: jax.Array,
     k_cache: jax.Array,
@@ -1005,6 +1179,8 @@ def chunk_decode_attention(
     scale: float | None = None,
     k_scale: jax.Array | None = None,
     v_scale: jax.Array | None = None,
+    impl: str | None = None,
+    block_k: int | None = None,
 ) -> jax.Array:
     """Multi-token decode attention (speculative verification chunk).
 
@@ -1027,9 +1203,24 @@ def chunk_decode_attention(
     materializing a dequantized bf16 cache: the int8->bf16 convert fuses into
     the dot's operand read, so the step's KV HBM traffic really halves (a
     separate dequantize writes + re-reads a bf16 copy, tripling it).
+
+    ``impl``: "xla" (default) or "blocked" / "blocked_interpret" — the
+    length-aware Pallas kernel (``_decode_blocked_kernel``) that reads only
+    each slot's live prefix instead of the full T_max pool. Falls back to
+    the XLA path when the cache is quantized or T_max is not tile-aligned.
     """
     if scale is None:
         scale = q.shape[-1] ** -0.5
+    impl = _decode_impl(impl)
+    if impl.startswith("blocked"):
+        blk = block_k or int(os.environ.get("VST_DECODE_BLOCK", "512"))
+        blk = min(blk, k_cache.shape[1])
+        if _blocked_ok(k_cache, k_scale, v_scale, blk):
+            return _decode_blocked_pallas(
+                q, k_cache, v_cache, base_len, scale, blk,
+                interpret=impl == "blocked_interpret",
+                k_scale=k_scale, v_scale=v_scale,
+            )
     b, t_c, hq, d = q.shape
     h_kv = k_cache.shape[2]
     n_rep = hq // h_kv
@@ -1059,12 +1250,17 @@ def decode_attention(
     scale: float | None = None,
     k_scale: jax.Array | None = None,
     v_scale: jax.Array | None = None,
+    impl: str | None = None,
+    block_k: int | None = None,
 ) -> jax.Array:
     """Single-step decode attention against a KV cache.
 
     q: [B, 1, H, D]; k_cache/v_cache: [B, T_max, H_kv, D]; cache_len: [B]
     valid lengths (query attends to cache positions < cache_len). XLA handles
-    this well (it is bandwidth-bound); no Pallas needed at batch-1 decode.
+    this well (it is bandwidth-bound) at near-full pools; when per-slot
+    lengths sit well below T_max (continuous-batching slot pools) the
+    ``impl="blocked"`` Pallas kernel skips the dead tail's HBM reads (see
+    ``chunk_decode_attention``).
 
     GQA without expansion and optional int8-cache ``k_scale``/``v_scale``
     ([B, T_max, H_kv], f32) folded into logits/probs — see
@@ -1072,6 +1268,17 @@ def decode_attention(
     """
     if scale is None:
         scale = q.shape[-1] ** -0.5
+    impl = _decode_impl(impl)
+    if impl.startswith("blocked"):
+        blk = block_k or int(os.environ.get("VST_DECODE_BLOCK", "512"))
+        blk = min(blk, k_cache.shape[1])
+        if _blocked_ok(k_cache, k_scale, v_scale, blk):
+            # row limit = base + i + 1 with t_c = 1 -> attends < cache_len
+            return _decode_blocked_pallas(
+                q, k_cache, v_cache, cache_len - 1, scale, blk,
+                interpret=impl == "blocked_interpret",
+                k_scale=k_scale, v_scale=v_scale,
+            )
     b, t_q, hq, d = q.shape
     h_kv = k_cache.shape[2]
     n_rep = hq // h_kv

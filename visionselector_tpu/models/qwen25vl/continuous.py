@@ -51,10 +51,12 @@ import numpy as np
 from visionselector_tpu.models.qwen25vl import lm as lm_mod
 
 
-@functools.partial(jax.jit, static_argnames=("cfg", "k", "sampled"),
+@functools.partial(jax.jit,
+                   static_argnames=("cfg", "k", "sampled", "attn_impl"),
                    donate_argnums=(1,))
 def _decode_chunk_slots(params, cache, cur, pos, live, temps, tps, keys,
-                        cfg, k: int, sampled: bool = False):
+                        cfg, k: int, sampled: bool = False,
+                        attn_impl: str | None = None):
     """Advance every slot ``k`` decode steps in one dispatch.
 
     cur/pos/live: [S] current token, rope position, live mask. Dead slots
@@ -74,7 +76,7 @@ def _decode_chunk_slots(params, cache, cur, pos, live, temps, tps, keys,
         embed = lm_mod.embed_tokens(params["lm"], tok)[:, None]  # [S,1,D]
         pos3 = jnp.broadcast_to(pos_c[None, :, None], (3, s, 1))
         hidden, cache = lm_mod.lm_decode_step(
-            params["lm"], cache, embed, pos3, cfg.text
+            params["lm"], cache, embed, pos3, cfg.text, attn_impl=attn_impl
         )
         logits = lm_mod.lm_head(params["lm"], hidden[:, 0], cfg.text)
         if sampled:
@@ -124,11 +126,11 @@ def _lookup_props(buf: jax.Array, n: int, m: int) -> jax.Array:
 
 @functools.partial(jax.jit,
                    static_argnames=("cfg", "m", "rounds", "ngram",
-                                    "sampled"),
+                                    "sampled", "attn_impl"),
                    donate_argnums=(1,))
 def _spec_scan_slots(params, cache, cur, pos, live, buf, temps, tps, keys,
                      cfg, m: int, rounds: int, ngram: int,
-                     sampled: bool = False):
+                     sampled: bool = False, attn_impl: str | None = None):
     """Fused speculative decode: ``rounds`` propose+verify cycles in ONE
     device dispatch (a lax.scan whose body does on-device prompt-lookup ->
     m+1-row verify -> acceptance -> window update).
@@ -167,7 +169,8 @@ def _spec_scan_slots(params, cache, cur, pos, live, buf, temps, tps, keys,
         pos_rows = pos_c[:, None] + jnp.arange(m + 1)[None, :]
         pos3 = jnp.broadcast_to(pos_rows[None], (3,) + pos_rows.shape)
         hidden, cache_c = lm_mod.lm_decode_chunk(
-            params["lm"], cache_c, embeds, pos3, cfg.text
+            params["lm"], cache_c, embeds, pos3, cfg.text,
+            attn_impl=attn_impl
         )
         logits = lm_mod.lm_head(params["lm"], hidden, cfg.text)
         greedy = jnp.argmax(logits, axis=-1).astype(jnp.int32)
@@ -267,7 +270,8 @@ class ContinuousBatcher:
                  chunk: int = 8, lock: Optional[threading.Lock] = None,
                  prefix_store=None, speculative: int = 0, ngram: int = 3,
                  ctx_window: int = 128, kv_int8: bool = False,
-                 prefill_chunk: int = 0, prefill_vit_segments: int = 0):
+                 prefill_chunk: int = 0, prefill_vit_segments: int = 0,
+                 decode_attn: str | None = None):
         self.engine = engine
         self.n_slots = n_slots
         self.t_max = t_max
@@ -295,6 +299,13 @@ class ContinuousBatcher:
         # layer groups (depth/N layers per dispatch) — for large images
         # the tower is the dominant un-chunkable dispatch otherwise
         self.prefill_vit_segments = prefill_vit_segments
+        # decode-attention impl for the slot programs: "blocked" reads only
+        # each slot's live prefix of the [S, t_max] pool (length-clamped
+        # Pallas tile fetch) instead of the full pool every chunk — wins
+        # when typical lengths sit well below t_max. Composes with
+        # kv_int8=True (the kernel folds the dequant scales in, so halved
+        # tile bytes AND tail skipping).
+        self.decode_attn = decode_attn
         self._admitting = None  # (ChunkedPrefill, item, slot_idx)
         self._last_decode_t = None  # gap tracking (max_decode_gap_ms)
         # optional external engine lock (the server's): held around device
@@ -605,6 +616,7 @@ class ContinuousBatcher:
                         jnp.asarray(self.live), jnp.asarray(self.temps),
                         jnp.asarray(self.tps), jnp.asarray(self.keys),
                         self.engine.cfg, self.chunk, sampled,
+                        attn_impl=self.decode_attn,
                     )
             except Exception as e:  # noqa: BLE001 — fail fast, not hang
                 # A dispatch failure (runtime error, invalid pool after a
@@ -663,6 +675,7 @@ class ContinuousBatcher:
                 jnp.asarray(self.temps), jnp.asarray(self.tps),
                 jnp.asarray(self.keys),
                 self.engine.cfg, m, rounds, self.ngram, sampled,
+                attn_impl=self.decode_attn,
             )
         self.pool = cache
         if sampled:

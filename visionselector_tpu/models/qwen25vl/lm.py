@@ -478,12 +478,15 @@ def lm_decode_step(
     inputs_embeds: jax.Array,
     position_ids: jax.Array,
     cfg: TextConfig,
+    attn_impl: str | None = None,
 ) -> Tuple[jax.Array, KVCache]:
     """One decode step.
 
     Args:
         inputs_embeds: [B, 1, D] token embedding.
         position_ids: [3, B, 1].
+        attn_impl: decode-attention impl ("xla" dense / "blocked"
+            length-aware Pallas; None = VST_DECODE_ATTN env, default xla).
     Returns: (hidden [B, 1, D] post-norm, updated cache).
     """
     cos, sin = mrope_cos_sin(position_ids, cfg)
@@ -523,7 +526,7 @@ def lm_decode_step(
         # the pool once (no n_rep-x _repeat_kv materialization).
         attn = decode_attention(
             q, k_cache, v_cache, pos + 1,
-            k_scale=kq_scale, v_scale=vq_scale,
+            k_scale=kq_scale, v_scale=vq_scale, impl=attn_impl,
         )
         x = x + _dense(attn.reshape(b, 1, -1), p, "o_kernel")
         h = rms_norm(x, p["post_ln_scale"], cfg.rms_norm_eps)
@@ -554,6 +557,7 @@ def lm_decode_chunk(
     inputs_embeds: jax.Array,
     position_ids: jax.Array,
     cfg: TextConfig,
+    attn_impl: str | None = None,
 ) -> Tuple[jax.Array, KVCache]:
     """Multi-token decode step (speculative-decoding verification).
 
@@ -601,7 +605,7 @@ def lm_decode_chunk(
             v_cache = jax.vmap(write_row)(v_cache, v, pos)
         attn = chunk_decode_attention(
             q, k_cache, v_cache, pos,
-            k_scale=kq_scale, v_scale=vq_scale,
+            k_scale=kq_scale, v_scale=vq_scale, impl=attn_impl,
         )
         x = x + _dense(attn.reshape(b, t_c, -1), p, "o_kernel")
         h = rms_norm(x, p["post_ln_scale"], cfg.rms_norm_eps)
