@@ -25,3 +25,26 @@ import warnings
 warnings.filterwarnings(
     "ignore", message="Some donated buffers were not usable"
 )
+
+
+import pytest  # noqa: E402
+
+
+@pytest.fixture(autouse=True, scope="module")
+def _clear_jax_caches_between_modules():
+    """Free compiled executables at every module boundary.
+
+    The full suite compiles hundreds of XLA:CPU programs in one process;
+    letting them all stay live eventually segfaults a LATER compile inside
+    ``backend_compile_and_load`` (observed deterministically per module
+    composition — e.g. test_hf_parity's mixed image+video generate after
+    ~34% of the suite — while the same test passes standalone or in any
+    short composition; not OOM, 120+ GB free; independent of the native C
+    loader, reproduced with VST_NATIVE=0). Dropping executables between
+    modules keeps the live-code footprint bounded. Costs per-module
+    recompiles of shared tiny-config programs (~minutes over the suite).
+    """
+    yield
+    import jax
+
+    jax.clear_caches()

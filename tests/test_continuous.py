@@ -711,3 +711,71 @@ def test_blocked_decode_attn_int8_pool(setup):
     dense = run(None)
     blocked = run("blocked_interpret")
     assert blocked == dense, (blocked, dense)
+
+
+def test_auto_window_matches_oracle(setup):
+    """auto_window: bucketed static attention windows produce exactly the
+    oracle rollouts — mixed lengths, mid-flight joins, slot reuse (the
+    window re-buckets as lengths grow and slots come and go)."""
+    eng, ids_for, pixels, grid = setup
+    reqs = [
+        (dict(input_ids=ids_for([8, 9]), pixel_values=pixels,
+              grid_thw=grid), 12),
+        (dict(input_ids=np.asarray([7, 8, 9, 10], np.int64)), 9),
+        (dict(input_ids=ids_for([50]), pixel_values=pixels,
+              grid_thw=grid), 16),
+        (dict(input_ids=np.asarray([30, 31], np.int64)), 3),
+    ]
+    oracle = [
+        eng.generate(**r, max_new_tokens=m, eos_token_ids=(-1,)).tokens
+        for r, m in reqs
+    ]
+    bat = ContinuousBatcher(eng, n_slots=2, t_max=256, chunk=4,
+                            auto_window=True)
+    bat._window_quantum = 64  # tiny pool: exercise >1 bucket
+    try:
+        with cf.ThreadPoolExecutor(max_workers=len(reqs)) as ex:
+            futs = [ex.submit(bat.submit, r, m, (-1,)) for r, m in reqs]
+            results = [f.result(timeout=600) for f in futs]
+    finally:
+        bat.shutdown()
+    for i, (res, want) in enumerate(zip(results, oracle)):
+        assert res.tokens == want, (i, res.tokens, want)
+
+
+def test_auto_window_speculative_matches_oracle(setup):
+    """auto_window under fused speculative rounds: host_len stays in sync
+    with the device lengths (accepted+1 per round) and rollouts stay
+    greedy-exact."""
+    eng, ids_for, pixels, grid = setup
+    req = dict(input_ids=ids_for([8, 9]), pixel_values=pixels, grid_thw=grid)
+    want = eng.generate(**req, max_new_tokens=12, eos_token_ids=(-1,)).tokens
+    bat = ContinuousBatcher(eng, n_slots=2, t_max=256, chunk=4,
+                            speculative=3, auto_window=True)
+    bat._window_quantum = 64
+    try:
+        r1 = bat.submit(dict(req), 12, (-1,))
+        r2 = bat.submit(dict(req), 12, (-1,))
+    finally:
+        bat.shutdown()
+    assert r1.tokens == want, (r1.tokens, want)
+    assert r2.tokens == want
+
+
+def test_auto_window_host_len_tracks_device(setup):
+    """After a dispatch, host_len equals the device pool's max-over-layers
+    length for each live slot."""
+    eng, ids_for, pixels, grid = setup
+    req = dict(input_ids=ids_for([8, 9]), pixel_values=pixels, grid_thw=grid)
+    bat = ContinuousBatcher(eng, n_slots=2, t_max=256, chunk=4,
+                            auto_window=True)
+    try:
+        bat.submit(dict(req), 8, (-1,))
+        dev_len = np.asarray(bat.pool.length).max(axis=0)  # [S]
+        for s in range(bat.n_slots):
+            if bat.slots[s] is None and bat.host_len[s]:
+                # freed slot: host_len must still match its last device len
+                assert bat.host_len[s] == dev_len[s], (
+                    s, bat.host_len[s], dev_len[s])
+    finally:
+        bat.shutdown()

@@ -43,6 +43,10 @@ def main():
     t_max = int(sys.argv[1]) if len(sys.argv) > 1 else 8192
     n_slots = int(sys.argv[2]) if len(sys.argv) > 2 else 8
     which = sys.argv[3] if len(sys.argv) > 3 else "3b"
+    # optional 4th arg int8/int4: weight-only LM quantization — the
+    # deployment-relevant serving config, and the regime where the KV pool
+    # is a large share of per-step HBM traffic (so windowing matters)
+    quant = sys.argv[4] if len(sys.argv) > 4 else None
     chunk = 8
 
     if which == "tiny":
@@ -53,6 +57,13 @@ def main():
     cfg = qwen25vl_tiny() if which == "tiny" else qwen25vl_3b()
     params = jax.jit(lambda k: init_params(k, cfg))(jax.random.PRNGKey(0))
     jax.block_until_ready(params)
+    if quant:
+        bits = 4 if quant.startswith("int4") else 8
+        lm_q = lm_mod.quantize_lm_params(params["lm"], bits=bits)
+        jax.block_until_ready(lm_q)
+        # decode touches only params["lm"]; drop the bf16 tree (weights +
+        # ViT) so the pool fits next to the quantized LM
+        params = {"lm": lm_q}
 
     tc = cfg.text
     shape = (tc.num_hidden_layers, n_slots, t_max,
@@ -70,13 +81,15 @@ def main():
     live = jnp.ones((n_slots,), bool)
     cur = jnp.arange(100, 100 + n_slots, dtype=jnp.int32)
 
-    @functools.partial(jax.jit, static_argnames=("n", "attn_impl"))
-    def chained(params, pool, pos, n, attn_impl):
+    @functools.partial(jax.jit,
+                       static_argnames=("n", "attn_impl", "attn_window"))
+    def chained(params, pool, pos, n, attn_impl, attn_window=None):
         def body(i, carry):
             cur_c, pos_c, pool_c, acc = carry
             toks, pool_c, _ = _decode_chunk_slots(
                 params, pool_c, cur_c, pos_c, live, temps, tps, keys,
-                cfg, chunk, False, attn_impl=attn_impl)
+                cfg, chunk, False, attn_impl=attn_impl,
+                attn_window=attn_window)
             return (toks[-1], pos_c + chunk, pool_c,
                     acc + jnp.sum(toks[-1]))
 
@@ -92,54 +105,73 @@ def main():
         length = jnp.full((tc.num_hidden_layers, n_slots), t_fill, jnp.int32)
         pool = lm_mod.KVCache(k=k_f, v=v_f, length=length)
         pos = jnp.full((n_slots,), t_fill, jnp.int32)
+        # the serving auto_window bucket for this fill (quantum t_max/8)
+        q = max(512, t_max // 8)
+        need = t_fill + hi * chunk + chunk
+        win = min(t_max, -(-need // q) * q)
+        win = None if win >= t_max else win
+        arms = [(impl, None) for impl in impls]
+        if win is not None:
+            arms.append(("xla", win))
 
-        def once(impl):
+        def once(impl, w):
             t0 = time.perf_counter()
-            int(chained(params, pool, pos, lo, impl))
+            int(chained(params, pool, pos, lo, impl, w))
             t1 = time.perf_counter()
-            int(chained(params, pool, pos, hi, impl))
+            int(chained(params, pool, pos, hi, impl, w))
             t2 = time.perf_counter()
             return ((t2 - t1) - (t1 - t0)) / (hi - lo)
 
-        for impl in impls:  # compile both spans of both arms
-            int(chained(params, pool, pos, lo, impl))
-            int(chained(params, pool, pos, hi, impl))
-        samples = {impl: [] for impl in impls}
+        for impl, w in arms:  # compile both spans of every arm
+            int(chained(params, pool, pos, lo, impl, w))
+            int(chained(params, pool, pos, hi, impl, w))
+        samples = {a: [] for a in arms}
         for _ in range(5):  # interleave arms
-            for impl in impls:
-                samples[impl].append(once(impl))
+            for a in arms:
+                samples[a].append(once(*a))
         med = {}
         suspect = False
-        for impl in impls:
-            pos_s = [s for s in samples[impl] if s > 0]
+        for a in arms:
+            pos_s = [s for s in samples[a] if s > 0]
             if not pos_s:
-                med[impl] = statistics.median(samples[impl])
+                med[a] = statistics.median(samples[a])
                 suspect = True
             else:
-                med[impl] = statistics.median(pos_s)
-        return med, suspect
+                med[a] = statistics.median(pos_s)
+        return med, suspect, win
 
     out = {"t_max": t_max, "n_slots": n_slots, "chunk": chunk,
+           "quant": quant or "bf16",
            "platform": jax.devices()[0].platform,
            "pool_gb": round(2 * k_f.nbytes / 2**30, 2)}
     short_fill = max(chunk, t_max // 16)
     for name, t_fill in (("short", short_fill),
                          ("full", t_max - headroom)):
-        med, suspect = run_workload(t_fill)
+        med, suspect, win = run_workload(t_fill)
         toks = chunk * n_slots
-        blk = impls[1]
-        ok = med["xla"] > 0 and med[blk] > 0
-        out[name] = {
+        dense = med[("xla", None)]
+        blk = med[(impls[1], None)]
+        ok = dense > 0 and blk > 0
+        line = {
             "t_fill": t_fill,
-            "chunk_ms_xla": round(med["xla"] * 1e3, 2),
-            "chunk_ms_blocked": round(med[blk] * 1e3, 2),
-            "speedup_blocked": (round(med["xla"] / med[blk], 3)
-                                if ok else None),
-            "tok_per_s_xla": round(toks / med["xla"], 1) if ok else None,
-            "tok_per_s_blocked": (round(toks / med[blk], 1)
-                                  if ok else None),
+            "chunk_ms_xla": round(dense * 1e3, 2),
+            "chunk_ms_blocked": round(blk * 1e3, 2),
+            "speedup_blocked": round(dense / blk, 3) if ok else None,
+            "tok_per_s_xla": round(toks / dense, 1) if ok else None,
+            "tok_per_s_blocked": round(toks / blk, 1) if ok else None,
             "suspect": suspect or not ok,
         }
+        if win is not None:
+            w = med[("xla", win)]
+            line.update({
+                "attn_window": win,
+                "chunk_ms_windowed": round(w * 1e3, 2),
+                "speedup_windowed": (round(dense / w, 3)
+                                     if ok and w > 0 else None),
+                "tok_per_s_windowed": (round(toks / w, 1)
+                                       if w > 0 else None),
+            })
+        out[name] = line
     print(json.dumps(out))
 
 

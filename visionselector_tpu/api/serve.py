@@ -132,7 +132,8 @@ class Server:
                  continuous_kv_int8: bool = False,
                  continuous_prefill_chunk: int = 0,
                  continuous_prefill_vit_segments: int = 0,
-                 decode_attn: str | None = None):
+                 decode_attn: str | None = None,
+                 continuous_auto_window: bool = False):
         self.engine = engine
         self.tokenizer = tokenizer
         self.method = method
@@ -167,7 +168,8 @@ class Server:
                 speculative=speculative, kv_int8=continuous_kv_int8,
                 prefill_chunk=continuous_prefill_chunk,
                 prefill_vit_segments=continuous_prefill_vit_segments,
-                decode_attn=decode_attn)
+                decode_attn=decode_attn,
+                auto_window=continuous_auto_window)
         else:
             self.batcher = (
                 MicroBatcher(engine, self.lock, micro_batch,
@@ -670,7 +672,9 @@ def build_server(args) -> ThreadingHTTPServer:
                      args, 'continuous_prefill_chunk', 0),
                  continuous_prefill_vit_segments=getattr(
                      args, 'continuous_prefill_vit_segments', 0),
-                 decode_attn=getattr(args, 'decode_attn', None))
+                 decode_attn=getattr(args, 'decode_attn', None),
+                 continuous_auto_window=getattr(
+                     args, 'continuous_auto_window', False))
     httpd = ThreadingHTTPServer((args.host, args.port), make_handler(srv))
     # tests call httpd.shutdown() then httpd.server_obj.close() to reap
     # the batcher worker thread (and its slot pool)
@@ -729,6 +733,11 @@ def main(argv=None) -> int:
                         "vision tower of each admission in N layer groups "
                         "(for large images the tower is the dominant "
                         "un-chunkable dispatch); 0/1 = whole tower")
+    p.add_argument("--continuous-auto-window", action="store_true",
+                   help="bound each decode dispatch's attention reads by a "
+                        "static bucket of the max live cache length — KV "
+                        "traffic scales with what is actually live instead "
+                        "of --continuous-t-max (<= 8 bucketed programs)")
     p.add_argument("--decode-attn", choices=("xla", "blocked"), default=None,
                    help="decode-attention impl: 'blocked' reads only each "
                         "slot's live prefix of the KV pool (Pallas, "

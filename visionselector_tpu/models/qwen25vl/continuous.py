@@ -52,11 +52,13 @@ from visionselector_tpu.models.qwen25vl import lm as lm_mod
 
 
 @functools.partial(jax.jit,
-                   static_argnames=("cfg", "k", "sampled", "attn_impl"),
+                   static_argnames=("cfg", "k", "sampled", "attn_impl",
+                                    "attn_window"),
                    donate_argnums=(1,))
 def _decode_chunk_slots(params, cache, cur, pos, live, temps, tps, keys,
                         cfg, k: int, sampled: bool = False,
-                        attn_impl: str | None = None):
+                        attn_impl: str | None = None,
+                        attn_window: int | None = None):
     """Advance every slot ``k`` decode steps in one dispatch.
 
     cur/pos/live: [S] current token, rope position, live mask. Dead slots
@@ -76,7 +78,8 @@ def _decode_chunk_slots(params, cache, cur, pos, live, temps, tps, keys,
         embed = lm_mod.embed_tokens(params["lm"], tok)[:, None]  # [S,1,D]
         pos3 = jnp.broadcast_to(pos_c[None, :, None], (3, s, 1))
         hidden, cache = lm_mod.lm_decode_step(
-            params["lm"], cache, embed, pos3, cfg.text, attn_impl=attn_impl
+            params["lm"], cache, embed, pos3, cfg.text, attn_impl=attn_impl,
+            attn_window=attn_window,
         )
         logits = lm_mod.lm_head(params["lm"], hidden[:, 0], cfg.text)
         if sampled:
@@ -126,11 +129,12 @@ def _lookup_props(buf: jax.Array, n: int, m: int) -> jax.Array:
 
 @functools.partial(jax.jit,
                    static_argnames=("cfg", "m", "rounds", "ngram",
-                                    "sampled", "attn_impl"),
+                                    "sampled", "attn_impl", "attn_window"),
                    donate_argnums=(1,))
 def _spec_scan_slots(params, cache, cur, pos, live, buf, temps, tps, keys,
                      cfg, m: int, rounds: int, ngram: int,
-                     sampled: bool = False, attn_impl: str | None = None):
+                     sampled: bool = False, attn_impl: str | None = None,
+                     attn_window: int | None = None):
     """Fused speculative decode: ``rounds`` propose+verify cycles in ONE
     device dispatch (a lax.scan whose body does on-device prompt-lookup ->
     m+1-row verify -> acceptance -> window update).
@@ -170,7 +174,7 @@ def _spec_scan_slots(params, cache, cur, pos, live, buf, temps, tps, keys,
         pos3 = jnp.broadcast_to(pos_rows[None], (3,) + pos_rows.shape)
         hidden, cache_c = lm_mod.lm_decode_chunk(
             params["lm"], cache_c, embeds, pos3, cfg.text,
-            attn_impl=attn_impl
+            attn_impl=attn_impl, attn_window=attn_window,
         )
         logits = lm_mod.lm_head(params["lm"], hidden, cfg.text)
         greedy = jnp.argmax(logits, axis=-1).astype(jnp.int32)
@@ -271,7 +275,8 @@ class ContinuousBatcher:
                  prefix_store=None, speculative: int = 0, ngram: int = 3,
                  ctx_window: int = 128, kv_int8: bool = False,
                  prefill_chunk: int = 0, prefill_vit_segments: int = 0,
-                 decode_attn: str | None = None):
+                 decode_attn: str | None = None,
+                 auto_window: bool = False):
         self.engine = engine
         self.n_slots = n_slots
         self.t_max = t_max
@@ -306,6 +311,21 @@ class ContinuousBatcher:
         # kv_int8=True (the kernel folds the dequant scales in, so halved
         # tile bytes AND tail skipping).
         self.decode_attn = decode_attn
+        # auto_window: bound each dispatch's attention reads by a STATIC
+        # bucket of the max live cache length (+ this dispatch's growth).
+        # XLA fuses the static slice into the attention einsum, so per-step
+        # KV traffic shrinks from t_max to the bucket with zero kernel
+        # overhead — the pool is provisioned for the LONGEST admissible
+        # request, but typical slots are far shorter. Costs one program
+        # compile per bucket (quantum t_max/8, >= 512 — at most 8).
+        # Exact: every live slot's post-dispatch length fits the window by
+        # construction; dead slots may exceed it, but their outputs are
+        # discarded and their lengths restored on-device.
+        self.auto_window = auto_window
+        self._window_quantum = max(512, t_max // 8)
+        # host mirror of each slot's device cache length (max over layers),
+        # advanced by exactly what each dispatch consumes on-device
+        self.host_len = np.zeros(n_slots, np.int64)
         self._admitting = None  # (ChunkedPrefill, item, slot_idx)
         self._last_decode_t = None  # gap tracking (max_decode_gap_ms)
         # optional external engine lock (the server's): held around device
@@ -481,6 +501,7 @@ class ContinuousBatcher:
         self.cur[slot_idx] = state.next_token
         self.pos[slot_idx] = state.start_pos
         self.live[slot_idx] = True
+        self.host_len[slot_idx] = t_valid
         self.temps[slot_idx] = item["temperature"]
         self.tps[slot_idx] = item["top_p"]
         self.keys[slot_idx] = np.asarray(
@@ -500,6 +521,23 @@ class ContinuousBatcher:
         self.stats["max_concurrent"] = max(
             self.stats["max_concurrent"],
             sum(s is not None for s in self.slots))
+
+    def _attn_window(self, growth: int):
+        """STATIC attention window for the next dispatch (or None).
+
+        max live length + this dispatch's on-device growth, rounded up to
+        the bucket quantum so the set of compiled programs stays bounded.
+        None when windowing is off, nothing is live, or the bucket would
+        be the full pool anyway."""
+        if not self.auto_window:
+            return None
+        live_lens = self.host_len[self.live]
+        if live_lens.size == 0:
+            return None
+        need = int(live_lens.max()) + growth
+        q = self._window_quantum
+        w = min(self.t_max, -(-need // q) * q)
+        return None if w >= self.t_max else int(w)
 
     def _fail_all(self, exc: Exception):
         """Deliver ``exc`` to every live slot and queued item, then mark
@@ -617,7 +655,11 @@ class ContinuousBatcher:
                         jnp.asarray(self.tps), jnp.asarray(self.keys),
                         self.engine.cfg, self.chunk, sampled,
                         attn_impl=self.decode_attn,
+                        attn_window=self._attn_window(self.chunk),
                     )
+                # device cache lengths advanced by `chunk` for every slot
+                # live at dispatch (dead slots were rolled back on-device)
+                self.host_len[self.live] += self.chunk
             except Exception as e:  # noqa: BLE001 — fail fast, not hang
                 # A dispatch failure (runtime error, invalid pool after a
                 # failed donating call) poisons the shared pool: waking
@@ -676,6 +718,7 @@ class ContinuousBatcher:
                 jnp.asarray(self.keys),
                 self.engine.cfg, m, rounds, self.ngram, sampled,
                 attn_impl=self.decode_attn,
+                attn_window=self._attn_window(rounds * (m + 1)),
             )
         self.pool = cache
         if sampled:
@@ -684,6 +727,9 @@ class ContinuousBatcher:
         self.stats["spec_steps"] += rounds
         emitted = np.asarray(emitted)  # [rounds, S, m+1]
         acc = np.asarray(acc)  # [rounds, S]
+        # each round advanced a live slot's device length by accepted+1
+        # (dead slots report -1 and were rolled back on-device)
+        self.host_len += np.sum(np.where(acc >= 0, acc + 1, 0), axis=0)
         for i, slot in enumerate(self.slots):
             if slot is None:
                 continue

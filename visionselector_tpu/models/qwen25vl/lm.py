@@ -479,6 +479,7 @@ def lm_decode_step(
     position_ids: jax.Array,
     cfg: TextConfig,
     attn_impl: str | None = None,
+    attn_window: int | None = None,
 ) -> Tuple[jax.Array, KVCache]:
     """One decode step.
 
@@ -487,6 +488,14 @@ def lm_decode_step(
         position_ids: [3, B, 1].
         attn_impl: decode-attention impl ("xla" dense / "blocked"
             length-aware Pallas; None = VST_DECODE_ATTN env, default xla).
+        attn_window: STATIC bound on live cache length — attention reads
+            only ``cache[:, :attn_window]`` (kv writes still land in the
+            full pool). XLA fuses the static slice into the attention
+            einsum, so per-step KV traffic shrinks from T_max to the
+            window with zero kernel overhead. Caller contract: every LIVE
+            row's post-write length <= attn_window (rows beyond it produce
+            garbage attention, acceptable only for dead slots whose
+            outputs are discarded).
     Returns: (hidden [B, 1, D] post-norm, updated cache).
     """
     cos, sin = mrope_cos_sin(position_ids, cfg)
@@ -524,9 +533,17 @@ def lm_decode_step(
             v_cache = jax.vmap(write_row)(v_cache, v, pos)
         # Unexpanded [B, T, H_kv, D] caches: grouped-query attention streams
         # the pool once (no n_rep-x _repeat_kv materialization).
+        w = attn_window
         attn = decode_attention(
-            q, k_cache, v_cache, pos + 1,
-            k_scale=kq_scale, v_scale=vq_scale, impl=attn_impl,
+            q,
+            k_cache if w is None else k_cache[:, :w],
+            v_cache if w is None else v_cache[:, :w],
+            pos + 1,
+            k_scale=kq_scale if (w is None or kq_scale is None)
+            else kq_scale[:, :w],
+            v_scale=vq_scale if (w is None or vq_scale is None)
+            else vq_scale[:, :w],
+            impl=attn_impl,
         )
         x = x + _dense(attn.reshape(b, 1, -1), p, "o_kernel")
         h = rms_norm(x, p["post_ln_scale"], cfg.rms_norm_eps)
@@ -558,6 +575,7 @@ def lm_decode_chunk(
     position_ids: jax.Array,
     cfg: TextConfig,
     attn_impl: str | None = None,
+    attn_window: int | None = None,
 ) -> Tuple[jax.Array, KVCache]:
     """Multi-token decode step (speculative-decoding verification).
 
@@ -603,9 +621,17 @@ def lm_decode_chunk(
             kq_scale = vq_scale = None
             k_cache = jax.vmap(write_row)(k_cache, k, pos)
             v_cache = jax.vmap(write_row)(v_cache, v, pos)
+        w = attn_window
         attn = chunk_decode_attention(
-            q, k_cache, v_cache, pos,
-            k_scale=kq_scale, v_scale=vq_scale, impl=attn_impl,
+            q,
+            k_cache if w is None else k_cache[:, :w],
+            v_cache if w is None else v_cache[:, :w],
+            pos,
+            k_scale=kq_scale if (w is None or kq_scale is None)
+            else kq_scale[:, :w],
+            v_scale=vq_scale if (w is None or vq_scale is None)
+            else vq_scale[:, :w],
+            impl=attn_impl,
         )
         x = x + _dense(attn.reshape(b, t_c, -1), p, "o_kernel")
         h = rms_norm(x, p["post_ln_scale"], cfg.rms_norm_eps)
