@@ -101,3 +101,92 @@ class TestExpertParallel:
         assert sh_down.spec == PartitionSpec(None, None, "model", None), \
             sh_down.spec
         np.testing.assert_allclose(run(sharded), ref, atol=2e-5, rtol=1e-4)
+
+
+class TestTPServing:
+    def test_tp_continuous_batcher_matches_single_device(self):
+        """Continuous batching over model-axis-sharded weights: the slot
+        pool, chunk program, and admissions pick the sharding up through
+        GSPMD propagation; rollouts equal the single-device oracle
+        (SURVEY §2.9 TP extended from prefill to the serving decode path)."""
+        import numpy as np
+
+        from visionselector_tpu.models.qwen25vl.continuous import (
+            ContinuousBatcher,
+        )
+        from visionselector_tpu.models.qwen25vl.model import QwenVLEngine
+        from visionselector_tpu.preprocess.image import preprocess_image
+        from visionselector_tpu.preprocess.rope import expand_vision_tokens
+
+        params = init_params(jax.random.PRNGKey(0), CFG)
+        img = (np.random.RandomState(0).rand(56, 84, 3) * 255).astype(
+            np.uint8)
+        pixels, grid = preprocess_image(img)
+        ids = expand_vision_tokens(
+            [5, 6, 7], [8, 9], grid,
+            image_token_id=CFG.image_token_id,
+            vision_start_token_id=CFG.vision_start_token_id,
+            vision_end_token_id=CFG.vision_end_token_id)
+        req = dict(input_ids=ids, pixel_values=pixels, grid_thw=grid)
+
+        eng = QwenVLEngine(CFG, params, use_selector=True, budget=0.5)
+        want = eng.generate(
+            **req, max_new_tokens=10, eos_token_ids=(-1,)).tokens
+
+        mesh = make_mesh(n_data=4, n_model=2, devices=jax.devices()[:8])
+        eng_tp = QwenVLEngine(CFG, shard_params(params, mesh),
+                              use_selector=True, budget=0.5)
+        bat = ContinuousBatcher(eng_tp, n_slots=2, t_max=256, chunk=4)
+        try:
+            r1 = bat.submit(dict(req), 10, (-1,))
+            r2 = bat.submit(dict(req), 10, (-1,))
+        finally:
+            bat.shutdown()
+        assert r1.tokens == want, (r1.tokens, want)
+        assert r2.tokens == want
+
+    def test_serve_tp_flag_shards_engine(self):
+        """serve --tp N: weights land model-axis-sharded; /generate output
+        equals the unsharded server's."""
+        import argparse
+        import json
+        import threading
+        import urllib.request
+
+        from visionselector_tpu.api.serve import build_server
+
+        def mk(tp):
+            args = argparse.Namespace(
+                model_path=None, method="selector", budget=0.5,
+                host="127.0.0.1", port=0, tp=tp)
+            httpd = build_server(args)
+            port = httpd.server_address[1]
+            threading.Thread(target=httpd.serve_forever,
+                             daemon=True).start()
+            return httpd, port
+
+        def ask(port):
+            req = urllib.request.Request(
+                f"http://127.0.0.1:{port}/generate",
+                data=json.dumps({"prompt": "hi there",
+                                 "max_new_tokens": 6}).encode(),
+                headers={"Content-Type": "application/json"})
+            with urllib.request.urlopen(req, timeout=300) as r:
+                return json.loads(r.read())
+
+        h1, p1 = mk(0)
+        h2, p2 = mk(2)
+        try:
+            a = ask(p1)
+            b = ask(p2)
+            assert a["tokens"] == b["tokens"], (a, b)
+            leaves = jax.tree_util.tree_leaves(
+                h2.server_obj.engine.params)
+            assert any(
+                getattr(x.sharding, "spec", None) is not None
+                and "model" in str(x.sharding.spec) for x in leaves)
+        finally:
+            for h in (h1, h2):
+                h.shutdown()
+                if hasattr(h, "server_obj"):
+                    h.server_obj.close()

@@ -648,6 +648,23 @@ def build_server(args) -> ThreadingHTTPServer:
 
         params = apply_weight_quantization(params, args.quantize)
 
+    tp = int(getattr(args, "tp", 0) or 0)
+    if tp > 1:
+        # tensor-parallel serving: weights sharded over a (1, tp) mesh by
+        # the standard rules (core/mesh.py); every engine program — prefill,
+        # decode loops, the continuous slot-pool chunk — picks the sharding
+        # up through GSPMD propagation, collectives ride ICI. This is the
+        # multi-chip path for models that do not fit one chip in bf16
+        # (e.g. 7B on v5e without int8).
+        from visionselector_tpu.core.mesh import make_mesh, shard_params
+
+        devs = jax.devices()
+        if len(devs) < tp:
+            raise SystemExit(
+                f"--tp {tp} needs {tp} devices, found {len(devs)}")
+        mesh = make_mesh(n_data=1, n_model=tp, devices=devs[:tp])
+        params = shard_params(params, mesh)
+
     strategy = None
     if args.method not in ("orig", "selector"):
         from visionselector_tpu.selector.baselines import get_baseline
@@ -733,6 +750,11 @@ def main(argv=None) -> int:
                         "vision tower of each admission in N layer groups "
                         "(for large images the tower is the dominant "
                         "un-chunkable dispatch); 0/1 = whole tower")
+    p.add_argument("--tp", type=int, default=0,
+                   help="shard weights over N devices (tensor parallel; "
+                        "(1, N) mesh, core/mesh.py rules) — serve models "
+                        "that do not fit one chip in bf16; composes with "
+                        "--continuous and all decode features")
     p.add_argument("--continuous-auto-window", action="store_true",
                    help="bound each decode dispatch's attention reads by a "
                         "static bucket of the max live cache length — KV "
