@@ -779,3 +779,39 @@ def test_auto_window_host_len_tracks_device(setup):
                     s, bat.host_len[s], dev_len[s])
     finally:
         bat.shutdown()
+
+
+def test_ov_family_continuous_matches_oracle():
+    """The batcher is engine-generic: LLaVA-OV-1.5 requests ride the same
+    slot pool (RICE admission prefill via _defer_decode, shared Qwen3-flag
+    decoder chunk program) and match the one-shot OV oracle."""
+    from visionselector_tpu.core.config import llava_ov_tiny
+    from visionselector_tpu.models.llava_ov15.model import (
+        OVEngine,
+        init_ov_params,
+    )
+    from visionselector_tpu.preprocess.image import preprocess_image
+    from visionselector_tpu.preprocess.rope import expand_vision_tokens
+
+    cfg = llava_ov_tiny()
+    eng = OVEngine(cfg, init_ov_params(jax.random.PRNGKey(0), cfg),
+                   use_selector=True, budget=0.5)
+    img = (np.random.RandomState(0).rand(56, 84, 3) * 255).astype(np.uint8)
+    px, grid = preprocess_image(
+        img, min_pixels=1, max_pixels=10**9,
+        temporal_patch_size=cfg.vision.temporal_patch_size)
+    ids = expand_vision_tokens(
+        [5, 6, 7], [8, 9], grid,
+        image_token_id=cfg.image_token_id,
+        vision_start_token_id=cfg.vision_start_token_id,
+        vision_end_token_id=cfg.vision_end_token_id)
+    req = dict(input_ids=ids, pixel_values=px, grid_thw=grid)
+    want = eng.generate(**req, max_new_tokens=8, eos_token_ids=(-1,)).tokens
+    bat = ContinuousBatcher(eng, n_slots=2, t_max=256, chunk=4)
+    try:
+        r1 = bat.submit(dict(req), 8, (-1,))
+        r2 = bat.submit(dict(req), 8, (-1,))
+    finally:
+        bat.shutdown()
+    assert r1.tokens == want, (r1.tokens, want)
+    assert r2.tokens == want

@@ -517,3 +517,44 @@ class TestWarmupMicroBatch:
         out = capsys.readouterr().out
         assert '"decode_batch": 2' in out
         assert '"decode_batch": 4' in out
+
+
+class TestMetricsEndpoint:
+    def test_metrics_counters_advance(self):
+        import argparse
+
+        from visionselector_tpu.api.serve import build_server
+
+        args = argparse.Namespace(model_path=None, method="selector",
+                                  budget=0.5, host="127.0.0.1", port=0)
+        httpd = build_server(args)
+        port = httpd.server_address[1]
+        threading.Thread(target=httpd.serve_forever, daemon=True).start()
+        try:
+            def scrape():
+                with urllib.request.urlopen(
+                        f"http://127.0.0.1:{port}/metrics",
+                        timeout=120) as r:
+                    assert r.headers["Content-Type"].startswith(
+                        "text/plain")
+                    return dict(
+                        line.split(" ", 1)
+                        for line in r.read().decode().splitlines()
+                        if line and not line.startswith("#"))
+
+            before = scrape()
+            assert before["vst_requests_total"] == "0"
+            req = urllib.request.Request(
+                f"http://127.0.0.1:{port}/generate",
+                data=json.dumps({"prompt": "hello",
+                                 "max_new_tokens": 5}).encode(),
+                headers={"Content-Type": "application/json"})
+            with urllib.request.urlopen(req, timeout=300) as r:
+                out = json.loads(r.read())
+            after = scrape()
+            assert after["vst_requests_total"] == "1"
+            assert int(after["vst_tokens_out_total"]) == len(out["tokens"])
+            assert float(after["vst_request_seconds_sum"]) > 0
+        finally:
+            httpd.shutdown()
+            httpd.server_obj.close()

@@ -81,21 +81,25 @@ def main():
     live = jnp.ones((n_slots,), bool)
     cur = jnp.arange(100, 100 + n_slots, dtype=jnp.int32)
 
-    @functools.partial(jax.jit,
-                       static_argnames=("n", "attn_impl", "attn_window"))
-    def chained(params, pool, pos, n, attn_impl, attn_window=None):
-        def body(i, carry):
-            cur_c, pos_c, pool_c, acc = carry
-            toks, pool_c, _ = _decode_chunk_slots(
-                params, pool_c, cur_c, pos_c, live, temps, tps, keys,
-                cfg, chunk, False, attn_impl=attn_impl,
-                attn_window=attn_window)
-            return (toks[-1], pos_c + chunk, pool_c,
-                    acc + jnp.sum(toks[-1]))
+    # Chaining happens INSIDE _decode_chunk_slots' own lax.scan (static
+    # k = n*chunk steps in ONE dispatch) — the production program shape.
+    # An outer fori-of-dispatches reproducibly dies with a TPU-backend
+    # RESOURCE_EXHAUSTED through the axon tunnel when the weights are
+    # int8/int4 (bf16 is fine; an optimization_barrier does not help;
+    # the engine's scan/while decode programs run int8 fine), so the
+    # chained differential rides the scan length instead. Re-jit without
+    # the production donate (repeated timing calls reuse the pool).
+    raw_chunk_slots = jax.jit(
+        _decode_chunk_slots.__wrapped__,
+        static_argnames=("cfg", "k", "sampled", "attn_impl",
+                         "attn_window"))
 
-        _, _, _, acc = jax.lax.fori_loop(
-            0, n, body, (cur, pos, pool, jnp.zeros((), jnp.int32)))
-        return acc
+    def chained(params, pool, pos, n, attn_impl, attn_window=None):
+        toks, _, _ = raw_chunk_slots(
+            params, pool, cur, pos, live, temps, tps, keys,
+            cfg, n * chunk, False, attn_impl=attn_impl,
+            attn_window=attn_window)
+        return jnp.sum(toks[-1])
 
     lo, hi = 2, 4
     headroom = 64 * ((hi * chunk + chunk + 63) // 64)

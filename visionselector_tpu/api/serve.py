@@ -153,6 +153,12 @@ class Server:
             self.prefix_store = PrefixCacheStore(
                 max_entries=prefix_cache, min_prefix=prefix_cache_min)
         self.lock = threading.Lock()  # serializes engine use
+        # serving counters for GET /metrics (Prometheus text exposition);
+        # int/float += under the GIL on a dict is atomic enough for
+        # monotonic scrape counters
+        self.metrics = {"requests_total": 0, "tokens_out_total": 0,
+                        "request_seconds_sum": 0.0,
+                        "prefill_seconds_sum": 0.0}
         # continuous batching takes precedence over window micro-batching:
         # slots join/leave the persistent decode loop mid-flight instead of
         # waiting for an aligned batch window
@@ -311,7 +317,39 @@ class Server:
                 )
         return self._result_dict(res)
 
+    def metrics_text(self) -> str:
+        """Prometheus text exposition of serving counters (GET /metrics)."""
+        m = dict(self.metrics)
+        lines = [
+            "# TYPE vst_requests_total counter",
+            f"vst_requests_total {m['requests_total']}",
+            "# TYPE vst_tokens_out_total counter",
+            f"vst_tokens_out_total {m['tokens_out_total']}",
+            "# TYPE vst_request_seconds_sum counter",
+            f"vst_request_seconds_sum {m['request_seconds_sum']:.6f}",
+            "# TYPE vst_prefill_seconds_sum counter",
+            f"vst_prefill_seconds_sum {m['prefill_seconds_sum']:.6f}",
+        ]
+        if self.prefix_store is not None:
+            lines += [
+                "# TYPE vst_prefix_cache_hits_total counter",
+                f"vst_prefix_cache_hits_total {self.prefix_store.hits}",
+                "# TYPE vst_prefix_cache_misses_total counter",
+                f"vst_prefix_cache_misses_total {self.prefix_store.misses}",
+            ]
+        stats = getattr(self.batcher, "stats", None)
+        if stats is not None:
+            for k, v in stats.items():
+                lines += [f"# TYPE vst_continuous_{k} gauge",
+                          f"vst_continuous_{k} {v}"]
+        return "\n".join(lines) + "\n"
+
     def _result_dict(self, res, session: str | None = None) -> dict:
+        self.metrics["requests_total"] += 1
+        self.metrics["tokens_out_total"] += len(res.tokens)
+        self.metrics["request_seconds_sum"] += float(res.total_seconds)
+        self.metrics["prefill_seconds_sum"] += float(
+            res.prefill_seconds or 0.0)
         out = {
             "tokens": res.tokens,
             "text": (
@@ -418,6 +456,14 @@ def make_handler(server: Server):
                 if getattr(server.batcher, "stats", None) is not None:
                     out["continuous"] = dict(server.batcher.stats)
                 self._send(200, out)
+            elif self.path == "/metrics":
+                body = server.metrics_text().encode()
+                self.send_response(200)
+                self.send_header("Content-Type",
+                                 "text/plain; version=0.0.4")
+                self.send_header("Content-Length", str(len(body)))
+                self.end_headers()
+                self.wfile.write(body)
             elif self.path in ("/", "/chat"):
                 # Browser chat page (the reference ships a gradio chat app,
                 # ``llava-ov-15/src/serve/app.py``; this is the dependency-
