@@ -525,6 +525,50 @@ def _backend_alive(timeout_s: int = 180) -> bool:
         return False
 
 
+def _contention_probe_s() -> float:
+    """Seconds for a tiny warm matmul round trip on the configured backend.
+
+    The tunneled v5e is time-shared: a heavy co-tenant stretches this from
+    ~50 ms to MINUTES (observed 265 s) and can make well-fitting programs
+    fail with RESOURCE_EXHAUSTED while its HBM footprint peaks. The probe
+    quantifies contention so the bench can wait it out (bounded) and stamp
+    the artifact with the level it actually measured under."""
+    x = jnp.ones((256, 256), jnp.bfloat16)
+    f = jax.jit(lambda a: (a @ a).sum())
+    float(f(x))  # compile + first dispatch
+    t0 = time.perf_counter()
+    float(f(x))
+    return time.perf_counter() - t0
+
+
+def _wait_for_quiet(max_wait_s: float = 300.0,
+                    busy_threshold_s: float = 2.0) -> float:
+    """Poll the contention probe until the chip looks quiet or the wait
+    budget is spent. Returns the last probe reading (seconds)."""
+    deadline = time.monotonic() + max_wait_s
+    probe = _contention_probe_s()
+    while probe > busy_threshold_s and time.monotonic() < deadline:
+        time.sleep(min(60.0, max(5.0, deadline - time.monotonic())))
+        probe = _contention_probe_s()
+    return probe
+
+
+def _retry_contended(fn, attempts: int = 3, backoff_s: float = 90.0):
+    """Run ``fn`` retrying RESOURCE_EXHAUSTED (co-tenant HBM spike) with a
+    backoff + quiet re-check. Re-raises the final failure; any other error
+    propagates immediately (a real bug should crash loudly, not retry)."""
+    for i in range(attempts):
+        try:
+            return fn()
+        except jax.errors.JaxRuntimeError as e:
+            if "RESOURCE_EXHAUSTED" not in str(e) or i == attempts - 1:
+                raise
+            time.sleep(backoff_s)
+            # the latency probe does not see an idle-but-resident tenant's
+            # HBM, but it does catch the active-churn phase — skip it
+            _wait_for_quiet(max_wait_s=120.0)
+
+
 def main():
     from visionselector_tpu.core.config import qwen25vl_3b, qwen25vl_7b
     from visionselector_tpu.models.qwen25vl.model import init_params
@@ -555,10 +599,31 @@ def main():
         s_bucket = 5632
         img_hw = (1036, 1456)
         model_name = "qwen2.5-vl-3b (random weights)"
+    # Contention gate: on the time-shared chip a heavy co-tenant stretches
+    # dispatch latencies ~1000x and causes transient RESOURCE_EXHAUSTED for
+    # programs that fit comfortably. Wait (bounded) for quiet, stamp the
+    # level measured under, and retry HBM-spike failures with backoff.
+    contention_s = None
+    if jax.devices()[0].platform == "tpu":
+        contention_s = round(_wait_for_quiet(), 3)
     params = jax.jit(lambda key: init_params(key, cfg))(jax.random.PRNGKey(0))
     jax.block_until_ready(params)
 
-    t_sel3, t_full3, n, check3 = measure(cfg, params, budget, s_bucket, img_hw)
+    try:
+        t_sel3, t_full3, n, check3 = _retry_contended(
+            lambda: measure(cfg, params, budget, s_bucket, img_hw))
+    except jax.errors.JaxRuntimeError as e:
+        if "RESOURCE_EXHAUSTED" not in str(e):
+            raise
+        print(json.dumps({
+            "metric": "prefill_speedup_at_20pct_retention",
+            "value": 0.0, "unit": "x", "vs_baseline": 0.0, "suspect": True,
+            "detail": {"error": "persistent RESOURCE_EXHAUSTED (co-tenant "
+                                "HBM pressure on the time-shared chip); "
+                                "no measurement taken",
+                       "contention_probe_s": contention_s},
+        }), flush=True)
+        return
     speedup3 = t_full3 / t_sel3
 
     # Preliminary result line: the 7B phase below adds several uncached
@@ -617,6 +682,7 @@ def main():
         "peak_bytes_in_use": peak_memory_bytes(),
         "attn_impl": os.environ.get("VST_ATTN_IMPL"),
         "platform": jax.devices()[0].platform,
+        "contention_probe_s": contention_s,
         **hbm,
     }
 
@@ -646,8 +712,8 @@ def main():
             cfg7 = qwen25vl_7b()
             params7 = init_7b_int8(cfg7)
             jax.block_until_ready(params7)
-            t_sel7, t_full7, _, check7 = measure(
-                cfg7, params7, budget, s_bucket, img_hw)
+            t_sel7, t_full7, _, check7 = _retry_contended(
+                lambda: measure(cfg7, params7, budget, s_bucket, img_hw))
             speedup = t_full7 / t_sel7
             mem_sel7 = hbm_model(cfg7, params7, s_bucket, t_sel_len)
             mem_full7 = hbm_model(cfg7, params7, s_bucket, t_full_len)

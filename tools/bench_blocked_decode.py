@@ -83,12 +83,15 @@ def main():
 
     # Chaining happens INSIDE _decode_chunk_slots' own lax.scan (static
     # k = n*chunk steps in ONE dispatch) — the production program shape.
-    # An outer fori-of-dispatches reproducibly dies with a TPU-backend
-    # RESOURCE_EXHAUSTED through the axon tunnel when the weights are
-    # int8/int4 (bf16 is fine; an optimization_barrier does not help;
-    # the engine's scan/while decode programs run int8 fine), so the
-    # chained differential rides the scan length instead. Re-jit without
-    # the production donate (repeated timing calls reuse the pool).
+    # NOTE on transient RESOURCE_EXHAUSTED through the axon tunnel: the
+    # chip is time-shared, and a heavy co-tenant's HBM spike makes
+    # well-fitting programs fail (and a tiny matmul take minutes). An
+    # earlier session misattributed this to int8-weights-in-a-fori-loop;
+    # A/B tests showed identical programs pass or fail depending on the
+    # minute they run. If this bench dies with ResourceExhausted, wait
+    # for a quiet chip (see bench.py:_wait_for_quiet) and re-run.
+    # Re-jit without the production donate (repeated timing calls reuse
+    # the pool).
     raw_chunk_slots = jax.jit(
         _decode_chunk_slots.__wrapped__,
         static_argnames=("cfg", "k", "sampled", "attn_impl",
