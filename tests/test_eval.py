@@ -753,3 +753,80 @@ class TestLiteShrinker:
         with open(os.path.join(str(tmp_path / "lite2"), "chartqa.jsonl")) as f:
             docs2 = [json.loads(l) for l in f]
         assert docs == docs2
+
+
+class TestFromLogReplay:
+    """ReplayAdapter re-scores from sample logs without a model
+    (lmms-eval from_log parity, ``models/from_log.py:16-112``)."""
+
+    def _write_log(self, path, recs):
+        with open(path, "w") as f:
+            for r in recs:
+                f.write(json.dumps(r) + "\n")
+
+    def test_rescore_matches_original_run(self, tmp_path, capsys):
+        from visionselector_tpu.api.run_eval import main
+
+        data_dir = TestTasks().make_data(tmp_path, n=3)
+        out_dir = str(tmp_path / "results")
+        assert main([
+            "--data-dir", data_dir, "--tasks", "chartqa",
+            "--method", "selector", "--budgets", "0.5",
+            "--output-dir", out_dir,
+        ]) == 0
+        with open(os.path.join(out_dir, "selector_0.5_rank0.json")) as f:
+            original = json.load(f)["results"]
+        capsys.readouterr()
+
+        replay_dir = str(tmp_path / "replayed")
+        assert main([
+            "--from-log", out_dir, "--data-dir", data_dir,
+            "--tasks", "chartqa", "--output-dir", replay_dir,
+        ]) == 0
+        with open(os.path.join(replay_dir, "from_log.json")) as f:
+            replayed = json.load(f)["results"]
+        assert (replayed["chartqa/relaxed_accuracy"]
+                == original["chartqa/relaxed_accuracy"])
+        assert replayed["chartqa/n"] == original["chartqa/n"]
+
+    def test_newest_log_wins_and_padding_skipped(self, tmp_path):
+        import time as _time
+
+        from visionselector_tpu.eval.replay import ReplayAdapter
+        from visionselector_tpu.eval.tasks import TASKS, Request
+
+        old = tmp_path / "old.jsonl"
+        new = tmp_path / "new.jsonl"
+        self._write_log(old, [
+            {"task": "chartqa", "doc_id": 0, "question": "q", "answers": ["1"],
+             "prediction": "old", "is_padding": False},
+            {"task": "chartqa", "doc_id": 1, "question": "q", "answers": ["2"],
+             "prediction": "pad", "is_padding": True},
+        ])
+        _time.sleep(0.02)
+        self._write_log(new, [
+            {"task": "chartqa", "doc_id": 0, "question": "q", "answers": ["1"],
+             "prediction": "new", "is_padding": False},
+        ])
+        os.utime(old, (os.path.getmtime(new) - 10,) * 2)
+        ad = ReplayAdapter(f"{old},{new}")
+        task = TASKS["chartqa"]
+        req = Request(doc_id=0, question="q", answers=["1"],
+                      image_path=None, task=task)
+        assert ad.generate_until([req]) == ["new"]
+        # padding rows never load; a missing doc raises under strict
+        missing = Request(doc_id=1, question="q", answers=["2"],
+                          image_path=None, task=task)
+        with pytest.raises(KeyError):
+            ad.generate_until([missing])
+        assert ReplayAdapter(str(tmp_path), strict=False).generate_until(
+            [missing]) == [""]
+
+    def test_missing_paths_raise(self, tmp_path):
+        from visionselector_tpu.eval.replay import ReplayAdapter
+
+        with pytest.raises(FileNotFoundError):
+            ReplayAdapter(str(tmp_path / "nope"))
+        (tmp_path / "empty").mkdir()
+        with pytest.raises(FileNotFoundError):
+            ReplayAdapter(str(tmp_path / "empty"))

@@ -25,6 +25,9 @@ MODEL_FAMILIES = {
     "qwen2_5_vl": "qwen25vl",
     "llava_onevision1_5_with_token_compression": "llava_ov15",
     "llava_onevision1_5": "llava_ov15",
+    # replay model: scores from previous sample logs, no checkpoint
+    # (lmms-eval/lmms_eval/models/from_log.py)
+    "from_log": None,
 }
 
 
@@ -68,6 +71,18 @@ def main(argv=None) -> int:
             f"unknown --model {args.model!r}; have {sorted(MODEL_FAMILIES)}"
         )
     ma = parse_model_args(args.model_args)
+    if args.model == "from_log":
+        logs = ma.get("logs")
+        data_dir = args.data_dir or ma.get("data_dir")
+        if not logs or not data_dir:
+            raise SystemExit("from_log needs model_args logs=<paths> and "
+                             "--data_dir (reference: from_log.py:19)")
+        from visionselector_tpu.api.run_eval import main as run_eval_main
+
+        return run_eval_main([
+            "--from-log", logs, "--data-dir", data_dir,
+            "--tasks", args.tasks, "--output-dir", args.output_path,
+        ] + (["--limit", str(args.limit)] if args.limit is not None else []))
     family = MODEL_FAMILIES[args.model]
     method = ma.get("method", "orig")
     budgets = ma.get("budgets", ma.get("budget", "0.2"))

@@ -56,6 +56,11 @@ def build_parser():
     p.add_argument("--quantize", default=None,
                    help="weight-only LM quantization: int8, int4, or "
                         "int4:g<N> (grouped)")
+    p.add_argument("--from-log", default=None,
+                   help="re-score from previous sample logs instead of "
+                        "running a model: comma-separated jsonl files or "
+                        "directories (newest log wins per doc; lmms-eval "
+                        "from_log parity)")
     p.add_argument("--speculative", type=int, default=None,
                    help="prompt-lookup speculative decoding: propose N "
                         "tokens per decode dispatch (greedy-identical "
@@ -105,6 +110,23 @@ def main(argv=None) -> int:
                 json.dump({"method": args.method, "budget": budget,
                            "results": merged, "ranks": len(logs)}, f, indent=2)
             print(json.dumps({"budget": budget, **merged}))
+        return 0
+
+    if args.from_log:
+        from visionselector_tpu.eval.evaluator import evaluate
+        from visionselector_tpu.eval.replay import ReplayAdapter
+
+        adapter = ReplayAdapter(args.from_log)
+        os.makedirs(args.output_dir, exist_ok=True)
+        results = evaluate(
+            adapter, args.tasks.split(","), args.data_dir, limit=args.limit,
+            rank=args.rank, world_size=args.world_size,
+        )
+        out_path = os.path.join(args.output_dir, "from_log.json")
+        with open(out_path, "w") as f:
+            json.dump({"method": "from_log", "logs": args.from_log,
+                       "results": results}, f, indent=2)
+        print(json.dumps(results))
         return 0
 
     import jax
