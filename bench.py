@@ -525,6 +525,11 @@ def _backend_alive(timeout_s: int = 180) -> bool:
         return False
 
 
+@jax.jit
+def _probe_matmul(a):
+    return (a @ a).sum()
+
+
 def _contention_probe_s() -> float:
     """Seconds for a tiny warm matmul round trip on the configured backend.
 
@@ -532,12 +537,13 @@ def _contention_probe_s() -> float:
     ~50 ms to MINUTES (observed 265 s) and can make well-fitting programs
     fail with RESOURCE_EXHAUSTED while its HBM footprint peaks. The probe
     quantifies contention so the bench can wait it out (bounded) and stamp
-    the artifact with the level it actually measured under."""
+    the artifact with the level it actually measured under. (Module-level
+    jit: every poll after the first is a single warm dispatch, not a
+    recompile through the contended tunnel.)"""
     x = jnp.ones((256, 256), jnp.bfloat16)
-    f = jax.jit(lambda a: (a @ a).sum())
-    float(f(x))  # compile + first dispatch
+    float(_probe_matmul(x))  # compile on first call + absorb dispatch No. 1
     t0 = time.perf_counter()
-    float(f(x))
+    float(_probe_matmul(x))
     return time.perf_counter() - t0
 
 

@@ -65,7 +65,11 @@ class TestCheckpoint:
     def test_async_save_roundtrip_and_prune(self, tmp_path):
         """async_save: the write commits on background threads;
         finalize_saves() joins it; restore sees the exact state; pruning
-        keeps `keep` dirs and never deletes the in-flight checkpoint."""
+        keeps the newest `keep` COMMITTED checkpoints at each save's entry,
+        so there is never a moment with zero restorable checkpoints (if
+        the process dies mid-commit, the previous dirs are intact)."""
+        import os
+
         from visionselector_tpu.core.checkpoint import finalize_saves
 
         params = init_params(jax.random.PRNGKey(0), CFG)
@@ -77,13 +81,18 @@ class TestCheckpoint:
             st = state._replace(step=jnp.asarray(step, jnp.int32))
             path = save_train_state(st, out, step=step, async_save=True)
             assert path.endswith(f"checkpoint-{step}")
+            if step > 1:
+                # crash-safety window: the PREVIOUS committed checkpoint
+                # must survive until the new write lands
+                assert os.path.isdir(
+                    os.path.join(out, f"checkpoint-{step - 1}"))
         finalize_saves()
         assert latest_checkpoint(out).endswith("checkpoint-3")
-        import os
-
         names = sorted(n for n in os.listdir(out)
                        if n.startswith("checkpoint-"))
-        assert names == ["checkpoint-3"], names  # keep=1 semantics
+        # keep=1 committed + the just-committed newest (pruned back to
+        # `keep` at the next save's entry)
+        assert names == ["checkpoint-2", "checkpoint-3"], names
 
         template = init_train_state(
             init_params(jax.random.PRNGKey(1), CFG), sched
@@ -94,6 +103,23 @@ class TestCheckpoint:
             np.asarray(restored.scorer_params["q_kernel"]),
             np.asarray(state.scorer_params["q_kernel"]),
         )
+
+    def test_async_save_keep_none_keeps_all(self, tmp_path):
+        """keep=None means unlimited on BOTH the sync and async paths."""
+        import os
+
+        from visionselector_tpu.core.checkpoint import finalize_saves
+
+        params = init_params(jax.random.PRNGKey(0), CFG)
+        state = init_train_state(params, ScheduleConfig(total_steps=10))
+        out = str(tmp_path / "run")
+        for step in (1, 2, 3):
+            st = state._replace(step=jnp.asarray(step, jnp.int32))
+            save_train_state(st, out, step=step, keep=None, async_save=True)
+        finalize_saves()
+        names = sorted(n for n in os.listdir(out)
+                       if n.startswith("checkpoint-"))
+        assert names == ["checkpoint-1", "checkpoint-2", "checkpoint-3"]
 
 
 class TestPredictCLI:

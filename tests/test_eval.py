@@ -830,3 +830,25 @@ class TestFromLogReplay:
         (tmp_path / "empty").mkdir()
         with pytest.raises(FileNotFoundError):
             ReplayAdapter(str(tmp_path / "empty"))
+
+    def test_filename_stamp_beats_mtime(self, tmp_path):
+        """Copies/checkouts reset mtimes; the tracker's filename stamp is
+        the durable recency signal (reference parses date-stamped folders,
+        from_log.py:74-81)."""
+        from visionselector_tpu.eval.replay import ReplayAdapter
+        from visionselector_tpu.eval.tasks import TASKS, Request
+
+        newer = tmp_path / "chartqa_20260102T000000_aa.jsonl"
+        older = tmp_path / "chartqa_20260101T000000_bb.jsonl"
+        self._write_log(newer, [
+            {"task": "chartqa", "doc_id": 0, "question": "q",
+             "answers": ["1"], "prediction": "new", "is_padding": False}])
+        self._write_log(older, [
+            {"task": "chartqa", "doc_id": 0, "question": "q",
+             "answers": ["1"], "prediction": "old", "is_padding": False}])
+        # adversarial mtimes: the OLDER run's file was written last
+        os.utime(newer, (os.path.getmtime(older) - 100,) * 2)
+        ad = ReplayAdapter(str(tmp_path))
+        req = Request(doc_id=0, question="q", answers=["1"],
+                      image_path=None, task=TASKS["chartqa"])
+        assert ad.generate_until([req]) == ["new"]

@@ -112,11 +112,13 @@ def main():
         length = jnp.full((tc.num_hidden_layers, n_slots), t_fill, jnp.int32)
         pool = lm_mod.KVCache(k=k_f, v=v_f, length=length)
         pos = jnp.full((n_slots,), t_fill, jnp.int32)
-        # the serving auto_window bucket for this fill (quantum t_max/8)
-        q = max(512, t_max // 8)
-        need = t_fill + hi * chunk + chunk
-        win = min(t_max, -(-need // q) * q)
-        win = None if win >= t_max else win
+        # the serving auto_window bucket for this fill — the batcher's own
+        # formula, so the measured window shape is what serving dispatches
+        from visionselector_tpu.models.qwen25vl.continuous import (
+            window_bucket,
+        )
+
+        win = window_bucket(t_fill + hi * chunk + chunk, t_max)
         arms = [(impl, None) for impl in impls]
         if win is not None:
             arms.append(("xla", win))

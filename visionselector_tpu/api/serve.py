@@ -17,6 +17,7 @@ import argparse
 import base64
 import io
 import json
+import os
 import threading
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 
@@ -154,11 +155,13 @@ class Server:
                 max_entries=prefix_cache, min_prefix=prefix_cache_min)
         self.lock = threading.Lock()  # serializes engine use
         # serving counters for GET /metrics (Prometheus text exposition);
-        # int/float += under the GIL on a dict is atomic enough for
-        # monotonic scrape counters
+        # handler threads can finish requests concurrently (continuous
+        # batching completes outside self.lock) and dict += is a separate
+        # load/add/store, so increments take a dedicated lock
         self.metrics = {"requests_total": 0, "tokens_out_total": 0,
                         "request_seconds_sum": 0.0,
                         "prefill_seconds_sum": 0.0}
+        self.metrics_lock = threading.Lock()
         # continuous batching takes precedence over window micro-batching:
         # slots join/leave the persistent decode loop mid-flight instead of
         # waiting for an aligned batch window
@@ -319,7 +322,8 @@ class Server:
 
     def metrics_text(self) -> str:
         """Prometheus text exposition of serving counters (GET /metrics)."""
-        m = dict(self.metrics)
+        with self.metrics_lock:
+            m = dict(self.metrics)
         lines = [
             "# TYPE vst_requests_total counter",
             f"vst_requests_total {m['requests_total']}",
@@ -345,11 +349,12 @@ class Server:
         return "\n".join(lines) + "\n"
 
     def _result_dict(self, res, session: str | None = None) -> dict:
-        self.metrics["requests_total"] += 1
-        self.metrics["tokens_out_total"] += len(res.tokens)
-        self.metrics["request_seconds_sum"] += float(res.total_seconds)
-        self.metrics["prefill_seconds_sum"] += float(
-            res.prefill_seconds or 0.0)
+        with self.metrics_lock:
+            self.metrics["requests_total"] += 1
+            self.metrics["tokens_out_total"] += len(res.tokens)
+            self.metrics["request_seconds_sum"] += float(res.total_seconds)
+            self.metrics["prefill_seconds_sum"] += float(
+                res.prefill_seconds or 0.0)
         out = {
             "tokens": res.tokens,
             "text": (
@@ -710,6 +715,15 @@ def build_server(args) -> ThreadingHTTPServer:
                 f"--tp {tp} needs {tp} devices, found {len(devs)}")
         mesh = make_mesh(n_data=1, n_model=tp, devices=devs[:tp])
         params = shard_params(params, mesh)
+        if getattr(args, "decode_attn", None) == "blocked":
+            # Pallas custom calls have no SPMD partitioning rule, so the
+            # blocked kernel cannot consume a GSPMD-sharded slot pool —
+            # fall back to the dense XLA decode attention under TP
+            print("[serve] WARNING: --decode-attn blocked is incompatible "
+                  "with --tp (Pallas has no GSPMD partitioning rule); "
+                  "using the dense XLA decode attention.", flush=True)
+            args.decode_attn = "xla"
+            os.environ["VST_DECODE_ATTN"] = "xla"
 
     strategy = None
     if args.method not in ("orig", "selector"):

@@ -67,8 +67,14 @@ def save_train_state(state, output_dir: str, step: Optional[int] = None,
 
     ``async_save``: return as soon as the state is snapshotted; the write
     happens on orbax's background threads (``finalize_saves()`` to join).
-    Pruning runs BEFORE scheduling the write so it can never delete a
-    directory that is still being committed."""
+    Pruning runs at entry — after the PREVIOUS save has committed and
+    before the new write is scheduled — and keeps the newest ``keep``
+    committed checkpoints. The new (in-flight) directory is extra, so
+    there is never a moment with zero restorable checkpoints: if the
+    process dies mid-commit, the previous ``keep`` directories are intact
+    (the un-finalized tmp dir is ignored by ``latest_checkpoint``). Cost:
+    between commits the directory holds up to ``keep`` + 1 checkpoints;
+    the next save (or a final sync save) prunes back to ``keep``."""
     step = int(state.step) if step is None else step
     path = _ckpt_dir(output_dir, step)
 
@@ -90,7 +96,8 @@ def save_train_state(state, output_dir: str, step: Optional[int] = None,
         ckptr = _async_ckptr()
         ckptr.wait_until_finished()  # at most one save in flight
         os.makedirs(output_dir, exist_ok=True)
-        prune(max(0, (keep or 1) - 1))  # after this save lands: `keep` dirs
+        # keep=None means unlimited, exactly like the sync path
+        prune(keep)
         ckptr.save(path, args=ocp.args.StandardSave(state), force=True)
         return path
     with ocp.StandardCheckpointer() as ckptr:

@@ -22,6 +22,8 @@ from __future__ import annotations
 
 import json
 import os
+import re
+import time
 from typing import Dict, List, Sequence, Tuple
 
 
@@ -39,9 +41,13 @@ class ReplayAdapter:
     Args:
         logs: comma-separated files and/or directories. Directories are
             walked for ``*.jsonl`` sample logs. Files are applied oldest
-            mtime first, so the NEWEST log wins each (task, doc_id) —
-            matching the reference's newest-log-wins rule
-            (``from_log.py:80-81``).
+            first, so the NEWEST log wins each (task, doc_id) — matching
+            the reference's newest-log-wins rule (``from_log.py:80-81``).
+            Recency uses an embedded filename timestamp
+            (``...YYYYmmddTHHMMSS...``, the tracker's stamp) when present
+            — robust to copies/checkouts resetting mtimes, like the
+            reference's date-stamped folder parse — and falls back to
+            mtime otherwise.
         strict: missing (task, doc_id) raises KeyError (default); with
             ``strict=False`` it replays an empty prediction instead.
     """
@@ -68,8 +74,22 @@ class ReplayAdapter:
                 raise FileNotFoundError(f"--from-log path {path!r}")
         if not files:
             raise FileNotFoundError(f"no .jsonl sample logs under {logs!r}")
-        for f in sorted(files, key=os.path.getmtime):
+        for f in sorted(files, key=self._recency):
             self._load(f)
+
+    @staticmethod
+    def _recency(path: str) -> float:
+        """Epoch seconds: the filename's embedded run stamp when present
+        (survives copies/checkouts resetting mtimes), else mtime — both in
+        the same unit so mixed sets order sensibly."""
+        m = re.search(r"(\d{8}T\d{6})", os.path.basename(path))
+        if m:
+            try:
+                return time.mktime(
+                    time.strptime(m.group(1), "%Y%m%dT%H%M%S"))
+            except ValueError:
+                pass  # digits that merely look like a stamp
+        return os.path.getmtime(path)
 
     def _load(self, path: str) -> None:
         with open(path) as f:

@@ -212,6 +212,17 @@ def _spec_scan_slots(params, cache, cur, pos, live, buf, temps, tps, keys,
     return emitted, acc, cache, keys, buf, cur, pos
 
 
+def window_bucket(need: int, t_max: int) -> Optional[int]:
+    """Serving auto-window bucket: ``need`` tokens rounded up to the
+    quantum (t_max/8, >= 512 — at most 8 compiled programs per pool), or
+    None when the bucket would be the full pool anyway. Single source of
+    truth for the batcher AND perf tools (tools/bench_blocked_decode.py)
+    so measured window shapes always match what serving dispatches."""
+    q = max(512, t_max // 8)
+    w = min(t_max, -(-need // q) * q)
+    return None if w >= t_max else int(w)
+
+
 def _fit_t(x, t_max):
     if x.shape[2] > t_max:
         x = x[:, :, :t_max]
@@ -322,7 +333,6 @@ class ContinuousBatcher:
         # construction; dead slots may exceed it, but their outputs are
         # discarded and their lengths restored on-device.
         self.auto_window = auto_window
-        self._window_quantum = max(512, t_max // 8)
         # host mirror of each slot's device cache length (max over layers),
         # advanced by exactly what each dispatch consumes on-device
         self.host_len = np.zeros(n_slots, np.int64)
@@ -534,10 +544,7 @@ class ContinuousBatcher:
         live_lens = self.host_len[self.live]
         if live_lens.size == 0:
             return None
-        need = int(live_lens.max()) + growth
-        q = self._window_quantum
-        w = min(self.t_max, -(-need // q) * q)
-        return None if w >= self.t_max else int(w)
+        return window_bucket(int(live_lens.max()) + growth, self.t_max)
 
     def _fail_all(self, exc: Exception):
         """Deliver ``exc`` to every live slot and queued item, then mark

@@ -472,6 +472,21 @@ def layer_qk(
     return q, _repeat_kv(k, n_rep)
 
 
+def _windowed_views(k_cache, v_cache, k_scale, v_scale, w):
+    """Static live-prefix views of the slot pool for attention READS.
+
+    ``w`` is the auto-window bucket (None = full pool): XLA fuses the
+    static ``[:, :w]`` slice into the attention einsum so per-step KV
+    traffic shrinks to the bucket; kv WRITES still land in the full pool.
+    Shared by lm_decode_step and lm_decode_chunk — the single place the
+    windowing contract is applied."""
+    if w is None:
+        return k_cache, v_cache, k_scale, v_scale
+    return (k_cache[:, :w], v_cache[:, :w],
+            None if k_scale is None else k_scale[:, :w],
+            None if v_scale is None else v_scale[:, :w])
+
+
 def lm_decode_step(
     params: dict,
     cache: KVCache,
@@ -533,17 +548,10 @@ def lm_decode_step(
             v_cache = jax.vmap(write_row)(v_cache, v, pos)
         # Unexpanded [B, T, H_kv, D] caches: grouped-query attention streams
         # the pool once (no n_rep-x _repeat_kv materialization).
-        w = attn_window
+        kc, vc, ks_r, vs_r = _windowed_views(
+            k_cache, v_cache, kq_scale, vq_scale, attn_window)
         attn = decode_attention(
-            q,
-            k_cache if w is None else k_cache[:, :w],
-            v_cache if w is None else v_cache[:, :w],
-            pos + 1,
-            k_scale=kq_scale if (w is None or kq_scale is None)
-            else kq_scale[:, :w],
-            v_scale=vq_scale if (w is None or vq_scale is None)
-            else vq_scale[:, :w],
-            impl=attn_impl,
+            q, kc, vc, pos + 1, k_scale=ks_r, v_scale=vs_r, impl=attn_impl,
         )
         x = x + _dense(attn.reshape(b, 1, -1), p, "o_kernel")
         h = rms_norm(x, p["post_ln_scale"], cfg.rms_norm_eps)
@@ -621,17 +629,10 @@ def lm_decode_chunk(
             kq_scale = vq_scale = None
             k_cache = jax.vmap(write_row)(k_cache, k, pos)
             v_cache = jax.vmap(write_row)(v_cache, v, pos)
-        w = attn_window
+        kc, vc, ks_r, vs_r = _windowed_views(
+            k_cache, v_cache, kq_scale, vq_scale, attn_window)
         attn = chunk_decode_attention(
-            q,
-            k_cache if w is None else k_cache[:, :w],
-            v_cache if w is None else v_cache[:, :w],
-            pos,
-            k_scale=kq_scale if (w is None or kq_scale is None)
-            else kq_scale[:, :w],
-            v_scale=vq_scale if (w is None or vq_scale is None)
-            else vq_scale[:, :w],
-            impl=attn_impl,
+            q, kc, vc, pos, k_scale=ks_r, v_scale=vs_r, impl=attn_impl,
         )
         x = x + _dense(attn.reshape(b, t_c, -1), p, "o_kernel")
         h = rms_norm(x, p["post_ln_scale"], cfg.rms_norm_eps)
