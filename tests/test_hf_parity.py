@@ -201,6 +201,65 @@ class TestHFParity:
                            eos_token_ids=(-1,))  # no early EOS
         assert res.tokens == hf_tokens, (res.tokens, hf_tokens)
 
+    def test_greedy_generation_matches_hf_with_rep_penalty(
+            self, hf_checkpoint, jax_side):
+        """repetition_penalty parity: HF's RepetitionPenaltyLogitsProcessor
+        penalizes every id in input_ids (prompt + generated) at EVERY step,
+        including the prefill's last-row logits — our presence-mask decode
+        must reproduce the exact greedy rollout (the reference's serving
+        surface exposes this knob, llava-ov-15/src/serve/app.py:111)."""
+        from visionselector_tpu.models.qwen25vl.model import QwenVLEngine
+        from visionselector_tpu.preprocess.image import preprocess_image
+        from visionselector_tpu.preprocess.rope import expand_vision_tokens
+
+        _, hf_model = hf_checkpoint
+        cfg, params = jax_side
+        rng = np.random.RandomState(5)
+        img = (rng.rand(56, 84, 3) * 255).astype(np.uint8)
+        pixels, grid = preprocess_image(img, min_pixels=1, max_pixels=10**9)
+        input_ids = expand_vision_tokens([100, 200], [300, 400, 500], grid)
+        t_orig = len(input_ids)
+
+        for rp in (1.3, 0.8):  # >1 discourages AND <1 encourages repeats
+            with torch.no_grad():
+                out = hf_model.generate(
+                    input_ids=torch.tensor(np.asarray(input_ids)[None]),
+                    attention_mask=torch.ones(1, t_orig, dtype=torch.long),
+                    pixel_values=torch.tensor(pixels, dtype=torch.float32),
+                    image_grid_thw=torch.tensor(np.asarray(grid)),
+                    max_new_tokens=6, do_sample=False,
+                    repetition_penalty=rp,
+                )
+            hf_tokens = out[0, t_orig:].tolist()
+
+            eng = QwenVLEngine(cfg, params, use_selector=False)
+            res = eng.generate(input_ids, pixels, grid, max_new_tokens=6,
+                               eos_token_ids=(-1,), repetition_penalty=rp)
+            assert res.tokens == hf_tokens, (rp, res.tokens, hf_tokens)
+
+    def test_text_greedy_matches_hf_with_rep_penalty(self, hf_checkpoint,
+                                                     jax_side):
+        """Text-only decode path under repetition_penalty == HF generate."""
+        from visionselector_tpu.models.qwen25vl.model import QwenVLEngine
+
+        _, hf_model = hf_checkpoint
+        cfg, params = jax_side
+        rng = np.random.RandomState(7)
+        ids = rng.randint(10, 5000, 9)
+
+        with torch.no_grad():
+            out = hf_model.generate(
+                input_ids=torch.tensor(ids[None]),
+                attention_mask=torch.ones(1, len(ids), dtype=torch.long),
+                max_new_tokens=7, do_sample=False, repetition_penalty=1.25,
+            )
+        hf_tokens = out[0, len(ids):].tolist()
+
+        eng = QwenVLEngine(cfg, params, use_selector=False)
+        res = eng.generate(np.asarray(ids), max_new_tokens=7,
+                           eos_token_ids=(-1,), repetition_penalty=1.25)
+        assert res.tokens == hf_tokens, (res.tokens, hf_tokens)
+
     def test_multi_image_logits_match(self, hf_checkpoint, jax_side):
         """Two images in one prompt: joint grid/M-RoPE parity with HF."""
         import jax.numpy as jnp

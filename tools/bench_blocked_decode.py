@@ -77,6 +77,7 @@ def main():
 
     temps = jnp.zeros((n_slots,), jnp.float32)
     tps = jnp.ones((n_slots,), jnp.float32)
+    tks = jnp.zeros((n_slots,), jnp.int32)
     keys = jnp.zeros((n_slots, 2), jnp.uint32)
     live = jnp.ones((n_slots,), bool)
     cur = jnp.arange(100, 100 + n_slots, dtype=jnp.int32)
@@ -99,7 +100,7 @@ def main():
 
     def chained(params, pool, pos, n, attn_impl, attn_window=None):
         toks, _, _ = raw_chunk_slots(
-            params, pool, cur, pos, live, temps, tps, keys,
+            params, pool, cur, pos, live, temps, tps, tks, keys,
             cfg, n * chunk, False, attn_impl=attn_impl,
             attn_window=attn_window)
         return jnp.sum(toks[-1])

@@ -71,6 +71,7 @@ def main():
     live = jnp.ones((n_slots,), bool)
     temps = jnp.zeros((n_slots,), jnp.float32)
     tps = jnp.ones((n_slots,), jnp.float32)
+    tks = jnp.zeros((n_slots,), jnp.int32)
     keys = jnp.zeros((n_slots, 2), jnp.uint32)
 
     @functools.partial(jax.jit, static_argnames=("n",))
@@ -78,7 +79,7 @@ def main():
         def body(i, carry):
             cur_c, pos_c, pool_c, acc = carry
             toks, pool_c, _ = _decode_chunk_slots(
-                params, pool_c, cur_c, pos_c, live, temps, tps, keys,
+                params, pool_c, cur_c, pos_c, live, temps, tps, tks, keys,
                 cfg, chunk, False)
             return (toks[-1], pos_c + chunk, pool_c,
                     acc + jnp.sum(toks[-1]))

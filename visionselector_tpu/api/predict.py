@@ -43,6 +43,14 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--temperature", type=float, default=0.0,
                    help="0 = greedy; >0 enables top-p sampling")
     p.add_argument("--top-p", type=float, default=1.0)
+    p.add_argument("--top-k", type=int, default=0,
+                   help="sample only from the k highest-probability tokens "
+                        "(0 = off; HF TopKLogitsWarper semantics)")
+    p.add_argument("--repetition-penalty", type=float, default=1.0,
+                   help="HF RepetitionPenaltyLogitsProcessor: seen tokens' "
+                        "scores are divided (positive) / multiplied "
+                        "(negative) by this at every step (the reference "
+                        "chat app's knob, app.py:111)")
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--quantize", default=None,
                    help="weight-only LM quantization: int8 (per-channel), "
@@ -202,11 +210,13 @@ def main(argv=None) -> int:
             max_new_tokens=args.max_new_tokens,
             propose_len=args.speculative,
             temperature=args.temperature, top_p=args.top_p, seed=args.seed,
+            top_k=args.top_k, repetition_penalty=args.repetition_penalty,
         )
     else:
         res = engine.generate(
             input_ids, pixels, grid, max_new_tokens=args.max_new_tokens,
             temperature=args.temperature, top_p=args.top_p, seed=args.seed,
+            top_k=args.top_k, repetition_penalty=args.repetition_penalty,
         )
 
     text = (

@@ -45,9 +45,11 @@ class MicroBatcher:
         self.worker.start()
 
     def submit(self, gen_kwargs: dict, max_new_tokens: int,
-               temperature: float = 0.0, top_p: float = 1.0, seed: int = 0):
+               temperature: float = 0.0, top_p: float = 1.0, seed: int = 0,
+               top_k: int = 0, repetition_penalty: float = 1.0):
         item = {"kw": gen_kwargs, "mnt": max_new_tokens,
-                "samp": (float(temperature), float(top_p), int(seed)),
+                "samp": (float(temperature), float(top_p), int(seed),
+                         int(top_k), float(repetition_penalty)),
                 "done": threading.Event(), "result": None, "error": None}
         with self.cv:
             if not self._running:
@@ -105,16 +107,18 @@ class MicroBatcher:
                 for b in batch:
                     self.queue.remove(b)
             try:
-                temp, tp, seed = batch[0]["samp"]
+                temp, tp, seed, tk, rp = batch[0]["samp"]
                 with self.lock:
                     if len(batch) == 1:
                         results = [self.engine.generate(
                             **batch[0]["kw"], max_new_tokens=mnt,
-                            temperature=temp, top_p=tp, seed=seed)]
+                            temperature=temp, top_p=tp, seed=seed,
+                            top_k=tk, repetition_penalty=rp)]
                     else:
                         results = self.engine.generate_batch(
                             [b["kw"] for b in batch], max_new_tokens=mnt,
-                            temperature=temp, top_p=tp, seed=seed)
+                            temperature=temp, top_p=tp, seed=seed,
+                            top_k=tk, repetition_penalty=rp)
                 for b, r in zip(batch, results):
                     b["result"] = r
             except Exception as e:  # noqa: BLE001 — report to all waiters
@@ -199,7 +203,8 @@ class Server:
     def generate(self, prompt: str, image_b64: str | None,
                  max_new_tokens: int = 64, on_token_chunk=None,
                  session: str | None = None, temperature: float = 0.0,
-                 top_p: float = 1.0, seed: int = 0) -> dict:
+                 top_p: float = 1.0, seed: int = 0, top_k: int = 0,
+                 repetition_penalty: float = 1.0) -> dict:
         from visionselector_tpu.preprocess.image import preprocess_image
         from visionselector_tpu.preprocess.rope import expand_vision_tokens
 
@@ -234,12 +239,18 @@ class Server:
                 else:
                     turn = [500] + [abs(hash(w)) % 1000 + 600
                                     for w in prompt.split()][:16] + [501]
+                if repetition_penalty != 1.0:
+                    raise ValueError(
+                        "chat sessions do not support repetition_penalty "
+                        "(the penalty state would have to span turns); "
+                        "send the request without a session id")
                 with self.lock:
                     res, sess = continue_chat_session(
                         self.engine, existing,
                         np.asarray(turn, np.int64),
                         max_new_tokens=max_new_tokens,
                         temperature=temperature, top_p=top_p, seed=seed,
+                        top_k=top_k,
                     )
                     self.sessions[session] = sess
                 return self._result_dict(res, session=session)
@@ -275,17 +286,24 @@ class Server:
                 start_chat_session,
             )
 
+            if repetition_penalty != 1.0:
+                raise ValueError(
+                    "chat sessions do not support repetition_penalty "
+                    "(the penalty state would have to span turns); "
+                    "send the request without a session id")
             with self.lock:
                 res, sess = start_chat_session(
                     self.engine, input_ids, pixels, grid,
                     max_new_tokens=max_new_tokens,
                     temperature=temperature, top_p=top_p, seed=seed,
+                    top_k=top_k,
                 )
                 if len(self.sessions) >= self.max_sessions:
                     self.sessions.pop(next(iter(self.sessions)))
                 self.sessions[session] = sess
             return self._result_dict(res, session=session)
-        sampling = dict(temperature=temperature, top_p=top_p, seed=seed)
+        sampling = dict(temperature=temperature, top_p=top_p, seed=seed,
+                        top_k=top_k, repetition_penalty=repetition_penalty)
         if self.batcher is not None and on_token_chunk is None:
             res = self.batcher.submit(
                 dict(input_ids=input_ids, pixel_values=pixels, grid_thw=grid),
@@ -392,6 +410,14 @@ CHAT_HTML = """<!doctype html>
 <div id="log"></div>
 <p><input type="file" id="img" accept="image/*"></p>
 <textarea id="q" placeholder="Ask about the image..."></textarea>
+<p class="meta">temperature <input id="temp" type="number" value="0"
+   min="0" max="2" step="0.1" style="width:4em">
+ top_p <input id="topp" type="number" value="1" min="0" max="1" step="0.05"
+   style="width:4em">
+ top_k <input id="topk" type="number" value="0" min="0" step="1"
+   style="width:4em">
+ repetition_penalty <input id="rep" type="number" value="1" min="0.5" max="2"
+   step="0.05" style="width:4.5em"></p>
 <p><button id="send">Send</button> <span class="meta" id="stat"></span></p>
 <script>
 const log = document.getElementById('log');
@@ -411,15 +437,25 @@ document.getElementById('send').onclick = async () => {
   const q = document.getElementById('q').value.trim();
   if(!q) return;
   add('u', 'you: ' + q);
-  const image_b64 = firstTurn
+  const rep0 = parseFloat(document.getElementById('rep').value) || 1;
+  // stateless mode (rep penalty) re-sends the image with every turn
+  const image_b64 = (firstTurn || rep0 !== 1)
     ? await b64(document.getElementById('img').files[0]) : null;
   firstTurn = false;
   const out = add('a', 'model: ...');
   const t0 = performance.now();
+  const rep = parseFloat(document.getElementById('rep').value) || 1;
+  // repetition_penalty is incompatible with KV-reuse sessions (the penalty
+  // state would have to span turns) -> stateless requests in that mode
   const resp = await fetch('/generate', {method:'POST',
     headers:{'Content-Type':'application/json'},
-    body: JSON.stringify({prompt:q, image_b64, session:sid,
-                          max_new_tokens:128})});
+    body: JSON.stringify({prompt:q, image_b64,
+      session: rep === 1 ? sid : undefined,
+      temperature: parseFloat(document.getElementById('temp').value) || 0,
+      top_p: parseFloat(document.getElementById('topp').value) || 1,
+      top_k: parseInt(document.getElementById('topk').value) || 0,
+      repetition_penalty: rep,
+      max_new_tokens:128})});
   const rec = await resp.json();
   out.textContent = 'model: ' + (rec.text ?? rec.error ??
                                  (rec.tokens||[]).join(' '));
@@ -510,6 +546,9 @@ def make_handler(server: Server):
                     temperature=float(req.get("temperature", 0.0)),
                     top_p=float(req.get("top_p", 1.0)),
                     seed=int(req.get("seed", 0)),
+                    top_k=int(req.get("top_k", 0)),
+                    repetition_penalty=float(
+                        req.get("repetition_penalty", 1.0)),
                 )
                 self._send(200, out)
             except ValueError as e:  # client-fixable (e.g. image mid-session)
@@ -548,6 +587,9 @@ def make_handler(server: Server):
                     temperature=float(req.get("temperature", 0.0)),
                     top_p=float(req.get("top_p", 1.0)),
                     seed=int(req.get("seed", 0)),
+                    top_k=int(req.get("top_k", 0)),
+                    repetition_penalty=float(
+                        req.get("repetition_penalty", 1.0)),
                 )
                 created = int(_time.time())
                 base = {"id": f"chatcmpl-{created}", "object":
@@ -636,6 +678,12 @@ def make_handler(server: Server):
                     req.get("image_b64"),
                     int(req.get("max_new_tokens", 64)),
                     on_token_chunk=on_chunk,
+                    temperature=float(req.get("temperature", 0.0)),
+                    top_p=float(req.get("top_p", 1.0)),
+                    seed=int(req.get("seed", 0)),
+                    top_k=int(req.get("top_k", 0)),
+                    repetition_penalty=float(
+                        req.get("repetition_penalty", 1.0)),
                 )
                 write_line({"done": True, **out})
             except Exception as e:  # noqa: BLE001

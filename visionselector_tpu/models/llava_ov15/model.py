@@ -246,6 +246,8 @@ class OVEngine:
         video_grid_thw: Optional[np.ndarray] = None,
         second_per_grid_ts=None,  # accepted for adapter parity; OV is 1D rope
         _defer_decode: bool = False,
+        top_k: int = 0,
+        repetition_penalty: float = 1.0,
     ) -> GenerationResult:
         import time
 
@@ -280,6 +282,7 @@ class OVEngine:
                 self.params, cfg, input_ids, max_new_tokens, eos_token_ids,
                 temperature, top_p, seed, on_token_chunk,
                 _defer_decode=_defer_decode,
+                top_k=top_k, repetition_penalty=repetition_penalty,
             )
 
         p = self._prep_vision(input_ids, pixel_values, grid_thw,
@@ -330,7 +333,7 @@ class OVEngine:
             keep_padded[: len(keep)] = keep
             keep_valid = len(keep)
 
-            next_token, (k_b, v_b), _ = _stage_b(
+            next_token, (k_b, v_b), stage_b_logits = _stage_b(
                 self.params, cfg, target, hidden_t, pos_full,
                 jnp.asarray(keep_padded), jnp.asarray(keep_valid),
             )
@@ -377,12 +380,23 @@ class OVEngine:
                         prefill_seconds=t_prefill,
                     ),
                     t_start=t_start,
+                    logits=stage_b_logits,
                     rope_delta=int(rope_delta),
                 )
+            presence = None
+            if repetition_penalty != 1.0:
+                from visionselector_tpu.models.qwen25vl.model import (
+                    _rep_penalty_setup,
+                )
+
+                presence, next_token = _rep_penalty_setup(
+                    cfg.text.vocab_size, input_ids, stage_b_logits,
+                    next_token, repetition_penalty)
             tokens = _run_decode_loop(
                 self.params, cfg, cache, next_token, t_orig + rope_delta,
                 eos_token_ids, max_new_tokens, temperature, top_p, seed,
-                on_chunk=on_token_chunk,
+                on_chunk=on_token_chunk, top_k=top_k,
+                repetition_penalty=repetition_penalty, presence=presence,
             )
             return GenerationResult(
                 tokens=tokens, selected_indices=sel_vis, num_vision_tokens=n,
@@ -470,10 +484,20 @@ class OVEngine:
                 logits=last_logits,
                 rope_delta=int(rope_delta),
             )
+        presence = None
+        if repetition_penalty != 1.0:
+            from visionselector_tpu.models.qwen25vl.model import (
+                _rep_penalty_setup,
+            )
+
+            presence, next_token = _rep_penalty_setup(
+                cfg.text.vocab_size, input_ids, last_logits, next_token,
+                repetition_penalty)
         tokens = _run_decode_loop(
             self.params, cfg, cache, next_token,
             valid_len_i + rope_delta, eos_token_ids, max_new_tokens,
-            temperature, top_p, seed, on_chunk=on_token_chunk,
+            temperature, top_p, seed, on_chunk=on_token_chunk, top_k=top_k,
+            repetition_penalty=repetition_penalty, presence=presence,
         )
 
         return GenerationResult(
@@ -493,6 +517,8 @@ class OVEngine:
         temperature: float = 0.0,
         top_p: float = 1.0,
         seed: int = 0,
+        top_k: int = 0,
+        repetition_penalty: float = 1.0,
     ):
         """Decode-batched generation (see ``QwenVLEngine.generate_batch``)."""
         from visionselector_tpu.models.qwen25vl.model import run_generate_batch
@@ -500,5 +526,6 @@ class OVEngine:
         return run_generate_batch(
             self, requests, max_new_tokens=max_new_tokens,
             eos_token_ids=eos_token_ids, temperature=temperature,
-            top_p=top_p, seed=seed,
+            top_p=top_p, seed=seed, top_k=top_k,
+            repetition_penalty=repetition_penalty,
         )

@@ -55,8 +55,8 @@ from visionselector_tpu.models.qwen25vl import lm as lm_mod
                    static_argnames=("cfg", "k", "sampled", "attn_impl",
                                     "attn_window"),
                    donate_argnums=(1,))
-def _decode_chunk_slots(params, cache, cur, pos, live, temps, tps, keys,
-                        cfg, k: int, sampled: bool = False,
+def _decode_chunk_slots(params, cache, cur, pos, live, temps, tps, tks,
+                        keys, cfg, k: int, sampled: bool = False,
                         attn_impl: str | None = None,
                         attn_window: int | None = None):
     """Advance every slot ``k`` decode steps in one dispatch.
@@ -64,7 +64,8 @@ def _decode_chunk_slots(params, cache, cur, pos, live, temps, tps, keys,
     cur/pos/live: [S] current token, rope position, live mask. Dead slots
     keep their token frozen and get their cache lengths restored, so a
     freed slot's state is untouched until a new request overwrites it.
-    temps/tps [S] f32 and keys [S, 2] u32 carry per-slot sampling state;
+    temps/tps [S] f32, tks [S] i32 (top-k, <= 0 off) and keys [S, 2] u32
+    carry per-slot sampling state;
     with ``sampled=False`` (all-greedy chunk) they are dead inputs and the
     program is pure argmax. Each step splits every slot's key once —
     matching the one-shot ``_decode_loop`` RNG stream — so a slot's sampled
@@ -89,7 +90,8 @@ def _decode_chunk_slots(params, cache, cur, pos, live, temps, tps, keys,
 
             ks = jax.vmap(jax.random.split)(keys_c)  # [S, 2, 2]
             keys_c = ks[:, 0]
-            tok2 = jax.vmap(_sample_token)(logits, ks[:, 1], temps, tps)
+            tok2 = jax.vmap(_sample_token)(
+                logits, ks[:, 1], temps, tps, tks)
             tok2 = tok2.astype(jnp.int32)
         else:
             tok2 = jnp.argmax(logits, axis=-1).astype(jnp.int32)
@@ -131,8 +133,8 @@ def _lookup_props(buf: jax.Array, n: int, m: int) -> jax.Array:
                    static_argnames=("cfg", "m", "rounds", "ngram",
                                     "sampled", "attn_impl", "attn_window"),
                    donate_argnums=(1,))
-def _spec_scan_slots(params, cache, cur, pos, live, buf, temps, tps, keys,
-                     cfg, m: int, rounds: int, ngram: int,
+def _spec_scan_slots(params, cache, cur, pos, live, buf, temps, tps, tks,
+                     keys, cfg, m: int, rounds: int, ngram: int,
                      sampled: bool = False, attn_impl: str | None = None,
                      attn_window: int | None = None):
     """Fused speculative decode: ``rounds`` propose+verify cycles in ONE
@@ -188,7 +190,7 @@ def _spec_scan_slots(params, cache, cur, pos, live, buf, temps, tps, keys,
                 _spec_accept,
             )
 
-            probs = jax.vmap(_nucleus_probs)(logits, temps, tps)
+            probs = jax.vmap(_nucleus_probs)(logits, temps, tps, tks)
             ks = jax.vmap(jax.random.split)(keys_c)
             keys_c = ks[:, 0]
             em_s, a_s = jax.vmap(_spec_accept)(probs, props, ks[:, 1])
@@ -353,6 +355,7 @@ class ContinuousBatcher:
         # per-slot sampling state (temperature 0 = greedy slot)
         self.temps = np.zeros(n_slots, np.float32)
         self.tps = np.ones(n_slots, np.float32)
+        self.tks = np.zeros(n_slots, np.int32)  # top-k, <= 0 = off
         self.keys = np.zeros((n_slots, 2), np.uint32)
         # the slot-pool cache (KVCache or QuantKVCache), lazy-initialized
         self.pool = None
@@ -379,17 +382,31 @@ class ContinuousBatcher:
     def submit(self, request: dict, max_new_tokens: int = 64,
                eos_token_ids: Optional[Tuple[int, ...]] = None,
                temperature: float = 0.0, top_p: float = 1.0,
-               seed: int = 0):
+               seed: int = 0, top_k: int = 0,
+               repetition_penalty: float = 1.0):
         """request: generate() kwargs (input_ids, pixel_values, grid_thw);
         sampling knobs may ride in the dict or as explicit kwargs.
-        Blocks until decode finishes; returns the GenerationResult."""
+        Blocks until decode finishes; returns the GenerationResult.
+
+        ``repetition_penalty`` must be 1.0: the penalty is stateful over
+        each request's full token history (a [S, V] presence pool), which
+        the slot chunk program does not carry — use the one-shot serving
+        path (no --continuous) for penalized requests."""
         request = dict(request)
         temperature = float(request.pop("temperature", temperature))
         top_p = float(request.pop("top_p", top_p))
         seed = int(request.pop("seed", seed))
+        top_k = int(request.pop("top_k", top_k))
+        repetition_penalty = float(
+            request.pop("repetition_penalty", repetition_penalty))
+        if repetition_penalty != 1.0:
+            raise ValueError(
+                "continuous batching does not support repetition_penalty; "
+                "serve without --continuous for penalized requests")
         item = dict(request=request, max_new=max_new_tokens,
                     eos=eos_token_ids, done=threading.Event(),
                     temperature=temperature, top_p=top_p, seed=seed,
+                    top_k=top_k,
                     result=None, error=None, t_submit=time.perf_counter())
         with self.cv:
             if not self._running:
@@ -499,7 +516,7 @@ class ContinuousBatcher:
                 **item["request"], max_new_tokens=item["max_new"],
                 eos_token_ids=item["eos"],
                 temperature=item["temperature"], top_p=item["top_p"],
-                seed=item["seed"])
+                seed=item["seed"], top_k=item.get("top_k", 0))
             item["done"].set()
             return
         if self.pool is None:
@@ -514,6 +531,7 @@ class ContinuousBatcher:
         self.host_len[slot_idx] = t_valid
         self.temps[slot_idx] = item["temperature"]
         self.tps[slot_idx] = item["top_p"]
+        self.tks[slot_idx] = item.get("top_k", 0)
         self.keys[slot_idx] = np.asarray(
             jax.random.PRNGKey(item["seed"]), np.uint32)
         ctx = None
@@ -659,7 +677,8 @@ class ContinuousBatcher:
                         self.engine.params, self.pool,
                         jnp.asarray(self.cur), jnp.asarray(self.pos),
                         jnp.asarray(self.live), jnp.asarray(self.temps),
-                        jnp.asarray(self.tps), jnp.asarray(self.keys),
+                        jnp.asarray(self.tps), jnp.asarray(self.tks),
+                        jnp.asarray(self.keys),
                         self.engine.cfg, self.chunk, sampled,
                         attn_impl=self.decode_attn,
                         attn_window=self._attn_window(self.chunk),
@@ -722,7 +741,7 @@ class ContinuousBatcher:
                 jnp.asarray(self.cur), jnp.asarray(self.pos),
                 jnp.asarray(self.live), jnp.asarray(buf),
                 jnp.asarray(self.temps), jnp.asarray(self.tps),
-                jnp.asarray(self.keys),
+                jnp.asarray(self.tks), jnp.asarray(self.keys),
                 self.engine.cfg, m, rounds, self.ngram, sampled,
                 attn_impl=self.decode_attn,
                 attn_window=self._attn_window(rounds * (m + 1)),

@@ -403,6 +403,8 @@ def generate_text_only(
     on_token_chunk=None,
     text_buckets=(64, 128, 256, 512, 1024),
     _defer_decode: bool = False,
+    top_k: int = 0,
+    repetition_penalty: float = 1.0,
 ) -> "GenerationResult":
     """Text-only generation shared by both family engines: plain causal
     prefill (1D rope on all three axes) + decode. No vision branch."""
@@ -444,9 +446,16 @@ def generate_text_only(
             t_start=t_start,
             logits=last_logits,
         )
+    presence = None
+    if repetition_penalty != 1.0:
+        presence, next_token = _rep_penalty_setup(
+            cfg.text.vocab_size, input_ids, last_logits, next_token,
+            repetition_penalty)
     tokens = _run_decode_loop(
         params, cfg, cache, next_token, t_orig, eos_token_ids,
         max_new_tokens, temperature, top_p, seed, on_chunk=on_token_chunk,
+        top_k=top_k, repetition_penalty=repetition_penalty,
+        presence=presence,
     )
     return GenerationResult(
         tokens=tokens, selected_indices=None, num_vision_tokens=0,
@@ -746,13 +755,15 @@ def _decode(params, cfg: VLConfig, cache: lm_mod.KVCache, token: jax.Array,
 
 
 def _sample_token(logits: jax.Array, key: jax.Array, temperature: jax.Array,
-                  top_p: jax.Array) -> jax.Array:
-    """Greedy when temperature == 0, else nucleus (top-p) sampling.
+                  top_p: jax.Array, top_k=0) -> jax.Array:
+    """Greedy when temperature == 0, else top-k/nucleus (top-p) sampling.
 
     ``lax.cond`` keeps the vocab-size argsort out of the greedy path (it runs
-    only when sampling is enabled); the top-p mask keeps the smallest prefix
-    of the sorted distribution whose mass reaches top_p (HF nucleus
-    semantics)."""
+    only when sampling is enabled). Warper order follows HF
+    (``TemperatureLogitsWarper`` -> ``TopKLogitsWarper`` ->
+    ``TopPLogitsWarper``): temperature first, then the top-k cut, then the
+    smallest prefix of the (top-k-renormalized) sorted distribution whose
+    mass reaches top_p. ``top_k`` is a traced scalar; <= 0 disables it."""
 
     def greedy(_):
         return jnp.argmax(logits, axis=-1).astype(jnp.int32)
@@ -762,13 +773,32 @@ def _sample_token(logits: jax.Array, key: jax.Array, temperature: jax.Array,
         probs = jax.nn.softmax(logits.astype(jnp.float32) / temp, axis=-1)
         sort_idx = jnp.argsort(-probs)
         sorted_probs = probs[sort_idx]
-        cum = jnp.cumsum(sorted_probs)
-        keep = (cum - sorted_probs) < top_p  # always keeps the top token
-        masked = jnp.where(keep, jnp.log(sorted_probs + 1e-20), -jnp.inf)
+        v = sorted_probs.shape[0]
+        k_eff = jnp.where(top_k <= 0, v, top_k)
+        kmask = jnp.arange(v) < k_eff
+        sp = jnp.where(kmask, sorted_probs, 0.0)
+        # HF applies top_p over the top_k-RENORMALIZED distribution; scaling
+        # the cutoff by the kept mass z is the renormalization without a
+        # divide (z == 1 when top_k is off, preserving the old numerics).
+        z = jnp.sum(sp)
+        cum = jnp.cumsum(sp)
+        keep = ((cum - sp) < top_p * z) & kmask  # always keeps the top token
+        masked = jnp.where(keep, jnp.log(sp + 1e-20), -jnp.inf)
         choice = jax.random.categorical(key, masked)
         return sort_idx[choice].astype(jnp.int32)
 
     return jax.lax.cond(temperature > 0.0, sample, greedy, None)
+
+
+def _penalize_logits(logits: jax.Array, presence: jax.Array,
+                     penalty) -> jax.Array:
+    """HF ``RepetitionPenaltyLogitsProcessor`` semantics: tokens already
+    seen (prompt + generated; ``presence`` is a vocab-shaped bool mask) get
+    score/penalty when positive, score*penalty when negative. Broadcasts
+    over leading batch axes."""
+    lg = logits.astype(jnp.float32)
+    pen = jnp.where(lg > 0, lg / penalty, lg * penalty)
+    return jnp.where(presence, pen, lg)
 
 
 @functools.partial(jax.jit, static_argnames=("cfg", "max_steps"),
@@ -784,6 +814,9 @@ def _decode_loop(
     temperature: jax.Array = 0.0,
     top_p: jax.Array = 1.0,
     rng_key: jax.Array | None = None,
+    top_k: jax.Array = 0,
+    rep_penalty: jax.Array = 1.0,
+    presence: jax.Array | None = None,
 ):
     """Decode fully on device with early EOS exit (greedy or top-p sampling).
 
@@ -792,11 +825,19 @@ def _decode_loop(
     and transfers the token buffer once — removing per-token host round trips
     (~26 ms each through the axon tunnel; dispatch overhead on any host).
 
+    ``presence`` ([V] bool; None = repetition penalty off — a separate
+    compiled program only when the feature is used): tokens already seen get
+    HF repetition-penalty treatment each step (greedy AND sampled), and the
+    mask accumulates every emitted token.
+
     Returns (tokens [max_steps] int32 — entries past `count` undefined,
-    count []).
+    count [], cache, last token, presence-or-None).
     """
     temperature = jnp.asarray(temperature, jnp.float32)
     top_p = jnp.asarray(top_p, jnp.float32)
+    top_k = jnp.asarray(top_k, jnp.int32)
+    rep_penalty = jnp.asarray(rep_penalty, jnp.float32)
+    use_pen = presence is not None
     if rng_key is None:
         rng_key = jax.random.PRNGKey(0)
 
@@ -805,7 +846,7 @@ def _decode_loop(
         return (step < max_steps) & jnp.logical_not(done)
 
     def body(state):
-        step, tok, cache, done, toks, key = state
+        step, tok, cache, done, toks, key, pres = state
         pos = start_pos + step
         embed = lm_mod.embed_tokens(params["lm"], tok[None])[None]
         pos3 = jnp.broadcast_to(pos, (3, 1, 1))
@@ -813,31 +854,42 @@ def _decode_loop(
             params["lm"], cache, embed, pos3, cfg.text
         )
         logits = lm_mod.lm_head(params["lm"], hidden[0, 0], cfg.text)
+        if use_pen:
+            logits = _penalize_logits(logits, pres, rep_penalty)
         key, sub = jax.random.split(key)
-        tok2 = _sample_token(logits, sub, temperature, top_p)
+        tok2 = _sample_token(logits, sub, temperature, top_p, top_k)
+        if use_pen:
+            pres = pres.at[tok2].set(True)
         toks = toks.at[step].set(tok2)
         done = jnp.any(tok2 == eos_ids)
-        return step + 1, tok2, cache, done, toks, key
+        return step + 1, tok2, cache, done, toks, key, pres
 
     toks0 = jnp.zeros((max_steps,), jnp.int32)
     done0 = jnp.any(first_token == eos_ids)
-    step, tok, cache, done, toks, _ = jax.lax.while_loop(
+    pres0 = presence if use_pen else jnp.zeros((), jnp.bool_)
+    step, tok, cache, done, toks, _, pres = jax.lax.while_loop(
         cond, body,
-        (jnp.zeros((), jnp.int32), first_token, cache, done0, toks0, rng_key),
+        (jnp.zeros((), jnp.int32), first_token, cache, done0, toks0,
+         rng_key, pres0),
     )
     # count excludes a trailing EOS
     count = step - jnp.where(done & (step > 0), 1, 0)
-    return toks, count, cache, tok
+    return toks, count, cache, tok, (pres if use_pen else None)
 
 
 def _run_decode_loop(params, cfg, cache, first_token, start_pos, eos_token_ids,
                      max_new_tokens, temperature=0.0, top_p=1.0, seed=0,
-                     on_chunk=None, chunk_size: int = 8):
+                     on_chunk=None, chunk_size: int = 8, top_k: int = 0,
+                     repetition_penalty: float = 1.0, presence=None):
     """Host wrapper: on-device decode, one transfer for all tokens.
 
     ``on_chunk``: optional callback receiving each freshly decoded token
     chunk (streaming serving); decode then runs in ``chunk_size``-token
     device dispatches instead of one while_loop over the whole budget.
+
+    ``presence``: [V] bool device array seeding the repetition-penalty mask
+    (prompt tokens + the first token); required when
+    ``repetition_penalty != 1.0``, carried across streaming chunks.
     """
     first = int(first_token)
     if first in eos_token_ids:
@@ -848,16 +900,23 @@ def _run_decode_loop(params, cfg, cache, first_token, start_pos, eos_token_ids,
         if on_chunk is not None:
             on_chunk([first])
         return [first]
+    if repetition_penalty != 1.0:
+        assert presence is not None, (
+            "repetition_penalty needs the caller-seeded presence mask")
+    else:
+        presence = None
     eos_arr = jnp.asarray(list(eos_token_ids), jnp.int32)
     temp = jnp.asarray(temperature, jnp.float32)
     tp = jnp.asarray(top_p, jnp.float32)
+    tk = jnp.asarray(top_k, jnp.int32)
+    rp = jnp.asarray(repetition_penalty, jnp.float32)
     key = jax.random.PRNGKey(seed)
 
     if on_chunk is None:
-        toks, count, _, _ = _decode_loop(
+        toks, count, _, _, _ = _decode_loop(
             params, cfg, cache, first_token,
             jnp.asarray(start_pos, jnp.int32), eos_arr, max_new_tokens - 1,
-            temp, tp, key,
+            temp, tp, key, tk, rp, presence,
         )
         return [first] + np.asarray(toks)[: int(count)].tolist()
 
@@ -869,9 +928,9 @@ def _run_decode_loop(params, cfg, cache, first_token, start_pos, eos_token_ids,
     while remaining > 0:
         step = min(chunk_size, remaining)
         key, sub = jax.random.split(key)
-        toks, count, cache, tok = _decode_loop(
+        toks, count, cache, tok, presence = _decode_loop(
             params, cfg, cache, tok, jnp.asarray(pos, jnp.int32),
-            eos_arr, step, temp, tp, sub,
+            eos_arr, step, temp, tp, sub, tk, rp, presence,
         )
         n = int(count)
         chunk = np.asarray(toks)[:n].tolist()
@@ -882,6 +941,29 @@ def _run_decode_loop(params, cfg, cache, first_token, start_pos, eos_token_ids,
         remaining -= step
         pos += step
     return out
+
+
+def _rep_penalty_setup(vocab_size: int, input_ids, last_logits, next_token,
+                       repetition_penalty: float):
+    """Host-side repetition-penalty seeding: the presence mask starts as the
+    set of prompt token ids (HF penalizes every id in ``input_ids``), and the
+    FIRST generated token is re-picked as the penalized argmax of the
+    prefill's last-row logits — matching HF ``generate(...,
+    repetition_penalty=p)``, whose processor applies to the prefill logits
+    too. Returns (presence [V] device bool, first_token int). When the
+    prefill program did not expose its logits (LLM-side strategies), the
+    unpenalized first token is kept and only subsequent steps penalize."""
+    pres = np.zeros(vocab_size, bool)
+    pres[np.asarray(input_ids).reshape(-1)] = True
+    if last_logits is not None:
+        lg = np.asarray(last_logits, np.float32)
+        pen = np.where(lg > 0, lg / repetition_penalty,
+                       lg * repetition_penalty)
+        first = int(np.where(pres, pen, lg).argmax())
+    else:
+        first = int(next_token)
+    pres[first] = True
+    return jnp.asarray(pres), first
 
 
 @functools.partial(jax.jit, static_argnames=("cfg", "max_steps"),
@@ -897,6 +979,9 @@ def _decode_loop_batch(
     temperature: jax.Array = 0.0,
     top_p: jax.Array = 1.0,
     rng_key: jax.Array | None = None,
+    top_k: jax.Array = 0,
+    rep_penalty: jax.Array = 1.0,
+    presence: jax.Array | None = None,
 ):
     """Batched on-device decode (continuous micro-batch serving).
 
@@ -908,11 +993,18 @@ def _decode_loop_batch(
     stepping with their last token frozen; their cache writes land past the
     returned counts and are ignored.
 
+    ``presence`` ([B, V] bool, None = off): per-row repetition-penalty masks
+    seeded from each request's prompt (+first token); frozen finished rows
+    re-mark their last token, which is a no-op.
+
     Returns (toks [max_steps, B], counts [B] valid tokens excl. trailing EOS).
     """
     b = first_tokens.shape[0]
     temperature = jnp.asarray(temperature, jnp.float32)
     top_p = jnp.asarray(top_p, jnp.float32)
+    top_k = jnp.asarray(top_k, jnp.int32)
+    rep_penalty = jnp.asarray(rep_penalty, jnp.float32)
+    use_pen = presence is not None
     if rng_key is None:
         rng_key = jax.random.PRNGKey(0)
 
@@ -921,7 +1013,7 @@ def _decode_loop_batch(
         return (step < max_steps) & jnp.logical_not(jnp.all(done))
 
     def body(state):
-        step, tok, cache, done, finish, toks, key = state
+        step, tok, cache, done, finish, toks, key, pres = state
         pos = start_pos + step  # [B]
         embed = lm_mod.embed_tokens(params["lm"], tok)[:, None]  # [B, 1, D]
         pos3 = jnp.broadcast_to(pos[None, :, None], (3, b, 1))
@@ -929,25 +1021,30 @@ def _decode_loop_batch(
             params["lm"], cache, embed, pos3, cfg.text
         )
         logits = lm_mod.lm_head(params["lm"], hidden[:, 0], cfg.text)  # [B, V]
+        if use_pen:
+            logits = _penalize_logits(logits, pres, rep_penalty)
         key, sub = jax.random.split(key)
         subs = jax.random.split(sub, b)
         tok2 = jax.vmap(
-            lambda lg, kk: _sample_token(lg, kk, temperature, top_p)
+            lambda lg, kk: _sample_token(lg, kk, temperature, top_p, top_k)
         )(logits, subs)
         tok2 = jnp.where(done, tok, tok2)
+        if use_pen:
+            pres = pres.at[jnp.arange(b), tok2].set(True)
         toks = toks.at[step].set(tok2)
         now_done = jnp.any(tok2[:, None] == eos_ids[None, :], axis=1)
         finish = jnp.where(done, finish, jnp.where(now_done, step, finish))
         done = done | now_done
-        return step + 1, tok2, cache, done, finish, toks, key
+        return step + 1, tok2, cache, done, finish, toks, key, pres
 
     toks0 = jnp.zeros((max_steps, b), jnp.int32)
     done0 = jnp.any(first_tokens[:, None] == eos_ids[None, :], axis=1)
     finish0 = jnp.where(done0, -1, max_steps)
-    step, tok, cache, done, finish, toks, _ = jax.lax.while_loop(
+    pres0 = presence if use_pen else jnp.zeros((), jnp.bool_)
+    step, tok, cache, done, finish, toks, _, _ = jax.lax.while_loop(
         cond, body,
         (jnp.zeros((), jnp.int32), first_tokens, cache, done0, finish0,
-         toks0, rng_key),
+         toks0, rng_key, pres0),
     )
     # per-sample count excludes the trailing EOS (mirrors _decode_loop):
     # finished at step s -> s tokens; never finished -> all decoded steps.
@@ -1429,6 +1526,8 @@ class QwenVLEngine:
         seed: int = 0,
         on_token_chunk=None,
         _defer_decode: bool = False,
+        top_k: int = 0,
+        repetition_penalty: float = 1.0,
     ) -> GenerationResult:
         """Greedy generation for one sample.
 
@@ -1469,6 +1568,7 @@ class QwenVLEngine:
                 temperature, top_p, seed, on_token_chunk,
                 text_buckets=self.text_buckets,
                 _defer_decode=_defer_decode,
+                top_k=top_k, repetition_penalty=repetition_penalty,
             )
 
         assert grid_thw is not None
@@ -1517,7 +1617,7 @@ class QwenVLEngine:
             keep_padded[: len(keep)] = keep
             keep_valid = len(keep)
 
-            next_token, (k_b, v_b), _ = _stage_b(
+            next_token, (k_b, v_b), stage_b_logits = _stage_b(
                 self.params, cfg, target, hidden_t, pos_full,
                 jnp.asarray(keep_padded), jnp.asarray(keep_valid),
             )
@@ -1557,12 +1657,20 @@ class QwenVLEngine:
                         prefill_seconds=t_prefill,
                     ),
                     t_start=t_start,
+                    logits=stage_b_logits,
                     rope_delta=int(rope_delta),
                 )
+            presence = None
+            if repetition_penalty != 1.0:
+                presence, next_token = _rep_penalty_setup(
+                    cfg.text.vocab_size, input_ids, stage_b_logits,
+                    next_token, repetition_penalty)
             tokens = _run_decode_loop(
                 self.params, cfg, cache, next_token,
                 t_orig + rope_delta, eos_token_ids, max_new_tokens,
                 temperature, top_p, seed, on_chunk=on_token_chunk,
+                top_k=top_k, repetition_penalty=repetition_penalty,
+                presence=presence,
             )
             return GenerationResult(
                 tokens=tokens,
@@ -1667,10 +1775,17 @@ class QwenVLEngine:
                 logits=last_logits,
                 rope_delta=int(rope_delta),
             )
+        presence = None
+        if repetition_penalty != 1.0:
+            presence, next_token = _rep_penalty_setup(
+                cfg.text.vocab_size, input_ids, last_logits, next_token,
+                repetition_penalty)
         tokens = _run_decode_loop(
             self.params, cfg, cache, next_token,
             valid_len_i + rope_delta, eos_token_ids, max_new_tokens,
             temperature, top_p, seed, on_chunk=on_token_chunk,
+            top_k=top_k, repetition_penalty=repetition_penalty,
+            presence=presence,
         )
 
         return GenerationResult(
@@ -1817,6 +1932,8 @@ class QwenVLEngine:
         temperature: float = 0.0,
         top_p: float = 1.0,
         seed: int = 0,
+        top_k: int = 0,
+        repetition_penalty: float = 1.0,
     ) -> List[GenerationResult]:
         """Decode-batched generation: prefill each request through the
         bucketed single-sample programs (mirroring the reference's batch=1
@@ -1835,7 +1952,8 @@ class QwenVLEngine:
         return run_generate_batch(
             self, requests, max_new_tokens=max_new_tokens,
             eos_token_ids=eos_token_ids, temperature=temperature,
-            top_p=top_p, seed=seed,
+            top_p=top_p, seed=seed, top_k=top_k,
+            repetition_penalty=repetition_penalty,
         )
 
 
@@ -1957,20 +2075,26 @@ def _spec_verify(params, cache, cur, props, pos_start, cfg: VLConfig,
 
 
 def _nucleus_probs(logits: jax.Array, temperature: jax.Array,
-                   top_p: jax.Array) -> jax.Array:
-    """Row-wise nucleus-truncated sampling distribution over the vocab.
+                   top_p: jax.Array, top_k=0) -> jax.Array:
+    """Row-wise top-k/nucleus-truncated sampling distribution over the vocab.
 
-    Identical semantics to ``_sample_token``'s sampling branch (keep the
-    smallest sorted prefix whose mass reaches top_p, renormalize), expressed
-    as an explicit distribution so speculative acceptance can evaluate
-    per-token probabilities. [R, V] -> [R, V] float32, rows sum to 1."""
+    Identical semantics to ``_sample_token``'s sampling branch (top-k cut,
+    then the smallest sorted prefix of the renormalized distribution whose
+    mass reaches top_p, renormalize), expressed as an explicit distribution
+    so speculative acceptance can evaluate per-token probabilities.
+    [R, V] -> [R, V] float32, rows sum to 1. ``top_k`` <= 0 disables it."""
     temp = jnp.maximum(temperature, 1e-6)
     probs = jax.nn.softmax(logits.astype(jnp.float32) / temp, axis=-1)
     sort_idx = jnp.argsort(-probs, axis=-1)
     sorted_probs = jnp.take_along_axis(probs, sort_idx, axis=-1)
-    cum = jnp.cumsum(sorted_probs, axis=-1)
-    keep = (cum - sorted_probs) < top_p  # always keeps the top token
-    kept = jnp.where(keep, sorted_probs, 0.0)
+    v = probs.shape[-1]
+    k_eff = jnp.where(jnp.asarray(top_k) <= 0, v, top_k)
+    kmask = jnp.arange(v)[None, :] < k_eff
+    sp = jnp.where(kmask, sorted_probs, 0.0)
+    z = jnp.sum(sp, axis=-1, keepdims=True)
+    cum = jnp.cumsum(sp, axis=-1)
+    keep = ((cum - sp) < top_p * z) & kmask  # always keeps the top token
+    kept = jnp.where(keep, sp, 0.0)
     kept = kept / jnp.sum(kept, axis=-1, keepdims=True)
     rows = jnp.arange(probs.shape[0])[:, None]
     return jnp.zeros_like(kept).at[rows, sort_idx].set(kept)
@@ -2009,7 +2133,8 @@ def _spec_accept(probs: jax.Array, props: jax.Array, key: jax.Array):
 
 @functools.partial(jax.jit, static_argnames=("cfg", "m"), donate_argnums=(1,))
 def _spec_verify_sampled(params, cache, cur, props, pos_start, key,
-                         temperature, top_p, cfg: VLConfig, m: int):
+                         temperature, top_p, cfg: VLConfig, m: int,
+                         top_k=0):
     """Sampled-output speculative step: same chunked verify forward as
     ``_spec_verify``, but acceptance follows the speculative-sampling rule
     (``_spec_accept``) so emitted tokens are distributed EXACTLY as the
@@ -2023,7 +2148,7 @@ def _spec_verify_sampled(params, cache, cur, props, pos_start, key,
         params["lm"], cache, embeds, pos3, cfg.text
     )
     logits = lm_mod.lm_head(params["lm"], hidden[0], cfg.text)  # [m+1, V]
-    probs = _nucleus_probs(logits, temperature, top_p)
+    probs = _nucleus_probs(logits, temperature, top_p, top_k)
     key, k_acc = jax.random.split(key)
     emitted, a = _spec_accept(probs, props, k_acc)
     cache = lm_mod.KVCache(k=cache.k, v=cache.v,
@@ -2043,6 +2168,8 @@ def generate_speculative(
     temperature: float = 0.0,
     top_p: float = 1.0,
     seed: int = 0,
+    top_k: int = 0,
+    repetition_penalty: float = 1.0,
     **gen_kwargs,
 ) -> "GenerationResult":
     """Generation with prompt-lookup speculative decoding.
@@ -2061,6 +2188,16 @@ def generate_speculative(
     import time
 
     sampling = temperature is not None and temperature > 0.0
+    if repetition_penalty != 1.0:
+        # chunk-parallel verify cannot apply the stateful penalty (row i's
+        # logits would need presence updated by rows < i within the same
+        # forward) — run the plain decode loop, which supports it exactly
+        return engine.generate(
+            input_ids, pixel_values, grid_thw,
+            max_new_tokens=max_new_tokens, eos_token_ids=eos_token_ids,
+            temperature=temperature, top_p=top_p, seed=seed, top_k=top_k,
+            repetition_penalty=repetition_penalty, **gen_kwargs,
+        )
     state = engine.generate(
         input_ids, pixel_values, grid_thw,
         max_new_tokens=max_new_tokens, eos_token_ids=eos_token_ids,
@@ -2078,12 +2215,12 @@ def generate_speculative(
                 input_ids, pixel_values, grid_thw,
                 max_new_tokens=max_new_tokens, eos_token_ids=eos_token_ids,
                 temperature=temperature, top_p=top_p, seed=seed,
-                **gen_kwargs,
+                top_k=top_k, **gen_kwargs,
             )
         key, k0 = jax.random.split(key)
         first = int(_sample_token(
             state.logits, k0, jnp.asarray(temperature, jnp.float32),
-            jnp.asarray(top_p, jnp.float32)))
+            jnp.asarray(top_p, jnp.float32), jnp.asarray(top_k, jnp.int32)))
     else:
         first = state.next_token
     base = state.result
@@ -2117,6 +2254,7 @@ def generate_speculative(
             emitted, a, cache, key = _spec_verify_sampled(
                 engine.params, cache, cur, jnp.asarray(props, jnp.int32),
                 jnp.asarray(pos, jnp.int32), key, temp_j, top_p_j, cfg, m,
+                top_k=jnp.asarray(top_k, jnp.int32),
             )
         else:
             emitted, a, cache = _spec_verify(
@@ -2212,6 +2350,7 @@ def start_chat_session(
     temperature: float = 0.0,
     top_p: float = 1.0,
     seed: int = 0,
+    top_k: int = 0,
     **gen_kwargs,
 ) -> Tuple["GenerationResult", ChatSession]:
     """First turn: normal (compressed) prefill + decode, but the KV cache
@@ -2235,13 +2374,13 @@ def start_chat_session(
             base, tokens=[], total_seconds=time.perf_counter() - state.t_start
         ), sess
     eos_arr = jnp.asarray(list(eos), jnp.int32)
-    toks, count, cache, last = _decode_loop(
+    toks, count, cache, last, _ = _decode_loop(
         engine.params, cfg, state.cache, jnp.asarray(first, jnp.int32),
         jnp.asarray(state.start_pos, jnp.int32), eos_arr,
         max_new_tokens - 1,
         jnp.asarray(temperature, jnp.float32), jnp.asarray(top_p,
                                                            jnp.float32),
-        jax.random.PRNGKey(seed),
+        jax.random.PRNGKey(seed), jnp.asarray(top_k, jnp.int32),
     )
     n = int(count)
     tokens = [first] + np.asarray(toks)[:n].tolist()
@@ -2265,6 +2404,7 @@ def continue_chat_session(
     temperature: float = 0.0,
     top_p: float = 1.0,
     seed: int = 0,
+    top_k: int = 0,
 ) -> Tuple["GenerationResult", ChatSession]:
     """Follow-up turn: append [pending eos + new turn tokens] through ONE
     chunked forward (static 32-multiple chunk; kv of padding rows rolled
@@ -2302,12 +2442,12 @@ def continue_chat_session(
             total_seconds=time.perf_counter() - t_start,
         ), new_sess
     eos_arr = jnp.asarray(list(eos), jnp.int32)
-    toks, count, cache, last = _decode_loop(
+    toks, count, cache, last, _ = _decode_loop(
         engine.params, cfg, cache, next_token,
         jnp.asarray(pos, jnp.int32), eos_arr, max_new_tokens - 1,
         jnp.asarray(temperature, jnp.float32), jnp.asarray(top_p,
                                                            jnp.float32),
-        jax.random.PRNGKey(seed),
+        jax.random.PRNGKey(seed), jnp.asarray(top_k, jnp.int32),
     )
     k = int(count)
     tokens = [first] + np.asarray(toks)[:k].tolist()
@@ -2541,6 +2681,8 @@ def generate_prefix_cached(
     temperature: float = 0.0,
     top_p: float = 1.0,
     seed: int = 0,
+    top_k: int = 0,
+    repetition_penalty: float = 1.0,
     **gen_kwargs,
 ) -> "GenerationResult":
     """Generation through a cross-request KV prefix cache — greedy outputs
@@ -2548,9 +2690,20 @@ def generate_prefix_cached(
     sampled path consumes the same per-step key splits as
     ``engine.generate(temperature=..., seed=...)``, so a cache hit's
     sampled rollout equals the fresh rollout for the same seed. See
-    ``prefix_cached_prefill`` for the hit/miss mechanics."""
+    ``prefix_cached_prefill`` for the hit/miss mechanics.
+
+    ``repetition_penalty != 1.0`` bypasses the store (the hit path's
+    re-appended suffix does not expose the last-row logits the penalized
+    first token needs): outputs stay exactly ``engine.generate``'s."""
     import time
 
+    if repetition_penalty != 1.0:
+        return engine.generate(
+            input_ids, pixel_values, grid_thw,
+            max_new_tokens=max_new_tokens, eos_token_ids=eos_token_ids,
+            temperature=temperature, top_p=top_p, seed=seed, top_k=top_k,
+            repetition_penalty=repetition_penalty, **gen_kwargs,
+        )
     state = prefix_cached_prefill(
         engine, store, input_ids, pixel_values, grid_thw,
         max_new_tokens=max_new_tokens, eos_token_ids=eos_token_ids,
@@ -2560,7 +2713,7 @@ def generate_prefix_cached(
     tokens = _run_decode_loop(
         engine.params, engine.cfg, state.cache,
         jnp.asarray(state.next_token, jnp.int32), state.start_pos, eos,
-        max_new_tokens, temperature, top_p, seed,
+        max_new_tokens, temperature, top_p, seed, top_k=top_k,
     )
     return dataclasses.replace(
         state.result, tokens=tokens,
@@ -2592,6 +2745,8 @@ def run_generate_batch(
     temperature: float = 0.0,
     top_p: float = 1.0,
     seed: int = 0,
+    top_k: int = 0,
+    repetition_penalty: float = 1.0,
 ) -> List[GenerationResult]:
     """Family-agnostic decode batching over an engine whose ``generate``
     supports ``_defer_decode`` (QwenVLEngine, OVEngine)."""
@@ -2607,6 +2762,19 @@ def run_generate_batch(
         )
         for req in requests
     ]
+    if repetition_penalty != 1.0:
+        # per-row presence from each request's prompt; penalized first
+        # tokens from each prefill's last-row logits (HF semantics)
+        vocab = engine.cfg.text.vocab_size
+        pres_rows, firsts_pen = [], []
+        for req, s in zip(requests, states):
+            pres, first = _rep_penalty_setup(
+                vocab, req["input_ids"], s.logits, s.next_token,
+                repetition_penalty)
+            pres_rows.append(np.asarray(pres))
+            firsts_pen.append(first)
+        for s, f in zip(states, firsts_pen):
+            s.next_token = f
     eos = states[0].eos_token_ids
     assert all(s.eos_token_ids == eos for s in states)
 
@@ -2621,6 +2789,11 @@ def run_generate_batch(
     while b_pad < n:
         b_pad *= 2
     pad_states = states + [states[-1]] * (b_pad - n)
+    presence = None
+    if repetition_penalty != 1.0:
+        pres_np = np.stack(
+            pres_rows + [pres_rows[-1]] * (b_pad - n))  # [b_pad, V]
+        presence = jnp.asarray(pres_np)
 
     cache = _assemble_batch_cache(
         tuple(s.cache.k for s in pad_states),
@@ -2639,6 +2812,8 @@ def run_generate_batch(
             engine.params, engine.cfg, cache, firsts, starts, eos_arr,
             max_new_tokens - 1, jnp.asarray(temperature, jnp.float32),
             jnp.asarray(top_p, jnp.float32), jax.random.PRNGKey(seed),
+            jnp.asarray(top_k, jnp.int32),
+            jnp.asarray(repetition_penalty, jnp.float32), presence,
         )
         toks = np.asarray(toks)
         counts = np.asarray(counts)
