@@ -226,18 +226,111 @@ class TestContinuousKnobs:
         finally:
             b.shutdown()
 
-    def test_continuous_rejects_repetition_penalty(self, params):
+    def test_continuous_rp_matches_one_shot(self, params):
+        """Greedy + repetition_penalty through the slot pool must equal the
+        one-shot rollout exactly (CPU fp32): presence row seeded from the
+        prompt, first token re-picked from penalized prefill logits, and
+        per-step accumulation inside the chunk program."""
         from visionselector_tpu.models.qwen25vl.continuous import (
             ContinuousBatcher,
         )
 
         ids, pixels, grid = make_request()
         eng = QwenVLEngine(CFG, params, use_selector=True, budget=0.25)
+        oracle = eng.generate(ids, pixels, grid, max_new_tokens=6,
+                              repetition_penalty=1.4)
         b = ContinuousBatcher(eng, n_slots=2, t_max=512, chunk=4)
         try:
-            with pytest.raises(ValueError, match="repetition_penalty"):
-                b.submit(
-                    dict(input_ids=ids, pixel_values=pixels, grid_thw=grid),
-                    max_new_tokens=4, repetition_penalty=1.3)
+            res = b.submit(
+                dict(input_ids=ids, pixel_values=pixels, grid_thw=grid),
+                max_new_tokens=6, repetition_penalty=1.4)
+            assert res.tokens == oracle.tokens
+        finally:
+            b.shutdown()
+
+    def test_continuous_mixed_rp_and_plain_slots(self, params):
+        """A penalized and a plain request sharing the pool: the penalized
+        program's rps == 1.0 lane is the identity, so BOTH match their
+        one-shot rollouts."""
+        import threading
+
+        from visionselector_tpu.models.qwen25vl.continuous import (
+            ContinuousBatcher,
+        )
+
+        eng = QwenVLEngine(CFG, params, use_selector=True, budget=0.25)
+        reqs = [make_request(seed=s) for s in (0, 1)]
+        rps = [1.5, 1.0]
+        oracles = [
+            eng.generate(i, p, g, max_new_tokens=6, repetition_penalty=r)
+            for (i, p, g), r in zip(reqs, rps)
+        ]
+        b = ContinuousBatcher(eng, n_slots=2, t_max=512, chunk=4)
+        outs = [None, None]
+
+        def run(j):
+            ids, pixels, grid = reqs[j]
+            outs[j] = b.submit(
+                dict(input_ids=ids, pixel_values=pixels, grid_thw=grid),
+                max_new_tokens=6, repetition_penalty=rps[j])
+
+        try:
+            threads = [threading.Thread(target=run, args=(j,))
+                       for j in range(2)]
+            for t in threads:
+                t.start()
+            for t in threads:
+                t.join()
+            for j in range(2):
+                assert outs[j].tokens == oracles[j].tokens, j
+        finally:
+            b.shutdown()
+
+    def test_continuous_speculative_rp_falls_back(self, params):
+        """With a penalized slot live, the speculative batcher must fall
+        back to the sequential chunk and still equal the one-shot rollout
+        (the fused multi-row verify cannot apply a per-step penalty)."""
+        from visionselector_tpu.models.qwen25vl.continuous import (
+            ContinuousBatcher,
+        )
+
+        ids, pixels, grid = make_request()
+        eng = QwenVLEngine(CFG, params, use_selector=True, budget=0.25)
+        oracle = eng.generate(ids, pixels, grid, max_new_tokens=6,
+                              repetition_penalty=1.4)
+        b = ContinuousBatcher(eng, n_slots=2, t_max=512, chunk=4,
+                              speculative=3)
+        try:
+            res = b.submit(
+                dict(input_ids=ids, pixel_values=pixels, grid_thw=grid),
+                max_new_tokens=6, repetition_penalty=1.4)
+            assert res.tokens == oracle.tokens
+            assert b.stats["spec_steps"] == 0  # never took the fused path
+        finally:
+            b.shutdown()
+
+    def test_continuous_rp_bypasses_prefix_store(self, params):
+        """Penalized admissions skip the prefix store (its reuse path has
+        no prefill logits to penalize) — store untouched, rollout exact."""
+        from visionselector_tpu.models.qwen25vl.continuous import (
+            ContinuousBatcher,
+        )
+        from visionselector_tpu.models.qwen25vl.model import (
+            PrefixCacheStore,
+        )
+
+        ids, pixels, grid = make_request()
+        eng = QwenVLEngine(CFG, params, use_selector=True, budget=0.25)
+        oracle = eng.generate(ids, pixels, grid, max_new_tokens=5,
+                              repetition_penalty=1.3)
+        store = PrefixCacheStore(max_entries=4, min_prefix=1)
+        b = ContinuousBatcher(eng, n_slots=2, t_max=512, chunk=4,
+                              prefix_store=store)
+        try:
+            res = b.submit(
+                dict(input_ids=ids, pixel_values=pixels, grid_thw=grid),
+                max_new_tokens=5, repetition_penalty=1.3)
+            assert res.tokens == oracle.tokens
+            assert store.hits == 0 and store.misses == 0
         finally:
             b.shutdown()

@@ -95,13 +95,15 @@ def main():
     # the pool).
     raw_chunk_slots = jax.jit(
         _decode_chunk_slots.__wrapped__,
-        static_argnames=("cfg", "k", "sampled", "attn_impl",
+        static_argnames=("cfg", "k", "sampled", "penalized", "attn_impl",
                          "attn_window"))
+    pres = jnp.zeros((n_slots, tc.vocab_size), jnp.bool_)
+    rps = jnp.ones((n_slots,), jnp.float32)
 
     def chained(params, pool, pos, n, attn_impl, attn_window=None):
-        toks, _, _ = raw_chunk_slots(
-            params, pool, cur, pos, live, temps, tps, tks, keys,
-            cfg, n * chunk, False, attn_impl=attn_impl,
+        toks, _, _, _ = raw_chunk_slots(
+            params, pool, cur, pos, live, temps, tps, tks, keys, pres,
+            rps, cfg, n * chunk, False, attn_impl=attn_impl,
             attn_window=attn_window)
         return jnp.sum(toks[-1])
 

@@ -73,14 +73,16 @@ def main():
     tps = jnp.ones((n_slots,), jnp.float32)
     tks = jnp.zeros((n_slots,), jnp.int32)
     keys = jnp.zeros((n_slots, 2), jnp.uint32)
+    pres = jnp.zeros((n_slots, tc.vocab_size), jnp.bool_)
+    rps = jnp.ones((n_slots,), jnp.float32)
 
     @functools.partial(jax.jit, static_argnames=("n",))
     def chained(params, pool, n):
         def body(i, carry):
             cur_c, pos_c, pool_c, acc = carry
-            toks, pool_c, _ = _decode_chunk_slots(
+            toks, pool_c, _, _ = _decode_chunk_slots(
                 params, pool_c, cur_c, pos_c, live, temps, tps, tks, keys,
-                cfg, chunk, False)
+                pres, rps, cfg, chunk, False)
             return (toks[-1], pos_c + chunk, pool_c,
                     acc + jnp.sum(toks[-1]))
 

@@ -52,11 +52,12 @@ from visionselector_tpu.models.qwen25vl import lm as lm_mod
 
 
 @functools.partial(jax.jit,
-                   static_argnames=("cfg", "k", "sampled", "attn_impl",
-                                    "attn_window"),
-                   donate_argnums=(1,))
+                   static_argnames=("cfg", "k", "sampled", "penalized",
+                                    "attn_impl", "attn_window"),
+                   donate_argnums=(1, 9))
 def _decode_chunk_slots(params, cache, cur, pos, live, temps, tps, tks,
-                        keys, cfg, k: int, sampled: bool = False,
+                        keys, pres, rps, cfg, k: int, sampled: bool = False,
+                        penalized: bool = False,
                         attn_impl: str | None = None,
                         attn_window: int | None = None):
     """Advance every slot ``k`` decode steps in one dispatch.
@@ -70,12 +71,24 @@ def _decode_chunk_slots(params, cache, cur, pos, live, temps, tps, tks,
     program is pure argmax. Each step splits every slot's key once —
     matching the one-shot ``_decode_loop`` RNG stream — so a slot's sampled
     rollout equals its one-shot rollout for the same seed.
-    Returns (toks [k, S], cache, keys)."""
+
+    pres [S, V] bool / rps [S] f32 (both donated/dead like the sampling
+    state): per-slot repetition-penalty presence masks and penalties.
+    With ``penalized=True`` every step penalizes each slot's logits by HF
+    processor semantics and accumulates the emitted token into the mask —
+    a slot with rps == 1.0 is mathematically untouched (score/1 == score),
+    so penalized and plain requests share one pool. ``penalized=False``
+    keeps the feature's cost out of the common program entirely.
+    Returns (toks [k, S], cache, keys, pres)."""
     len0 = cache.length
     s = cur.shape[0]
 
     def body(carry, _):
-        tok, pos_c, keys_c, cache = carry
+        if penalized:
+            tok, pos_c, keys_c, pres_c, cache = carry
+        else:
+            tok, pos_c, keys_c, cache = carry
+            pres_c = None
         embed = lm_mod.embed_tokens(params["lm"], tok)[:, None]  # [S,1,D]
         pos3 = jnp.broadcast_to(pos_c[None, :, None], (3, s, 1))
         hidden, cache = lm_mod.lm_decode_step(
@@ -83,6 +96,12 @@ def _decode_chunk_slots(params, cache, cur, pos, live, temps, tps, tks,
             attn_window=attn_window,
         )
         logits = lm_mod.lm_head(params["lm"], hidden[:, 0], cfg.text)
+        if penalized:
+            from visionselector_tpu.models.qwen25vl.model import (
+                _penalize_logits,
+            )
+
+            logits = _penalize_logits(logits, pres_c, rps[:, None])
         if sampled:
             from visionselector_tpu.models.qwen25vl.model import (
                 _sample_token,
@@ -96,15 +115,25 @@ def _decode_chunk_slots(params, cache, cur, pos, live, temps, tps, tks,
         else:
             tok2 = jnp.argmax(logits, axis=-1).astype(jnp.int32)
         tok2 = jnp.where(live, tok2, tok)
+        if penalized:
+            # dead slots mark their frozen token — harmless, their row is
+            # rewritten at the next admission
+            pres_c = pres_c.at[jnp.arange(s), tok2].set(True)
         pos_c = jnp.where(live, pos_c + 1, pos_c)
+        if penalized:
+            return (tok2, pos_c, keys_c, pres_c, cache), tok2
         return (tok2, pos_c, keys_c, cache), tok2
 
-    (_, _, keys, cache), toks = jax.lax.scan(
-        body, (cur, pos, keys, cache), None, length=k)
+    if penalized:
+        (_, _, keys, pres, cache), toks = jax.lax.scan(
+            body, (cur, pos, keys, pres, cache), None, length=k)
+    else:
+        (_, _, keys, cache), toks = jax.lax.scan(
+            body, (cur, pos, keys, cache), None, length=k)
     # ._replace keeps the cache's concrete type (KVCache or QuantKVCache)
     cache = cache._replace(
         length=jnp.where(live[None, :], cache.length, len0))
-    return toks, cache, keys
+    return toks, cache, keys, pres
 
 
 def _lookup_props(buf: jax.Array, n: int, m: int) -> jax.Array:
@@ -234,6 +263,13 @@ def _fit_t(x, t_max):
 
 
 @functools.partial(jax.jit, donate_argnums=(0,))
+def _set_presence_row(pres, row, slot):
+    """Install one slot's repetition-penalty presence mask ([V] bool: the
+    prompt ids + re-picked first token) into the donated [S, V] pool."""
+    return jax.lax.dynamic_update_slice_in_dim(pres, row[None], slot, axis=0)
+
+
+@functools.partial(jax.jit, donate_argnums=(0,))
 def _insert_slot(pool, new_k, new_v, new_len, slot):
     """Scatter one request's prefill KV into pool slot ``slot`` (the pool
     cache is donated — it lives in one device allocation). ``pool`` may be
@@ -357,6 +393,13 @@ class ContinuousBatcher:
         self.tps = np.ones(n_slots, np.float32)
         self.tks = np.zeros(n_slots, np.int32)  # top-k, <= 0 = off
         self.keys = np.zeros((n_slots, 2), np.uint32)
+        # per-slot repetition penalty (1.0 = off) + the device-resident
+        # [S, V] presence pool ([~1 MB] bool; lazy with the KV pool). A
+        # freed slot's stale presence row is harmless: the next occupant
+        # either overwrites it (penalized) or ignores it (rps == 1.0 is
+        # the identity transform)
+        self.rps = np.ones(n_slots, np.float32)
+        self.pres = None
         # the slot-pool cache (KVCache or QuantKVCache), lazy-initialized
         self.pool = None
         self.stats = dict(admitted=0, mid_flight_joins=0, max_concurrent=0,
@@ -388,10 +431,13 @@ class ContinuousBatcher:
         sampling knobs may ride in the dict or as explicit kwargs.
         Blocks until decode finishes; returns the GenerationResult.
 
-        ``repetition_penalty`` must be 1.0: the penalty is stateful over
-        each request's full token history (a [S, V] presence pool), which
-        the slot chunk program does not carry — use the one-shot serving
-        path (no --continuous) for penalized requests."""
+        ``repetition_penalty`` follows HF processor semantics exactly (the
+        prefill's last-row logits are penalized too): each penalized slot
+        carries a presence row in a device-resident [S, V] bool pool, and
+        the chunk program applies/accumulates it per step. While any
+        penalized slot is live, speculative dispatches fall back to the
+        plain chunk (a parallel multi-row verify cannot see tokens emitted
+        earlier in the same round)."""
         request = dict(request)
         temperature = float(request.pop("temperature", temperature))
         top_p = float(request.pop("top_p", top_p))
@@ -399,14 +445,10 @@ class ContinuousBatcher:
         top_k = int(request.pop("top_k", top_k))
         repetition_penalty = float(
             request.pop("repetition_penalty", repetition_penalty))
-        if repetition_penalty != 1.0:
-            raise ValueError(
-                "continuous batching does not support repetition_penalty; "
-                "serve without --continuous for penalized requests")
         item = dict(request=request, max_new=max_new_tokens,
                     eos=eos_token_ids, done=threading.Event(),
                     temperature=temperature, top_p=top_p, seed=seed,
-                    top_k=top_k,
+                    top_k=top_k, repetition_penalty=repetition_penalty,
                     result=None, error=None, t_submit=time.perf_counter())
         with self.cv:
             if not self._running:
@@ -445,6 +487,8 @@ class ContinuousBatcher:
         shp = proto_cache.k.shape  # [L, 1, T, H, D]
         full = (shp[0], self.n_slots, self.t_max, shp[3], shp[4])
         length = jnp.zeros((shp[0], self.n_slots), jnp.int32)
+        self.pres = jnp.zeros(
+            (self.n_slots, self.engine.cfg.text.vocab_size), jnp.bool_)
         if self.kv_int8:
             self.pool = lm_mod.QuantKVCache(
                 k=jnp.zeros(full, jnp.int8), v=jnp.zeros(full, jnp.int8),
@@ -457,9 +501,15 @@ class ContinuousBatcher:
                 v=jnp.zeros(full, proto_cache.k.dtype), length=length)
 
     def _admit(self, item, slot_idx):
-        """Fused one-shot admission prefill, then slot install."""
+        """Fused one-shot admission prefill, then slot install.
+
+        Penalized requests bypass the prefix store: its reuse path does
+        not expose the prefill's last-row logits, which HF's processor
+        penalizes to pick the FIRST token (one-shot
+        ``generate_prefix_cached`` bypasses the store the same way)."""
         eng = self.engine
-        if self.prefix_store is not None:
+        if (self.prefix_store is not None
+                and item.get("repetition_penalty", 1.0) == 1.0):
             from visionselector_tpu.models.qwen25vl.model import (
                 prefix_cached_prefill,
             )
@@ -494,6 +544,19 @@ class ContinuousBatcher:
         """Move a finished admission prefill into slot ``slot_idx``."""
         eng = self.engine
         eos = tuple(state.eos_token_ids)
+        rp = float(item.get("repetition_penalty", 1.0))
+        pres_row = None
+        if rp != 1.0:
+            from visionselector_tpu.models.qwen25vl.model import (
+                _rep_penalty_setup,
+            )
+
+            # HF semantics: the prefill's last-row logits are penalized
+            # too, so the first token is re-picked before any use
+            ids = np.asarray(item["request"]["input_ids"]).reshape(-1)
+            pres_row, state.next_token = _rep_penalty_setup(
+                eng.cfg.text.vocab_size, ids, state.logits,
+                state.next_token, rp)
         if state.next_token in eos or item["max_new"] <= 1:
             state.result.tokens = (
                 [] if state.next_token in eos or item["max_new"] < 1
@@ -516,7 +579,8 @@ class ContinuousBatcher:
                 **item["request"], max_new_tokens=item["max_new"],
                 eos_token_ids=item["eos"],
                 temperature=item["temperature"], top_p=item["top_p"],
-                seed=item["seed"], top_k=item.get("top_k", 0))
+                seed=item["seed"], top_k=item.get("top_k", 0),
+                repetition_penalty=rp)
             item["done"].set()
             return
         if self.pool is None:
@@ -532,6 +596,10 @@ class ContinuousBatcher:
         self.temps[slot_idx] = item["temperature"]
         self.tps[slot_idx] = item["top_p"]
         self.tks[slot_idx] = item.get("top_k", 0)
+        self.rps[slot_idx] = rp
+        if pres_row is not None:
+            self.pres = _set_presence_row(
+                self.pres, pres_row, jnp.asarray(slot_idx, jnp.int32))
         self.keys[slot_idx] = np.asarray(
             jax.random.PRNGKey(item["seed"]), np.uint32)
         ctx = None
@@ -667,19 +735,25 @@ class ContinuousBatcher:
                 self._last_decode_t = None
                 continue
             sampled = bool(np.any(self.temps[self.live] > 0.0))
+            penalized = bool(np.any(self.rps[self.live] != 1.0))
             try:
-                if self.speculative > 0:
+                if self.speculative > 0 and not penalized:
+                    # a penalized slot forces the sequential chunk: the
+                    # fused verify scores all m+1 rows from round-start
+                    # presence, so a token emitted at row j would not
+                    # penalize row j+1 (HF applies the penalty per step)
                     self._spec_round(sampled)
                     self._mark_decode()
                     continue
                 with self.engine_lock:
-                    toks, cache, keys = _decode_chunk_slots(
+                    toks, cache, keys, pres = _decode_chunk_slots(
                         self.engine.params, self.pool,
                         jnp.asarray(self.cur), jnp.asarray(self.pos),
                         jnp.asarray(self.live), jnp.asarray(self.temps),
                         jnp.asarray(self.tps), jnp.asarray(self.tks),
-                        jnp.asarray(self.keys),
-                        self.engine.cfg, self.chunk, sampled,
+                        jnp.asarray(self.keys), self.pres,
+                        jnp.asarray(self.rps),
+                        self.engine.cfg, self.chunk, sampled, penalized,
                         attn_impl=self.decode_attn,
                         attn_window=self._attn_window(self.chunk),
                     )
@@ -695,6 +769,7 @@ class ContinuousBatcher:
                 self._fail_all(e)
                 return
             self.pool = cache
+            self.pres = pres
             if sampled:
                 # np.array (copy): np.asarray of a device array is
                 # read-only, which would break the next _admit's write
