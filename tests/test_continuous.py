@@ -306,6 +306,15 @@ class TestContinuousBatcher:
         finally:
             bat.shutdown()
         assert ra.tokens == want and rb.tokens == want
+        # repetition_penalty rides the same family-agnostic presence pool
+        want_rp = eng.generate(**req, max_new_tokens=7, eos_token_ids=(-1,),
+                               repetition_penalty=1.4).tokens
+        bat = ContinuousBatcher(eng, n_slots=2, t_max=256, chunk=4)
+        try:
+            got = bat.submit(dict(req), 7, (-1,), repetition_penalty=1.4)
+            assert got.tokens == want_rp
+        finally:
+            bat.shutdown()
         # the speculative program is family-agnostic too
         bat = ContinuousBatcher(eng, n_slots=2, t_max=256, chunk=4,
                                 speculative=3)
