@@ -309,6 +309,36 @@ class TestContinuousKnobs:
         finally:
             b.shutdown()
 
+    def test_continuous_rp_with_kv_int8_pool(self, params):
+        """The presence pool composes with the int8 KV pool (independent
+        state). Token-exact equality with the fp oracle is not asserted
+        (int8 rounding shifts logits ~1e-2); determinism and completion
+        are."""
+        from visionselector_tpu.models.qwen25vl import lm as lm_mod
+        from visionselector_tpu.models.qwen25vl.continuous import (
+            ContinuousBatcher,
+        )
+
+        ids, pixels, grid = make_request()
+        eng = QwenVLEngine(CFG, params, use_selector=True, budget=0.25)
+
+        def run():
+            b = ContinuousBatcher(eng, n_slots=2, t_max=512, chunk=4,
+                                  kv_int8=True)
+            try:
+                res = b.submit(
+                    dict(input_ids=ids, pixel_values=pixels,
+                         grid_thw=grid),
+                    max_new_tokens=6, eos_token_ids=(-1,),
+                    repetition_penalty=1.4)
+                assert isinstance(b.pool, lm_mod.QuantKVCache)
+                return res.tokens
+            finally:
+                b.shutdown()
+
+        a, b = run(), run()
+        assert a == b and len(a) == 6
+
     def test_continuous_rp_bypasses_prefix_store(self, params):
         """Penalized admissions skip the prefix store (its reuse path has
         no prefill logits to penalize) — store untouched, rollout exact."""
