@@ -55,15 +55,21 @@ def main():
         # the smoke pool (the env knob is read at trace time)
         os.environ.setdefault("VST_DECODE_BLOCK", "64")
     cfg = qwen25vl_tiny() if which == "tiny" else qwen25vl_3b()
-    params = jax.jit(lambda k: init_params(k, cfg))(jax.random.PRNGKey(0))
-    jax.block_until_ready(params)
     if quant:
+        # decode touches only params["lm"]; random-init DIRECTLY quantized
+        # (init-bf16-then-quantize transiently holds bf16+int8+ViT ≈ 13 GB
+        # at 3B — on the time-shared chip that window is where co-tenant
+        # pressure kills the run)
         bits = 4 if quant.startswith("int4") else 8
-        lm_q = lm_mod.quantize_lm_params(params["lm"], bits=bits)
+        lm_q = lm_mod.init_lm_params_int8(
+            jax.random.PRNGKey(0), cfg.text, dtype=cfg.jax_dtype,
+            bits=bits)
         jax.block_until_ready(lm_q)
-        # decode touches only params["lm"]; drop the bf16 tree (weights +
-        # ViT) so the pool fits next to the quantized LM
         params = {"lm": lm_q}
+    else:
+        params = jax.jit(lambda k: init_params(k, cfg))(
+            jax.random.PRNGKey(0))
+        jax.block_until_ready(params)
 
     tc = cfg.text
     shape = (tc.num_hidden_layers, n_slots, t_max,
