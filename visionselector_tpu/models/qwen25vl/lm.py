@@ -512,40 +512,52 @@ def lm_decode_step(
             garbage attention, acceptable only for dead slots whose
             outputs are discarded).
     Returns: (hidden [B, 1, D] post-norm, updated cache).
+
+    KV-pool traffic note: the stacked [L, B, T, H, D] pools ride the layer
+    scan as CARRIES with one-row scatter writes and a dynamic-slice read
+    per layer — NOT as scan xs/ys. Threading them through xs/ys made XLA
+    materialize the per-layer slice and write the whole pool back every
+    step: measured 3.6x the read-only KV roofline slope (4.75 ms/pool-GB
+    vs 1.31 ideal, `tools/bench_decode_attrib.py`, v5e 3B int8 B=8).
     """
     cos, sin = mrope_cos_sin(position_ids, cfg)
     n_rep = cfg.num_attention_heads // cfg.num_key_value_heads
     b = inputs_embeds.shape[0]
     quant = isinstance(cache, QuantKVCache)
+    rows = jnp.arange(b)
 
-    def write_row(c, upd, i):
-        return jax.lax.dynamic_update_slice(
-            c, upd, (i,) + (0,) * (c.ndim - 1))
-
-    def layer(x, scanned):
+    def layer(carry, scanned):
         if quant:
-            p, k_cache, v_cache, k_s, v_s, pos = scanned
+            x, k_all, v_all, ks_all, vs_all = carry
+            p, pos, li = scanned  # pos: [B] layer's length, li: layer idx
         else:
-            p, k_cache, v_cache, pos = scanned  # pos: [B] layer's length
+            x, k_all, v_all = carry
+            p, pos, li = scanned
         h = rms_norm(x, p["input_ln_scale"], cfg.rms_norm_eps)
         q, k, v = _qkv(h, p, cfg)
         q, k = _apply_mrope(q, k, cos, sin)
-        # Write new kv at this layer's length (per-batch-row dynamic update).
+        # Write the new row at (layer, batch row, length) — a scatter with
+        # unique indices that XLA performs in place on the carried pool.
         if quant:
             k8, ks_new = quantize_kv(k)
             v8, vs_new = quantize_kv(v)
-            k_cache = jax.vmap(write_row)(k_cache, k8, pos)
-            v_cache = jax.vmap(write_row)(v_cache, v8, pos)
-            k_s = jax.vmap(write_row)(k_s, ks_new, pos)
-            v_s = jax.vmap(write_row)(v_s, vs_new, pos)
+            k_all = k_all.at[li, rows, pos].set(k8[:, 0], unique_indices=True)
+            v_all = v_all.at[li, rows, pos].set(v8[:, 0], unique_indices=True)
+            ks_all = ks_all.at[li, rows, pos].set(ks_new[:, 0], unique_indices=True)
+            vs_all = vs_all.at[li, rows, pos].set(vs_new[:, 0], unique_indices=True)
             # int8 straight into the attention dots; scales fold into the
             # grouped logits/probs (materializing a dequantized bf16 copy
             # triples the step's KV traffic — measured 0.78x).
-            kq_scale, vq_scale = k_s, v_s
+            k_cache = jax.lax.dynamic_index_in_dim(k_all, li, 0, False)
+            v_cache = jax.lax.dynamic_index_in_dim(v_all, li, 0, False)
+            kq_scale = jax.lax.dynamic_index_in_dim(ks_all, li, 0, False)
+            vq_scale = jax.lax.dynamic_index_in_dim(vs_all, li, 0, False)
         else:
             kq_scale = vq_scale = None
-            k_cache = jax.vmap(write_row)(k_cache, k, pos)
-            v_cache = jax.vmap(write_row)(v_cache, v, pos)
+            k_all = k_all.at[li, rows, pos].set(k[:, 0], unique_indices=True)
+            v_all = v_all.at[li, rows, pos].set(v[:, 0], unique_indices=True)
+            k_cache = jax.lax.dynamic_index_in_dim(k_all, li, 0, False)
+            v_cache = jax.lax.dynamic_index_in_dim(v_all, li, 0, False)
         # Unexpanded [B, T, H_kv, D] caches: grouped-query attention streams
         # the pool once (no n_rep-x _repeat_kv materialization).
         kc, vc, ks_r, vs_r = _windowed_views(
@@ -557,20 +569,22 @@ def lm_decode_step(
         h = rms_norm(x, p["post_ln_scale"], cfg.rms_norm_eps)
         x = x + _mlp(h, p, cfg)
         if quant:
-            return x, (k_cache, v_cache, k_s, v_s)
-        return x, (k_cache, v_cache)
+            return (x, k_all, v_all, ks_all, vs_all), None
+        return (x, k_all, v_all), None
 
+    lidx = jnp.arange(cfg.num_hidden_layers)
     if quant:
-        x, (k_new, v_new, ks_new, vs_new) = jax.lax.scan(
-            layer, inputs_embeds,
-            (params["layers"], cache.k, cache.v, cache.k_scale,
-             cache.v_scale, cache.length),
+        (x, k_new, v_new, ks_new, vs_new), _ = jax.lax.scan(
+            layer, (inputs_embeds, cache.k, cache.v, cache.k_scale,
+                    cache.v_scale),
+            (params["layers"], cache.length, lidx),
         )
         x = rms_norm(x, params["final_ln_scale"], cfg.rms_norm_eps)
         return x, QuantKVCache(k=k_new, v=v_new, k_scale=ks_new,
                                v_scale=vs_new, length=cache.length + 1)
-    x, (k_new, v_new) = jax.lax.scan(
-        layer, inputs_embeds, (params["layers"], cache.k, cache.v, cache.length)
+    (x, k_new, v_new), _ = jax.lax.scan(
+        layer, (inputs_embeds, cache.k, cache.v),
+        (params["layers"], cache.length, lidx),
     )
     x = rms_norm(x, params["final_ln_scale"], cfg.rms_norm_eps)
     return x, KVCache(k=k_new, v=v_new, length=cache.length + 1)
@@ -603,32 +617,41 @@ def lm_decode_chunk(
     n_rep = cfg.num_attention_heads // cfg.num_key_value_heads
     b, t_c, _ = inputs_embeds.shape
     quant = isinstance(cache, QuantKVCache)
+    rows = jnp.arange(b)[:, None]  # [B, 1], broadcasts with pos grid
 
-    def write_row(c, upd, i):
-        return jax.lax.dynamic_update_slice(
-            c, upd, (i,) + (0,) * (c.ndim - 1))
-
-    def layer(x, scanned):
+    def layer(carry, scanned):
         if quant:
-            p, k_cache, v_cache, k_s, v_s, pos = scanned
+            x, k_all, v_all, ks_all, vs_all = carry
+            p, pos, li = scanned  # pos: [B] layer's length, li: layer idx
         else:
-            p, k_cache, v_cache, pos = scanned  # pos: [B] layer's length
+            x, k_all, v_all = carry
+            p, pos, li = scanned
         h = rms_norm(x, p["input_ln_scale"], cfg.rms_norm_eps)
         q, k, v = _qkv(h, p, cfg)
         q, k = _apply_mrope(q, k, cos, sin)
+        # Scatter the t_c new rows at (layer, batch row, pos..pos+t_c-1)
+        # in place on the carried pool (see lm_decode_step's traffic note).
+        grid = pos[:, None] + jnp.arange(t_c)[None, :]  # [B, t_c]
         if quant:
             k8, ks_new = quantize_kv(k)
             v8, vs_new = quantize_kv(v)
-            k_cache = jax.vmap(write_row)(k_cache, k8, pos)
-            v_cache = jax.vmap(write_row)(v_cache, v8, pos)
-            k_s = jax.vmap(write_row)(k_s, ks_new, pos)
-            v_s = jax.vmap(write_row)(v_s, vs_new, pos)
+            k_all = k_all.at[li, rows, grid].set(k8, unique_indices=True)
+            v_all = v_all.at[li, rows, grid].set(v8, unique_indices=True)
+            ks_all = ks_all.at[li, rows, grid].set(ks_new,
+                                                   unique_indices=True)
+            vs_all = vs_all.at[li, rows, grid].set(vs_new,
+                                                   unique_indices=True)
             # Fold dequant scales into logits/probs (see lm_decode_step).
-            kq_scale, vq_scale = k_s, v_s
+            k_cache = jax.lax.dynamic_index_in_dim(k_all, li, 0, False)
+            v_cache = jax.lax.dynamic_index_in_dim(v_all, li, 0, False)
+            kq_scale = jax.lax.dynamic_index_in_dim(ks_all, li, 0, False)
+            vq_scale = jax.lax.dynamic_index_in_dim(vs_all, li, 0, False)
         else:
             kq_scale = vq_scale = None
-            k_cache = jax.vmap(write_row)(k_cache, k, pos)
-            v_cache = jax.vmap(write_row)(v_cache, v, pos)
+            k_all = k_all.at[li, rows, grid].set(k, unique_indices=True)
+            v_all = v_all.at[li, rows, grid].set(v, unique_indices=True)
+            k_cache = jax.lax.dynamic_index_in_dim(k_all, li, 0, False)
+            v_cache = jax.lax.dynamic_index_in_dim(v_all, li, 0, False)
         kc, vc, ks_r, vs_r = _windowed_views(
             k_cache, v_cache, kq_scale, vq_scale, attn_window)
         attn = chunk_decode_attention(
@@ -638,21 +661,22 @@ def lm_decode_chunk(
         h = rms_norm(x, p["post_ln_scale"], cfg.rms_norm_eps)
         x = x + _mlp(h, p, cfg)
         if quant:
-            return x, (k_cache, v_cache, k_s, v_s)
-        return x, (k_cache, v_cache)
+            return (x, k_all, v_all, ks_all, vs_all), None
+        return (x, k_all, v_all), None
 
+    lidx = jnp.arange(cfg.num_hidden_layers)
     if quant:
-        x, (k_new, v_new, ks_new, vs_new) = jax.lax.scan(
-            layer, inputs_embeds,
-            (params["layers"], cache.k, cache.v, cache.k_scale,
-             cache.v_scale, cache.length),
+        (x, k_new, v_new, ks_new, vs_new), _ = jax.lax.scan(
+            layer, (inputs_embeds, cache.k, cache.v, cache.k_scale,
+                    cache.v_scale),
+            (params["layers"], cache.length, lidx),
         )
         x = rms_norm(x, params["final_ln_scale"], cfg.rms_norm_eps)
         return x, QuantKVCache(k=k_new, v=v_new, k_scale=ks_new,
                                v_scale=vs_new, length=cache.length + t_c)
-    x, (k_new, v_new) = jax.lax.scan(
-        layer, inputs_embeds,
-        (params["layers"], cache.k, cache.v, cache.length),
+    (x, k_new, v_new), _ = jax.lax.scan(
+        layer, (inputs_embeds, cache.k, cache.v),
+        (params["layers"], cache.length, lidx),
     )
     x = rms_norm(x, params["final_ln_scale"], cfg.rms_norm_eps)
     return x, KVCache(k=k_new, v=v_new, length=cache.length + t_c)
