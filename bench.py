@@ -22,10 +22,34 @@ import time
 os.environ.setdefault("VST_ATTN_IMPL", os.environ.get("VST_BENCH_IMPL", "auto"))
 
 import jax
+
+# Persistent compilation cache: Mosaic/XLA compiles through the axon tunnel
+# cost 2-4 min per kernel; the r4 driver capture timed out (rc 124) re-paying
+# them all. With the on-disk cache, every driver run after the first warm-up
+# pays ~zero compile time. (Same mechanism api/warmup.py documents.)
+_CACHE_DIR = os.environ.get("JAX_COMPILATION_CACHE_DIR") or os.environ.get(
+    "VST_XLA_CACHE",
+    os.path.join(os.path.dirname(os.path.abspath(__file__)), ".xla_cache"),
+)
+if _CACHE_DIR:
+    jax.config.update("jax_compilation_cache_dir", _CACHE_DIR)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+    jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+
 import jax.numpy as jnp
 import numpy as np
 
 BASELINE_SPEEDUP = 1.73
+
+# Wall-clock budget management: the driver runs this script under a hard
+# timeout; every wait/retry below is bounded to a fraction of the remaining
+# budget so the measurement phases always get the lion's share.
+_START = time.monotonic()
+
+
+def _remaining_s() -> float:
+    deadline = float(os.environ.get("VST_BENCH_DEADLINE_S", "1200"))
+    return deadline - (time.monotonic() - _START)
 
 
 def build_inputs(cfg, budget, use_selector, s_bucket, img_hw=(1036, 1456)):
@@ -355,6 +379,24 @@ def measure(cfg, params, budget, s_bucket, img_hw, repeats=5):
     check["suspect"] = (check["suspect_selector"]
                         or check["suspect_uncompressed"])
 
+    # Single-chip MFU per arm, from the same analytic FLOP model that
+    # bounds plausibility (VERDICT r4 item 2: put the roofline occupancy
+    # on the artifact, not just in IMPLEMENTATION_NOTES).
+    def mfu_entry(t_len, measured_s):
+        f = prefill_flops_model(cfg, s_bucket, t_len)
+        flops = f["vit_flops"] + f["lm_flops"]
+        return {
+            "prefill_flops": int(flops),
+            "measured_s": round(measured_s, 5),
+            "peak_flops": V5E_BF16_FLOPS,
+            "mfu": round(flops / max(measured_s, 1e-9) / V5E_BF16_FLOPS, 4),
+        }
+
+    check["mfu"] = {
+        "selector": mfu_entry(t_sel_len, t_sel),
+        "uncompressed": mfu_entry(t_full_len, t_full),
+    }
+
     # Optional profiler trace of one prefill each (SURVEY §5.1 tracing):
     # VST_PROFILE=<dir> writes a tensorboard-loadable trace.
     prof_dir = os.environ.get("VST_PROFILE")
@@ -550,7 +592,13 @@ def _contention_probe_s() -> float:
 def _wait_for_quiet(max_wait_s: float = 300.0,
                     busy_threshold_s: float = 2.0) -> float:
     """Poll the contention probe until the chip looks quiet or the wait
-    budget is spent. Returns the last probe reading (seconds)."""
+    budget is spent. Returns the last probe reading (seconds).
+
+    The wait is additionally capped to 25% of the remaining bench deadline
+    (``VST_BENCH_DEADLINE_S``): better to measure under contention and stamp
+    the artifact suspect than to time out with no final line at all (the
+    r4 failure)."""
+    max_wait_s = min(max_wait_s, max(0.0, 0.25 * _remaining_s()))
     deadline = time.monotonic() + max_wait_s
     probe = _contention_probe_s()
     while probe > busy_threshold_s and time.monotonic() < deadline:
@@ -562,14 +610,17 @@ def _wait_for_quiet(max_wait_s: float = 300.0,
 def _retry_contended(fn, attempts: int = 3, backoff_s: float = 90.0):
     """Run ``fn`` retrying RESOURCE_EXHAUSTED (co-tenant HBM spike) with a
     backoff + quiet re-check. Re-raises the final failure; any other error
-    propagates immediately (a real bug should crash loudly, not retry)."""
+    propagates immediately (a real bug should crash loudly, not retry).
+    Backoffs are bounded by the remaining bench deadline."""
     for i in range(attempts):
         try:
             return fn()
         except jax.errors.JaxRuntimeError as e:
             if "RESOURCE_EXHAUSTED" not in str(e) or i == attempts - 1:
                 raise
-            time.sleep(backoff_s)
+            if _remaining_s() < 2 * backoff_s:  # no budget left for a retry
+                raise
+            time.sleep(min(backoff_s, 0.2 * _remaining_s()))
             # the latency probe does not see an idle-but-resident tenant's
             # HBM, but it does catch the active-churn phase — skip it
             _wait_for_quiet(max_wait_s=120.0)
@@ -706,9 +757,26 @@ def main():
         except Exception as e:  # noqa: BLE001
             detail["bench_decode_error"] = repr(e)
 
+    def final_line(speedup, detail):
+        """The one-line final artifact. Printed IMMEDIATELY after the
+        headline measurement (so a harness timeout during the extras below
+        still leaves a final-format record — the r4 capture died with only
+        the preliminary line), then reprinted with richer detail at the end;
+        the driver records the LAST complete JSON line."""
+        headline_check = detail.get("check_7b", detail.get("check_3b", {}))
+        print(json.dumps({
+            "metric": "prefill_speedup_at_20pct_retention",
+            "value": round(speedup, 4),
+            "unit": "x",
+            "vs_baseline": round(speedup / BASELINE_SPEEDUP, 4),
+            "suspect": bool(headline_check.get("suspect", False)),
+            "detail": detail,
+        }), flush=True)
+
     # Headline-comparable 7B measurement: the reference's 1.73x is a 7B
     # figure (README.md:47) where the LM dominates and compression buys more.
     speedup = speedup3
+    params7 = None
     if run_7b:
         try:
             import gc
@@ -742,11 +810,23 @@ def main():
                     4),
                 memory_story=memory_story(cfg7, params7, budget, n_text),
             )
+        except Exception as e:  # noqa: BLE001 — fall back to the 3B figure
+            detail["bench_7b_error"] = repr(e)
+            params7 = None
+
+    # FINAL-FORMAT line, printed before any optional extras below: this is
+    # the record if the harness times out from here on.
+    final_line(speedup, detail)
+
+    if params7 is not None:
+        try:
             # Task-shaped second line: the same ratio at a realistic
             # 256-token text prompt (the synthetic default is ~40 tokens;
             # longer text dilutes the compressible fraction — this puts the
-            # sensitivity on record, VERDICT r2 item 9).
-            if os.environ.get("VST_BENCH_TASK_SHAPED", "1") == "1":
+            # sensitivity on record, VERDICT r2 item 9). Deadline-gated:
+            # it adds fresh compiles on a cold cache.
+            if (os.environ.get("VST_BENCH_TASK_SHAPED", "1") == "1"
+                    and _remaining_s() > 120.0):
                 os.environ["VST_BENCH_TEXT_TOKENS"] = "256"
                 t_sel_t, t_full_t, _, check_t = measure(
                     cfg7, params7, budget, s_bucket, img_hw, repeats=3)
@@ -768,23 +848,14 @@ def main():
                     jax.random.PRNGKey(7), cfg7.text, cfg7.jax_dtype, bits=4)
                 detail["decode_tok_s_7b_int4_b8"] = round(
                     time_decode_tok_s(params7, cfg7, 8), 1)
-        except Exception as e:  # noqa: BLE001 — fall back to the 3B figure
-            detail["bench_7b_error"] = repr(e)
-
-    # Top-level honesty flag: true when either arm of the headline
-    # measurement sits outside the roofline plausibility window even after
-    # re-measurement (r2's recorded 4.33x would have carried suspect=true;
-    # quiet-host truth was ~1.84x).
-    headline_check = detail.get("check_7b", detail.get("check_3b", {}))
-    result = {
-        "metric": "prefill_speedup_at_20pct_retention",
-        "value": round(speedup, 4),
-        "unit": "x",
-        "vs_baseline": round(speedup / BASELINE_SPEEDUP, 4),
-        "suspect": bool(headline_check.get("suspect", False)),
-        "detail": detail,
-    }
-    print(json.dumps(result))
+        except Exception as e:  # noqa: BLE001 — keep the headline record
+            detail["bench_extras_error"] = repr(e)
+        # Superseding final line with the extras folded in (same headline
+        # numbers; the value/suspect fields are identical by construction).
+        if ("task_shaped_256tok" in detail
+                or "decode_tok_s_7b_int8_b8" in detail
+                or "bench_extras_error" in detail):
+            final_line(speedup, detail)
 
 
 if __name__ == "__main__":

@@ -763,7 +763,8 @@ def build_server(args) -> ThreadingHTTPServer:
                 f"--tp {tp} needs {tp} devices, found {len(devs)}")
         mesh = make_mesh(n_data=1, n_model=tp, devices=devs[:tp])
         params = shard_params(params, mesh)
-        if getattr(args, "decode_attn", None) == "blocked":
+        if (getattr(args, "decode_attn", None) == "blocked"
+                or os.environ.get("VST_DECODE_ATTN") == "blocked"):
             # Pallas custom calls have no SPMD partitioning rule, so the
             # blocked kernel cannot consume a GSPMD-sharded slot pool —
             # fall back to the dense XLA decode attention under TP

@@ -81,6 +81,11 @@ def save_train_state(state, output_dir: str, step: Optional[int] = None,
     def prune(keep_n: int):
         if keep_n is None:
             return
+        # keep<1 would delete every committed checkpoint (steps[:len-0] is
+        # the whole list, unlike the old [:-0] no-op slice); a retention
+        # limit below one restorable checkpoint is never what the caller
+        # wants, so clamp it.
+        keep_n = max(1, keep_n)
         import shutil
 
         steps = sorted(

@@ -1145,8 +1145,14 @@ def _decode_blocked_pallas(q, k_cache, v_cache, base_len, scale, block_k,
         interpret=interpret,
         cost_estimate=pl.CostEstimate(
             flops=4 * b * hq * t_c * t_max * d,
-            # the honest traffic is data-dependent; report the worst case
-            bytes_accessed=(qg.size + kf.size + vf.size) * 2,
+            # the honest traffic is data-dependent; report the worst case,
+            # using each operand's real itemsize (int8 caches + f32 scales)
+            bytes_accessed=(
+                qg.size * qg.dtype.itemsize
+                + kf.size * kf.dtype.itemsize
+                + vf.size * vf.dtype.itemsize
+                + ((k_scale.size + v_scale.size) * 4 if quant else 0)
+            ),
             transcendentals=b * hq * t_c * t_max,
         ),
     )(*operands)

@@ -391,7 +391,8 @@ class OVEngine:
 
                 presence, next_token = _rep_penalty_setup(
                     cfg.text.vocab_size, input_ids, stage_b_logits,
-                    next_token, repetition_penalty)
+                    next_token, repetition_penalty, temperature, top_p,
+                    top_k, seed)
             tokens = _run_decode_loop(
                 self.params, cfg, cache, next_token, t_orig + rope_delta,
                 eos_token_ids, max_new_tokens, temperature, top_p, seed,
@@ -492,7 +493,7 @@ class OVEngine:
 
             presence, next_token = _rep_penalty_setup(
                 cfg.text.vocab_size, input_ids, last_logits, next_token,
-                repetition_penalty)
+                repetition_penalty, temperature, top_p, top_k, seed)
         tokens = _run_decode_loop(
             self.params, cfg, cache, next_token,
             valid_len_i + rope_delta, eos_token_ids, max_new_tokens,

@@ -556,7 +556,8 @@ class ContinuousBatcher:
             ids = np.asarray(item["request"]["input_ids"]).reshape(-1)
             pres_row, state.next_token = _rep_penalty_setup(
                 eng.cfg.text.vocab_size, ids, state.logits,
-                state.next_token, rp)
+                state.next_token, rp, item["temperature"], item["top_p"],
+                item.get("top_k", 0), item["seed"])
         if state.next_token in eos or item["max_new"] <= 1:
             state.result.tokens = (
                 [] if state.next_token in eos or item["max_new"] < 1

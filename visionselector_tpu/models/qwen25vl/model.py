@@ -450,7 +450,7 @@ def generate_text_only(
     if repetition_penalty != 1.0:
         presence, next_token = _rep_penalty_setup(
             cfg.text.vocab_size, input_ids, last_logits, next_token,
-            repetition_penalty)
+            repetition_penalty, temperature, top_p, top_k, seed)
     tokens = _run_decode_loop(
         params, cfg, cache, next_token, t_orig, eos_token_ids,
         max_new_tokens, temperature, top_p, seed, on_chunk=on_token_chunk,
@@ -944,22 +944,34 @@ def _run_decode_loop(params, cfg, cache, first_token, start_pos, eos_token_ids,
 
 
 def _rep_penalty_setup(vocab_size: int, input_ids, last_logits, next_token,
-                       repetition_penalty: float):
+                       repetition_penalty: float, temperature: float = 0.0,
+                       top_p: float = 1.0, top_k: int = 0, seed: int = 0):
     """Host-side repetition-penalty seeding: the presence mask starts as the
     set of prompt token ids (HF penalizes every id in ``input_ids``), and the
-    FIRST generated token is re-picked as the penalized argmax of the
-    prefill's last-row logits — matching HF ``generate(...,
-    repetition_penalty=p)``, whose processor applies to the prefill logits
-    too. Returns (presence [V] device bool, first_token int). When the
-    prefill program did not expose its logits (LLM-side strategies), the
-    unpenalized first token is kept and only subsequent steps penalize."""
+    FIRST generated token is re-picked from the penalized prefill last-row
+    logits — argmax when greedy, sampled (with the request's seed on a
+    distinct stream from the decode loop) when ``temperature > 0`` —
+    matching HF ``generate(..., repetition_penalty=p)``, whose processor
+    applies to the prefill logits too. Returns (presence [V] device bool,
+    first_token int). When the prefill program did not expose its logits
+    (LLM-side strategies), the unpenalized first token is kept and only
+    subsequent steps penalize."""
     pres = np.zeros(vocab_size, bool)
     pres[np.asarray(input_ids).reshape(-1)] = True
     if last_logits is not None:
         lg = np.asarray(last_logits, np.float32)
         pen = np.where(lg > 0, lg / repetition_penalty,
                        lg * repetition_penalty)
-        first = int(np.where(pres, pen, lg).argmax())
+        penalized = np.where(pres, pen, lg)
+        if float(temperature) > 0.0:
+            key = jax.random.fold_in(jax.random.PRNGKey(seed), 0x5157)
+            first = int(_sample_token(
+                jnp.asarray(penalized), key,
+                jnp.asarray(float(temperature), jnp.float32),
+                jnp.asarray(float(top_p), jnp.float32),
+                jnp.asarray(int(top_k), jnp.int32)))
+        else:
+            first = int(penalized.argmax())
     else:
         first = int(next_token)
     pres[first] = True
@@ -1664,7 +1676,8 @@ class QwenVLEngine:
             if repetition_penalty != 1.0:
                 presence, next_token = _rep_penalty_setup(
                     cfg.text.vocab_size, input_ids, stage_b_logits,
-                    next_token, repetition_penalty)
+                    next_token, repetition_penalty, temperature, top_p,
+                    top_k, seed)
             tokens = _run_decode_loop(
                 self.params, cfg, cache, next_token,
                 t_orig + rope_delta, eos_token_ids, max_new_tokens,
@@ -1779,7 +1792,7 @@ class QwenVLEngine:
         if repetition_penalty != 1.0:
             presence, next_token = _rep_penalty_setup(
                 cfg.text.vocab_size, input_ids, last_logits, next_token,
-                repetition_penalty)
+                repetition_penalty, temperature, top_p, top_k, seed)
         tokens = _run_decode_loop(
             self.params, cfg, cache, next_token,
             valid_len_i + rope_delta, eos_token_ids, max_new_tokens,
@@ -2770,7 +2783,7 @@ def run_generate_batch(
         for req, s in zip(requests, states):
             pres, first = _rep_penalty_setup(
                 vocab, req["input_ids"], s.logits, s.next_token,
-                repetition_penalty)
+                repetition_penalty, temperature, top_p, seed=seed)
             pres_rows.append(np.asarray(pres))
             firsts_pen.append(first)
         for s, f in zip(states, firsts_pen):
