@@ -95,7 +95,12 @@ class TestVideoEval:
 
 
 class TestVideoTaskRegistry:
-    @pytest.mark.parametrize("task", ["mlvu", "longvideobench", "mvbench"])
+    @pytest.mark.parametrize("task", [
+        "mlvu", "longvideobench", "mvbench",
+        # secondary video MC suites (r5 breadth pass)
+        "egoschema", "nextqa_mc_test", "perceptiontest_val_mc",
+        "tempcompass_mc",
+    ])
     def test_new_video_tasks_run(self, tmp_path, task):
         """Video suite breadth (paper's 13-benchmark claim, README.md:47)."""
         from PIL import Image

@@ -95,6 +95,39 @@ TASKS: Dict[str, TaskConfig] = {
     "scienceqa_img_ll": TaskConfig(
         "scienceqa_img_ll", "multiple_choice", _MC, 8,
         request_type="loglikelihood", dataset_file="scienceqa_img"),
+    # Secondary image suites (lmms-eval tasks/<dir>/<name>.yaml
+    # equivalents; same jsonl contract, metric matches each task's
+    # headline aggregation).
+    "stvqa": TaskConfig("stvqa", "anls", _SHORT, 32),
+    "ok_vqa_val2014": TaskConfig("ok_vqa_val2014", "vqa_accuracy", _SHORT,
+                                 32),
+    # hallusion_bench_image.yaml: yes/no per-question accuracy (its qAcc/
+    # fAcc grouped aggregations need the paired metadata; per-question
+    # accuracy is the comparable headline here)
+    "hallusion_bench_image": TaskConfig("hallusion_bench_image", "yes_no",
+                                        _SHORT, 8, filter="yes_no"),
+    "seedbench_2": TaskConfig("seedbench_2", "multiple_choice", _MC, 8,
+                              filter="mc_letter"),
+    "mme_realworld": TaskConfig("mme_realworld", "multiple_choice", _MC, 8,
+                                filter="mc_letter"),
+    "qbench_dev": TaskConfig("qbench_dev", "multiple_choice", _MC, 8,
+                             filter="mc_letter"),
+    # ai2d.yaml (masked-option prompt variant; ai2d_no_mask above is the
+    # unmasked one the paper suite uses)
+    "ai2d": TaskConfig("ai2d", "multiple_choice", _MC, 8,
+                       filter="mc_letter"),
+    # Secondary video MC suites (tasks/egoschema/egoschema.yaml,
+    # nextqa/nextqa_mc_test.yaml, perceptiontest/val,
+    # tempcompass/tempcompass_mc.yaml)
+    "egoschema": TaskConfig("egoschema", "multiple_choice", _MC, 8,
+                            filter="mc_letter"),
+    "nextqa_mc_test": TaskConfig("nextqa_mc_test", "multiple_choice", _MC,
+                                 8, filter="mc_letter"),
+    "perceptiontest_val_mc": TaskConfig(
+        "perceptiontest_val_mc", "multiple_choice", _MC, 8,
+        filter="mc_letter"),
+    "tempcompass_mc": TaskConfig("tempcompass_mc", "multiple_choice", _MC,
+                                 8, filter="mc_letter"),
 }
 
 

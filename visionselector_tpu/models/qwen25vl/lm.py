@@ -472,6 +472,38 @@ def layer_qk(
     return q, _repeat_kv(k, n_rep)
 
 
+def _pool_row_write(pool, li, pos, val):
+    """Append new KV rows into the stacked [L, B, T, *tail] pool with one
+    ``dynamic_update_slice`` per batch row instead of a vector-index scatter.
+
+    XLA performs the DUS in place on the scan-carried pool; the equivalent
+    scatter (``pool.at[li, rows, pos].set``) materializes a full pool copy
+    every layer — measured on v5e at 8K-slot pools (B=8, 3B): scatter 2.17x
+    the read-only KV roofline per step vs 1.30x with per-row DUS
+    (``tools/bench_decode_attrib.py``; IMPLEMENTATION_NOTES r5 decode-step
+    attribution). The unrolled B-loop costs B extra ops per layer, dwarfed
+    by the avoided copy.
+
+    Caller contract: ``pos[i] + val.shape[1] <= T`` for every row whose
+    cache content still matters. DUS clamps out-of-range starts (it shifts
+    the window back) instead of dropping them like scatter — decode loops
+    already guarantee capacity (slot installs reserve ``max_new + headroom``
+    and batch loops allocate ``t_ctx + steps``), so the clamp never engages
+    on a live row.
+
+    pool: [L, B, T, *tail]; li: scalar layer index; pos: [B] per-row write
+    offsets; val: [B, t_c, *tail].
+    """
+    b, t_c = val.shape[0], val.shape[1]
+    tail = val.shape[2:]
+    zeros = (0,) * len(tail)
+    for i in range(b):
+        upd = val[i].reshape((1, 1, t_c) + tail)
+        pool = jax.lax.dynamic_update_slice(
+            pool, upd, (li, i, pos[i]) + zeros)
+    return pool
+
+
 def _windowed_views(k_cache, v_cache, k_scale, v_scale, w):
     """Static live-prefix views of the slot pool for attention READS.
 
@@ -524,7 +556,6 @@ def lm_decode_step(
     n_rep = cfg.num_attention_heads // cfg.num_key_value_heads
     b = inputs_embeds.shape[0]
     quant = isinstance(cache, QuantKVCache)
-    rows = jnp.arange(b)
 
     def layer(carry, scanned):
         if quant:
@@ -536,15 +567,15 @@ def lm_decode_step(
         h = rms_norm(x, p["input_ln_scale"], cfg.rms_norm_eps)
         q, k, v = _qkv(h, p, cfg)
         q, k = _apply_mrope(q, k, cos, sin)
-        # Write the new row at (layer, batch row, length) — a scatter with
-        # unique indices that XLA performs in place on the carried pool.
+        # Write the new row at (layer, batch row, length) — per-row DUS,
+        # in place on the carried pool (see _pool_row_write's traffic note).
         if quant:
             k8, ks_new = quantize_kv(k)
             v8, vs_new = quantize_kv(v)
-            k_all = k_all.at[li, rows, pos].set(k8[:, 0], unique_indices=True)
-            v_all = v_all.at[li, rows, pos].set(v8[:, 0], unique_indices=True)
-            ks_all = ks_all.at[li, rows, pos].set(ks_new[:, 0], unique_indices=True)
-            vs_all = vs_all.at[li, rows, pos].set(vs_new[:, 0], unique_indices=True)
+            k_all = _pool_row_write(k_all, li, pos, k8)
+            v_all = _pool_row_write(v_all, li, pos, v8)
+            ks_all = _pool_row_write(ks_all, li, pos, ks_new)
+            vs_all = _pool_row_write(vs_all, li, pos, vs_new)
             # int8 straight into the attention dots; scales fold into the
             # grouped logits/probs (materializing a dequantized bf16 copy
             # triples the step's KV traffic — measured 0.78x).
@@ -554,8 +585,8 @@ def lm_decode_step(
             vq_scale = jax.lax.dynamic_index_in_dim(vs_all, li, 0, False)
         else:
             kq_scale = vq_scale = None
-            k_all = k_all.at[li, rows, pos].set(k[:, 0], unique_indices=True)
-            v_all = v_all.at[li, rows, pos].set(v[:, 0], unique_indices=True)
+            k_all = _pool_row_write(k_all, li, pos, k)
+            v_all = _pool_row_write(v_all, li, pos, v)
             k_cache = jax.lax.dynamic_index_in_dim(k_all, li, 0, False)
             v_cache = jax.lax.dynamic_index_in_dim(v_all, li, 0, False)
         # Unexpanded [B, T, H_kv, D] caches: grouped-query attention streams
@@ -617,7 +648,6 @@ def lm_decode_chunk(
     n_rep = cfg.num_attention_heads // cfg.num_key_value_heads
     b, t_c, _ = inputs_embeds.shape
     quant = isinstance(cache, QuantKVCache)
-    rows = jnp.arange(b)[:, None]  # [B, 1], broadcasts with pos grid
 
     def layer(carry, scanned):
         if quant:
@@ -629,18 +659,15 @@ def lm_decode_chunk(
         h = rms_norm(x, p["input_ln_scale"], cfg.rms_norm_eps)
         q, k, v = _qkv(h, p, cfg)
         q, k = _apply_mrope(q, k, cos, sin)
-        # Scatter the t_c new rows at (layer, batch row, pos..pos+t_c-1)
-        # in place on the carried pool (see lm_decode_step's traffic note).
-        grid = pos[:, None] + jnp.arange(t_c)[None, :]  # [B, t_c]
+        # Write the t_c new rows at (layer, batch row, pos..pos+t_c-1) —
+        # per-row DUS, in place on the carried pool (see _pool_row_write).
         if quant:
             k8, ks_new = quantize_kv(k)
             v8, vs_new = quantize_kv(v)
-            k_all = k_all.at[li, rows, grid].set(k8, unique_indices=True)
-            v_all = v_all.at[li, rows, grid].set(v8, unique_indices=True)
-            ks_all = ks_all.at[li, rows, grid].set(ks_new,
-                                                   unique_indices=True)
-            vs_all = vs_all.at[li, rows, grid].set(vs_new,
-                                                   unique_indices=True)
+            k_all = _pool_row_write(k_all, li, pos, k8)
+            v_all = _pool_row_write(v_all, li, pos, v8)
+            ks_all = _pool_row_write(ks_all, li, pos, ks_new)
+            vs_all = _pool_row_write(vs_all, li, pos, vs_new)
             # Fold dequant scales into logits/probs (see lm_decode_step).
             k_cache = jax.lax.dynamic_index_in_dim(k_all, li, 0, False)
             v_cache = jax.lax.dynamic_index_in_dim(v_all, li, 0, False)
@@ -648,8 +675,8 @@ def lm_decode_chunk(
             vq_scale = jax.lax.dynamic_index_in_dim(vs_all, li, 0, False)
         else:
             kq_scale = vq_scale = None
-            k_all = k_all.at[li, rows, grid].set(k, unique_indices=True)
-            v_all = v_all.at[li, rows, grid].set(v, unique_indices=True)
+            k_all = _pool_row_write(k_all, li, pos, k)
+            v_all = _pool_row_write(v_all, li, pos, v)
             k_cache = jax.lax.dynamic_index_in_dim(k_all, li, 0, False)
             v_cache = jax.lax.dynamic_index_in_dim(v_all, li, 0, False)
         kc, vc, ks_r, vs_r = _windowed_views(
