@@ -197,3 +197,36 @@ class TestVerifyCheckpoint:
                 "--budget", "0.5"]
         assert main(["--record", t] + args) == 0
         assert main(["--verify", t] + args) == 0
+
+
+class TestAcceptance:
+    def test_tiny_smoke_all_steps(self, tmp_path, capsys):
+        """One-command acceptance (VERDICT r4 item 9): transcript roundtrip
+        + golden indices + 8-sample regression, tiny random config."""
+        import json as _json
+
+        import numpy as np
+        from PIL import Image
+
+        from visionselector_tpu.api.acceptance import main
+
+        img_path = tmp_path / "img.png"
+        Image.fromarray(
+            (np.random.RandomState(0).rand(56, 56, 3) * 255).astype(np.uint8)
+        ).save(img_path)
+        with open(tmp_path / "chartqa.jsonl", "w") as f:
+            for i in range(3):
+                f.write(_json.dumps({
+                    "question": f"What is {i}?", "answers": [str(i)],
+                    "image": "img.png",
+                }) + "\n")
+        rc = main(["--max-new-tokens", "3", "--budget", "0.5",
+                   "--data-dir", str(tmp_path), "--tasks", "chartqa",
+                   "--limit", "2"])
+        out_lines = [ln for ln in capsys.readouterr().out.splitlines()
+                     if ln.startswith("{")]
+        steps = [_json.loads(ln) for ln in out_lines]
+        assert rc == 0
+        assert steps[-1]["acceptance"] == "PASS"
+        names = {s.get("step") for s in steps if "step" in s}
+        assert names == {"transcript", "golden_indices", "regression8"}

@@ -1,0 +1,294 @@
+"""Export HF benchmark releases into the harness's jsonl + image-dir schema.
+
+``eval.tasks.load_task_docs`` reads ``<data_dir>/<task>.jsonl`` with::
+
+    {"question": str, "answers": [str, ...], "image": "rel/path.png"}
+    {"question": str, "answers": [str, ...], "video": "rel/dir_or_file"}
+
+The reference pulls these benchmarks live from the hub via each task yaml's
+``dataset_path`` (e.g. ``lmms-eval/lmms_eval/tasks/chartqa/chartqa.yaml``
+``dataset_path: lmms-lab/ChartQA``) and maps doc fields in that task's
+``utils.py`` ``doc_to_visual`` / ``doc_to_text`` / ``doc_to_target``. This
+module is the offline equivalent: point it at a locally downloaded release
+(``datasets.load_from_disk`` directory, a parquet file, or a directory of
+parquet shards) and it writes the task's jsonl + extracted images.
+
+Per-task field mappings cite the reference utils they mirror. MC tasks are
+rendered to the same "A. <choice>" option block the reference prompts with
+(``scienceqa/utils.py:sqa_doc_to_text``, ``ai2d/utils.py:ai2d_doc_to_text``)
+with the answer letter as the target; the harness's TaskConfig appends the
+answer-format suffix at load time, so it is NOT written here.
+
+Usage:
+    python -m visionselector_tpu.eval.export_tasks \
+        --task chartqa --dataset-path /data/hf/ChartQA --split test \
+        --output-dir /data/vst_eval [--limit N]
+
+Video tasks write jsonl referencing ``<videoID>.mp4`` (the reference
+resolves the same id against its video cache dir,
+``videomme/utils.py:137``); supply the video files separately under the
+output dir.
+"""
+
+from __future__ import annotations
+
+import argparse
+import io
+import json
+import os
+from typing import Callable, Dict, Iterable, Optional
+
+LETTERS = [chr(ord("A") + i) for i in range(26)]
+
+
+def _as_list(x) -> list:
+    if x is None:
+        return []
+    if isinstance(x, (list, tuple)):
+        return [str(a) for a in x]
+    return [str(x)]
+
+
+def mc_block(question: str, choices, context: Optional[str] = None) -> str:
+    """Render the reference's MC prompt body: question + 'A. x\\nB. y' block
+    (``scienceqa/utils.py:sqa_doc_to_text``); context prepended when the
+    doc carries a hint."""
+    opts = "\n".join(
+        f"{LETTERS[i]}. {c}" for i, c in enumerate(choices))
+    ctx = f"Context: {context}\n" if context else ""
+    return f"{ctx}{question}\n{opts}"
+
+
+def _answer_letter(answer, choices) -> str:
+    """Normalize an answer (index, letter, or choice text) to its letter."""
+    if isinstance(answer, (int,)) or (
+            isinstance(answer, str) and answer.isdigit()):
+        return LETTERS[int(answer)]
+    a = str(answer).strip()
+    if len(a) == 1 and a.upper() in LETTERS[:len(choices)]:
+        return a.upper()
+    for i, c in enumerate(choices):
+        if str(c).strip().lower() == a.lower():
+            return LETTERS[i]
+    raise ValueError(f"cannot normalize MC answer {answer!r}")
+
+
+# --------------------------------------------------------------------------
+# Per-task doc mappers: HF doc -> {question, answers, image|video|None}.
+# `image` in the returned dict is the raw HF image value (PIL or
+# {bytes,path}); the writer materializes it to a PNG.
+# --------------------------------------------------------------------------
+
+def _map_chartqa(doc):
+    # chartqa/utils.py: doc_to_visual doc["image"], doc_to_text
+    # doc["question"], target doc["answer"]
+    return {"question": doc["question"], "answers": _as_list(doc["answer"]),
+            "image": doc["image"]}
+
+
+def _map_docvqa(doc):
+    # docvqa/utils.py: doc["image"], doc["question"]; val split target is
+    # the doc's answers list (anls over multiple references)
+    return {"question": doc["question"],
+            "answers": _as_list(doc.get("answers") or doc.get("answer")),
+            "image": doc["image"]}
+
+
+def _map_textvqa(doc):
+    # textvqa/utils.py: doc["image"], doc["question"], doc["answers"]
+    # (10 annotator answers, consensus-scored)
+    return {"question": doc["question"], "answers": _as_list(doc["answers"]),
+            "image": doc["image"]}
+
+
+def _map_scienceqa(doc):
+    # scienceqa/utils.py:sqa_doc_to_text: hint/question/choices;
+    # target options[doc["answer"]]
+    if doc.get("image") is None:
+        return None  # scienceqa_img = image split only
+    q = mc_block(doc["question"], doc["choices"], doc.get("hint") or None)
+    return {"question": q,
+            "answers": [_answer_letter(doc["answer"], doc["choices"])],
+            "image": doc["image"]}
+
+
+def _map_ai2d(doc):
+    # ai2d/utils.py: question/options; target options[int(doc["answer"])]
+    q = mc_block(doc["question"], doc["options"])
+    return {"question": q,
+            "answers": [_answer_letter(doc["answer"], doc["options"])],
+            "image": doc["image"]}
+
+
+def _map_pope(doc):
+    # pope/utils.py: doc["question"], doc["answer"] (yes/no)
+    return {"question": doc["question"], "answers": _as_list(doc["answer"]),
+            "image": doc["image"]}
+
+
+def _map_mme(doc):
+    # mme/utils.py: doc["question"], doc["answer"] (Yes/No)
+    return {"question": doc["question"], "answers": _as_list(doc["answer"]),
+            "image": doc["image"]}
+
+
+def _map_ocrbench(doc):
+    # ocrbench/utils.py: doc["question"], doc["answer"] (list of refs)
+    return {"question": doc["question"], "answers": _as_list(doc["answer"]),
+            "image": doc["image"]}
+
+
+def _map_gqa(doc):
+    # gqa/utils.py: doc["question"], doc["answer"]; image joined by id
+    # (lmms-lab/GQA ships a parallel image split — export the qa split
+    # against a release whose docs carry the image inline, or place
+    # images manually)
+    return {"question": doc["question"], "answers": _as_list(doc["answer"]),
+            "image": doc.get("image")}
+
+
+def _map_mmbench(doc):
+    # mmbench/en_utils.py: options live in columns A..E (may be nan),
+    # hint in doc["hint"], target letter in doc["answer"]
+    choices = []
+    for letter in LETTERS[:5]:
+        v = doc.get(letter)
+        if v is None or (isinstance(v, float) and v != v) or v == "nan":
+            break
+        choices.append(v)
+    hint = doc.get("hint")
+    if isinstance(hint, float) and hint != hint:
+        hint = None
+    q = mc_block(doc["question"], choices, hint or None)
+    return {"question": q, "answers": [str(doc["answer"]).strip().upper()],
+            "image": doc["image"]}
+
+
+def _map_videomme(doc):
+    # videomme/utils.py:137,152-153: video <videoID>.mp4; question +
+    # newline-joined options (already letter-prefixed in the release);
+    # target doc["answer"] letter
+    q = doc["question"] + "\n" + "\n".join(doc["options"])
+    return {"question": q, "answers": [str(doc["answer"]).strip().upper()],
+            "video": doc["videoID"] + ".mp4"}
+
+
+EXPORTERS: Dict[str, Callable] = {
+    "chartqa": _map_chartqa,
+    "docvqa_val": _map_docvqa,
+    "infovqa_val": _map_docvqa,   # same schema family (anls, answers list)
+    "stvqa": _map_docvqa,
+    "textvqa_val": _map_textvqa,
+    "ok_vqa_val2014": _map_textvqa,
+    "vqav2_val": _map_textvqa,
+    "vizwiz_vqa_val": _map_textvqa,
+    "scienceqa_img": _map_scienceqa,
+    "ai2d": _map_ai2d,
+    "ai2d_no_mask": _map_ai2d,
+    "pope": _map_pope,
+    "mme": _map_mme,
+    "ocrbench": _map_ocrbench,
+    "gqa": _map_gqa,
+    "mmbench": _map_mmbench,
+    "videomme": _map_videomme,
+}
+
+
+def load_docs(dataset_path: str, split: Optional[str]) -> Iterable[dict]:
+    """Load docs from a local HF release: a ``save_to_disk`` directory, a
+    parquet file, or a directory of parquet shards. Never touches the
+    network."""
+    import datasets
+
+    if os.path.isdir(dataset_path):
+        names = os.listdir(dataset_path)
+        if "dataset_info.json" in names or "dataset_dict.json" in names:
+            ds = datasets.load_from_disk(dataset_path)
+        else:
+            files = sorted(
+                os.path.join(root, f)
+                for root, _, fs in os.walk(dataset_path)
+                for f in fs if f.endswith(".parquet"))
+            if not files:
+                raise FileNotFoundError(
+                    f"no parquet files under {dataset_path}")
+            ds = datasets.load_dataset(
+                "parquet", data_files=files, split="train")
+    elif dataset_path.endswith(".parquet"):
+        ds = datasets.load_dataset(
+            "parquet", data_files=[dataset_path], split="train")
+    else:
+        raise FileNotFoundError(dataset_path)
+    if split and hasattr(ds, "keys") and split in getattr(ds, "keys")():
+        ds = ds[split]
+    return ds
+
+
+def _save_image(img, path: str) -> None:
+    from PIL import Image
+
+    if isinstance(img, dict):  # HF image feature as {bytes, path}
+        if img.get("bytes"):
+            img = Image.open(io.BytesIO(img["bytes"]))
+        else:
+            img = Image.open(img["path"])
+    if not hasattr(img, "save"):
+        import numpy as np
+
+        img = Image.fromarray(np.asarray(img))
+    img.convert("RGB").save(path)
+
+
+def export_task(task: str, dataset_path: str, output_dir: str,
+                split: Optional[str] = None, limit: Optional[int] = None,
+                image_subdir: str = "images") -> int:
+    """Write ``<output_dir>/<task>.jsonl`` (+ extracted images). Returns
+    the number of exported docs."""
+    if task not in EXPORTERS:
+        raise SystemExit(
+            f"no exporter for task {task!r}; available: "
+            f"{', '.join(sorted(EXPORTERS))}")
+    mapper = EXPORTERS[task]
+    docs = load_docs(dataset_path, split)
+    os.makedirs(output_dir, exist_ok=True)
+    img_dir = os.path.join(output_dir, image_subdir)
+    n = 0
+    with open(os.path.join(output_dir, f"{task}.jsonl"), "w") as out:
+        for doc in docs:
+            if limit is not None and n >= limit:
+                break
+            rec = mapper(doc)
+            if rec is None:
+                continue
+            img = rec.pop("image", None)
+            if img is not None:
+                os.makedirs(img_dir, exist_ok=True)
+                rel = os.path.join(image_subdir, f"{task}_{n:06d}.png")
+                _save_image(img, os.path.join(output_dir, rel))
+                rec["image"] = rel
+            out.write(json.dumps(rec) + "\n")
+            n += 1
+    return n
+
+
+def main(argv=None) -> int:
+    p = argparse.ArgumentParser(description=__doc__.split("\n\n")[0])
+    p.add_argument("--task", required=True,
+                   help=f"one of: {', '.join(sorted(EXPORTERS))}")
+    p.add_argument("--dataset-path", required=True,
+                   help="local HF release: save_to_disk dir, parquet file, "
+                        "or dir of parquet shards")
+    p.add_argument("--split", default=None)
+    p.add_argument("--output-dir", required=True)
+    p.add_argument("--limit", type=int, default=None)
+    args = p.parse_args(argv)
+    n = export_task(args.task, args.dataset_path, args.output_dir,
+                    split=args.split, limit=args.limit)
+    print(json.dumps({"task": args.task, "exported": n,
+                      "output": os.path.join(args.output_dir,
+                                             f"{args.task}.jsonl")}))
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
