@@ -495,9 +495,11 @@ class TestContinuousBatcher:
         tps = jnp.ones((2,), jnp.float32)
         tks = jnp.zeros((2,), jnp.int32)
         keys = jnp.zeros((2, 2), jnp.uint32)
-        emitted, acc, cache, _, _, _, _ = _spec_scan_slots(
+        pres = jnp.zeros((2, eng.cfg.text.vocab_size), jnp.bool_)
+        rps = jnp.ones((2,), jnp.float32)
+        emitted, acc, cache, _, _, _, _, _ = _spec_scan_slots(
             eng.params, two_slot_pool(state.cache), cur, pos, live, buf,
-            temps, tps, tks, keys, eng.cfg, m, 1, ngram)
+            temps, tps, tks, keys, pres, rps, eng.cfg, m, 1, ngram)
         assert int(acc[0, 0]) == m  # all proposals accepted
         assert int(acc[0, 1]) == -1  # dead slot consumes nothing
         out = np.asarray(emitted)[0, 0, : m + 1].tolist()

@@ -286,10 +286,11 @@ class TestContinuousKnobs:
         finally:
             b.shutdown()
 
-    def test_continuous_speculative_rp_falls_back(self, params):
-        """With a penalized slot live, the speculative batcher must fall
-        back to the sequential chunk and still equal the one-shot rollout
-        (the fused multi-row verify cannot apply a per-step penalty)."""
+    def test_continuous_speculative_rp_rides_fused_path(self, params):
+        """A penalized slot rides the fused speculative dispatch at the
+        sequential rate (force-rejected proposals, penalized row-0 pick)
+        and still equals the one-shot penalized rollout exactly — the r4
+        whole-pool sequential fallback is gone."""
         from visionselector_tpu.models.qwen25vl.continuous import (
             ContinuousBatcher,
         )
@@ -305,7 +306,46 @@ class TestContinuousKnobs:
                 dict(input_ids=ids, pixel_values=pixels, grid_thw=grid),
                 max_new_tokens=6, repetition_penalty=1.4)
             assert res.tokens == oracle.tokens
-            assert b.stats["spec_steps"] == 0  # never took the fused path
+            assert b.stats["spec_steps"] > 0  # took the fused path
+            # penalized slots are excluded from acceptance accounting
+            assert res.spec_proposed == 0
+        finally:
+            b.shutdown()
+
+    def test_continuous_penalized_and_plain_share_fused_pool(self, params):
+        """1 penalized + 1 plain slot in one speculative pool: both match
+        their one-shot oracles (the penalized slot must not corrupt the
+        plain slot's speculative stream, and vice versa)."""
+        import threading
+
+        from visionselector_tpu.models.qwen25vl.continuous import (
+            ContinuousBatcher,
+        )
+
+        ids, pixels, grid = make_request()
+        eng = QwenVLEngine(CFG, params, use_selector=True, budget=0.25)
+        oracle_pen = eng.generate(ids, pixels, grid, max_new_tokens=6,
+                                  repetition_penalty=1.4)
+        oracle_plain = eng.generate(ids, pixels, grid, max_new_tokens=6)
+        b = ContinuousBatcher(eng, n_slots=2, t_max=512, chunk=4,
+                              speculative=3)
+        try:
+            results = {}
+
+            def worker(name, extra):
+                results[name] = b.submit(
+                    dict(input_ids=ids, pixel_values=pixels, grid_thw=grid),
+                    max_new_tokens=6, **extra)
+
+            ts = [threading.Thread(target=worker,
+                                   args=("pen", dict(repetition_penalty=1.4))),
+                  threading.Thread(target=worker, args=("plain", {}))]
+            for t in ts:
+                t.start()
+            for t in ts:
+                t.join()
+            assert results["pen"].tokens == oracle_pen.tokens
+            assert results["plain"].tokens == oracle_plain.tokens
         finally:
             b.shutdown()
 

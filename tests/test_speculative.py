@@ -207,3 +207,38 @@ class TestSampledSpeculative:
         assert a.tokens == b.tokens
         assert len(a.tokens) <= 10
         assert a.decode_dispatches is not None
+
+
+class TestSpecObservability:
+    """Per-request acceptance counters (VERDICT r4 item 5)."""
+
+    def test_one_shot_counts(self):
+        eng, ids, pixels, grid = TestSpeculativeGeneration()._setup()
+        res = generate_speculative(eng, ids, pixels, grid,
+                                   max_new_tokens=16, eos_token_ids=(-1,),
+                                   propose_len=5)
+        assert res.spec_proposed == res.decode_dispatches * 5
+        assert 0 <= res.spec_accepted <= res.spec_proposed
+        # plain generate leaves the fields None
+        plain = eng.generate(ids, pixels, grid, max_new_tokens=4)
+        assert plain.spec_proposed is None
+
+    def test_continuous_slot_counts(self):
+        from visionselector_tpu.models.qwen25vl.continuous import (
+            ContinuousBatcher,
+        )
+
+        eng, ids, pixels, grid = TestSpeculativeGeneration()._setup()
+        bat = ContinuousBatcher(eng, n_slots=2, t_max=512, chunk=4,
+                                speculative=3)
+        try:
+            res = bat.submit(
+                dict(input_ids=ids, pixel_values=pixels, grid_thw=grid),
+                12, (-1,))
+        finally:
+            stats = dict(bat.stats)
+            bat.shutdown()
+        assert res.spec_proposed is not None and res.spec_proposed > 0
+        assert 0 <= res.spec_accepted <= res.spec_proposed
+        assert stats["spec_proposed"] >= res.spec_proposed
+        assert stats["spec_accepted"] >= res.spec_accepted

@@ -134,6 +134,9 @@ def main():
             "spec_makespan_s": round(spec_span, 2),
             "spec_makespan_speedup_vs_fifo": round(fifo_span / spec_span, 2),
             "spec_stats": spec_stats,
+            "spec_acceptance_rate": round(
+                spec_stats["spec_accepted"]
+                / max(spec_stats["spec_proposed"], 1), 4),
             # spec_tokens counts tokens actually emitted (all slots); each
             # verify round costs ~one weight-stream pass and each host
             # dispatch fuses `chunk` rounds (see _spec_scan_slots)
@@ -144,6 +147,35 @@ def main():
                 spec_stats["spec_tokens"]
                 / max(spec_stats["chunks"], 1), 2),
         }
+
+        # High-acceptance proof arm (VERDICT r4 item 5): with random
+        # weights prompt-lookup acceptance is ~0, so the ~(1+r*m) scaling
+        # claim was unproven end-to-end. Make every embedding row identical
+        # -> every logit row is identical -> greedy emits a constant token
+        # -> the lookup proposes that constant run and acceptance -> 1.
+        # Same shapes, same FLOPs, same programs; only the weights change,
+        # so (plain continuous) / (speculative continuous) under these
+        # weights isolates the speculative schedule's value at high r.
+        import jax.numpy as jnp
+
+        emb = engine.params["lm"]["embed_tokens"]
+        engine.params["lm"]["embed_tokens"] = jnp.broadcast_to(
+            emb[:1], emb.shape) + 0  # materialize
+        del emb
+        hi_cont_lat, hi_cont_span, _ = run_continuous()
+        hi_spec_lat, hi_spec_span, hi_stats = run_continuous(
+            speculative=spec)
+        spec_line.update({
+            "high_accept_acceptance_rate": round(
+                hi_stats["spec_accepted"]
+                / max(hi_stats["spec_proposed"], 1), 4),
+            "high_accept_cont_makespan_s": round(hi_cont_span, 2),
+            "high_accept_spec_makespan_s": round(hi_spec_span, 2),
+            "high_accept_spec_vs_plain": round(
+                hi_cont_span / hi_spec_span, 2),
+            "high_accept_tokens_per_dispatch": round(
+                hi_stats["spec_tokens"] / max(hi_stats["chunks"], 1), 2),
+        })
 
     med = statistics.median
     print(json.dumps({

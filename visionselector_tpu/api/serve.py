@@ -388,6 +388,9 @@ class Server:
             "prefill_ms": res.prefill_seconds * 1e3,
             "latency_ms": res.total_seconds * 1e3,
         }
+        if getattr(res, "spec_proposed", None) is not None:
+            out["spec_proposed"] = res.spec_proposed
+            out["spec_accepted"] = res.spec_accepted
         if session is not None:
             out["session"] = session
         return out

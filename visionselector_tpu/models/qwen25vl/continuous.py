@@ -160,11 +160,13 @@ def _lookup_props(buf: jax.Array, n: int, m: int) -> jax.Array:
 
 @functools.partial(jax.jit,
                    static_argnames=("cfg", "m", "rounds", "ngram",
-                                    "sampled", "attn_impl", "attn_window"),
-                   donate_argnums=(1,))
+                                    "sampled", "penalized", "attn_impl",
+                                    "attn_window"),
+                   donate_argnums=(1, 10))
 def _spec_scan_slots(params, cache, cur, pos, live, buf, temps, tps, tks,
-                     keys, cfg, m: int, rounds: int, ngram: int,
-                     sampled: bool = False, attn_impl: str | None = None,
+                     keys, pres, rps, cfg, m: int, rounds: int, ngram: int,
+                     sampled: bool = False, penalized: bool = False,
+                     attn_impl: str | None = None,
                      attn_window: int | None = None):
     """Fused speculative decode: ``rounds`` propose+verify cycles in ONE
     device dispatch (a lax.scan whose body does on-device prompt-lookup ->
@@ -188,15 +190,26 @@ def _spec_scan_slots(params, cache, cur, pos, live, buf, temps, tps, tks,
     window, its key splits once per round), so its rollout is
     seed-reproducible regardless of what else shares the pool.
 
+    ``penalized=True`` (some slot has repetition_penalty != 1): a penalized
+    slot rides the fused dispatch at the SEQUENTIAL rate — its proposals
+    are force-rejected (a = 0) and its one emitted token per round is the
+    penalized argmax (greedy) / penalized nucleus draw (sampled) of row 0's
+    logits, which are conditioned only on committed tokens, so the rollout
+    is EXACT HF-processor semantics (greedy: bit-equal to the sequential
+    chunk). Co-resident plain slots keep full speculative speed — this
+    removes the r4 cliff where one penalized request forced the whole pool
+    onto the sequential path. ``pres`` [S, V] / ``rps`` [S] are dead inputs
+    when ``penalized=False``.
+
     buf [S, C]: per-slot recent-token window for the lookup (-1 padded).
     Returns (emitted [rounds, S, m+1], accepted [rounds, S], cache, keys,
-    buf, cur, pos) — the host consumes accepted[r, s]+1 tokens per live
-    slot per round, stopping at its eos/budget."""
+    pres, buf, cur, pos) — the host consumes accepted[r, s]+1 tokens per
+    live slot per round, stopping at its eos/budget."""
     c = buf.shape[1]
     s = cur.shape[0]
 
     def body(carry, _):
-        cur_c, pos_c, buf_c, keys_c, cache_c = carry
+        cur_c, pos_c, buf_c, keys_c, pres_c, cache_c = carry
         len0 = cache_c.length
         props = _lookup_props(buf_c, ngram, m)
         ids = jnp.concatenate([cur_c[:, None], props], axis=1)
@@ -226,6 +239,30 @@ def _spec_scan_slots(params, cache, cur, pos, live, buf, temps, tps, tks,
             is_samp = temps > 0.0
             emitted = jnp.where(is_samp[:, None], em_s, greedy)
             a = jnp.where(is_samp, a_s, a)
+        if penalized:
+            from visionselector_tpu.models.qwen25vl.model import (
+                _penalize_logits,
+            )
+
+            # penalized slots: force-reject the proposals (a = 0) and emit
+            # row 0's penalized pick — exact sequential-rate semantics;
+            # plain co-resident slots keep their speculative acceptance
+            pen_mask = rps != 1.0
+            l0 = _penalize_logits(logits[:, 0], pres_c, rps[:, None])
+            e0 = jnp.argmax(l0, axis=-1).astype(jnp.int32)
+            if sampled:
+                from visionselector_tpu.models.qwen25vl.model import (
+                    _sample_token,
+                )
+
+                e0s = jax.vmap(_sample_token)(
+                    l0, ks[:, 1], temps, tps, tks).astype(jnp.int32)
+                e0 = jnp.where(temps > 0.0, e0s, e0)
+            emitted = emitted.at[:, 0].set(
+                jnp.where(pen_mask, e0, emitted[:, 0]))
+            a = jnp.where(pen_mask, 0, a)
+            pres_c = pres_c.at[jnp.arange(s), emitted[:, 0]].max(
+                pen_mask & live)
         a = jnp.where(live, a, -1)  # dead slots consume nothing
         cache_c = cache_c._replace(
             length=jnp.where(live[None, :], len0 + a[None, :] + 1, len0))
@@ -236,11 +273,11 @@ def _spec_scan_slots(params, cache, cur, pos, live, buf, temps, tps, tks,
         buf_c = jnp.take_along_axis(ext, gidx, axis=1)
         cur_c = jnp.where(live, emitted[jnp.arange(s), a], cur_c)
         pos_c = pos_c + jnp.where(live, a + 1, 0)
-        return (cur_c, pos_c, buf_c, keys_c, cache_c), (emitted, a)
+        return (cur_c, pos_c, buf_c, keys_c, pres_c, cache_c), (emitted, a)
 
-    (cur, pos, buf, keys, cache), (emitted, acc) = jax.lax.scan(
-        body, (cur, pos, buf, keys, cache), None, length=rounds)
-    return emitted, acc, cache, keys, buf, cur, pos
+    (cur, pos, buf, keys, pres, cache), (emitted, acc) = jax.lax.scan(
+        body, (cur, pos, buf, keys, pres, cache), None, length=rounds)
+    return emitted, acc, cache, keys, pres, buf, cur, pos
 
 
 def window_bucket(need: int, t_max: int) -> Optional[int]:
@@ -307,6 +344,9 @@ class _Slot:
     # prompt ids + emitted tokens, for prompt-lookup proposals
     # (speculative mode only; None otherwise)
     ctx: list = None
+    # per-request speculative observability (GenerationResult.spec_*)
+    spec_proposed: int = 0
+    spec_accepted: int = 0
 
 
 class ContinuousBatcher:
@@ -415,7 +455,8 @@ class ContinuousBatcher:
                           # spec_accepted: accepted proposals consumed;
                           # spec_tokens: tokens actually emitted through
                           # the speculative path (all slots)
-                          spec_steps=0, spec_accepted=0, spec_tokens=0)
+                          spec_steps=0, spec_proposed=0, spec_accepted=0,
+                          spec_tokens=0)
         self._running = True
         self._thread = threading.Thread(target=self._run, daemon=True)
         self._thread.start()
@@ -658,6 +699,9 @@ class ContinuousBatcher:
         slot.result.tokens = slot.tokens[: slot.max_new]
         slot.result.total_seconds = time.perf_counter() - slot.t_submit
         slot.result.decode_dispatches = slot.chunks
+        if self.speculative > 0:
+            slot.result.spec_proposed = slot.spec_proposed
+            slot.result.spec_accepted = slot.spec_accepted
         slot.item["result"] = slot.result
         slot.done_event.set()
         self.slots[idx] = None
@@ -738,12 +782,12 @@ class ContinuousBatcher:
             sampled = bool(np.any(self.temps[self.live] > 0.0))
             penalized = bool(np.any(self.rps[self.live] != 1.0))
             try:
-                if self.speculative > 0 and not penalized:
-                    # a penalized slot forces the sequential chunk: the
-                    # fused verify scores all m+1 rows from round-start
-                    # presence, so a token emitted at row j would not
-                    # penalize row j+1 (HF applies the penalty per step)
-                    self._spec_round(sampled)
+                if self.speculative > 0:
+                    # penalized slots ride the fused dispatch at the
+                    # sequential rate (exact per-step penalty on row 0);
+                    # plain slots keep speculative speed (r4's whole-pool
+                    # sequential fallback removed)
+                    self._spec_round(sampled, penalized)
                     self._mark_decode()
                     continue
                 with self.engine_lock:
@@ -799,10 +843,11 @@ class ContinuousBatcher:
                     self.cur[i] = slot.tokens[-1]
                     self.pos[i] += self.chunk
 
-    def _spec_round(self, sampled: bool = False):
+    def _spec_round(self, sampled: bool = False, penalized: bool = False):
         """One fused speculative dispatch: ``chunk`` on-device
         propose+verify rounds per host round trip (``_spec_scan_slots``),
-        then a per-round, per-slot accepted-prefix harvest."""
+        then a per-round, per-slot accepted-prefix harvest. Penalized slots
+        ride along at the sequential rate (see _spec_scan_slots)."""
         m = self.speculative
         rounds = self.chunk
         c = self.ctx_window
@@ -812,17 +857,19 @@ class ContinuousBatcher:
                 tail = slot.ctx[-c:]
                 buf[i, c - len(tail):] = tail
         with self.engine_lock:
-            emitted, acc, cache, keys, _, _, _ = _spec_scan_slots(
+            emitted, acc, cache, keys, pres, _, _, _ = _spec_scan_slots(
                 self.engine.params, self.pool,
                 jnp.asarray(self.cur), jnp.asarray(self.pos),
                 jnp.asarray(self.live), jnp.asarray(buf),
                 jnp.asarray(self.temps), jnp.asarray(self.tps),
-                jnp.asarray(self.tks), jnp.asarray(self.keys),
-                self.engine.cfg, m, rounds, self.ngram, sampled,
+                jnp.asarray(self.tks), jnp.asarray(self.keys), self.pres,
+                jnp.asarray(self.rps),
+                self.engine.cfg, m, rounds, self.ngram, sampled, penalized,
                 attn_impl=self.decode_attn,
                 attn_window=self._attn_window(rounds * (m + 1)),
             )
         self.pool = cache
+        self.pres = pres
         if sampled:
             self.keys = np.array(keys)  # np.asarray would be read-only
         self.stats["chunks"] += 1
@@ -838,9 +885,14 @@ class ContinuousBatcher:
             slot.chunks += 1
             consumed = 0
             finished = False
+            pen_slot = self.rps[i] != 1.0
             for r in range(rounds):
                 a_i = int(acc[r, i])
-                self.stats["spec_accepted"] += max(a_i, 0)
+                if not pen_slot:  # penalized slots force-reject by design
+                    self.stats["spec_proposed"] += m
+                    self.stats["spec_accepted"] += max(a_i, 0)
+                    slot.spec_proposed += m
+                    slot.spec_accepted += max(a_i, 0)
                 for t in emitted[r, i, : a_i + 1].tolist():
                     if t in slot.eos:
                         finished = True

@@ -1106,6 +1106,11 @@ class GenerationResult:
     # device dispatches the decode took (speculative decoding emits several
     # tokens per dispatch; None for the plain per-token loop)
     decode_dispatches: Optional[int] = None
+    # speculative-decoding observability (VERDICT r4 item 5): prompt-lookup
+    # proposals made / accepted for this request. acceptance rate =
+    # spec_accepted / spec_proposed. None when speculative was off.
+    spec_proposed: Optional[int] = None
+    spec_accepted: Optional[int] = None
 
 
 @functools.partial(
@@ -2259,6 +2264,7 @@ def generate_speculative(
     pos = state.start_pos
     cur = jnp.asarray(first, jnp.int32)
     steps = 0
+    proposed = accepted = 0
     temp_j = jnp.asarray(temperature or 0.0, jnp.float32)
     top_p_j = jnp.asarray(top_p, jnp.float32)
     while len(out) < max_new_tokens:
@@ -2277,6 +2283,8 @@ def generate_speculative(
         a_i = int(a)
         new = np.asarray(emitted)[: a_i + 1].tolist()
         steps += 1
+        proposed += m
+        accepted += a_i
         stop = False
         kept = 0
         for t in new:
@@ -2299,6 +2307,8 @@ def generate_speculative(
         prefill_seconds=base.prefill_seconds,
         total_seconds=time.perf_counter() - state.t_start,
         decode_dispatches=steps,
+        spec_proposed=proposed,
+        spec_accepted=accepted,
     )
 
 
