@@ -397,3 +397,25 @@ class TestVideoTraining:
         state, metrics = train_step(state, params, batch, cfg,
                                     max(1, int(16 * 0.5)), sched)
         assert np.isfinite(float(metrics["loss"]))
+
+
+class TestLoaderConfigCopy:
+    def test_copies_processor_configs(self, tmp_path):
+        """Post-train config copy (reference train_qwen_selector.py:278-301:
+        the output dir must be directly loadable for eval)."""
+        from visionselector_tpu.api.train import _copy_loader_configs
+
+        src = tmp_path / "ckpt"
+        dst = tmp_path / "out"
+        os.makedirs(src)
+        os.makedirs(dst)
+        for n in ("preprocessor_config.json", "chat_template.json",
+                  "tokenizer_config.json"):
+            (src / n).write_text("{}")
+        (dst / "tokenizer_config.json").write_text('{"mine": 1}')
+        _copy_loader_configs(str(src), str(dst))
+        assert (dst / "preprocessor_config.json").exists()
+        assert (dst / "chat_template.json").exists()
+        # existing files are never overwritten
+        assert (dst / "tokenizer_config.json").read_text() == '{"mine": 1}'
+        _copy_loader_configs(None, str(dst))  # no-op without a base ckpt

@@ -874,7 +874,28 @@ def main(argv=None) -> int:
             os.path.join(args.output_dir, "importance_scorer.safetensors"),
         )
         print(f"[train] exported scorer to {args.output_dir}")
+    _copy_loader_configs(getattr(args, "model_path", None), args.output_dir)
     return 0
+
+
+def _copy_loader_configs(model_path, output_dir) -> None:
+    """Copy the processor/tokenizer config files from the base checkpoint
+    into the output dir so the trained dir is directly loadable for eval —
+    the reference does the same post-train
+    (``qwen-vl-finetune/qwenvl/train/train_qwen_selector.py:278-301`` copies
+    preprocessor_config.json + chat_template.json)."""
+    import shutil
+
+    if not model_path or not os.path.isdir(model_path):
+        return
+    for name in ("preprocessor_config.json", "chat_template.json",
+                 "tokenizer_config.json", "tokenizer.json", "vocab.json",
+                 "merges.txt", "special_tokens_map.json", "config.json",
+                 "generation_config.json"):
+        src = os.path.join(model_path, name)
+        dst = os.path.join(output_dir, name)
+        if os.path.exists(src) and not os.path.exists(dst):
+            shutil.copy2(src, dst)
 
 
 if __name__ == "__main__":
