@@ -173,13 +173,39 @@ class TestVideoExporter:
 
 class TestCoverage:
     def test_exporters_cover_paper_suite(self):
-        # every paper image-suite task (run_selector.sh:36) except the
-        # mmmu multi-image special case has an exporter
+        # every paper image-suite task (run_selector.sh:36) has an exporter,
+        # including the mmmu multi-image case
         for t in ("chartqa", "docvqa_val", "textvqa_val", "ocrbench",
-                  "scienceqa_img", "ai2d_no_mask", "mme", "pope",
-                  "videomme"):
+                  "scienceqa_img", "ai2d_no_mask", "mmmu_val", "mme",
+                  "pope", "videomme"):
             assert t in EXPORTERS
 
     def test_mc_block_shape(self):
         assert mc_block("Q?", ["a", "b"]) == "Q?\nA. a\nB. b"
         assert mc_block("Q?", ["a"], "hint") == "Context: hint\nQ?\nA. a"
+
+
+class TestMMMUExporter:
+    def test_multi_image_mc_and_open(self, tmp_path):
+        src = tmp_path / "mmmu.parquet"
+        write_parquet(str(src), [
+            {"question": "Compare <image 1> and <image 2>.",
+             "options": "['alpha', 'beta']", "answer": "B",
+             "image_1": {"bytes": png_bytes(7), "path": None},
+             "image_2": {"bytes": png_bytes(8), "path": None},
+             "image_3": None, "image_4": None, "image_5": None,
+             "image_6": None, "image_7": None},
+            {"question": "Open-ended?", "options": "", "answer": "42",
+             "image_1": {"bytes": png_bytes(9), "path": None},
+             "image_2": None, "image_3": None, "image_4": None,
+             "image_5": None, "image_6": None, "image_7": None},
+        ])
+        out = str(tmp_path / "export")
+        assert export_task("mmmu_val", str(src), out) == 2
+        reqs = load_task_docs(TASKS["mmmu_val"], out)
+        assert len(reqs[0].image_paths) == 2
+        assert all(os.path.exists(p) for p in reqs[0].image_paths)
+        assert reqs[0].answers == ["B"]
+        assert "A. alpha\nB. beta" in reqs[0].question
+        assert reqs[1].answers == ["42"]
+        assert len(reqs[1].image_paths) == 1

@@ -164,6 +164,27 @@ def _map_mmbench(doc):
             "image": doc["image"]}
 
 
+def _map_mmmu(doc):
+    # mmmu/utils.py: options is a STRING repr of a list
+    # (ast.literal_eval, utils.py:125); images in image_1..image_7
+    # (doc_to_visual); MC answer is the letter, open questions keep the
+    # raw answer
+    import ast
+
+    opts = doc.get("options")
+    if isinstance(opts, str):
+        opts = ast.literal_eval(opts) if opts.strip() else []
+    q = doc["question"]
+    if opts:
+        q = mc_block(q, opts)
+        ans = [str(doc["answer"]).strip().upper()]
+    else:
+        ans = _as_list(doc["answer"])
+    imgs = [doc[f"image_{i}"] for i in range(1, 8)
+            if doc.get(f"image_{i}") is not None]
+    return {"question": q, "answers": ans, "images": imgs}
+
+
 def _map_videomme(doc):
     # videomme/utils.py:137,152-153: video <videoID>.mp4; question +
     # newline-joined options (already letter-prefixed in the release);
@@ -190,6 +211,7 @@ EXPORTERS: Dict[str, Callable] = {
     "ocrbench": _map_ocrbench,
     "gqa": _map_gqa,
     "mmbench": _map_mmbench,
+    "mmmu_val": _map_mmmu,
     "videomme": _map_videomme,
 }
 
@@ -261,7 +283,17 @@ def export_task(task: str, dataset_path: str, output_dir: str,
             if rec is None:
                 continue
             img = rec.pop("image", None)
-            if img is not None:
+            imgs = rec.pop("images", None)
+            if imgs is not None:  # multi-image docs (MMMU)
+                os.makedirs(img_dir, exist_ok=True)
+                rels = []
+                for j, im in enumerate(imgs):
+                    rel = os.path.join(image_subdir,
+                                       f"{task}_{n:06d}_{j}.png")
+                    _save_image(im, os.path.join(output_dir, rel))
+                    rels.append(rel)
+                rec["images"] = rels
+            elif img is not None:
                 os.makedirs(img_dir, exist_ok=True)
                 rel = os.path.join(image_subdir, f"{task}_{n:06d}.png")
                 _save_image(img, os.path.join(output_dir, rel))
