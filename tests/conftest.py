@@ -111,6 +111,13 @@ QUICK_TESTS = [
     "test_vit_sp.py::TestSequenceParallelViT::"
     "test_matches_single_device[grid0]",
     "test_weights.py::TestConfigFromHF::test_parses_config_json",
+    # r5 subsystems
+    "test_export_tasks.py::TestImageExporters::"
+    "test_scienceqa_mc_render_and_image_filter",
+    "test_checkpoint.py::TestAcceptance::test_tiny_smoke_all_steps",
+    "test_speculative.py::TestSpecObservability::test_one_shot_counts",
+    "test_quick_marker.py::TestQuickMarker::"
+    "test_every_quick_fragment_matches_a_collected_test",
 ]
 
 
