@@ -23,18 +23,25 @@ os.environ.setdefault("VST_ATTN_IMPL", os.environ.get("VST_BENCH_IMPL", "auto"))
 
 import jax
 
-# Persistent compilation cache: Mosaic/XLA compiles through the axon tunnel
-# cost 2-4 min per kernel; the r4 driver capture timed out (rc 124) re-paying
-# them all. With the on-disk cache, every driver run after the first warm-up
-# pays ~zero compile time. (Same mechanism api/warmup.py documents.)
-_CACHE_DIR = os.environ.get("JAX_COMPILATION_CACHE_DIR") or os.environ.get(
-    "VST_XLA_CACHE",
-    os.path.join(os.path.dirname(os.path.abspath(__file__)), ".xla_cache"),
-)
-if _CACHE_DIR:
-    jax.config.update("jax_compilation_cache_dir", _CACHE_DIR)
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
-    jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+
+def _setup_compile_cache():
+    """Persistent compilation cache: Mosaic/XLA compiles through the axon
+    tunnel cost 2-4 min per kernel; the r4 driver capture timed out (rc 124)
+    re-paying them all. With the on-disk cache, every driver run after the
+    first warm-up pays ~zero compile time. (Same mechanism api/warmup.py
+    documents.) Called from main(), NOT at import: tests import this module
+    for its helpers and must not have their process's compile behavior
+    silently rewired."""
+    cache_dir = os.environ.get("JAX_COMPILATION_CACHE_DIR") or os.environ.get(
+        "VST_XLA_CACHE",
+        os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                     ".xla_cache"),
+    )
+    if cache_dir:
+        jax.config.update("jax_compilation_cache_dir", cache_dir)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+        jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+
 
 import jax.numpy as jnp
 import numpy as np
@@ -630,6 +637,7 @@ def main():
     from visionselector_tpu.core.config import qwen25vl_3b, qwen25vl_7b
     from visionselector_tpu.models.qwen25vl.model import init_params
 
+    _setup_compile_cache()
     if not _backend_alive():
         print(json.dumps({
             "metric": "prefill_speedup_at_20pct_retention",

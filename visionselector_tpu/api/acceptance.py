@@ -160,27 +160,28 @@ def step_regression(args) -> dict:
     results = {}
     ok = True
     for task in args.tasks.split(","):
-        out_dir = tempfile.mkdtemp(prefix=f"vst_accept_{task}_")
-        argv = ["--data-dir", args.data_dir, "--tasks", task,
-                "--method", "selector", "--budgets", str(args.budget),
-                "--limit", str(args.limit), "--output-dir", out_dir]
-        if args.model_path:
-            argv += ["--model-path", args.model_path]
-        if args.family != "qwen25vl":
-            argv += ["--family", args.family]
-        try:
-            rc = run_eval_main(argv)
-        except Exception as e:  # noqa: BLE001
-            ok = False
-            results[task] = {"error": repr(e)}
-            continue
-        if rc != 0:
-            ok = False
-            results[task] = {"error": f"run_eval rc={rc}"}
-            continue
-        with open(os.path.join(
-                out_dir, f"selector_{args.budget}_rank0.json")) as f:
-            results[task] = json.load(f)["results"]
+        with tempfile.TemporaryDirectory(
+                prefix=f"vst_accept_{task}_") as out_dir:
+            argv = ["--data-dir", args.data_dir, "--tasks", task,
+                    "--method", "selector", "--budgets", str(args.budget),
+                    "--limit", str(args.limit), "--output-dir", out_dir]
+            if args.model_path:
+                argv += ["--model-path", args.model_path]
+            if args.family != "qwen25vl":
+                argv += ["--family", args.family]
+            try:
+                rc = run_eval_main(argv)
+            except Exception as e:  # noqa: BLE001
+                ok = False
+                results[task] = {"error": repr(e)}
+                continue
+            if rc != 0:
+                ok = False
+                results[task] = {"error": f"run_eval rc={rc}"}
+                continue
+            with open(os.path.join(
+                    out_dir, f"selector_{args.budget}_rank0.json")) as f:
+                results[task] = json.load(f)["results"]
     return {"ok": ok, "scores": results}
 
 

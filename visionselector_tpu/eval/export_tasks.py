@@ -45,7 +45,11 @@ def _as_list(x) -> list:
     if x is None:
         return []
     if isinstance(x, (list, tuple)):
-        return [str(a) for a in x]
+        # VQAv2/OK-VQA/VizWiz releases carry answers as annotation dicts
+        # ({answer, answer_confidence, answer_id} — lmms-eval vqav2 utils
+        # index doc["answers"][i]["answer"]); extract the answer text
+        return [str(a["answer"]) if isinstance(a, dict) and "answer" in a
+                else str(a) for a in x]
     return [str(x)]
 
 
@@ -219,31 +223,55 @@ EXPORTERS: Dict[str, Callable] = {
 def load_docs(dataset_path: str, split: Optional[str]) -> Iterable[dict]:
     """Load docs from a local HF release: a ``save_to_disk`` directory, a
     parquet file, or a directory of parquet shards. Never touches the
-    network."""
+    network.
+
+    Split handling is strict: a DatasetDict requires ``--split`` (and the
+    name must exist); a parquet DIRECTORY with ``--split`` exports only
+    shards under/named for that split and errors when none match —
+    silently merging train+test shards into one jsonl would contaminate
+    eval data."""
     import datasets
 
     if os.path.isdir(dataset_path):
         names = os.listdir(dataset_path)
         if "dataset_info.json" in names or "dataset_dict.json" in names:
             ds = datasets.load_from_disk(dataset_path)
-        else:
-            files = sorted(
-                os.path.join(root, f)
-                for root, _, fs in os.walk(dataset_path)
-                for f in fs if f.endswith(".parquet"))
-            if not files:
-                raise FileNotFoundError(
-                    f"no parquet files under {dataset_path}")
-            ds = datasets.load_dataset(
-                "parquet", data_files=files, split="train")
-    elif dataset_path.endswith(".parquet"):
-        ds = datasets.load_dataset(
+            if isinstance(ds, datasets.DatasetDict) or hasattr(ds, "keys"):
+                avail = list(ds.keys())
+                if split is None:
+                    if len(avail) == 1:
+                        return ds[avail[0]]
+                    raise SystemExit(
+                        f"{dataset_path} is a DatasetDict; pass --split "
+                        f"(available: {', '.join(avail)})")
+                if split not in avail:
+                    raise SystemExit(
+                        f"split {split!r} not in {dataset_path} "
+                        f"(available: {', '.join(avail)})")
+                return ds[split]
+            return ds
+        files = sorted(
+            os.path.join(root, f)
+            for root, _, fs in os.walk(dataset_path)
+            for f in fs if f.endswith(".parquet"))
+        if split:
+            want = [f for f in files
+                    if f"{os.sep}{split}{os.sep}" in f
+                    or os.path.basename(f).startswith(f"{split}-")
+                    or os.path.basename(f).startswith(f"{split}.")]
+            if not want:
+                raise SystemExit(
+                    f"no parquet shards for split {split!r} under "
+                    f"{dataset_path} (found {len(files)} shards total)")
+            files = want
+        if not files:
+            raise FileNotFoundError(f"no parquet files under {dataset_path}")
+        return datasets.load_dataset(
+            "parquet", data_files=files, split="train")
+    if dataset_path.endswith(".parquet"):
+        return datasets.load_dataset(
             "parquet", data_files=[dataset_path], split="train")
-    else:
-        raise FileNotFoundError(dataset_path)
-    if split and hasattr(ds, "keys") and split in getattr(ds, "keys")():
-        ds = ds[split]
-    return ds
+    raise FileNotFoundError(dataset_path)
 
 
 def _save_image(img, path: str) -> None:

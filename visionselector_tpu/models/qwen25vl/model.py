@@ -2793,7 +2793,7 @@ def run_generate_batch(
         for req, s in zip(requests, states):
             pres, first = _rep_penalty_setup(
                 vocab, req["input_ids"], s.logits, s.next_token,
-                repetition_penalty, temperature, top_p, seed=seed)
+                repetition_penalty, temperature, top_p, top_k, seed)
             pres_rows.append(np.asarray(pres))
             firsts_pen.append(first)
         for s, f in zip(states, firsts_pen):
