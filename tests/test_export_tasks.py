@@ -180,9 +180,167 @@ class TestCoverage:
                   "pope", "videomme"):
             assert t in EXPORTERS
 
+    def test_every_builtin_task_has_a_data_path(self):
+        """Every registered TaskConfig is exportable: either its own
+        exporter or (loglikelihood variants) a shared dataset_file whose
+        base task has one."""
+        for name, cfg in TASKS.items():
+            base = cfg.dataset_file or name
+            assert base in EXPORTERS, f"no exporter for task {name!r}"
+
     def test_mc_block_shape(self):
         assert mc_block("Q?", ["a", "b"]) == "Q?\nA. a\nB. b"
         assert mc_block("Q?", ["a"], "hint") == "Context: hint\nQ?\nA. a"
+
+
+class TestSecondaryExporters:
+    """Round-5 breadth: the remaining registered tasks' exporters, each
+    against a synthetic release in the reference task's field schema."""
+
+    def test_seedbench_image_list_and_choices(self, tmp_path):
+        import datasets
+        from PIL import Image
+
+        imgs = [[Image.open(io.BytesIO(png_bytes(i))) for i in range(2)]]
+        ds = datasets.Dataset.from_dict({
+            "question": ["Which scene?"], "choice_a": ["rain"],
+            "choice_b": ["sun"], "choice_c": ["snow"], "choice_d": ["fog"],
+            "answer": ["B"], "image": imgs,
+        }).cast_column("image", datasets.Sequence(datasets.Image()))
+        src = tmp_path / "seed_hf"
+        ds.save_to_disk(str(src))
+        out = str(tmp_path / "export")
+        assert export_task("seedbench", str(src), out) == 1
+        reqs = load_task_docs(TASKS["seedbench"], out)
+        assert len(reqs[0].image_paths) == 2
+        assert reqs[0].answers == ["B"]
+        assert "A. rain\nB. sun\nC. snow\nD. fog" in reqs[0].question
+
+    def test_mmstar_and_realworldqa_embedded_options(self, tmp_path):
+        for task, rows, want in [
+            ("mmstar", [{"question": "Q?\nOptions: A. x, B. y",
+                         "answer": "(A)",
+                         "image": {"bytes": png_bytes(1), "path": None}}],
+             ["A"]),
+            ("realworldqa", [{"question": "How many?\nA. 1\nB. 2",
+                              "answer": "b",
+                              "image": {"bytes": png_bytes(2),
+                                        "path": None}}],
+             ["B"]),
+        ]:
+            src = tmp_path / f"{task}.parquet"
+            write_parquet(str(src), rows)
+            out = str(tmp_path / f"out_{task}")
+            assert export_task(task, str(src), out) == 1
+            reqs = load_task_docs(TASKS[task], out)
+            assert reqs[0].answers == want
+
+    def test_hallusion_gt_answer_and_image_filter(self, tmp_path):
+        src = tmp_path / "hallusion.parquet"
+        write_parquet(str(src), [
+            {"question": "Is the chart rising?", "gt_answer": "1",
+             "image": {"bytes": png_bytes(3), "path": None}},
+            {"question": "no-figure row", "gt_answer": "0", "image": None},
+        ])
+        out = str(tmp_path / "export")
+        assert export_task("hallusion_bench_image", str(src), out) == 1
+        reqs = load_task_docs(TASKS["hallusion_bench_image"], out)
+        assert reqs[0].answers == ["yes"]
+
+    def test_mme_realworld_base64_bytes(self, tmp_path):
+        import base64
+
+        src = tmp_path / "mmerw.parquet"
+        write_parquet(str(src), [
+            {"question": "Pick one.",
+             "multi-choice options": ["(A) cat", "(B) dog"],
+             "answer": "(B)",
+             "bytes": base64.b64encode(png_bytes(4)).decode()},
+        ])
+        out = str(tmp_path / "export")
+        assert export_task("mme_realworld", str(src), out) == 1
+        reqs = load_task_docs(TASKS["mme_realworld"], out)
+        assert reqs[0].answers == ["B"]
+        assert "(A) cat" in reqs[0].question
+        assert os.path.exists(reqs[0].image_path)
+
+    def test_qbench_na_options(self, tmp_path):
+        src = tmp_path / "qbench.parquet"
+        write_parquet(str(src), [
+            {"question": "Quality?", "option0": "good", "option1": "bad",
+             "option2": "N/A", "option3": "N/A", "correct_choice": "bad",
+             "image": {"bytes": png_bytes(5), "path": None}},
+        ])
+        out = str(tmp_path / "export")
+        assert export_task("qbench_dev", str(src), out) == 1
+        reqs = load_task_docs(TASKS["qbench_dev"], out)
+        assert reqs[0].answers == ["B"]
+        assert "C." not in reqs[0].question
+
+    def test_ocr_vqa_generic(self, tmp_path):
+        src = tmp_path / "ocrvqa.parquet"
+        write_parquet(str(src), [
+            {"question": "Title?", "answers": ["Dune"],
+             "image": {"bytes": png_bytes(6), "path": None}},
+        ])
+        out = str(tmp_path / "export")
+        assert export_task("ocr_vqa", str(src), out) == 1
+        reqs = load_task_docs(TASKS["ocr_vqa"], out)
+        assert reqs[0].answers == ["Dune"]
+
+
+class TestSecondaryVideoExporters:
+    def test_index_answer_tasks(self, tmp_path):
+        """egoschema / nextqa / perceptiontest: int answer index -> letter."""
+        cases = [
+            ("egoschema",
+             [{"question": "What?", "option": ["A. run", "B. sit"],
+               "answer": 1, "video_idx": "ego1"}], "ego1.mp4", ["B"]),
+            ("nextqa_mc_test",
+             [{"question": "Why?", "a0": "x", "a1": "y", "a2": "z",
+               "a3": "w", "a4": "v", "answer": 0, "video": 4321}],
+             "4321.mp4", ["A"]),
+            ("perceptiontest_val_mc",
+             [{"question": "Which?", "options": ["p", "q", "r"],
+               "answer_id": 2, "video_name": "video_77"}],
+             "video_77.mp4", ["C"]),
+        ]
+        for task, rows, video, want in cases:
+            src = tmp_path / f"{task}.parquet"
+            write_parquet(str(src), rows)
+            out = str(tmp_path / f"out_{task}")
+            assert export_task(task, str(src), out) == 1
+            reqs = load_task_docs(TASKS[task], out)
+            assert reqs[0].video_path.endswith(video)
+            assert reqs[0].answers == want
+
+    def test_letter_answer_tasks(self, tmp_path):
+        cases = [
+            ("tempcompass_mc",
+             [{"question": "Which is correct?\nA. fast\nB. slow",
+               "answer": "A. fast", "video_id": "tc9"}], "tc9.mp4", ["A"]),
+            ("mlvu",
+             [{"question": "Pick.\n(A) one (B) two", "answer": "(B) two",
+               "video_name": "clip.mp4", "task_type": "plotQA"}],
+             "clip.mp4", ["B"]),
+            ("longvideobench",
+             [{"question": "What first?", "option0": "walk",
+               "option1": "jump", "option2": "N/A", "option3": "N/A",
+               "option4": "N/A", "correct_choice": 1,
+               "video_path": "lvb/v1.mp4"}], "lvb/v1.mp4", ["B"]),
+            ("mvbench",
+             [{"question": "Order?", "candidates": ["first", "second"],
+               "answer": "second", "video": "sub/mv1.mp4"}],
+             "sub/mv1.mp4", ["B"]),
+        ]
+        for task, rows, video, want in cases:
+            src = tmp_path / f"{task.replace('/', '_')}.parquet"
+            write_parquet(str(src), rows)
+            out = str(tmp_path / f"out_{task}")
+            assert export_task(task, str(src), out) == 1
+            reqs = load_task_docs(TASKS[task], out)
+            assert reqs[0].video_path.endswith(video)
+            assert reqs[0].answers == want
 
 
 class TestMMMUExporter:

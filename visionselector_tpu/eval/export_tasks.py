@@ -198,6 +198,169 @@ def _map_videomme(doc):
             "video": doc["videoID"] + ".mp4"}
 
 
+def _letter_of(answer) -> str:
+    """First option letter in a free-form answer field: 'A', '(B)', 'C. foo'
+    all normalize to the letter (mirrors the reference's per-task
+    extract_characters_regex variants, e.g. ``mlvu/utils.py:72-79``)."""
+    a = str(answer).strip()
+    if a and a[0] == "(" and len(a) > 1:
+        a = a[1:]
+    if a and a[0].upper() in LETTERS:
+        return a[0].upper()
+    raise ValueError(f"cannot extract option letter from {answer!r}")
+
+
+def _map_seedbench(doc):
+    # seedbench/utils.py:seed_doc_to_text: question + choice_a..d rendered
+    # as 'A. x'; target doc["answer"] letter; doc["image"] is a LIST
+    # (seed_doc_to_visual iterates it) -> multi-image record
+    choices = [doc[f"choice_{c}"] for c in "abcd"]
+    q = doc["question"] + "\n" + "\n".join(
+        f"{LETTERS[i]}. {c}" for i, c in enumerate(choices))
+    imgs = doc["image"] if isinstance(doc["image"], (list, tuple)) \
+        else [doc["image"]]
+    return {"question": q, "answers": [_letter_of(doc["answer"])],
+            "images": list(imgs)}
+
+
+def _map_mmstar(doc):
+    # mmstar/utils.py:mmstar_doc_to_text: options already embedded in
+    # doc["question"]; target doc["answer"] letter
+    return {"question": doc["question"].strip(),
+            "answers": [_letter_of(doc["answer"])], "image": doc["image"]}
+
+
+def _map_realworldqa(doc):
+    # realworldqa/utils.py:9-18: doc["image"], question (options embedded),
+    # doc["answer"] letter (MC) or short phrase
+    a = str(doc["answer"]).strip()
+    if len(a) == 1 and a.upper() in LETTERS:
+        a = a.upper()
+    return {"question": doc["question"].strip(), "answers": [a],
+            "image": doc["image"]}
+
+
+def _map_hallusion(doc):
+    # hallusion_bench/utils.py:28-33 (question, image) +
+    # evaluate_hb.py:92 (gt_answer: '1'=yes / '0'=no); image-only variant
+    # (hallusion_bench_image.yaml) skips figure-less rows
+    if doc.get("image") is None:
+        return None
+    gt = str(doc.get("gt_answer", doc.get("answer", ""))).strip()
+    ans = {"1": "yes", "0": "no"}.get(gt, gt.lower())
+    return {"question": doc["question"], "answers": [ans],
+            "image": doc["image"]}
+
+
+def _map_mme_realworld(doc):
+    # mme_realworld/utils.py:31-56: base64 image in doc["bytes"]; question +
+    # doc["multi-choice options"] (already letter-prefixed) block; target
+    # doc["answer"] letter
+    import base64
+
+    img = doc.get("bytes")
+    if isinstance(img, str):
+        img = {"bytes": base64.b64decode(img), "path": None}
+    elif img is None:
+        img = doc.get("image")
+    q = doc["question"] + "\n" + "\n".join(doc["multi-choice options"])
+    return {"question": q, "answers": [_letter_of(doc["answer"])],
+            "image": img}
+
+
+def _map_qbench(doc):
+    # qbench/utils.py:q_bench_doc_to_text: option0..3 minus 'N/A', letter
+    # block; target doc["correct_choice"]; visual doc["image"] or the
+    # image1/image2 pair (A-bench, utils.py:22-26)
+    choices = [doc[f"option{i}"] for i in range(4)
+               if doc.get(f"option{i}") not in (None, "N/A")]
+    q = mc_block(doc["question"], choices)
+    ans = doc.get("correct_choice", doc.get("answer"))
+    rec = {"question": q, "answers": [_answer_letter(ans, choices)]}
+    if doc.get("image") is not None:
+        rec["image"] = doc["image"]
+    else:
+        rec["images"] = [doc["image1"], doc["image2"]]
+    return rec
+
+
+def _map_egoschema(doc):
+    # egoschema/utils.py:37-66: video doc["video_idx"]+'.mp4'; options are
+    # already letter-prefixed strings appended line-per-option; target is
+    # the int answer index
+    q = doc["question"] + "\n" + "\n".join(doc["option"])
+    return {"question": q, "answers": [LETTERS[int(doc["answer"])]],
+            "video": doc["video_idx"] + ".mp4"}
+
+
+def _map_nextqa_mc(doc):
+    # nextqa/utils.py:59-78: question + a0..a4 as 'A. x'; target
+    # OPTIONS[doc["answer"]] (int index); video doc["video"]+'.mp4'
+    choices = [doc[f"a{i}"] for i in range(5) if doc.get(f"a{i}") is not None]
+    q = mc_block(doc["question"].strip(), [c.strip() for c in choices])
+    return {"question": q, "answers": [LETTERS[int(doc["answer"])]],
+            "video": str(doc["video"]) + ".mp4"}
+
+
+def _map_perceptiontest(doc):
+    # perceptiontest/val/utils.py:36-76: video doc["video_name"]+'.mp4';
+    # options prefixed A./B./C.; target doc["answer_id"] (int index)
+    q = mc_block(doc["question"], doc["options"])
+    return {"question": q, "answers": [LETTERS[int(doc["answer_id"])]],
+            "video": doc["video_name"] + ".mp4"}
+
+
+def _map_tempcompass_mc(doc):
+    # tempcompass/utils.py:55-66,134-137: options embedded in
+    # doc["question"]; rating compares pred to doc["answer"][0] (letter);
+    # video doc["video_id"]+'.mp4'
+    return {"question": doc["question"].strip(),
+            "answers": [_letter_of(doc["answer"])],
+            "video": doc["video_id"] + ".mp4"}
+
+
+def _map_mlvu(doc):
+    # mlvu/utils.py:44-69,95: options embedded in doc["question"]; target
+    # doc["answer"] (letter via extract_characters_regex); video
+    # doc["video_name"] verbatim (already carries its extension)
+    return {"question": doc["question"].strip(),
+            "answers": [_letter_of(doc["answer"])],
+            "video": doc["video_name"]}
+
+
+def _map_longvideobench(doc):
+    # longvideobench/utils.py:114-125,291-292: option0..4 minus 'N/A'
+    # letter block; target chr('A'+doc["correct_choice"]); video
+    # doc["video_path"]
+    choices = [doc[f"option{i}"] for i in range(5)
+               if doc.get(f"option{i}") not in (None, "N/A")]
+    q = mc_block(doc["question"], choices)
+    return {"question": q,
+            "answers": [LETTERS[int(doc["correct_choice"])]],
+            "video": doc["video_path"]}
+
+
+def _map_mvbench(doc):
+    # mvbench/utils.py:93-101,170-171: 'Question:' + question + candidate
+    # block; target = letter of doc["answer"]'s position in
+    # doc["candidates"]; video doc["video"] (subdir-relative)
+    cands = doc["candidates"]
+    q = "Question:" + doc["question"] + "\n" + "\n".join(
+        f"{LETTERS[i]}. {c}" for i, c in enumerate(cands))
+    return {"question": q,
+            "answers": [_answer_letter(doc["answer"], cands)],
+            "video": doc["video"]}
+
+
+def _map_generic_vqa(doc):
+    # Generic {question, answers|answer, image} releases (e.g.
+    # howard-hou/OCR-VQA for the paper's ocr_vqa row,
+    # qwen-evaluation/run_selector.sh:36)
+    return {"question": doc["question"],
+            "answers": _as_list(doc.get("answers") or doc.get("answer")),
+            "image": doc.get("image")}
+
+
 EXPORTERS: Dict[str, Callable] = {
     "chartqa": _map_chartqa,
     "docvqa_val": _map_docvqa,
@@ -217,6 +380,21 @@ EXPORTERS: Dict[str, Callable] = {
     "mmbench": _map_mmbench,
     "mmmu_val": _map_mmmu,
     "videomme": _map_videomme,
+    "seedbench": _map_seedbench,
+    "seedbench_2": _map_seedbench,   # same choice_a..d/image-list schema
+    "mmstar": _map_mmstar,
+    "realworldqa": _map_realworldqa,
+    "hallusion_bench_image": _map_hallusion,
+    "mme_realworld": _map_mme_realworld,
+    "qbench_dev": _map_qbench,
+    "egoschema": _map_egoschema,
+    "nextqa_mc_test": _map_nextqa_mc,
+    "perceptiontest_val_mc": _map_perceptiontest,
+    "tempcompass_mc": _map_tempcompass_mc,
+    "mlvu": _map_mlvu,
+    "longvideobench": _map_longvideobench,
+    "mvbench": _map_mvbench,
+    "ocr_vqa": _map_generic_vqa,
 }
 
 
