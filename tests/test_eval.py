@@ -52,6 +52,52 @@ class TestMetrics:
         assert agg["precision"] == 0.5
         assert agg["recall"] == 0.5
 
+    def test_squad_f1(self):
+        assert M.squad_f1("12 dollars", ["12 dollars"]) == 1.0
+        assert M.squad_f1("the price is 12 dollars", ["12 dollars"]) == \
+            pytest.approx(2 * (2 / 4) * 1.0 / (2 / 4 + 1.0))
+        assert M.squad_f1("unknown", ["12 dollars"]) == 0.0
+        # articles/punctuation stripped, max over refs
+        assert M.squad_f1("The cat!", ["cat", "dog"]) == 1.0
+
+    def test_cider_d_properties(self):
+        refs = [
+            ["a man rides a brown horse on the beach"],
+            ["two dogs play with a red ball in the park"],
+            ["a plate of pasta sits on the wooden table"],
+        ]
+        # identity: every prediction == its reference -> 10.0 per image
+        mean_score, per_img = M.cider_d([r[0] for r in refs], refs)
+        assert mean_score == pytest.approx(10.0, abs=1e-6)
+        assert all(s == pytest.approx(10.0, abs=1e-6) for s in per_img)
+        # disjoint vocab -> 0
+        zero, _ = M.cider_d(["xyzzy plugh"] * 3, refs)
+        assert zero == pytest.approx(0.0, abs=1e-9)
+        # closer caption scores higher than an unrelated one
+        _, (close, far, _) = M.cider_d(
+            ["a man rides a horse on the beach",
+             "a man rides a horse on the beach",
+             "a plate of pasta sits on the wooden table"], refs)
+        assert close > far
+        # gaussian length penalty: padding with off-corpus tokens lowers it
+        _, (short, padded, _) = M.cider_d(
+            ["a man rides a brown horse on the beach",
+             "a man rides a brown horse on the beach aa bb cc dd ee ff gg "
+             "hh ii jj kk ll mm nn oo pp qq rr ss tt uu vv",
+             "a plate of pasta sits on the wooden table"], refs)
+        assert short > padded
+
+    def test_cider_idf_discounts_corpus_common_ngrams(self):
+        # 'a man walks' appears in every reference -> zero IDF; matching
+        # only that phrase scores ~0 while a distinctive match scores high
+        refs = [["a man walks past a green fence"],
+                ["a man walks under a yellow umbrella"],
+                ["a man walks beside a blue car"]]
+        _, (common_only, distinctive, _) = M.cider_d(
+            ["a man walks", "a man walks under a yellow umbrella",
+             "a man walks beside a blue car"], refs)
+        assert distinctive > common_only + 1.0
+
     def test_bootstrap_stderr(self):
         vals = [0.0, 1.0] * 50
         se = M.bootstrap_stderr(vals)
@@ -120,7 +166,7 @@ class TestTaskBreadth:
     lmms-eval/lmms_eval/tasks/<name>/ task yamls)."""
 
     def test_builtin_count(self):
-        assert len(TASKS) >= 30
+        assert len(TASKS) >= 45
 
     @pytest.mark.parametrize("task,metric,question,answer", [
         ("stvqa", "anls", "What does the sign say?", "stop"),
@@ -131,6 +177,12 @@ class TestTaskBreadth:
         ("mme_realworld", "multiple_choice", "Pick one. A. x B. y", "A"),
         ("qbench_dev", "multiple_choice", "Quality? A. good B. bad", "A"),
         ("ai2d", "multiple_choice", "Which part? A. x B. y", "B"),
+        ("websrc", "squad_f1", "What is the price?", "12 dollars"),
+        ("vmcbench", "multiple_choice", "Pick. A. x B. y", "A"),
+        ("muirbench", "multiple_choice", "Compare. A. x B. y", "B"),
+        ("coco2017_cap_val", "cider",
+         "Provide a one-sentence caption for the provided image.",
+         "a colorful square of random noise"),
     ])
     def test_new_image_tasks_run(self, tmp_path, task, metric, question,
                                  answer):

@@ -289,6 +289,163 @@ class TestSecondaryExporters:
         assert reqs[0].answers == ["Dune"]
 
 
+class TestCaptionAndR5Exporters:
+    def test_caption_family_fields(self, tmp_path):
+        """coco/nocaps/textcaps/flickr each read their release's caption
+        column; jsonl question is the fixed caption prompt."""
+        cases = [
+            ("coco2017_cap_val", "answer"),
+            ("nocaps_val", "annotations_captions"),
+            ("textcaps_val", "caption_str"),
+            ("flickr30k_test", "caption"),
+        ]
+        for task, field in cases:
+            src = tmp_path / f"{task}.parquet"
+            write_parquet(str(src), [
+                {field: ["a cat on a mat", "a feline resting"],
+                 "image": {"bytes": png_bytes(1), "path": None}},
+            ])
+            out = str(tmp_path / f"out_{task}")
+            assert export_task(task, str(src), out) == 1
+            reqs = load_task_docs(TASKS[task], out)
+            assert reqs[0].answers == ["a cat on a mat", "a feline resting"]
+            assert "one-sentence caption" in reqs[0].question
+
+    def test_websrc_base64_and_squad_target(self, tmp_path):
+        import base64
+
+        src = tmp_path / "websrc.parquet"
+        write_parquet(str(src), [
+            {"question": "What is the price?", "answer": "$10",
+             "image": base64.b64encode(png_bytes(2)).decode()},
+        ])
+        out = str(tmp_path / "export")
+        assert export_task("websrc", str(src), out) == 1
+        reqs = load_task_docs(TASKS["websrc"], out)
+        assert reqs[0].answers == ["$10"]
+        assert os.path.exists(reqs[0].image_path)
+
+    def test_muirbench_multi_image(self, tmp_path):
+        import datasets
+        from PIL import Image
+
+        ds = datasets.Dataset.from_dict({
+            "question": ["Which image shows a dog?"],
+            "options": [["first", "second"]],
+            "answer": ["second"],
+            "image_list": [[Image.open(io.BytesIO(png_bytes(i)))
+                            for i in range(2)]],
+        }).cast_column("image_list", datasets.Sequence(datasets.Image()))
+        src = tmp_path / "muir_hf"
+        ds.save_to_disk(str(src))
+        out = str(tmp_path / "export")
+        assert export_task("muirbench", str(src), out) == 1
+        reqs = load_task_docs(TASKS["muirbench"], out)
+        assert len(reqs[0].image_paths) == 2
+        assert reqs[0].answers == ["B"]
+
+    def test_iconqa_types(self, tmp_path):
+        src = tmp_path / "iconqa.parquet"
+        write_parquet(str(src), [
+            {"question": "How many?", "ques_type": "choose_txt",
+             "choices": "two,three,four", "answer": "1",
+             "query_image": {"bytes": png_bytes(3), "path": None}},
+            {"question": "Fill: __", "ques_type": "fill_in_blank",
+             "choices": None, "answer": "seven",
+             "query_image": {"bytes": png_bytes(4), "path": None}},
+            {"question": "Which image?", "ques_type": "choose_img",
+             "choices": None, "answer": "0",
+             "query_image": {"bytes": png_bytes(5), "path": None}},
+        ])
+        out = str(tmp_path / "export")
+        assert export_task("iconqa", str(src), out) == 2  # choose_img skipped
+        reqs = load_task_docs(TASKS["iconqa"], out)
+        assert reqs[0].answers == ["B"]
+        assert reqs[1].answers == ["seven"]
+
+    def test_hrbench_and_vmcbench_letter_columns(self, tmp_path):
+        import base64
+
+        src = tmp_path / "hrbench.parquet"
+        write_parquet(str(src), [
+            {"question": "Where?", "A": "left", "B": "right",
+             "C": float("nan"), "D": float("nan"), "answer": "A",
+             "image": base64.b64encode(png_bytes(6)).decode()},
+        ])
+        out = str(tmp_path / "export")
+        assert export_task("hrbench", str(src), out) == 1
+        reqs = load_task_docs(TASKS["hrbench"], out)
+        assert reqs[0].answers == ["A"]
+        assert "C." not in reqs[0].question
+
+        src2 = tmp_path / "vmc.parquet"
+        write_parquet(str(src2), [
+            {"question": "Pick", "A": "x", "B": "y", "C": "z", "D": "w",
+             "answer": "C",
+             "image": {"bytes": png_bytes(7), "path": None}},
+        ])
+        out2 = str(tmp_path / "export2")
+        assert export_task("vmcbench", str(src2), out2) == 1
+        reqs2 = load_task_docs(TASKS["vmcbench"], out2)
+        assert reqs2[0].answers == ["C"]
+
+    def test_multidocvqa_string_answers_and_pages(self, tmp_path):
+        row = {"question": "Total?", "answers": "['42', 'forty two']"}
+        for i in range(1, 21):
+            row[f"image_{i}"] = ({"bytes": png_bytes(i), "path": None}
+                                 if i <= 2 else None)
+        src = tmp_path / "mpdoc.parquet"
+        write_parquet(str(src), [row])
+        out = str(tmp_path / "export")
+        assert export_task("multidocvqa", str(src), out) == 1
+        reqs = load_task_docs(TASKS["multidocvqa"], out)
+        assert reqs[0].answers == ["42", "forty two"]
+        assert len(reqs[0].image_paths) == 2
+
+    def test_illusionvqa_text_answer_to_letter(self, tmp_path):
+        src = tmp_path / "illusion.parquet"
+        write_parquet(str(src), [
+            {"question": "What shape?", "options": ["circle", "square"],
+             "answer": "square",
+             "image": {"bytes": png_bytes(8), "path": None}},
+        ])
+        out = str(tmp_path / "export")
+        assert export_task("illusionvqa", str(src), out) == 1
+        reqs = load_task_docs(TASKS["illusionvqa"], out)
+        assert reqs[0].answers == ["B"]
+
+    def test_egoplan_goal_template(self, tmp_path):
+        src = tmp_path / "egoplan.parquet"
+        write_parquet(str(src), [
+            {"task_goal": "my goal is to make coffee",
+             "choice_a": "pour water", "choice_b": "grind beans",
+             "choice_c": "open fridge", "choice_d": "wash cup",
+             "golden_choice_idx": "B", "sample_id": 1234},
+        ])
+        out = str(tmp_path / "export")
+        assert export_task("egoplan", str(src), out) == 1
+        reqs = load_task_docs(TASKS["egoplan"], out)
+        assert reqs[0].answers == ["B"]
+        assert "make coffee" in reqs[0].question
+        assert reqs[0].video_path.endswith("1234.mp4")
+
+    def test_videommmu_mc_and_open(self, tmp_path):
+        src = tmp_path / "videommmu.parquet"
+        write_parquet(str(src), [
+            {"question": "Which theorem?", "question_type": "multiple-choice",
+             "options": "['Bayes', 'Fermat']", "answer": "A",
+             "id": "math_1_q"},
+            {"question": "State the value.", "question_type": "open",
+             "options": None, "answer": "3.14", "id": "math_2_q"},
+        ])
+        out = str(tmp_path / "export")
+        assert export_task("videommmu", str(src), out) == 2
+        reqs = load_task_docs(TASKS["videommmu"], out)
+        assert reqs[0].answers == ["A"] and "A. Bayes" in reqs[0].question
+        assert reqs[1].answers == ["3.14"]
+        assert reqs[0].video_path.endswith("math_1_q.mp4")
+
+
 class TestSecondaryVideoExporters:
     def test_index_answer_tasks(self, tmp_path):
         """egoschema / nextqa / perceptiontest: int answer index -> letter."""

@@ -186,6 +186,9 @@ def _map_mmmu(doc):
         ans = _as_list(doc["answer"])
     imgs = [doc[f"image_{i}"] for i in range(1, 8)
             if doc.get(f"image_{i}") is not None]
+    if not imgs and doc.get("image") is not None:
+        # mmmu_pro vision-variant rows carry one composite image
+        imgs = [doc["image"]]
     return {"question": q, "answers": ans, "images": imgs}
 
 
@@ -352,6 +355,155 @@ def _map_mvbench(doc):
             "video": doc["video"]}
 
 
+CAPTION_PROMPT = "Provide a one-sentence caption for the provided image."
+
+
+def _map_caption(answers_field):
+    """Caption releases: the prompt is fixed (coco_cap/utils.py:31,
+    flickr30k/utils.py:23, nocaps/_default_template prompt) and the target
+    is the per-image reference-caption list in ``answers_field``
+    (coco 'answer', nocaps 'annotations_captions', textcaps 'caption_str',
+    flickr 'caption')."""
+    def mapper(doc):
+        return {"question": CAPTION_PROMPT,
+                "answers": _as_list(doc[answers_field]),
+                "image": doc["image"]}
+    return mapper
+
+
+def _map_muirbench(doc):
+    # muirbench/utils.py:10-25: question + options letter block; multi-image
+    # doc["image_list"]; target doc["answer"] (letter or option text)
+    q = mc_block(doc["question"], doc["options"])
+    return {"question": q,
+            "answers": [_answer_letter(doc["answer"], doc["options"])],
+            "images": list(doc["image_list"])}
+
+
+def _map_iconqa(doc):
+    # iconqa/utils.py:28-50: choose_txt renders doc["choices"] (comma
+    # string); fill_in_blank keeps the free-form answer; choose_img rows
+    # (image-valued options) are skipped — the jsonl schema carries one
+    # option set per question
+    qt = doc.get("ques_type", "choose_txt")
+    if qt == "choose_img":
+        return None
+    img = doc.get("query_image", doc.get("image"))
+    if qt == "fill_in_blank":
+        return {"question": doc["question"],
+                "answers": _as_list(doc["answer"]), "image": img}
+    choices = [c.strip() for c in str(doc["choices"]).split(",")]
+    return {"question": mc_block(doc["question"], choices),
+            "answers": [_answer_letter(doc["answer"], choices)],
+            "image": img}
+
+
+def _map_hrbench(doc):
+    # hrbench/utils.py:40-50: base64 image; options in single-letter
+    # columns (nan-padded); target doc["answer"] letter
+    import base64
+
+    choices = []
+    for letter in LETTERS:
+        v = doc.get(letter)
+        if v is None or (isinstance(v, float) and v != v):
+            break
+        choices.append(v)
+    img = doc["image"]
+    if isinstance(img, str):
+        img = {"bytes": base64.b64decode(img), "path": None}
+    return {"question": mc_block(doc["question"].strip(), choices),
+            "answers": [_letter_of(doc["answer"])], "image": img}
+
+
+def _map_illusionvqa(doc):
+    # illusionvqa/utils.py:8-21: options list; target is the option TEXT
+    # (options.index(doc["answer"]) -> letter)
+    return {"question": mc_block(doc["question"], doc["options"]),
+            "answers": [_answer_letter(doc["answer"], doc["options"])],
+            "image": doc["image"]}
+
+
+def _map_vmcbench(doc):
+    # vmcbench/utils.py:34-40,123-126: options in A..D columns; target
+    # doc["answer"] letter
+    choices = [doc[c] for c in "ABCD"
+               if doc.get(c) is not None
+               and not (isinstance(doc.get(c), float) and doc[c] != doc[c])]
+    return {"question": mc_block(doc["question"], choices),
+            "answers": [_letter_of(doc["answer"])], "image": doc["image"]}
+
+
+def _map_multidocvqa(doc):
+    # multidocvqa/utils.py:13-28: answers is a STRING repr of a list
+    # (ast.literal_eval); pages in image_1..image_20
+    import ast
+
+    ans = doc.get("answers")
+    if isinstance(ans, str):
+        ans = ast.literal_eval(ans)
+    imgs = [doc[f"image_{i}"] for i in range(1, 21)
+            if doc.get(f"image_{i}") is not None]
+    return {"question": doc["question"], "answers": _as_list(ans),
+            "images": imgs}
+
+
+def _map_websrc(doc):
+    # websrc/utils.py:20-43: base64 image string; squad-F1 over
+    # doc["answer"]
+    import base64
+
+    img = doc["image"]
+    if isinstance(img, str):
+        img = {"bytes": base64.b64decode(img), "path": None}
+    return {"question": doc["question"],
+            "answers": _as_list(doc["answer"]), "image": img}
+
+
+def _map_egoplan(doc):
+    # egoplan/utils.py:138-167,203: task_goal-templated question + choice_a..d
+    # letter block; target doc["golden_choice_idx"]; video sample_id+'.mp4'
+    goal = doc["task_goal"]
+    if "goal" in goal:
+        goal = goal.split("to", 1)[1].strip()
+    if goal.split()[0].endswith("ing"):
+        q = (f"I am tasked with {goal}. The task's progress is demonstrated "
+             "in the provided video. My current field of view is shown in "
+             "the provided image. What should be my next action? Please "
+             "output the most reasonable action you think, expressed in a "
+             "short phrase.")
+    else:
+        q = (f"My current task is to {goal}. The task's progress is "
+             "demonstrated in the provided video. My current field of view "
+             "is shown in the provided image. What should be my next "
+             "action? Please output the most reasonable action you think, "
+             "expressed in a short phrase.")
+    choices = [doc[f"choice_{c}"] for c in "abcd"]
+    q = q + "\n" + "\n".join(
+        f"{LETTERS[i]}. {c}" for i, c in enumerate(choices))
+    return {"question": q,
+            "answers": [_letter_of(doc["golden_choice_idx"])],
+            "video": str(doc["sample_id"]) + ".mp4"}
+
+
+def _map_videommmu(doc):
+    # videommmu/utils.py:60-101: video doc["id"]+'.mp4'; MC renders the
+    # options block, open questions keep the raw answer
+    q = doc["question"]
+    if doc.get("question_type") == "multiple-choice" and doc.get("options"):
+        opts = doc["options"]
+        if isinstance(opts, str):
+            import ast
+
+            opts = ast.literal_eval(opts)
+        q = mc_block(q, opts)
+        ans = [_letter_of(doc["answer"])]
+    else:
+        ans = _as_list(doc["answer"])
+    return {"question": q, "answers": ans,
+            "video": str(doc["id"]) + ".mp4"}
+
+
 def _map_generic_vqa(doc):
     # Generic {question, answers|answer, image} releases (e.g.
     # howard-hou/OCR-VQA for the paper's ocr_vqa row,
@@ -395,6 +547,21 @@ EXPORTERS: Dict[str, Callable] = {
     "longvideobench": _map_longvideobench,
     "mvbench": _map_mvbench,
     "ocr_vqa": _map_generic_vqa,
+    "coco2017_cap_val": _map_caption("answer"),
+    "nocaps_val": _map_caption("annotations_captions"),
+    "textcaps_val": _map_caption("caption_str"),
+    "flickr30k_test": _map_caption("caption"),
+    "websrc": _map_websrc,
+    "mmmu_pro": _map_mmmu,
+    "muirbench": _map_muirbench,
+    "iconqa": _map_iconqa,
+    "hrbench": _map_hrbench,
+    "illusionvqa": _map_illusionvqa,
+    "vmcbench": _map_vmcbench,
+    "seedbench_2_plus": _map_seedbench,
+    "multidocvqa": _map_multidocvqa,
+    "egoplan": _map_egoplan,
+    "videommmu": _map_videommmu,
 }
 
 

@@ -142,6 +142,117 @@ def pope_aggregate(preds: Sequence[str], targets: Sequence[str]) -> Dict[str, fl
     }
 
 
+def _squad_normalize(text: str) -> str:
+    """SQuAD answer normalization: lowercase, strip punctuation/articles,
+    collapse whitespace (websrc/utils.py squad-F1 scoring contract)."""
+    text = str(text).lower()
+    text = "".join(c for c in text if c not in set(string.punctuation))
+    text = re.sub(r"\b(a|an|the)\b", " ", text)
+    return " ".join(text.split())
+
+
+def squad_f1(prediction: str, targets: Sequence[str]) -> float:
+    """Token-level SQuAD F1, max over reference answers (WebSRC's headline
+    metric — ``lmms-eval/lmms_eval/tasks/websrc/utils.py``)."""
+    pred_toks = _squad_normalize(prediction).split()
+    best = 0.0
+    for t in targets:
+        gold_toks = _squad_normalize(t).split()
+        if not pred_toks or not gold_toks:
+            best = max(best, float(pred_toks == gold_toks))
+            continue
+        common: Dict[str, int] = {}
+        for tok in pred_toks:
+            common[tok] = common.get(tok, 0) + 1
+        overlap = 0
+        for tok in gold_toks:
+            if common.get(tok, 0) > 0:
+                overlap += 1
+                common[tok] -= 1
+        if overlap == 0:
+            continue
+        precision = overlap / len(pred_toks)
+        recall = overlap / len(gold_toks)
+        best = max(best, 2 * precision * recall / (precision + recall))
+    return best
+
+
+def _cap_tokenize(text: str) -> list:
+    """Caption tokenizer: lowercase, strip punctuation, whitespace split — a
+    deterministic approximation of pycocoevalcap's PTBTokenizer (close in
+    practice for model captions; divergence documented, no Java dep)."""
+    text = str(text).lower()
+    text = "".join(c if c not in set(string.punctuation) else " "
+                   for c in text)
+    return text.split()
+
+
+def cider_d(predictions: Sequence[str],
+            references: Sequence[Sequence[str]],
+            n: int = 4, sigma: float = 6.0):
+    """Corpus CIDEr-D (Vedantam et al.) over (prediction, references) pairs.
+
+    Mirrors pycocoevalcap ``cider/cider_scorer.py`` — the scorer the
+    reference's caption tasks aggregate with
+    (``lmms-eval/lmms_eval/tasks/coco_cap/utils.py:73`` Cider()): TF-IDF
+    n-gram vectors (IDF over the reference corpus), count-clipped cosine per
+    n, gaussian length penalty exp(-delta^2/(2*sigma^2)), mean over
+    n in 1..4, x10. Returns ``(corpus_mean, per_image_scores)``.
+    """
+    import math
+    from collections import defaultdict
+
+    def ngram_counts(tokens, max_n):
+        counts = defaultdict(int)
+        for k in range(1, max_n + 1):
+            for i in range(len(tokens) - k + 1):
+                counts[tuple(tokens[i:i + k])] += 1
+        return counts
+
+    pred_counts = [ngram_counts(_cap_tokenize(p), n) for p in predictions]
+    ref_counts = [[ngram_counts(_cap_tokenize(r), n) for r in refs]
+                  for refs in references]
+
+    # document frequency over reference sets (cider_scorer.compute_doc_freq)
+    doc_freq: Dict[tuple, float] = defaultdict(float)
+    for refs in ref_counts:
+        for ng in set(ng for rc in refs for ng in rc):
+            doc_freq[ng] += 1
+    corpus_n = max(len(ref_counts), 1)
+    log_corpus = math.log(max(corpus_n, 1e-9))
+
+    def to_vec(counts):
+        vec = [defaultdict(float) for _ in range(n)]
+        norm = [0.0] * n
+        length = 0
+        for ng, tf in counts.items():
+            idf = log_corpus - math.log(max(1.0, doc_freq[ng]))
+            k = len(ng) - 1
+            vec[k][ng] = tf * idf
+            norm[k] += vec[k][ng] ** 2
+            if k == 0:
+                length += tf
+        return vec, [x ** 0.5 for x in norm], length
+
+    scores = []
+    for pc, refs in zip(pred_counts, ref_counts):
+        v_p, n_p, len_p = to_vec(pc)
+        per_ref = []
+        for rc in refs:
+            v_r, n_r, len_r = to_vec(rc)
+            delta = float(len_p - len_r)
+            vals = []
+            for k in range(n):
+                s = sum(min(v_p[k][ng], v_r[k][ng]) * v_r[k][ng]
+                        for ng in v_p[k])
+                if n_p[k] and n_r[k]:
+                    s /= n_p[k] * n_r[k]
+                vals.append(s * math.exp(-(delta ** 2) / (2 * sigma ** 2)))
+            per_ref.append(10.0 * sum(vals) / n)
+        scores.append(sum(per_ref) / max(len(per_ref), 1))
+    return (sum(scores) / max(len(scores), 1), scores)
+
+
 def mean(values: Sequence[float]) -> float:
     return sum(values) / max(len(values), 1)
 
@@ -170,4 +281,5 @@ METRICS: Dict[str, Callable] = {
     "exact_match": exact_match,
     "multiple_choice": multiple_choice_match,
     "yes_no": yes_no_match,
+    "squad_f1": squad_f1,
 }

@@ -128,6 +128,44 @@ TASKS: Dict[str, TaskConfig] = {
         filter="mc_letter"),
     "tempcompass_mc": TaskConfig("tempcompass_mc", "multiple_choice", _MC,
                                  8, filter="mc_letter"),
+    # Captioning family (tasks/coco_cap, nocaps, textcaps, flickr30k):
+    # corpus-level CIDEr-D (their pycocoevalcap Cider aggregation,
+    # coco_cap/utils.py:73); the prompt is the doc question itself
+    # ("Provide a one-sentence caption...", written by the exporter), so no
+    # suffix is appended here.
+    "coco2017_cap_val": TaskConfig("coco2017_cap_val", "cider", "", 64,
+                                   aggregate="cider"),
+    "nocaps_val": TaskConfig("nocaps_val", "cider", "", 64,
+                             aggregate="cider"),
+    "textcaps_val": TaskConfig("textcaps_val", "cider", "", 64,
+                               aggregate="cider"),
+    "flickr30k_test": TaskConfig("flickr30k_test", "cider", "", 64,
+                                 aggregate="cider"),
+    # WebSRC (tasks/websrc/utils.py): web screenshot QA, SQuAD token-F1
+    "websrc": TaskConfig("websrc", "squad_f1", _SHORT, 32),
+    # Further MC image suites (tasks/<dir>/utils.py mappings in
+    # eval/export_tasks.py)
+    "mmmu_pro": TaskConfig("mmmu_pro", "multiple_choice", _MC, 8,
+                           filter="mc_letter"),
+    "muirbench": TaskConfig("muirbench", "multiple_choice", _MC, 8,
+                            filter="mc_letter"),
+    "iconqa": TaskConfig("iconqa", "multiple_choice", _MC, 8,
+                         filter="mc_letter"),
+    "hrbench": TaskConfig("hrbench", "multiple_choice", _MC, 8,
+                          filter="mc_letter"),
+    "illusionvqa": TaskConfig("illusionvqa", "multiple_choice", _MC, 8,
+                              filter="mc_letter"),
+    "vmcbench": TaskConfig("vmcbench", "multiple_choice", _MC, 8,
+                           filter="mc_letter"),
+    "seedbench_2_plus": TaskConfig("seedbench_2_plus", "multiple_choice",
+                                   _MC, 8, filter="mc_letter"),
+    # MP-DocVQA (tasks/multidocvqa): multi-page documents, anls headline
+    "multidocvqa": TaskConfig("multidocvqa", "anls", _SHORT, 32),
+    # Secondary video suites (tasks/egoplan, tasks/videommmu)
+    "egoplan": TaskConfig("egoplan", "multiple_choice", _MC, 8,
+                          filter="mc_letter"),
+    "videommmu": TaskConfig("videommmu", "multiple_choice", _MC, 8,
+                            filter="mc_letter"),
 }
 
 
@@ -272,7 +310,14 @@ def score_request(req: Request, prediction: str) -> float:
 def aggregate_scores(task: TaskConfig, preds: List[str],
                      requests: List[Request]) -> Dict[str, float]:
     pairs = [(r, p) for r, p in zip(requests, preds) if not r.is_padding]
-    scores = [score_request(r, p) for r, p in pairs]
+    if task.aggregate == "cider":
+        # Corpus-level CIDEr-D: IDF spans the whole reference set, so the
+        # per-sample scores come out of one corpus computation (the mean of
+        # which is the headline, exactly pycocoevalcap's contract)
+        _, scores = M.cider_d([p for _, p in pairs],
+                              [r.answers for r, _ in pairs])
+    else:
+        scores = [score_request(r, p) for r, p in pairs]
     out = {
         f"{task.name}/{task.metric}": M.mean(scores),
         f"{task.name}/stderr": M.bootstrap_stderr(scores),
