@@ -28,6 +28,9 @@ MODEL_FAMILIES = {
     # replay model: scores from previous sample logs, no checkpoint
     # (lmms-eval/lmms_eval/models/from_log.py)
     "from_log": None,
+    # API model: any OpenAI-compatible chat-completions server
+    # (lmms-eval/lmms_eval/models/openai_compatible.py)
+    "openai_compatible": None,
 }
 
 
@@ -83,6 +86,21 @@ def main(argv=None) -> int:
             "--from-log", logs, "--data-dir", data_dir,
             "--tasks", args.tasks, "--output-dir", args.output_path,
         ] + (["--limit", str(args.limit)] if args.limit is not None else []))
+    if args.model == "openai_compatible":
+        base_url = ma.get("base_url")
+        data_dir = args.data_dir or ma.get("data_dir")
+        if not base_url or not data_dir:
+            raise SystemExit(
+                "openai_compatible needs model_args base_url=<url> and "
+                "--data_dir (reference: openai_compatible.py)")
+        from visionselector_tpu.api.run_eval import main as run_eval_main
+
+        return run_eval_main([
+            "--http-endpoint", base_url, "--data-dir", data_dir,
+            "--tasks", args.tasks, "--output-dir", args.output_path,
+            "--http-model", ma.get("model", "default"),
+        ] + (["--limit", str(args.limit)] if args.limit is not None
+             else []))
     family = MODEL_FAMILIES[args.model]
     method = ma.get("method", "orig")
     budgets = ma.get("budgets", ma.get("budget", "0.2"))

@@ -65,6 +65,14 @@ def build_parser():
                    help="prompt-lookup speculative decoding: propose N "
                         "tokens per decode dispatch (greedy-identical "
                         "outputs); applies to unbatched decode")
+    p.add_argument("--http-endpoint", default=None,
+                   help="evaluate an OpenAI-compatible chat-completions "
+                        "server instead of local weights (lmms-eval "
+                        "openai_compatible parity): server root URL, e.g. "
+                        "http://host:8000 — works against api.serve")
+    p.add_argument("--http-model", default="default",
+                   help="payload model field for --http-endpoint")
+    p.add_argument("--http-concurrency", type=int, default=8)
     return p
 
 
@@ -125,6 +133,26 @@ def main(argv=None) -> int:
         out_path = os.path.join(args.output_dir, "from_log.json")
         with open(out_path, "w") as f:
             json.dump({"method": "from_log", "logs": args.from_log,
+                       "results": results}, f, indent=2)
+        print(json.dumps(results))
+        return 0
+
+    if args.http_endpoint:
+        from visionselector_tpu.eval.evaluator import evaluate
+        from visionselector_tpu.eval.http_adapter import OpenAICompatAdapter
+
+        adapter = OpenAICompatAdapter(
+            args.http_endpoint, model=args.http_model,
+            concurrency=args.http_concurrency)
+        os.makedirs(args.output_dir, exist_ok=True)
+        results = evaluate(
+            adapter, args.tasks.split(","), args.data_dir, limit=args.limit,
+            rank=args.rank, world_size=args.world_size,
+        )
+        out_path = os.path.join(args.output_dir, "http_endpoint.json")
+        with open(out_path, "w") as f:
+            json.dump({"method": "http_endpoint",
+                       "endpoint": args.http_endpoint,
                        "results": results}, f, indent=2)
         print(json.dumps(results))
         return 0
