@@ -116,6 +116,11 @@ QUICK_TESTS = [
     "test_scienceqa_mc_render_and_image_filter",
     "test_checkpoint.py::TestAcceptance::test_tiny_smoke_all_steps",
     "test_speculative.py::TestSpecObservability::test_one_shot_counts",
+    "test_eval.py::TestMetrics::test_cider_d_properties",
+    "test_export_tasks.py::TestCaptionAndR5Exporters::"
+    "test_caption_family_fields",
+    "test_http_adapter.py::TestOpenAICompatAdapter::"
+    "test_payload_shape_and_url_normalization",
     "test_quick_marker.py::TestQuickMarker::"
     "test_every_quick_fragment_matches_a_collected_test",
 ]
