@@ -651,6 +651,97 @@ class TestContinuousBatcher:
         assert b1 == b2
         assert [len(t) for t in b1] == [9, 6]
 
+    def test_kv_int4_quant_roundtrip_bound(self):
+        """Per-row absmax int4 (packed S4): dequantized values are within
+        half a (coarser, absmax/7) quantization step of the original."""
+        import jax.numpy as jnp
+
+        from visionselector_tpu.models.qwen25vl import lm as lm_mod
+
+        x = jnp.asarray(
+            np.random.RandomState(0).randn(2, 3, 4, 24).astype(np.float32))
+        q, s = lm_mod.quantize_kv(x, jnp.int4)
+        assert q.dtype == jnp.int4
+        back = lm_mod.dequantize_kv(q, s, jnp.float32)
+        step = np.asarray(s)[..., None]
+        assert np.all(np.abs(np.asarray(back - x)) <= step / 2 + 1e-6)
+
+    def test_kv_int4_step_logit_drift_bounded(self, setup):
+        """Decode step against an int4 pool stays within a (looser than
+        int8) relative logit drift bound, and carries the int4 dtype."""
+        import jax.numpy as jnp
+
+        from visionselector_tpu.models.qwen25vl import lm as lm_mod
+
+        eng, ids_for, pixels, grid = setup
+        state = eng.generate(
+            input_ids=ids_for([8, 9]), pixel_values=pixels, grid_thw=grid,
+            max_new_tokens=4, eos_token_ids=(-1,), _defer_decode=True)
+        cache = state.cache
+        k4, ks = lm_mod.quantize_kv(cache.k, jnp.int4)
+        v4, vs = lm_mod.quantize_kv(cache.v, jnp.int4)
+        qcache = lm_mod.QuantKVCache(k=k4, v=v4, k_scale=ks, v_scale=vs,
+                                     length=cache.length)
+        tok = jnp.asarray(state.next_token, jnp.int32)
+        embed = lm_mod.embed_tokens(eng.params["lm"], tok[None])[None]
+        pos3 = jnp.broadcast_to(
+            jnp.asarray(state.start_pos, jnp.int32), (3, 1, 1))
+        h_f, _ = lm_mod.lm_decode_step(
+            eng.params["lm"], cache, embed, pos3, eng.cfg.text)
+        h_q, c_q = lm_mod.lm_decode_step(
+            eng.params["lm"], qcache, embed, pos3, eng.cfg.text)
+        lf = lm_mod.lm_head(eng.params["lm"], h_f[0, 0], eng.cfg.text)
+        lq = lm_mod.lm_head(eng.params["lm"], h_q[0, 0], eng.cfg.text)
+        rel = float(jnp.max(jnp.abs(lf - lq)) / jnp.max(jnp.abs(lf)))
+        assert rel < 0.25, rel  # 4-bit rounding: bounded, not tight
+        assert c_q.k.dtype == jnp.int4
+        assert int(np.asarray(c_q.length)[0, 0]) == int(
+            np.asarray(cache.length)[0, 0]) + 1
+
+    def test_kv_int4_pool_serves_deterministically(self, setup):
+        """End-to-end int4 pool: completes with the right lengths,
+        deterministic across runs, pool holds packed-S4 buffers (quarter
+        the bf16 pool bytes)."""
+        import jax.numpy as jnp
+
+        from visionselector_tpu.models.qwen25vl import lm as lm_mod
+
+        eng, ids_for, pixels, grid = setup
+        reqs = [
+            (dict(input_ids=ids_for([8, 9]), pixel_values=pixels,
+                  grid_thw=grid), 9),
+            (dict(input_ids=np.asarray([7, 8, 9, 10], np.int64)), 6),
+        ]
+
+        def run():
+            bat = ContinuousBatcher(eng, n_slots=2, t_max=256, chunk=4,
+                                    kv_quant="int4")
+            try:
+                out = [bat.submit(r, mx, (-1,)).tokens for r, mx in reqs]
+                assert isinstance(bat.pool, lm_mod.QuantKVCache)
+                assert bat.pool.k.dtype == jnp.int4
+            finally:
+                bat.shutdown()
+            return out
+
+        a1 = run()
+        a2 = run()
+        assert a1 == a2
+        assert [len(t) for t in a1] == [9, 6]
+
+    def test_kv_quant_flag_validation_and_alias(self, setup):
+        import jax.numpy as jnp  # noqa: F401
+
+        eng, *_ = setup
+        with pytest.raises(ValueError):
+            ContinuousBatcher(eng, n_slots=1, t_max=64, kv_quant="fp8"
+                              ).shutdown()
+        bat = ContinuousBatcher(eng, n_slots=1, t_max=64, kv_int8=True)
+        try:
+            assert bat.kv_quant == "int8" and bat.kv_int8
+        finally:
+            bat.shutdown()
+
     def test_shutdown_rejects_queued(self, setup):
         eng, ids_for, pixels, grid = setup
         bat = ContinuousBatcher(eng, n_slots=1, t_max=256, chunk=4)

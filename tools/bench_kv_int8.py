@@ -11,8 +11,9 @@ Decode at long context reads weights + the valid KV every step, so the
 expected ceiling is (W + KV16) / (W + KV8); at 3B/7680 tokens that is
 ~1.16x. The pool memory halving is exact and printed alongside.
 
-Usage: python tools/bench_kv_int8.py [t_fill] [n_slots] [config]
-(config: "3b" default, "tiny" for a CPU smoke run.)
+Usage: python tools/bench_kv_int8.py [t_fill] [n_slots] [config] [quant]
+(config: "3b" default, "tiny" for a CPU smoke run; quant: "int8" default
+or "int4" — packed S4 pool, quarter the bf16 bytes.)
 """
 
 import functools
@@ -40,6 +41,8 @@ def main():
     t_fill = int(sys.argv[1]) if len(sys.argv) > 1 else 7680
     n_slots = int(sys.argv[2]) if len(sys.argv) > 2 else 8
     which = sys.argv[3] if len(sys.argv) > 3 else "3b"
+    quant = sys.argv[4] if len(sys.argv) > 4 else "int8"
+    qdt_name = quant
     chunk = 8
     t_max = t_fill + 256  # headroom for the timed chunks
 
@@ -60,8 +63,9 @@ def main():
                              jnp.float32) * 0.5).astype(kv_dtype)
     length = jnp.full((tc.num_hidden_layers, n_slots), t_fill, jnp.int32)
     pool16 = lm_mod.KVCache(k=k_f, v=v_f, length=length)
-    k8, ks = lm_mod.quantize_kv(k_f)
-    v8, vs = lm_mod.quantize_kv(v_f)
+    qdt = jnp.int4 if quant == "int4" else jnp.int8
+    k8, ks = lm_mod.quantize_kv(k_f, qdt)
+    v8, vs = lm_mod.quantize_kv(v_f, qdt)
     pool8 = lm_mod.QuantKVCache(k=k8, v=v8, k_scale=ks, v_scale=vs,
                                 length=length)
     jax.block_until_ready((pool16, pool8))
@@ -126,20 +130,28 @@ def main():
         return
 
     def nbytes(p):
-        return sum(np.asarray(x).nbytes if not hasattr(x, "nbytes")
-                   else x.nbytes for x in p[:-1])
+        # device bytes from size*itemsize; S4 packs 2 elems/byte (host
+        # ml_dtypes int4 itemsize is 1, which would double-count)
+        total = 0
+        for x in p[:-1]:
+            if x.dtype == jnp.int4:
+                total += x.size // 2
+            else:
+                total += x.size * x.dtype.itemsize
+        return total
 
     toks = chunk * n_slots
     print(json.dumps({
         "suspect": suspect16 or suspect8,
         "t_fill": t_fill, "n_slots": n_slots, "chunk": chunk,
         "chunk_ms_bf16": round(t16 * 1e3, 2),
-        "chunk_ms_int8": round(t8 * 1e3, 2),
-        "decode_speedup_int8": round(t16 / t8, 3),
+        "quant": qdt_name,
+        "chunk_ms_quant": round(t8 * 1e3, 2),
+        "decode_speedup_quant": round(t16 / t8, 3),
         "tok_per_s_bf16": round(toks / t16, 1),
-        "tok_per_s_int8": round(toks / t8, 1),
+        "tok_per_s_quant": round(toks / t8, 1),
         "pool_gb_bf16": round(nbytes(pool16) / 2**30, 2),
-        "pool_gb_int8": round(nbytes(pool8) / 2**30, 2),
+        "pool_gb_quant": round(nbytes(pool8) / 2**30, 2),
         "platform": jax.devices()[0].platform,
     }))
 

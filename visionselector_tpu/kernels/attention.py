@@ -1170,9 +1170,12 @@ def _decode_impl(impl: str | None) -> str:
 
 def _blocked_ok(k_cache, k_scale, v_scale, block_k: int) -> bool:
     # int8 caches need BOTH scales (the kernel folds k into logits and v
-    # into probs); mixed/missing scales fall back to the dense path
+    # into probs); mixed/missing scales fall back to the dense path.
+    # Packed-S4 (int4 pools) stays on the XLA path: Mosaic has no S4
+    # tile-load for this kernel's block spec.
     quant_ok = (k_scale is None) == (v_scale is None)
     return (quant_ok and k_cache.ndim == 4
+            and k_cache.dtype != jnp.int4
             and k_cache.shape[1] % block_k == 0
             and k_cache.shape[1] >= 2 * block_k)
 

@@ -321,8 +321,8 @@ def _insert_slot(pool, new_k, new_v, new_len, slot):
     ln = jax.lax.dynamic_update_slice_in_dim(pool.length, new_len, slot,
                                              axis=1)
     if isinstance(pool, lm_mod.QuantKVCache):
-        k8, ks = lm_mod.quantize_kv(new_k)
-        v8, vs = lm_mod.quantize_kv(new_v)
+        k8, ks = lm_mod.quantize_kv(new_k, pool.k.dtype)
+        v8, vs = lm_mod.quantize_kv(new_v, pool.v.dtype)
         return lm_mod.QuantKVCache(
             k=put(pool.k, k8), v=put(pool.v, v8),
             k_scale=put(pool.k_scale, ks), v_scale=put(pool.v_scale, vs),
@@ -365,7 +365,8 @@ class ContinuousBatcher:
                  ctx_window: int = 128, kv_int8: bool = False,
                  prefill_chunk: int = 0, prefill_vit_segments: int = 0,
                  decode_attn: str | None = None,
-                 auto_window: bool = False):
+                 auto_window: bool = False,
+                 kv_quant: Optional[str] = None):
         self.engine = engine
         self.n_slots = n_slots
         self.t_max = t_max
@@ -378,11 +379,17 @@ class ContinuousBatcher:
         self.speculative = speculative
         self.ngram = ngram
         self.ctx_window = ctx_window
-        # int8 slot pool: halves pool HBM (2x slot capacity at the same
-        # t_max) and the per-step KV read traffic; decode paths quantize
-        # on write / dequantize on read (see lm.QuantKVCache). Serving
-        # opt-in — one-shot/eval paths keep full-precision caches.
-        self.kv_int8 = kv_int8
+        # Quantized slot pool: int8 halves, int4 quarters, pool HBM
+        # (2x/4x slot capacity at the same t_max) and the per-step KV
+        # read traffic; decode paths quantize on write / dequantize on
+        # read (see lm.QuantKVCache). Serving opt-in — one-shot/eval
+        # paths keep full-precision caches. ``kv_int8=True`` is the
+        # back-compat spelling of ``kv_quant="int8"``.
+        if kv_quant not in (None, "", "int8", "int4"):
+            raise ValueError(f"kv_quant must be int8 or int4, got "
+                             f"{kv_quant!r}")
+        self.kv_quant = kv_quant or ("int8" if kv_int8 else None)
+        self.kv_int8 = self.kv_quant is not None  # legacy readers
         # prefill_chunk > 0: admission prefills run SEGMENTED — one
         # vision+compaction dispatch, then prefill_chunk-token decoder
         # segments interleaved with decode chunks, so live slots stall at
@@ -530,9 +537,10 @@ class ContinuousBatcher:
         length = jnp.zeros((shp[0], self.n_slots), jnp.int32)
         self.pres = jnp.zeros(
             (self.n_slots, self.engine.cfg.text.vocab_size), jnp.bool_)
-        if self.kv_int8:
+        if self.kv_quant:
+            qdt = jnp.int4 if self.kv_quant == "int4" else jnp.int8
             self.pool = lm_mod.QuantKVCache(
-                k=jnp.zeros(full, jnp.int8), v=jnp.zeros(full, jnp.int8),
+                k=jnp.zeros(full, qdt), v=jnp.zeros(full, qdt),
                 k_scale=jnp.zeros(full[:4], jnp.float32),
                 v_scale=jnp.zeros(full[:4], jnp.float32),
                 length=length)

@@ -39,29 +39,36 @@ class KVCache(NamedTuple):
 
 
 class QuantKVCache(NamedTuple):
-    """int8-quantized KV cache (serving slot pools).
+    """int8- or int4-quantized KV cache (serving slot pools).
 
     Per-row, per-head absmax quantization: entry [l, b, t, h] stores
-    ``round(x / s)`` in int8 with its scale ``s = absmax/127`` kept
-    separately — 2 bytes/elem -> 1 byte + 4/Dh, halving both the pool's
-    HBM footprint (2x slot capacity at the same t_max) and the decode
-    step's KV read traffic. Decode paths dequantize on read; opt-in via
-    ``ContinuousBatcher(kv_int8=True)`` — the accuracy cost (rounding on
-    K/V, ~0.4% logit drift on the tiny models) is a serving tradeoff the
-    caller chooses, never silently applied to eval paths."""
+    ``round(x / s)`` in int8 (or packed S4) with its scale
+    ``s = absmax/qmax`` kept separately — int8 halves, int4 quarters, both
+    the pool's HBM footprint (2x/4x slot capacity at the same t_max) and
+    the decode step's KV read traffic. Decode paths dequantize on read;
+    opt-in via ``ContinuousBatcher(kv_quant="int8"|"int4")`` — the
+    accuracy cost (rounding on K/V: ~0.4% logit drift int8, coarser at
+    4 bits — measure with the drift tests before serving int4) is a
+    serving tradeoff the caller chooses, never silently applied to eval
+    paths."""
 
-    k: jax.Array  # int8 [n_layers, B, T_max, H_kv, Dh]
-    v: jax.Array  # int8 [n_layers, B, T_max, H_kv, Dh]
+    k: jax.Array  # int8/int4 [n_layers, B, T_max, H_kv, Dh]
+    v: jax.Array  # int8/int4 [n_layers, B, T_max, H_kv, Dh]
     k_scale: jax.Array  # f32 [n_layers, B, T_max, H_kv]
     v_scale: jax.Array  # f32 [n_layers, B, T_max, H_kv]
     length: jax.Array  # [n_layers, B]
 
 
-def quantize_kv(x: jax.Array) -> Tuple[jax.Array, jax.Array]:
-    """[..., Dh] -> (int8 values, f32 scales over the last dim)."""
-    s = jnp.max(jnp.abs(x.astype(jnp.float32)), axis=-1) / 127.0 + 1e-12
+def quantize_kv(x: jax.Array, dtype=jnp.int8) -> Tuple[jax.Array, jax.Array]:
+    """[..., Dh] -> (int8/int4 values, f32 scales over the last dim).
+
+    ``dtype=jnp.int4`` stores packed S4 (2 elems/byte — quarter the bf16
+    pool, at a coarser 4-bit rounding per row; scales stay foldable into
+    the attention logits/probs because they are constant over Dh)."""
+    qmax = 7.0 if dtype == jnp.int4 else 127.0
+    s = jnp.max(jnp.abs(x.astype(jnp.float32)), axis=-1) / qmax + 1e-12
     q = jnp.round(x.astype(jnp.float32) / s[..., None])
-    return q.astype(jnp.int8), s
+    return q.astype(dtype), s
 
 
 def dequantize_kv(q: jax.Array, s: jax.Array, dtype) -> jax.Array:
@@ -570,8 +577,8 @@ def lm_decode_step(
         # Write the new row at (layer, batch row, length) — per-row DUS,
         # in place on the carried pool (see _pool_row_write's traffic note).
         if quant:
-            k8, ks_new = quantize_kv(k)
-            v8, vs_new = quantize_kv(v)
+            k8, ks_new = quantize_kv(k, k_all.dtype)
+            v8, vs_new = quantize_kv(v, v_all.dtype)
             k_all = _pool_row_write(k_all, li, pos, k8)
             v_all = _pool_row_write(v_all, li, pos, v8)
             ks_all = _pool_row_write(ks_all, li, pos, ks_new)
@@ -662,8 +669,8 @@ def lm_decode_chunk(
         # Write the t_c new rows at (layer, batch row, pos..pos+t_c-1) —
         # per-row DUS, in place on the carried pool (see _pool_row_write).
         if quant:
-            k8, ks_new = quantize_kv(k)
-            v8, vs_new = quantize_kv(v)
+            k8, ks_new = quantize_kv(k, k_all.dtype)
+            v8, vs_new = quantize_kv(v, v_all.dtype)
             k_all = _pool_row_write(k_all, li, pos, k8)
             v_all = _pool_row_write(v_all, li, pos, v8)
             ks_all = _pool_row_write(ks_all, li, pos, ks_new)
